@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship scoring pipeline + the heaviest supporting
+# operators.  Kept deliberately small so the number is interpretable; the
+# full operator surface is exercised by the driver's correctness gate.
+HEADLINE = [
+    "risk_scores",
+    "top_contributors",
+    "w_similarity",
+    "k2_spatial_weight",
+]
+
+
+def main() -> None:
+    from safeascent_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("safeascent-bench")
+    queries = entry.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # Warm the JVM/session on the smallest SF so we measure the query, not
+    # session startup.
+    queries[names[0]](spark, "/root/testdata/sf0.001").write \
+        .format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,288 @@
+"""Derived SafeAscent-domain tables over the driver's synthetic star schema.
+
+The reference scores *routes* against *accidents* using 7-day *weather*
+windows (SURVEY.md §1).  The driver's test data is TPC-H-ish
+(`/root/testdata/sf*/`), so every domain table is derived deterministically:
+
+* ``routes``      <- customer   (probe side; route_id = c_custkey)
+* ``locations``   <- routes     (coords inherited by routes via J1-style join;
+                                 location_id = c_custkey % 200 models the
+                                 ~6x route->location sharing the reference
+                                 exploits, location_safety_computation.py:5-7)
+* ``accidents``   <- supplier   (small broadcast build side)
+* ``weather``     <- events     (long form: one row per (wbucket, day_offset),
+                                 models weather_patterns rounded to a grid,
+                                 backend/app/models/weather.py:11-36)
+
+Each derivation exists twice: as a PySpark DataFrame builder and as a DuckDB
+CTE string (for ``oracle_sql``).  The two MUST stay in sync — the driver
+hash-compares results at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Fixed "current date" every scoring query predicts for (must be a constant
+# so Spark and DuckDB agree; the reference uses date.today()).
+PRED_DATE = "2024-06-15"
+ACCIDENT_EPOCH = "2014-06-16"  # accident dates span ~10y before PRED_DATE
+N_LOCATIONS = 200   # c_custkey % 200
+N_WBUCKETS = 100    # weather grid buckets
+
+ROUTE_TYPE_BY_MOD = ["alpine", "ice", "mixed", "trad", "sport", "aid", "boulder"]
+GRADE_BY_MOD = ["5.8", "5.10a", "5.11b", "5.12c", "V5", None]
+SEVERITY_BY_MOD = ["fatal", "serious", "minor", "unknown"]
+# Raw severity strings exercising K12 normalization (severity_weighting.py:93-148)
+SEVERITY_RAW_BY_MOD = [
+    "Fatal fall on descent", "hospitalized with injuries",
+    "minor scrapes only", "unconfirmed report",
+]
+# Accident free-text exercising K16 route-type inference (route_type_mapper.py:13-165)
+TAGS_BY_MOD = [
+    "ice climbing near couloir", "mixed terrain m4",
+    "avalanche in backcountry", "boulder problem highball",
+    "sport climbing fall 5.12", "rappel anchor failure",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's synthetic parquet uses TIMESTAMP(NANOS); Spark only reads
+    # that with the legacy nanos-as-long mapping (the column arrives as
+    # nanoseconds-since-epoch LongType — see ts_seconds()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_seconds(col):
+    """Nanosecond-long timestamp column -> epoch seconds (integer div)."""
+    return F.expr(f"{col} div 1000000000") if isinstance(col, str) else col
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure the probe side of a broadcast cross join has enough partitions.
+
+    The local test parquet files are single row-groups, so FileScan yields 1
+    partition and a BroadcastNestedLoopJoin would run on one core.  On a real
+    cluster the probe side already has >= parallelism partitions and this is
+    a no-op — we only pay the small-shuffle when the input is undersplit.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Spark builders
+# ---------------------------------------------------------------------------
+
+def _mod_case(key, values: list, scale: int = 1):
+    """CASE key*scale % len(values) -> values[i] (None allowed)."""
+    m = (F.col(key) * scale % len(values)) if scale != 1 else (F.col(key) % len(values))
+    expr = None
+    for i, v in enumerate(values):
+        lit = F.lit(v) if v is not None else F.lit(None).cast("string")
+        expr = F.when(m == i, lit) if expr is None else expr.when(m == i, lit)
+    return expr
+
+
+def routes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routes from customer; coords live on `locations` (J1 inheritance)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("route_id"),
+        F.col("c_name").alias("route_name"),
+        (F.col("c_custkey") % N_LOCATIONS).alias("location_id"),
+        _mod_case("c_custkey", ROUTE_TYPE_BY_MOD).alias("route_type"),
+        _mod_case("c_custkey", GRADE_BY_MOD).alias("grade"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("popularity"),
+    )
+
+
+def locations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location dimension derived from the route->location key space."""
+    r = routes_df(spark, sf_dir)
+    loc = r.select("location_id").distinct()
+    lid = F.col("location_id")
+    return loc.select(
+        lid,
+        (F.lit(25.0) + (lid * 37 % 2000) / F.lit(100.0)).alias("latitude"),
+        (F.lit(-125.0) + (lid * 73 % 2000) / F.lit(100.0)).alias("longitude"),
+        F.when(lid % 11 == 0, F.lit(None).cast("double"))
+         .otherwise((lid * 57 % 4000).cast("double")).alias("elevation_m"),
+        (lid % N_WBUCKETS).alias("wbucket"),
+    )
+
+
+def accidents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accidents from supplier (the broadcast build side)."""
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return s.select(
+        k.alias("accident_id"),
+        (F.lit(25.0) + (k * 41 % 2000) / F.lit(100.0)).alias("latitude"),
+        (F.lit(-125.0) + (k * 79 % 2000) / F.lit(100.0)).alias("longitude"),
+        F.when(k % 13 == 0, F.lit(None).cast("double"))
+         .otherwise((k * 61 % 4000).cast("double")).alias("elevation_m"),
+        F.date_add(F.to_date(F.lit(ACCIDENT_EPOCH)),
+                   (k * 97 % 3650).cast("int")).alias("accident_date"),
+        _mod_case("s_suppkey", ROUTE_TYPE_BY_MOD).alias("route_type"),
+        _mod_case("s_suppkey", SEVERITY_BY_MOD).alias("severity"),
+        _mod_case("s_suppkey", SEVERITY_RAW_BY_MOD).alias("severity_raw"),
+        _mod_case("s_suppkey", GRADE_BY_MOD, scale=3).alias("grade"),
+        _mod_case("s_suppkey", TAGS_BY_MOD).alias("tags"),
+        ((k * 31 + 17) % N_WBUCKETS).alias("wbucket"),
+    )
+
+
+def weather_long_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form weather: one row per (wbucket, day_offset 0..6).
+
+    day_offset 6 = most recent day (day 0 in the reference's -6..0 window,
+    predict.py:543-546).  Factors are deterministic transforms of event
+    aggregates; visibility is constant for wbucket % 10 == 0 to exercise the
+    zero-variance correlation edge (stats_utils.py:155-159).
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = (e.groupBy((F.col("user_id") % N_WBUCKETS).alias("wbucket"),
+                     (F.col("event_id") % 7).alias("day_offset"))
+            .agg(F.avg("value").alias("v_avg"),
+                 F.sum("value").alias("v_sum"),
+                 F.min("value").alias("v_min"),
+                 F.max("value").alias("v_max"),
+                 F.count(F.lit(1)).alias("n_obs")))
+    t_avg = (F.col("v_avg") % 30.0) - 5.0
+    return agg.select(
+        "wbucket", "day_offset", "n_obs",
+        t_avg.alias("temperature"),
+        (t_avg - (F.col("v_max") % 8.0)).alias("temp_min"),
+        (t_avg + (F.col("v_min") % 8.0) + 0.5).alias("temp_max"),
+        (F.col("v_sum") % 20.0).alias("precipitation"),
+        ((F.col("v_avg") * 2.0) % 25.0).alias("wind_speed"),
+        F.when(F.col("wbucket") % 10 == 0, F.lit(8000.0))
+         .otherwise(1000.0 + (F.col("v_sum") % 9000.0)).alias("visibility"),
+        ((F.col("n_obs") * 7 % 100).cast("double")).alias("cloud_cover"),
+    )
+
+
+def archive_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket long-run weather stats (mean, population std per factor).
+
+    Models the 5-year archive statistics feeding extreme-weather detection
+    (weather_service.py:291-478), computed over event-grain factor values so
+    the archive is a longer series than the 7-day window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    ev = e.select(
+        (F.col("user_id") % N_WBUCKETS).alias("wbucket"),
+        ((v % 30.0) - 5.0).alias("x_temp"),
+        (v % 20.0).alias("x_precip"),
+        ((v * 2.0) % 25.0).alias("x_wind"),
+        (1000.0 + (v % 9000.0)).alias("x_vis"),
+    )
+    return ev.groupBy("wbucket").agg(
+        F.avg("x_temp").alias("mean_temp"), F.stddev_pop("x_temp").alias("std_temp"),
+        F.avg("x_precip").alias("mean_precip"), F.stddev_pop("x_precip").alias("std_precip"),
+        F.avg("x_wind").alias("mean_wind"), F.stddev_pop("x_wind").alias("std_wind"),
+        F.avg("x_vis").alias("mean_vis"), F.stddev_pop("x_vis").alias("std_vis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle CTEs (same derivations as SQL text)
+# ---------------------------------------------------------------------------
+
+def _sql_mod_case(key: str, values: list, scale: int = 1) -> str:
+    m = f"({key} * {scale} % {len(values)})" if scale != 1 else f"({key} % {len(values)})"
+    whens = " ".join(
+        f"WHEN {m} = {i} THEN " + ("NULL" if v is None else f"'{v}'")
+        for i, v in enumerate(values)
+    )
+    return f"(CASE {whens} END)"
+
+
+ROUTES_CTE = f"""
+routes AS (
+  SELECT c_custkey AS route_id,
+         c_name AS route_name,
+         c_custkey % {N_LOCATIONS} AS location_id,
+         {_sql_mod_case('c_custkey', ROUTE_TYPE_BY_MOD)} AS route_type,
+         {_sql_mod_case('c_custkey', GRADE_BY_MOD)} AS grade,
+         c_mktsegment AS segment,
+         c_acctbal AS popularity
+  FROM customer
+)"""
+
+LOCATIONS_CTE = f"""
+locations AS (
+  SELECT location_id,
+         25.0 + (location_id * 37 % 2000) / 100.0 AS latitude,
+         -125.0 + (location_id * 73 % 2000) / 100.0 AS longitude,
+         CASE WHEN location_id % 11 = 0 THEN NULL
+              ELSE CAST(location_id * 57 % 4000 AS DOUBLE) END AS elevation_m,
+         location_id % {N_WBUCKETS} AS wbucket
+  FROM (SELECT DISTINCT c_custkey % {N_LOCATIONS} AS location_id FROM customer)
+)"""
+
+ACCIDENTS_CTE = f"""
+accidents AS (
+  SELECT s_suppkey AS accident_id,
+         25.0 + (s_suppkey * 41 % 2000) / 100.0 AS latitude,
+         -125.0 + (s_suppkey * 79 % 2000) / 100.0 AS longitude,
+         CASE WHEN s_suppkey % 13 = 0 THEN NULL
+              ELSE CAST(s_suppkey * 61 % 4000 AS DOUBLE) END AS elevation_m,
+         DATE '{ACCIDENT_EPOCH}' + CAST(s_suppkey * 97 % 3650 AS INT) AS accident_date,
+         {_sql_mod_case('s_suppkey', ROUTE_TYPE_BY_MOD)} AS route_type,
+         {_sql_mod_case('s_suppkey', SEVERITY_BY_MOD)} AS severity,
+         {_sql_mod_case('s_suppkey', SEVERITY_RAW_BY_MOD)} AS severity_raw,
+         {_sql_mod_case('s_suppkey', GRADE_BY_MOD, scale=3)} AS grade,
+         {_sql_mod_case('s_suppkey', TAGS_BY_MOD)} AS tags,
+         (s_suppkey * 31 + 17) % {N_WBUCKETS} AS wbucket
+  FROM supplier
+)"""
+
+WEATHER_CTE = f"""
+weather AS (
+  SELECT wbucket, day_offset, n_obs,
+         t_avg AS temperature,
+         t_avg - (v_max % 8.0) AS temp_min,
+         t_avg + (v_min % 8.0) + 0.5 AS temp_max,
+         v_sum % 20.0 AS precipitation,
+         (v_avg * 2.0) % 25.0 AS wind_speed,
+         CASE WHEN wbucket % 10 = 0 THEN 8000.0
+              ELSE 1000.0 + (v_sum % 9000.0) END AS visibility,
+         CAST(n_obs * 7 % 100 AS DOUBLE) AS cloud_cover
+  FROM (
+    SELECT user_id % {N_WBUCKETS} AS wbucket,
+           event_id % 7 AS day_offset,
+           avg(value) AS v_avg, sum(value) AS v_sum,
+           min(value) AS v_min, max(value) AS v_max,
+           count(*) AS n_obs,
+           (avg(value) % 30.0) - 5.0 AS t_avg
+    FROM events
+    GROUP BY 1, 2
+  )
+)"""
+
+ARCHIVE_STATS_CTE = f"""
+archive_stats AS (
+  SELECT wbucket,
+         avg(x_temp) AS mean_temp, stddev_pop(x_temp) AS std_temp,
+         avg(x_precip) AS mean_precip, stddev_pop(x_precip) AS std_precip,
+         avg(x_wind) AS mean_wind, stddev_pop(x_wind) AS std_wind,
+         avg(x_vis) AS mean_vis, stddev_pop(x_vis) AS std_vis
+  FROM (
+    SELECT user_id % {N_WBUCKETS} AS wbucket,
+           (value % 30.0) - 5.0 AS x_temp,
+           value % 20.0 AS x_precip,
+           (value * 2.0) % 25.0 AS x_wind,
+           1000.0 + (value % 9000.0) AS x_vis
+    FROM events
+  )
+  GROUP BY wbucket
+)"""

@@ -1,0 +1,238 @@
+"""The flagship scoring operator: route x accident influence aggregation.
+
+Re-expresses the reference's core dataflow (SURVEY.md §2.8):
+
+    influence(route, accident) = spatial * temporal * elevation
+                               * route_type * severity * grade
+                               * gate(weather_similarity)^3
+    risk(route) = min(100, sum(influence) * 7)
+
+Physical shape (the plan we want at 100 TB):
+  routes (huge probe side, scanned)
+    -> broadcast hash join with locations (coordinate inheritance, J1)
+    -> broadcast nested-loop cross join with accidents (small build side, J3)
+    -> broadcast hash join with the bucket-pair weather similarity dim
+    -> one wide codegen'd select computing all kernels as Column exprs
+    -> partial-aggregated groupBy(route_id)  (map-side combine: the shuffle
+       carries ~|routes| rows, not |routes x accidents|)
+
+Reference: scalar loop safety_algorithm.py:151-168, vectorized
+safety_algorithm_vectorized.py:314-376, batch form
+location_safety_computation.py:300-422.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config as C
+from .. import domain
+from .. import grades as G
+from .. import kernels as K
+from .. import sqlgen as S
+from . import weather as W
+
+
+def influence_pairs_df(spark: SparkSession, sf_dir: str,
+                       pred_date: str = domain.PRED_DATE) -> DataFrame:
+    """Per (route, accident) influence rows — the exact per-route path.
+
+    Every single-side kernel (grade parse, per-type constant lookups, season,
+    radians) is evaluated ONCE at route / accident grain *before* the cross
+    join, so the pair-grain expression is a handful of arithmetic ops — this
+    keeps the 15M+(at sf0.1) pair stage inside one tight whole-stage-codegen
+    span instead of re-evaluating 100-branch CASE trees per pair.
+    """
+    routes = domain.routes_df(spark, sf_dir)
+    locations = domain.locations_df(spark, sf_dir)
+    accidents = domain.accidents_df(spark, sf_dir)
+    wsim = W.weather_similarity_df(spark, sf_dir)
+
+    r = G.grade_difficulty_join(
+        routes.join(F.broadcast(locations), "location_id"),
+        "grade", "r_gdiff",
+    ).select(
+        "route_id", "location_id", "wbucket", "r_gdiff",
+        F.col("elevation_m").alias("r_elev"),
+        F.radians("latitude").alias("r_rlat"),
+        F.radians("longitude").alias("r_rlon"),
+        F.cos(F.radians("latitude")).alias("r_coslat"),
+        K.spatial_bandwidth("route_type").alias("r_bw"),
+        K.temporal_lambda("route_type").alias("r_lam"),
+        K.map_literal(C.ELEVATION_DECAY_CONSTANT, "route_type",
+                      C.ELEVATION_DECAY_CONSTANT["default"]).alias("r_edecay"),
+        K.route_type_index("route_type").alias("r_tidx"),
+    )
+    a = G.grade_difficulty_join(accidents, "grade", "a_gdiff").select(
+        F.col("accident_id"),
+        F.col("a_gdiff"),
+        F.col("elevation_m").alias("a_elev"),
+        F.radians("latitude").alias("a_rlat"),
+        F.radians("longitude").alias("a_rlon"),
+        F.cos(F.radians("latitude")).alias("a_coslat"),
+        F.abs(F.datediff(F.to_date(F.lit(pred_date)), F.col("accident_date")))
+         .cast("double").alias("a_days"),
+        (K.season_of("accident_date") == F.lit(K.season_of_py(pred_date)))
+         .alias("a_same_season"),
+        K.severity_weight("severity").alias("a_sevw"),
+        K.route_type_index("route_type").alias("a_tidx"),
+        F.col("wbucket").alias("acc_bucket"),
+    )
+    pairs = domain.fan_out(r).crossJoin(F.broadcast(a))
+    pairs = pairs.join(
+        F.broadcast(wsim),
+        (pairs["wbucket"] == wsim["cur_bucket"])
+        & (pairs["acc_bucket"] == wsim["acc_bucket"]),
+        "left",
+    ).drop(wsim["acc_bucket"]).drop("cur_bucket")
+
+    dist = K.haversine_from_parts(
+        F.col("r_rlat"), F.col("r_rlon"), F.col("r_coslat"),
+        F.col("a_rlat"), F.col("a_rlon"), F.col("a_coslat"))
+    spatial = F.exp(-(dist * dist) / (F.lit(2.0) * F.col("r_bw") * F.col("r_bw")))
+    base_decay = F.pow(F.col("r_lam"), F.col("a_days"))
+    temporal = ((F.lit(1.0) - F.lit(C.TEMPORAL_DECAY_IMPACT)
+                 * (F.lit(1.0) - F.pow(base_decay, F.lit(C.TEMPORAL_DECAY_SHAPE))))
+                * F.when(F.col("a_same_season"), F.lit(C.SEASONAL_MULTIPLIER))
+                   .otherwise(F.lit(1.0)))
+    ediff = F.abs(F.col("a_elev") - F.col("r_elev"))
+    elevation = F.when(F.col("r_elev").isNull() | F.col("a_elev").isNull(), F.lit(1.0)) \
+                 .otherwise(F.lit(1.0) + F.lit(C.ELEVATION_BONUS_MAX)
+                            * F.exp(-F.pow(ediff / F.col("r_edecay"), F.lit(2.0))))
+    rt_w = K.route_type_weight_indexed("r_tidx", "a_tidx")
+    gdiff = F.abs(F.col("r_gdiff") - F.col("a_gdiff"))
+    grade_w = F.when(F.col("r_gdiff").isNull() | F.col("a_gdiff").isNull(), F.lit(1.0)) \
+               .otherwise(F.greatest(F.lit(C.GRADE_MIN_WEIGHT),
+                                     F.exp(-(gdiff * gdiff)
+                                           / F.lit(2.0 * C.GRADE_SIGMA**2))))
+    weather_w = F.coalesce(F.col("weather_weight"),
+                           F.lit(C.MISSING_WEATHER_NEUTRAL))
+    influence = (spatial * temporal * elevation * rt_w * F.col("a_sevw")
+                 * grade_w * K.weather_factor(weather_w))
+    return pairs.select(
+        "route_id", "location_id", "accident_id",
+        dist.alias("distance_km"),
+        influence.alias("influence"),
+    )
+
+
+def risk_scores_df(spark: SparkSession, sf_dir: str,
+                   pred_date: str = domain.PRED_DATE) -> DataFrame:
+    """Flagship: per-route risk score + color at the prediction date (A1+K18)."""
+    pairs = influence_pairs_df(spark, sf_dir, pred_date)
+    agg = pairs.groupBy("route_id").agg(
+        F.sum("influence").alias("influence_sum"),
+        F.sum(F.when(F.col("influence") > C.SIGNIFICANCE_THRESHOLD, 1)
+               .otherwise(0)).alias("num_contributing"),
+    )
+    risk = K.normalize_risk("influence_sum")
+    return agg.select(
+        "route_id",
+        F.round(risk, 6).alias("risk_score"),
+        K.color_code(risk).alias("color_code"),
+        F.col("num_contributing").cast("int").alias("num_contributing"),
+    ).orderBy("route_id")
+
+
+def top_contributors_df(spark: SparkSession, sf_dir: str,
+                        pred_date: str = domain.PRED_DATE,
+                        limit: int = C.MAX_CONTRIBUTING_ACCIDENTS) -> DataFrame:
+    """W1: top-k contributing accidents per route via row_number window.
+
+    Reference: safety_algorithm.py:370-415 (sort desc, take 50).  Ties are
+    broken by accident_id for determinism.
+    """
+    from pyspark.sql import Window
+    pairs = influence_pairs_df(spark, sf_dir, pred_date)
+    pruned = pairs.filter(F.col("influence") > C.SIGNIFICANCE_THRESHOLD)
+    w = Window.partitionBy("route_id").orderBy(
+        F.col("influence").desc(), F.col("accident_id").asc())
+    return (pruned.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= limit)
+                  .select("route_id",
+                          F.col("rank").cast("int").alias("rank"),
+                          "accident_id",
+                          F.round("influence", 6).alias("influence"),
+                          F.round("distance_km", 3).alias("distance_km"))
+                  .orderBy("route_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _influence_sql(pred_date: str) -> str:
+    """Shared CTE chain ending in pair-grain influence rows."""
+    dist = S.haversine_km("p.latitude", "p.longitude",
+                          "p.a_latitude", "p.a_longitude")
+    weather_w = "coalesce(ws.weather_weight, 0.5)"
+    influence = (
+        f"{S.spatial_weight('p.dist', 'p.route_type')}"
+        f" * {S.temporal_weight(f_date(pred_date), 'p.accident_date', 'p.route_type')}"
+        f" * {S.elevation_weight('p.elevation_m', 'p.a_elevation_m', 'p.route_type')}"
+        f" * {S.route_type_weight('p.route_type', 'p.a_route_type')}"
+        f" * {S.severity_weight('p.severity')}"
+        f" * {S.grade_weight_from_difficulty(S.parse_grade('p.grade'), S.parse_grade('p.a_grade'))}"
+        f" * {S.weather_factor(weather_w)}"
+    )
+    return f"""
+WITH {domain.ROUTES_CTE.strip()},
+{domain.LOCATIONS_CTE.strip()},
+{domain.ACCIDENTS_CTE.strip()},
+{domain.WEATHER_CTE.strip()},
+{domain.ARCHIVE_STATS_CTE.strip()},
+{W.wsim_ctes().strip()},
+pair0 AS (
+  SELECT r.route_id, r.location_id, r.route_type, r.grade,
+         l.latitude, l.longitude, l.elevation_m, l.wbucket,
+         a.accident_id, a.latitude AS a_latitude, a.longitude AS a_longitude,
+         a.elevation_m AS a_elevation_m, a.accident_date,
+         a.route_type AS a_route_type, a.severity, a.grade AS a_grade,
+         a.wbucket AS acc_bucket
+  FROM routes r
+  JOIN locations l ON r.location_id = l.location_id
+  CROSS JOIN accidents a
+),
+pair1 AS (
+  SELECT p.*, {dist} AS dist FROM pair0 p
+),
+pairs AS (
+  SELECT p.route_id, p.accident_id, p.dist AS distance_km,
+         {influence} AS influence
+  FROM pair1 p
+  LEFT JOIN wsim ws ON p.wbucket = ws.cur_bucket AND p.acc_bucket = ws.acc_bucket
+)"""
+
+
+def f_date(d: str) -> str:
+    return f"DATE '{d}'"
+
+
+def risk_scores_sql(pred_date: str = domain.PRED_DATE) -> str:
+    risk = S.normalize_risk("sum(influence)")
+    return f"""{_influence_sql(pred_date)}
+SELECT route_id,
+       round({risk}, 6) AS risk_score,
+       {S.color_code(risk)} AS color_code,
+       CAST(sum(CASE WHEN influence > {C.SIGNIFICANCE_THRESHOLD!r} THEN 1 ELSE 0 END) AS INT)
+         AS num_contributing
+FROM pairs
+GROUP BY route_id
+ORDER BY route_id"""
+
+
+def top_contributors_sql(pred_date: str = domain.PRED_DATE,
+                         limit: int = C.MAX_CONTRIBUTING_ACCIDENTS) -> str:
+    return f"""{_influence_sql(pred_date)}
+SELECT route_id, CAST(rank AS INT) AS rank, accident_id,
+       round(influence, 6) AS influence, round(distance_km, 3) AS distance_km
+FROM (
+  SELECT route_id, accident_id, influence, distance_km,
+         row_number() OVER (PARTITION BY route_id
+                            ORDER BY influence DESC, accident_id ASC) AS rank
+  FROM pairs
+  WHERE influence > {C.SIGNIFICANCE_THRESHOLD!r}
+)
+WHERE rank <= {limit}
+ORDER BY route_id, rank"""

@@ -1,0 +1,385 @@
+"""Weather-pattern similarity as distributed DataFrame operators (K5-K8).
+
+The reference compares 7-day weather windows with a day-weighted Pearson
+correlation per factor, a freeze-thaw similarity, and an extreme-weather
+multiplier (backend/app/services/weather_similarity.py:88-344).  Here the
+whole computation is expressed at the *(bucket, bucket) pair grain*:
+
+* similarity is a pure function of two 7-day windows, and windows are shared
+  across routes/accidents on a rounded-coordinate grid (the reference's 0.01
+  deg bucket memoization, safety_computation_optimized.py:513-567);
+* so we compute it ONCE per (location-bucket, accident-bucket) pair with two
+  small groupBy passes, then broadcast-join the result into the scoring
+  cross join.  The pair table is bounded by N_WBUCKETS^2 rows regardless of
+  data scale — at 100 TB it is still a broadcastable few-thousand-row dim.
+
+No UDFs: the weighted Pearson is a closed form over Sum(w*x) style
+aggregates, computed in a numerically-stable two-pass (means first, then
+centered moments) so the zero-variance edge cases (stats_utils.py:155-159)
+are decided identically by Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config as C
+from .. import domain
+
+FACTORS = ["temp", "precip", "wind", "vis", "cloud"]
+FACTOR_SRC = {
+    "temp": "temperature",
+    "precip": "precipitation",
+    "wind": "wind_speed",
+    "vis": "visibility",
+    "cloud": "cloud_cover",
+}
+
+
+def _corr_from_moments(vx, vy, cov):
+    """Weighted Pearson from centered moments with the reference's
+    zero-variance rules (weighted_pearson_correlation, stats_utils.py:111-170):
+    both zero-variance -> 1.0, one -> 0.0, else clamp(cov/(sqrt(vx)*sqrt(vy)))."""
+    eps = F.lit(C.VARIANCE_EPS)
+    zx, zy = vx <= eps, vy <= eps
+    corr = cov / (F.sqrt(vx) * F.sqrt(vy))
+    return (F.when(zx & zy, F.lit(1.0))
+             .when(zx | zy, F.lit(0.0))
+             .otherwise(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), corr))))
+
+
+def bucket_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket window metadata: day count, freeze-thaw count (A10)."""
+    w = domain.weather_long_df(spark, sf_dir)
+    return w.groupBy("wbucket").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when((F.col("temp_min") < 0) & (F.col("temp_max") > 0), 1)
+               .otherwise(0)).alias("ft_count"),
+    )
+
+
+def extreme_multiplier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8: per-bucket extreme-weather multiplier vs archive stats.
+
+    multiplier = 1 + sum over {wind, precip, temp, vis} of
+    (|z|-2)*penalty when |z| > 2 (weather_similarity.py:221-344).
+    """
+    w = domain.weather_long_df(spark, sf_dir)
+    cur = w.groupBy("wbucket").agg(
+        F.avg("temperature").alias("cm_temp"),
+        F.avg("precipitation").alias("cm_precip"),
+        F.avg("wind_speed").alias("cm_wind"),
+        F.avg("visibility").alias("cm_vis"),
+    )
+    arch = domain.archive_stats_df(spark, sf_dir)
+    j = cur.join(arch, "wbucket", "left")
+
+    def contrib(cm: str, mean: str, std: str, penalty: float):
+        z = (F.col(cm) - F.col(mean)) / F.col(std)
+        t = F.lit(C.EXTREME_WEATHER_SD_THRESHOLD)
+        return F.when(F.col(std).isNull() | (F.col(std) == 0), F.lit(0.0)) \
+                .otherwise(F.when(F.abs(z) > t,
+                                  (F.abs(z) - t) * F.lit(penalty))
+                            .otherwise(F.lit(0.0)))
+
+    p = C.EXTREME_PENALTY_MULTIPLIERS
+    mult = (F.lit(1.0)
+            + contrib("cm_wind", "mean_wind", "std_wind", p["wind_speed"])
+            + contrib("cm_precip", "mean_precip", "std_precip", p["precipitation"])
+            + contrib("cm_temp", "mean_temp", "std_temp", p["temperature"])
+            + contrib("cm_vis", "mean_vis", "std_vis", p["visibility"]))
+    return j.select("wbucket", mult.alias("extreme_multiplier"))
+
+
+def weather_similarity_df(spark: SparkSession, sf_dir: str,
+                          with_extreme: bool = True) -> DataFrame:
+    """K7: the (cur_bucket, acc_bucket) pair-grain similarity table.
+
+    Columns: cur_bucket, acc_bucket, weather_weight (base 6-factor similarity
+    x extreme multiplier of the *current* bucket).  Invalid (<5-day) windows
+    yield 0.0 (weather_similarity.py:124-126); pairs absent entirely are the
+    'missing pattern' neutral-0.5 path, handled by the caller's left join.
+    """
+    w = domain.weather_long_df(spark, sf_dir)
+    a = w.alias("a")
+    b = w.alias("b")
+    # Day-aligned pair rows; wraw = decay^(days_before), day_offset 6 = day 0.
+    pairs = a.join(b, F.col("a.day_offset") == F.col("b.day_offset")).select(
+        F.col("a.wbucket").alias("cur_bucket"),
+        F.col("b.wbucket").alias("acc_bucket"),
+        F.pow(F.lit(C.WITHIN_WINDOW_TEMPORAL_DECAY),
+              (F.lit(6) - F.col("a.day_offset")).cast("double")).alias("wraw"),
+        *[F.col(f"a.{FACTOR_SRC[f]}").alias(f"x_{f}") for f in FACTORS],
+        *[F.col(f"b.{FACTOR_SRC[f]}").alias(f"y_{f}") for f in FACTORS],
+    )
+
+    keys = ["cur_bucket", "acc_bucket"]
+    # Pass 1: weighted means.
+    means = pairs.groupBy(*keys).agg(
+        F.sum("wraw").alias("sw"),
+        *[e for f in FACTORS for e in (
+            (F.sum(F.col("wraw") * F.col(f"x_{f}"))).alias(f"sx_{f}"),
+            (F.sum(F.col("wraw") * F.col(f"y_{f}"))).alias(f"sy_{f}"),
+        )],
+    ).select(
+        *keys, "sw",
+        *[e for f in FACTORS for e in (
+            (F.col(f"sx_{f}") / F.col("sw")).alias(f"mx_{f}"),
+            (F.col(f"sy_{f}") / F.col("sw")).alias(f"my_{f}"),
+        )],
+    )
+    # Pass 2: centered second moments (numerically stable for the
+    # zero-variance edge; a one-pass E[x^2]-mean^2 would leave Spark and
+    # DuckDB disagreeing on "is the variance zero").
+    centered = pairs.join(means, keys)
+    moments = centered.groupBy(*keys).agg(
+        F.first("sw").alias("sw"),
+        *[e for f in FACTORS for e in (
+            F.sum(F.col("wraw") * F.pow(F.col(f"x_{f}") - F.col(f"mx_{f}"), 2)).alias(f"ssx_{f}"),
+            F.sum(F.col("wraw") * F.pow(F.col(f"y_{f}") - F.col(f"my_{f}"), 2)).alias(f"ssy_{f}"),
+            F.sum(F.col("wraw") * (F.col(f"x_{f}") - F.col(f"mx_{f}"))
+                  * (F.col(f"y_{f}") - F.col(f"my_{f}"))).alias(f"sxy_{f}"),
+        )],
+    )
+
+    scores = moments.select(
+        *keys,
+        *[((_corr_from_moments(F.col(f"ssx_{f}") / F.col("sw"),
+                               F.col(f"ssy_{f}") / F.col("sw"),
+                               F.col(f"sxy_{f}") / F.col("sw"))
+            + F.lit(1.0)) / F.lit(2.0)).alias(f"s_{f}")
+          for f in FACTORS],
+    )
+
+    prof = bucket_profile_df(spark, sf_dir)
+    pa = prof.select(F.col("wbucket").alias("cur_bucket"),
+                     F.col("n_days").alias("n_days_a"),
+                     F.col("ft_count").alias("ft_a"))
+    pb = prof.select(F.col("wbucket").alias("acc_bucket"),
+                     F.col("n_days").alias("n_days_b"),
+                     F.col("ft_count").alias("ft_b"))
+    s = scores.join(pa, "cur_bucket").join(pb, "acc_bucket")
+
+    # Freeze-thaw similarity (weather_similarity.py:194-201)
+    ft_sim = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.abs(F.col("ft_a") - F.col("ft_b"))
+        / (F.greatest(F.col("ft_a"), F.col("ft_b"), F.lit(1)).cast("double") + F.lit(7.0)),
+    )
+    base = (F.col("s_temp") + F.col("s_precip") + F.col("s_wind")
+            + F.col("s_vis") + F.col("s_cloud") + ft_sim) / F.lit(6.0)
+    valid = (F.col("n_days_a") >= C.MIN_WEATHER_DAYS_REQUIRED) & \
+            (F.col("n_days_b") >= C.MIN_WEATHER_DAYS_REQUIRED)
+    sim = F.when(valid, base).otherwise(F.lit(0.0))
+
+    out = s.select("cur_bucket", "acc_bucket", sim.alias("base_similarity"))
+    if with_extreme:
+        mult = extreme_multiplier_df(spark, sf_dir)
+        out = (out.join(mult.withColumnRenamed("wbucket", "cur_bucket"),
+                        "cur_bucket", "left")
+                  .select("cur_bucket", "acc_bucket",
+                          (F.col("base_similarity")
+                           * F.coalesce(F.col("extreme_multiplier"), F.lit(1.0))
+                           ).alias("weather_weight")))
+    else:
+        out = out.withColumnRenamed("base_similarity", "weather_weight")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle CTEs mirroring the above
+# ---------------------------------------------------------------------------
+
+def wsim_ctes(with_extreme: bool = True) -> str:
+    """CTE chain computing wsim(cur_bucket, acc_bucket, weather_weight)."""
+    xy_means = ", ".join(
+        f"sum(wraw * x_{f}) / sum(wraw) AS mx_{f}, "
+        f"sum(wraw * y_{f}) / sum(wraw) AS my_{f}"
+        for f in FACTORS
+    )
+    moments = ", ".join(
+        f"sum(p.wraw * pow(p.x_{f} - m.mx_{f}, 2)) / m.sw AS vx_{f}, "
+        f"sum(p.wraw * pow(p.y_{f} - m.my_{f}, 2)) / m.sw AS vy_{f}, "
+        f"sum(p.wraw * (p.x_{f} - m.mx_{f}) * (p.y_{f} - m.my_{f})) / m.sw AS cov_{f}"
+        for f in FACTORS
+    )
+    eps = C.VARIANCE_EPS
+    corr_scores = ", ".join(
+        f"(CASE WHEN vx_{f} <= {eps!r} AND vy_{f} <= {eps!r} THEN 1.0 "
+        f"WHEN vx_{f} <= {eps!r} OR vy_{f} <= {eps!r} THEN 0.0 "
+        f"ELSE greatest(-1.0, least(1.0, cov_{f} / (sqrt(vx_{f}) * sqrt(vy_{f})))) "
+        f"END + 1.0) / 2.0 AS s_{f}"
+        for f in FACTORS
+    )
+    xcols = ", ".join(f"a.{FACTOR_SRC[f]} AS x_{f}, b.{FACTOR_SRC[f]} AS y_{f}"
+                      for f in FACTORS)
+    mjoin_cols = ", ".join(
+        c for f in FACTORS for c in (f"m.mx_{f}", f"m.my_{f}"))
+    ft_sim = ("greatest(0.0, 1.0 - abs(pa.ft_count - pb.ft_count) / "
+              "(CAST(greatest(pa.ft_count, pb.ft_count, 1) AS DOUBLE) + 7.0))")
+    base = "(s_temp + s_precip + s_wind + s_vis + s_cloud + " + ft_sim + ") / 6.0"
+    valid = (f"pa.n_days >= {C.MIN_WEATHER_DAYS_REQUIRED} AND "
+             f"pb.n_days >= {C.MIN_WEATHER_DAYS_REQUIRED}")
+
+    extreme_cte = f"""
+wcur AS (
+  SELECT wbucket, avg(temperature) AS cm_temp, avg(precipitation) AS cm_precip,
+         avg(wind_speed) AS cm_wind, avg(visibility) AS cm_vis
+  FROM weather GROUP BY wbucket
+),
+wmult AS (
+  SELECT c.wbucket,
+         1.0
+         + (CASE WHEN s.std_wind IS NULL OR s.std_wind = 0 THEN 0.0
+                 WHEN abs((c.cm_wind - s.mean_wind) / s.std_wind) > 2.0
+                 THEN (abs((c.cm_wind - s.mean_wind) / s.std_wind) - 2.0) * 0.20
+                 ELSE 0.0 END)
+         + (CASE WHEN s.std_precip IS NULL OR s.std_precip = 0 THEN 0.0
+                 WHEN abs((c.cm_precip - s.mean_precip) / s.std_precip) > 2.0
+                 THEN (abs((c.cm_precip - s.mean_precip) / s.std_precip) - 2.0) * 0.20
+                 ELSE 0.0 END)
+         + (CASE WHEN s.std_temp IS NULL OR s.std_temp = 0 THEN 0.0
+                 WHEN abs((c.cm_temp - s.mean_temp) / s.std_temp) > 2.0
+                 THEN (abs((c.cm_temp - s.mean_temp) / s.std_temp) - 2.0) * 0.20
+                 ELSE 0.0 END)
+         + (CASE WHEN s.std_vis IS NULL OR s.std_vis = 0 THEN 0.0
+                 WHEN abs((c.cm_vis - s.mean_vis) / s.std_vis) > 2.0
+                 THEN (abs((c.cm_vis - s.mean_vis) / s.std_vis) - 2.0) * 0.25
+                 ELSE 0.0 END)
+         AS extreme_multiplier
+  FROM wcur c LEFT JOIN archive_stats s ON c.wbucket = s.wbucket
+),"""
+
+    weight_expr = (
+        "wsb.base_similarity * coalesce(wm.extreme_multiplier, 1.0)"
+        if with_extreme else "wsb.base_similarity")
+    final_join = ("LEFT JOIN wmult wm ON wsb.cur_bucket = wm.wbucket"
+                  if with_extreme else "")
+
+    return f"""
+wprof AS (
+  SELECT wbucket, count(*) AS n_days,
+         sum(CASE WHEN temp_min < 0 AND temp_max > 0 THEN 1 ELSE 0 END) AS ft_count
+  FROM weather GROUP BY wbucket
+),
+wpair AS (
+  SELECT a.wbucket AS cur_bucket, b.wbucket AS acc_bucket,
+         pow({C.WITHIN_WINDOW_TEMPORAL_DECAY!r},
+             CAST(6 - a.day_offset AS DOUBLE)) AS wraw,
+         {xcols}
+  FROM weather a JOIN weather b ON a.day_offset = b.day_offset
+),
+wmeans AS (
+  SELECT cur_bucket, acc_bucket, sum(wraw) AS sw, {xy_means}
+  FROM wpair GROUP BY cur_bucket, acc_bucket
+),
+wmoments AS (
+  SELECT p.cur_bucket, p.acc_bucket, {moments}
+  FROM wpair p JOIN wmeans m
+    ON p.cur_bucket = m.cur_bucket AND p.acc_bucket = m.acc_bucket
+  GROUP BY p.cur_bucket, p.acc_bucket, m.sw, {mjoin_cols}
+),
+wscores AS (
+  SELECT cur_bucket, acc_bucket, {corr_scores} FROM wmoments
+),
+{extreme_cte if with_extreme else ''}
+wsim_base AS (
+  SELECT s.cur_bucket, s.acc_bucket,
+         CASE WHEN {valid} THEN {base} ELSE 0.0 END AS base_similarity
+  FROM wscores s
+  JOIN wprof pa ON s.cur_bucket = pa.wbucket
+  JOIN wprof pb ON s.acc_bucket = pb.wbucket
+),
+wsim AS (
+  SELECT wsb.cur_bucket, wsb.acc_bucket,
+         {weight_expr} AS weather_weight
+  FROM wsim_base wsb
+  {final_join}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Oracle-facing queries
+# ---------------------------------------------------------------------------
+
+_WEATHER_ONLY_WITH = "WITH " + domain.WEATHER_CTE.strip()
+_WEATHER_FULL_WITH = ("WITH " + domain.WEATHER_CTE.strip() + ",\n"
+                      + domain.ARCHIVE_STATS_CTE.strip())
+
+
+def q_weather_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/J2 analog: the assembled per-bucket 7-day weather window (long form)."""
+    w = domain.weather_long_df(spark, sf_dir)
+    return w.select(
+        "wbucket", "day_offset",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round("temperature", 6).alias("temperature"),
+        F.round("temp_min", 6).alias("temp_min"),
+        F.round("temp_max", 6).alias("temp_max"),
+        F.round("precipitation", 6).alias("precipitation"),
+        F.round("wind_speed", 6).alias("wind_speed"),
+        F.round("visibility", 6).alias("visibility"),
+        F.round("cloud_cover", 6).alias("cloud_cover"),
+    ).orderBy("wbucket", "day_offset")
+
+
+def sql_weather_window() -> str:
+    return f"""{_WEATHER_ONLY_WITH}
+SELECT wbucket, day_offset, CAST(n_obs AS BIGINT) AS n_obs,
+       round(temperature, 6) AS temperature,
+       round(temp_min, 6) AS temp_min, round(temp_max, 6) AS temp_max,
+       round(precipitation, 6) AS precipitation,
+       round(wind_speed, 6) AS wind_speed,
+       round(visibility, 6) AS visibility,
+       round(cloud_cover, 6) AS cloud_cover
+FROM weather ORDER BY wbucket, day_offset"""
+
+
+def q_freeze_thaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: freeze-thaw day counts per bucket (min<0<max within the window)."""
+    p = bucket_profile_df(spark, sf_dir)
+    return p.select("wbucket",
+                    F.col("n_days").cast("bigint").alias("n_days"),
+                    F.col("ft_count").cast("bigint").alias("ft_count")) \
+            .orderBy("wbucket")
+
+
+def sql_freeze_thaw() -> str:
+    return f"""{_WEATHER_ONLY_WITH}
+SELECT wbucket, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN temp_min < 0 AND temp_max > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS ft_count
+FROM weather GROUP BY wbucket ORDER BY wbucket"""
+
+
+def q_weather_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5-K7: base 6-factor similarity for every bucket pair (no extreme mult)."""
+    sim = weather_similarity_df(spark, sf_dir, with_extreme=False)
+    return sim.select("cur_bucket", "acc_bucket",
+                      F.round("weather_weight", 9).alias("similarity")) \
+              .orderBy("cur_bucket", "acc_bucket")
+
+
+def sql_weather_similarity() -> str:
+    return f"""{_WEATHER_ONLY_WITH},
+{wsim_ctes(with_extreme=False).strip()}
+SELECT cur_bucket, acc_bucket, round(weather_weight, 9) AS similarity
+FROM wsim ORDER BY cur_bucket, acc_bucket"""
+
+
+def q_extreme_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 + A7: per-bucket extreme-weather multiplier vs archive statistics."""
+    m = extreme_multiplier_df(spark, sf_dir)
+    return m.select("wbucket",
+                    F.round("extreme_multiplier", 9).alias("extreme_multiplier")) \
+            .orderBy("wbucket")
+
+
+def sql_extreme_multiplier() -> str:
+    # Reuse the wmult CTE from wsim_ctes by projecting it directly.
+    full = wsim_ctes(with_extreme=True).strip()
+    return f"""{_WEATHER_FULL_WITH},
+{full}
+SELECT wbucket, round(extreme_multiplier, 9) AS extreme_multiplier
+FROM wmult ORDER BY wbucket"""
