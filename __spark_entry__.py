@@ -11,7 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from safeascent_spark.operators import analytics as A
 from safeascent_spark.operators import kernel_queries as KQ
+from safeascent_spark.operators import relational as R
 from safeascent_spark.operators import scoring
 from safeascent_spark.operators import weather as W
 
@@ -44,6 +46,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18)
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
+        # relational surface (SURVEY §2.2/§2.3: F1-F4, J1, J5, J7, A2, A5, A9)
+        "f1_accident_filter": R.q_accident_filter,
+        "f2_route_search": R.q_route_search,
+        "f3_route_search_rock": R.q_route_search_rock,
+        "f4_predict_prefilter": R.q_predict_prefilter,
+        "j1_routes_with_coords": R.q_routes_with_coords,
+        "j5_location_breadcrumb": R.q_location_breadcrumb,
+        "j7_fuzzy_route_match": R.q_fuzzy_route_match,
+        "a2_route_page": R.q_route_page,
+        "a5_location_route_counts": R.q_location_route_counts,
+        "a9_location_mode_type": R.q_location_mode_type,
+        # analytics endpoints (SURVEY §2.4/§2.5: A3, A4, A6-A8, W3, W5, K21-K23)
+        "a3_seasonal_patterns": A.q_seasonal_patterns,
+        "a4_ascent_rates": A.q_ascent_rates,
+        "a7_weather_monthly_stats": A.q_weather_monthly_stats,
+        "a8_risk_trend": A.q_risk_trend,
+        "w3_climbing_windows": A.q_climbing_windows,
+        "k21_hourly_risk": A.q_hourly_risk,
     }
 
 
@@ -65,4 +85,20 @@ def oracle_sql() -> dict[str, str]:
         "w_extreme_multiplier": W.sql_extreme_multiplier(),
         "risk_scores": scoring.risk_scores_sql(),
         "top_contributors": scoring.top_contributors_sql(),
+        "f1_accident_filter": R.sql_accident_filter(),
+        "f2_route_search": R.sql_route_search(),
+        "f3_route_search_rock": R.sql_route_search_rock(),
+        "f4_predict_prefilter": R.sql_predict_prefilter(),
+        "j1_routes_with_coords": R.sql_routes_with_coords(),
+        "j5_location_breadcrumb": R.sql_location_breadcrumb(),
+        "j7_fuzzy_route_match": R.sql_fuzzy_route_match(),
+        "a2_route_page": R.sql_route_page(),
+        "a5_location_route_counts": R.sql_location_route_counts(),
+        "a9_location_mode_type": R.sql_location_mode_type(),
+        "a3_seasonal_patterns": A.sql_seasonal_patterns(),
+        "a4_ascent_rates": A.sql_ascent_rates(),
+        "a7_weather_monthly_stats": A.sql_weather_monthly_stats(),
+        "a8_risk_trend": A.sql_risk_trend(),
+        "w3_climbing_windows": A.sql_climbing_windows(),
+        "k21_hourly_risk": A.sql_hourly_risk(),
     }

@@ -1,0 +1,437 @@
+"""Analytics endpoints as queries (P4): seasonality, rates, trends,
+climbing windows, hourly risk (SURVEY.md §2.4/§2.5 A3/A4/A8/W3/W5, K21/K22).
+
+Event timestamps arrive as nanosecond longs (see domain.load_table); all
+calendar math is done with timezone-free integer epoch arithmetic so Spark
+and DuckDB agree regardless of session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import domain
+from .. import kernels as K
+from .. import sqlgen as S
+
+_DOMAIN_WITH = (
+    "WITH " + ",\n".join(x.strip() for x in (
+        domain.ROUTES_CTE, domain.LOCATIONS_CTE, domain.ACCIDENTS_CTE))
+)
+
+REF_LAT, REF_LON = 35.0, -115.0
+
+# epoch-day / hour-of-day from a nanosecond-long timestamp (tz-free)
+_DAY_NS = 86_400 * 1_000_000_000
+_HOUR_NS = 3_600 * 1_000_000_000
+
+
+def _epoch_day(col: str):
+    return F.expr(f"{col} div {_DAY_NS}")
+
+
+def _hour_of_day(col: str):
+    return F.expr(f"({col} div {_HOUR_NS}) % 24")
+
+
+def _sql_epoch_day(col: str) -> str:
+    return f"(epoch_ns({col}) // {_DAY_NS})"
+
+
+def _sql_hour(col: str) -> str:
+    return f"((epoch_ns({col}) // {_HOUR_NS}) % 24)"
+
+
+# --- A3: monthly accident seasonality (mp_routes.py:1150-1175) ---------------
+
+def q_seasonal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar month within 50km of the query point: accident count,
+    severity-mapped avg risk (fatal 100/serious 80/moderate 60/minor 40/else
+    30 on the RAW severity text), avg days-ago.  Months without accidents
+    appear with zero counts (the reference backfills all 12)."""
+    a = domain.accidents_df(spark, sf_dir)
+    dist = K.haversine_km(F.lit(REF_LAT), F.lit(REF_LON), "latitude", "longitude")
+    sev = F.lower(F.col("severity_raw"))
+    risk = (F.when(sev.contains("fatal") | sev.contains("death"), 100.0)
+             .when(sev.contains("serious") | sev.contains("severe"), 80.0)
+             .when(sev.contains("moderate"), 60.0)
+             .when(sev.contains("minor") | sev.contains("light"), 40.0)
+             .otherwise(30.0))
+    days_ago = F.datediff(F.to_date(F.lit(domain.PRED_DATE)), F.col("accident_date"))
+    monthly = (a.filter(dist < 50.0)
+                .groupBy(F.month("accident_date").alias("month_num"))
+                .agg(F.count(F.lit(1)).alias("accident_count"),
+                     F.round(F.avg(risk), 6).alias("avg_risk_score"),
+                     F.round(F.avg(days_ago.cast("double")), 6).alias("avg_days_ago")))
+    months = spark.range(1, 13).select(F.col("id").cast("int").alias("month_num"))
+    return (months.join(monthly, "month_num", "left")
+                  .select("month_num",
+                          F.coalesce("accident_count", F.lit(0)).alias("accident_count"),
+                          F.coalesce("avg_risk_score", F.lit(0.0)).alias("avg_risk_score"),
+                          F.col("avg_days_ago"))
+                  .orderBy("month_num"))
+
+
+def sql_seasonal_patterns() -> str:
+    dist = S.haversine_km(str(REF_LAT), str(REF_LON), "latitude", "longitude")
+    return f"""{_DOMAIN_WITH},
+monthly AS (
+  SELECT CAST(month(accident_date) AS INT) AS month_num,
+         count(*) AS accident_count,
+         round(avg(CASE
+           WHEN lower(severity_raw) LIKE '%fatal%' OR lower(severity_raw) LIKE '%death%' THEN 100.0
+           WHEN lower(severity_raw) LIKE '%serious%' OR lower(severity_raw) LIKE '%severe%' THEN 80.0
+           WHEN lower(severity_raw) LIKE '%moderate%' THEN 60.0
+           WHEN lower(severity_raw) LIKE '%minor%' OR lower(severity_raw) LIKE '%light%' THEN 40.0
+           ELSE 30.0 END), 6) AS avg_risk_score,
+         round(avg(CAST(datediff('day', accident_date, DATE '{domain.PRED_DATE}') AS DOUBLE)), 6)
+           AS avg_days_ago
+  FROM accidents
+  WHERE {dist} < 50.0
+  GROUP BY 1
+)
+SELECT m.month_num,
+       coalesce(accident_count, 0) AS accident_count,
+       coalesce(avg_risk_score, 0.0) AS avg_risk_score,
+       avg_days_ago
+FROM (SELECT CAST(unnest(generate_series(1, 12)) AS INT) AS month_num) m
+LEFT JOIN monthly ON m.month_num = monthly.month_num
+ORDER BY m.month_num"""
+
+
+# --- A4: monthly ascent/accident rates (mp_routes.py:1663-1762) --------------
+
+def q_ascent_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders play the mp_ticks role (ascents); rate per 1000 ascents.
+    month backfill mirrors the reference's 12-month array."""
+    o = domain.load_table(spark, sf_dir, "orders")
+    a = domain.accidents_df(spark, sf_dir)
+    ascents = o.groupBy(F.month(F.col("o_orderdate").cast("date")).alias("month_num")) \
+               .agg(F.count(F.lit(1)).alias("ascent_count"))
+    accidents = a.groupBy(F.month("accident_date").alias("month_num")) \
+                 .agg(F.count(F.lit(1)).alias("accident_count"))
+    months = spark.range(1, 13).select(F.col("id").cast("int").alias("month_num"))
+    joined = (months.join(ascents, "month_num", "left")
+                    .join(accidents, "month_num", "left")
+                    .select("month_num",
+                            F.coalesce("ascent_count", F.lit(0)).alias("ascent_count"),
+                            F.coalesce("accident_count", F.lit(0)).alias("accident_count")))
+    rate = F.when(F.col("ascent_count") > 0,
+                  F.round(F.col("accident_count") / F.col("ascent_count") * 1000.0, 2)) \
+            .otherwise(F.lit(0.0))
+    return joined.withColumn("accident_rate", rate).orderBy("month_num")
+
+
+def sql_ascent_rates() -> str:
+    return f"""{_DOMAIN_WITH},
+ascents AS (
+  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS month_num,
+         count(*) AS ascent_count
+  FROM orders GROUP BY 1
+),
+accs AS (
+  SELECT CAST(month(accident_date) AS INT) AS month_num,
+         count(*) AS accident_count
+  FROM accidents GROUP BY 1
+)
+SELECT m.month_num,
+       coalesce(a.ascent_count, 0) AS ascent_count,
+       coalesce(c.accident_count, 0) AS accident_count,
+       CASE WHEN coalesce(a.ascent_count, 0) > 0
+            THEN round(coalesce(c.accident_count, 0) / CAST(a.ascent_count AS DOUBLE) * 1000.0, 2)
+            ELSE 0.0 END AS accident_rate
+FROM (SELECT CAST(unnest(generate_series(1, 12)) AS INT) AS month_num) m
+LEFT JOIN ascents a ON m.month_num = a.month_num
+LEFT JOIN accs c ON m.month_num = c.month_num
+ORDER BY m.month_num"""
+
+
+# --- A8/W5: trend windows over a daily risk series (mp_routes.py:1581-1598) --
+
+def q_risk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per entity bucket: daily series stats + trend = last-7 vs first-7
+    average with a +/-5 threshold ('increasing'/'decreasing'/'stable')."""
+    e = domain.load_table(spark, sf_dir, "events")
+    daily = (e.groupBy((F.col("user_id") % 20).alias("bucket"),
+                       _epoch_day("ts").alias("day"))
+              .agg(F.avg("value").alias("risk")))
+    w = Window.partitionBy("bucket").orderBy("day")
+    wn = Window.partitionBy("bucket")
+    first7 = F.avg(F.when(F.col("rn") <= 7, F.col("risk"))).over(wn)
+    last7 = F.avg(F.when(F.col("rn") > F.col("n_days") - 7, F.col("risk"))).over(wn)
+    enriched = (daily.withColumn("rn", F.row_number().over(w))
+                     .withColumn("n_days", F.count(F.lit(1)).over(wn))
+                     .withColumn("first7", first7)
+                     .withColumn("last7", last7))
+    agg = enriched.groupBy("bucket").agg(
+        F.round(F.avg("risk"), 6).alias("avg_risk"),
+        F.round(F.min("risk"), 6).alias("min_risk"),
+        F.round(F.max("risk"), 6).alias("max_risk"),
+        F.round(F.first("first7"), 6).alias("first7_avg"),
+        F.round(F.first("last7"), 6).alias("last7_avg"),
+    )
+    trend = (F.when(F.col("last7_avg") - F.col("first7_avg") > 5.0, "increasing")
+              .when(F.col("first7_avg") - F.col("last7_avg") > 5.0, "decreasing")
+              .otherwise("stable"))
+    return agg.withColumn("trend", trend).orderBy("bucket")
+
+
+def sql_risk_trend() -> str:
+    return f"""
+WITH daily AS (
+  SELECT user_id % 20 AS bucket, {_sql_epoch_day('ts')} AS day,
+         avg(value) AS risk
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT bucket, day, risk,
+         row_number() OVER (PARTITION BY bucket ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY bucket) AS n_days
+  FROM daily
+),
+per_bucket AS (
+  SELECT bucket,
+         round(avg(risk), 6) AS avg_risk,
+         round(min(risk), 6) AS min_risk,
+         round(max(risk), 6) AS max_risk,
+         round(avg(CASE WHEN rn <= 7 THEN risk END), 6) AS first7_avg,
+         round(avg(CASE WHEN rn > n_days - 7 THEN risk END), 6) AS last7_avg
+  FROM ranked GROUP BY bucket
+)
+SELECT bucket, avg_risk, min_risk, max_risk, first7_avg, last7_avg,
+       CASE WHEN last7_avg - first7_avg > 5.0 THEN 'increasing'
+            WHEN first7_avg - last7_avg > 5.0 THEN 'decreasing'
+            ELSE 'stable' END AS trend
+FROM per_bucket ORDER BY bucket"""
+
+
+# --- K21/K22: hourly risk adjustment + conditions text (mp_routes.py:1303-90) -
+
+BASE_RISK = 30.0
+
+
+def hourly_conditions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly weather per bucket derived from events; mirrors the Open-Meteo
+    hourly forecast feeding the time-of-day endpoint."""
+    e = domain.load_table(spark, sf_dir, "events")
+    agg = (e.groupBy((F.col("user_id") % 20).alias("bucket"),
+                     _hour_of_day("ts").alias("hour"))
+            .agg(F.avg("value").alias("v"), F.max("value").alias("vmax")))
+    return agg.select(
+        "bucket", "hour",
+        ((F.col("v") % 50.0) - 18.0).alias("temp"),
+        (F.col("v") % 7.0).alias("precip"),
+        ((F.col("v") * 3.0) % 22.0).alias("wind"),
+        ((F.col("vmax") * 3.0) % 25.0).alias("gust"),
+        (F.lit(200.0) + (F.col("v") * 40.0) % 9800.0).alias("visibility"),
+    )
+
+
+_SQL_HOURLY = f"""
+hourly AS (
+  SELECT bucket, hour,
+         (v % 50.0) - 18.0 AS temp,
+         v % 7.0 AS precip,
+         (v * 3.0) % 22.0 AS wind,
+         (vmax * 3.0) % 25.0 AS gust,
+         200.0 + (v * 40.0) % 9800.0 AS visibility
+  FROM (
+    SELECT user_id % 20 AS bucket, {_sql_hour('ts')} AS hour,
+           avg(value) AS v, max(value) AS vmax
+    FROM events GROUP BY 1, 2
+  )
+)"""
+
+
+def _risk_adjustment(c):
+    temp, precip, wind, gust, vis = (c("temp"), c("precip"), c("wind"),
+                                     c("gust"), c("visibility"))
+    adj = F.lit(0.0)
+    adj = adj + (F.when(temp < -15, 15.0).when(temp < -5, 8.0)
+                  .when(temp > 30, 5.0).otherwise(0.0))
+    adj = adj + (F.when(precip > 5, 20.0).when(precip > 1, 10.0)
+                  .when(precip > 0.2, 3.0).otherwise(0.0))
+    adj = adj + (F.when(gust > 20, 15.0)
+                  .when(wind > 15, 10.0).when(wind > 10, 5.0).otherwise(0.0))
+    adj = adj + (F.when(vis < 1000, 10.0).when(vis < 5000, 5.0).otherwise(0.0))
+    return adj
+
+
+def q_hourly_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K21 additive CASE deltas on a base risk, clamped to [0,100], with the
+    K22 conditions summary and K23 Fahrenheit conversion."""
+    h = hourly_conditions_df(spark, sf_dir)
+    adj = _risk_adjustment(F.col)
+    risk = F.least(F.greatest(F.lit(BASE_RISK) + adj, F.lit(0.0)), F.lit(100.0))
+    conditions = F.concat_ws(
+        ", ",
+        F.when(F.col("temp") < -10, F.lit("Very Cold"))
+         .when(F.col("temp") > 25, F.lit("Hot")),
+        F.when(F.col("precip") > 1, F.lit("Rain/Snow")),
+        F.when(F.col("wind") > 10, F.lit("Windy")),
+        F.when(F.col("visibility") < 5000, F.lit("Low Visibility")),
+    )
+    is_climbable = ((risk < 70) & (F.col("precip") < 5)
+                    & (F.col("wind") < 20) & (F.col("gust") < 20)
+                    & (F.col("hour") >= 6) & (F.col("hour") <= 18))
+    return h.select(
+        "bucket", F.col("hour").cast("int").alias("hour"),
+        F.round(risk, 6).alias("hourly_risk"),
+        F.round(K.c_to_f("temp"), 6).alias("temp_f"),
+        F.when(conditions == "", F.lit("Clear")).otherwise(conditions)
+         .alias("conditions"),
+        is_climbable.alias("is_climbable"),
+    ).orderBy("bucket", "hour")
+
+
+def sql_hourly_risk() -> str:
+    adj = """(
+      (CASE WHEN temp < -15 THEN 15.0 WHEN temp < -5 THEN 8.0
+            WHEN temp > 30 THEN 5.0 ELSE 0.0 END)
+    + (CASE WHEN precip > 5 THEN 20.0 WHEN precip > 1 THEN 10.0
+            WHEN precip > 0.2 THEN 3.0 ELSE 0.0 END)
+    + (CASE WHEN gust > 20 THEN 15.0 WHEN wind > 15 THEN 10.0
+            WHEN wind > 10 THEN 5.0 ELSE 0.0 END)
+    + (CASE WHEN visibility < 1000 THEN 10.0 WHEN visibility < 5000 THEN 5.0
+            ELSE 0.0 END))"""
+    risk = f"least(greatest({BASE_RISK} + {adj}, 0.0), 100.0)"
+    conditions = """concat_ws(', ',
+      CASE WHEN temp < -10 THEN 'Very Cold' WHEN temp > 25 THEN 'Hot' END,
+      CASE WHEN precip > 1 THEN 'Rain/Snow' END,
+      CASE WHEN wind > 10 THEN 'Windy' END,
+      CASE WHEN visibility < 5000 THEN 'Low Visibility' END)"""
+    return f"""
+WITH {_SQL_HOURLY.strip()}
+SELECT bucket, CAST(hour AS INT) AS hour,
+       round({risk}, 6) AS hourly_risk,
+       round(temp * (9.0/5.0) + 32.0, 6) AS temp_f,
+       CASE WHEN {conditions} = '' THEN 'Clear' ELSE {conditions} END AS conditions,
+       ({risk} < 70 AND precip < 5 AND wind < 20 AND gust < 20
+        AND hour >= 6 AND hour <= 18) AS is_climbable
+FROM hourly ORDER BY bucket, hour"""
+
+
+# --- W3: climbing-window detection (gaps-and-islands, mp_routes.py:1392) -----
+
+def q_climbing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive runs (>= 2h) of climbable hours per bucket -> window
+    start/end/duration/avg risk.  Classic sessionization: island id =
+    hour - row_number over climbable hours."""
+    h = hourly_conditions_df(spark, sf_dir)
+    adj = _risk_adjustment(F.col)
+    risk = F.least(F.greatest(F.lit(BASE_RISK) + adj, F.lit(0.0)), F.lit(100.0))
+    is_climbable = ((risk < 70) & (F.col("precip") < 5)
+                    & (F.col("wind") < 20) & (F.col("gust") < 20)
+                    & (F.col("hour") >= 6) & (F.col("hour") <= 18))
+    hh = h.select("bucket", "hour", risk.alias("risk"),
+                  is_climbable.alias("ok")).filter(F.col("ok"))
+    w = Window.partitionBy("bucket").orderBy("hour")
+    islands = hh.withColumn("grp", F.col("hour") - F.row_number().over(w))
+    return (islands.groupBy("bucket", "grp")
+                   .agg(F.min("hour").cast("int").alias("start_hour"),
+                        F.max("hour").cast("int").alias("end_hour"),
+                        F.count(F.lit(1)).alias("duration_hours"),
+                        F.round(F.avg("risk"), 6).alias("avg_risk"))
+                   .filter(F.col("duration_hours") >= 2)
+                   .select("bucket", "start_hour", "end_hour",
+                           "duration_hours", "avg_risk")
+                   .orderBy("bucket", "start_hour"))
+
+
+def sql_climbing_windows() -> str:
+    adj = """(
+      (CASE WHEN temp < -15 THEN 15.0 WHEN temp < -5 THEN 8.0
+            WHEN temp > 30 THEN 5.0 ELSE 0.0 END)
+    + (CASE WHEN precip > 5 THEN 20.0 WHEN precip > 1 THEN 10.0
+            WHEN precip > 0.2 THEN 3.0 ELSE 0.0 END)
+    + (CASE WHEN gust > 20 THEN 15.0 WHEN wind > 15 THEN 10.0
+            WHEN wind > 10 THEN 5.0 ELSE 0.0 END)
+    + (CASE WHEN visibility < 1000 THEN 10.0 WHEN visibility < 5000 THEN 5.0
+            ELSE 0.0 END))"""
+    risk = f"least(greatest({BASE_RISK} + {adj}, 0.0), 100.0)"
+    return f"""
+WITH {_SQL_HOURLY.strip()},
+climbable AS (
+  SELECT bucket, hour, {risk} AS risk
+  FROM hourly
+  WHERE {risk} < 70 AND precip < 5 AND wind < 20 AND gust < 20
+    AND hour >= 6 AND hour <= 18
+),
+islands AS (
+  SELECT bucket, hour, risk,
+         hour - row_number() OVER (PARTITION BY bucket ORDER BY hour) AS grp
+  FROM climbable
+)
+SELECT bucket, CAST(min(hour) AS INT) AS start_hour,
+       CAST(max(hour) AS INT) AS end_hour,
+       count(*) AS duration_hours,
+       round(avg(risk), 6) AS avg_risk
+FROM islands
+GROUP BY bucket, grp
+HAVING count(*) >= 2
+ORDER BY bucket, start_hour"""
+
+
+# --- A6/A7: weighted archive statistics with cyclical month decay ------------
+
+REF_MONTH = 6
+
+
+def q_weather_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean/std (population) per bucket with cyclical pseudo-month
+    exponential decay weights exp(-min(|m-ref|, 12-|m-ref|)/2.0)
+    (weather_service.py:291-478).  Two-pass centered variance (see
+    operators/weather.py for why)."""
+    e = domain.load_table(spark, sf_dir, "events")
+    day_of_series = _epoch_day("ts") - F.lit(19723)  # days since 2024-01-01
+    ev = e.select((F.col("user_id") % 20).alias("bucket"),
+                  ((day_of_series % 12) + 1).alias("pseudo_month"),
+                  ((F.col("value") % 30.0) - 5.0).alias("x"))
+    mdist = F.least(F.abs(F.col("pseudo_month") - REF_MONTH),
+                    12 - F.abs(F.col("pseudo_month") - REF_MONTH))
+    wtd = ev.withColumn("w", F.exp(-mdist.cast("double") / F.lit(2.0)))
+    means = wtd.groupBy("bucket").agg(
+        F.sum("w").alias("sw"),
+        (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("mx"),
+        F.count(F.lit(1)).alias("n_samples"))
+    second = (wtd.join(means, "bucket")
+                 .groupBy("bucket")
+                 .agg(F.first("mx").alias("mx"),
+                      F.first("n_samples").alias("n_samples"),
+                      (F.sum(F.col("w") * F.pow(F.col("x") - F.col("mx"), 2))
+                       / F.first("sw")).alias("vx")))
+    return second.select(
+        "bucket",
+        F.round("mx", 6).alias("weighted_mean"),
+        F.round(F.sqrt("vx"), 6).alias("weighted_std"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+    ).orderBy("bucket")
+
+
+def sql_weather_monthly_stats() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id % 20 AS bucket,
+         ((({_sql_epoch_day('ts')}) - 19723) % 12) + 1 AS pseudo_month,
+         (value % 30.0) - 5.0 AS x
+  FROM events
+),
+wtd AS (
+  SELECT bucket, x,
+         exp(-CAST(least(abs(pseudo_month - {REF_MONTH}),
+                         12 - abs(pseudo_month - {REF_MONTH})) AS DOUBLE) / 2.0) AS w
+  FROM ev
+),
+means AS (
+  SELECT bucket, sum(w) AS sw, sum(w * x) / sum(w) AS mx,
+         count(*) AS n_samples
+  FROM wtd GROUP BY bucket
+)
+SELECT t.bucket,
+       round(m.mx, 6) AS weighted_mean,
+       round(sqrt(sum(t.w * pow(t.x - m.mx, 2)) / m.sw), 6) AS weighted_std,
+       CAST(m.n_samples AS BIGINT) AS n_samples
+FROM wtd t JOIN means m ON t.bucket = m.bucket
+GROUP BY t.bucket, m.mx, m.sw, m.n_samples
+ORDER BY t.bucket"""

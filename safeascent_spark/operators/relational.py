@@ -1,0 +1,346 @@
+"""Relational surface: filters, search, joins, pagination, counts (P1).
+
+Re-expresses the reference's list/search endpoints (SURVEY.md §2.2/§2.3
+F1-F7, J1, A2, A5, W2) as parameterized DataFrame queries with DuckDB
+oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import domain
+from .. import kernels as K
+from .. import sqlgen as S
+
+_DOMAIN_WITH = (
+    "WITH " + ",\n".join(x.strip() for x in (
+        domain.ROUTES_CTE, domain.LOCATIONS_CTE, domain.ACCIDENTS_CTE))
+)
+
+# Fixed reference point for radius filters (mirrors a /predict request).
+REF_LAT, REF_LON = 35.0, -115.0
+RADIUS_KM = 300.0
+
+# F3 blocklist analog (mp_routes.py:306-309): exclude known-bad route names.
+BLOCKLIST = ["Customer#000000013", "Customer#000000666"]
+
+
+# --- F1: accident multi-predicate filter (accidents.py:68-114) --------------
+
+def q_accident_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-composed optional predicates: severity equality, tags ILIKE,
+    date range, spatial radius — the reference's accident search."""
+    a = domain.accidents_df(spark, sf_dir)
+    dist = K.haversine_km(F.lit(REF_LAT), F.lit(REF_LON), "latitude", "longitude")
+    return (a.filter(F.col("severity").isin("fatal", "serious"))
+             .filter(F.lower(F.col("tags")).contains("climb"))
+             .filter(F.col("accident_date") >= F.lit("2016-01-01"))
+             .filter(F.col("accident_date") < F.lit("2024-01-01"))
+             .filter(dist <= RADIUS_KM)
+             .select("accident_id", "severity", "tags", "accident_date",
+                     F.round(dist, 6).alias("distance_km"))
+             .orderBy(F.col("accident_date").desc_nulls_last(), "accident_id"))
+
+
+def sql_accident_filter() -> str:
+    dist = S.haversine_km(str(REF_LAT), str(REF_LON), "latitude", "longitude")
+    return f"""{_DOMAIN_WITH}
+SELECT accident_id, severity, tags, accident_date,
+       round({dist}, 6) AS distance_km
+FROM accidents
+WHERE severity IN ('fatal', 'serious')
+  AND lower(tags) LIKE '%climb%'
+  AND accident_date >= DATE '2016-01-01'
+  AND accident_date < DATE '2024-01-01'
+  AND {dist} <= {RADIUS_KM}
+ORDER BY accident_date DESC NULLS LAST, accident_id"""
+
+
+# --- F2/F3: route search with season filter + blocklist ----------------------
+
+def q_route_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name ILIKE + winter-season type filter + blocklist anti-filter + sort.
+
+    Winter season = type contains ice/mixed (mp_routes.py:306-333)."""
+    r = domain.routes_df(spark, sf_dir)
+    return (r.filter(F.lower(F.col("route_name")).contains("customer"))
+             .filter(F.col("route_type").isin("ice", "mixed"))
+             .filter(~F.col("route_name").isin(BLOCKLIST))
+             .select("route_id", "route_name", "route_type", "grade")
+             .orderBy("route_name", "route_id"))
+
+
+def sql_route_search() -> str:
+    bl = ", ".join(f"'{b}'" for b in BLOCKLIST)
+    return f"""{_DOMAIN_WITH}
+SELECT route_id, route_name, route_type, grade
+FROM routes
+WHERE lower(route_name) LIKE '%customer%'
+  AND route_type IN ('ice', 'mixed')
+  AND route_name NOT IN ({bl})
+ORDER BY route_name, route_id"""
+
+
+# --- F3 complement: rock-season filter (NOT ice/mixed, exclude unknown) ------
+
+def q_route_search_rock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = domain.routes_df(spark, sf_dir)
+    return (r.filter(~F.col("route_type").isin("ice", "mixed"))
+             .filter(F.col("route_type") != "unknown")
+             .groupBy("route_type")
+             .agg(F.count(F.lit(1)).alias("n_routes"))
+             .orderBy("route_type"))
+
+
+def sql_route_search_rock() -> str:
+    return f"""{_DOMAIN_WITH}
+SELECT route_type, count(*) AS n_routes
+FROM routes
+WHERE route_type NOT IN ('ice', 'mixed') AND route_type <> 'unknown'
+GROUP BY route_type ORDER BY route_type"""
+
+
+# --- J1: coordinate inheritance join (inner + left variants) -----------------
+
+def q_routes_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routes inherit coords from parent location (mp_routes.py:173-208);
+    locations is the small side -> broadcast."""
+    r = domain.routes_df(spark, sf_dir)
+    loc = domain.locations_df(spark, sf_dir)
+    return (r.join(F.broadcast(loc), "location_id", "left")
+             .select("route_id", "location_id",
+                     F.round("latitude", 6).alias("latitude"),
+                     F.round("longitude", 6).alias("longitude"),
+                     F.round("elevation_m", 6).alias("elevation_m")))
+
+
+def sql_routes_with_coords() -> str:
+    return f"""{_DOMAIN_WITH}
+SELECT r.route_id, r.location_id,
+       round(l.latitude, 6) AS latitude,
+       round(l.longitude, 6) AS longitude,
+       round(l.elevation_m, 6) AS elevation_m
+FROM routes r LEFT JOIN locations l ON r.location_id = l.location_id"""
+
+
+# --- A2/W2: pagination via row_number window ---------------------------------
+
+PAGE_SIZE, PAGE_OFFSET = 50, 100
+
+
+def q_route_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET page with total count (every list endpoint's shape)."""
+    r = domain.routes_df(spark, sf_dir)
+    w = Window.orderBy("route_name", "route_id")
+    return (r.withColumn("rn", F.row_number().over(w))
+             .withColumn("total_count", F.count(F.lit(1)).over(
+                 Window.partitionBy()))
+             .filter((F.col("rn") > PAGE_OFFSET)
+                     & (F.col("rn") <= PAGE_OFFSET + PAGE_SIZE))
+             .select("route_id", "route_name",
+                     F.col("rn").cast("bigint").alias("rn"),
+                     F.col("total_count").cast("bigint").alias("total_count"))
+             .orderBy("rn"))
+
+
+def sql_route_page() -> str:
+    return f"""{_DOMAIN_WITH}
+SELECT route_id, route_name, CAST(rn AS BIGINT) AS rn,
+       CAST(total_count AS BIGINT) AS total_count
+FROM (
+  SELECT route_id, route_name,
+         row_number() OVER (ORDER BY route_name, route_id) AS rn,
+         count(*) OVER () AS total_count
+  FROM routes
+)
+WHERE rn > {PAGE_OFFSET} AND rn <= {PAGE_OFFSET + PAGE_SIZE}
+ORDER BY rn"""
+
+
+# --- A5: per-location route counts (locations.py:33-45) ----------------------
+
+def q_location_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = domain.routes_df(spark, sf_dir)
+    return (r.groupBy("location_id")
+             .agg(F.count(F.lit(1)).alias("route_count"))
+             .orderBy(F.col("route_count").desc(), "location_id"))
+
+
+def sql_location_route_counts() -> str:
+    return f"""{_DOMAIN_WITH}
+SELECT location_id, count(*) AS route_count
+FROM routes GROUP BY location_id
+ORDER BY route_count DESC, location_id"""
+
+
+# --- A9: mode route type per location (safety_computation_optimized.py:800) --
+
+def q_location_mode_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common route type per location; ties broken by type name asc
+    (deterministic canonicalization of the reference's max(set, key=count))."""
+    r = domain.routes_df(spark, sf_dir)
+    counts = r.groupBy("location_id", "route_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("location_id").orderBy(
+        F.col("n").desc(), F.col("route_type").asc())
+    return (counts.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("location_id", F.col("route_type").alias("mode_type"),
+                          F.col("n").alias("n_routes"))
+                  .orderBy("location_id"))
+
+
+def sql_location_mode_type() -> str:
+    return f"""{_DOMAIN_WITH}
+SELECT location_id, route_type AS mode_type, n AS n_routes
+FROM (
+  SELECT location_id, route_type, count(*) AS n,
+         row_number() OVER (PARTITION BY location_id
+                            ORDER BY count(*) DESC, route_type ASC) AS rn
+  FROM routes GROUP BY location_id, route_type
+)
+WHERE rn = 1
+ORDER BY location_id"""
+
+
+# --- F4: /predict distance-or-strict-match prefilter (predict.py:132-173) ----
+
+def q_predict_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep accident if within 50km OR route-type weight >= 0.85; count
+    survivors per planning type for a fixed query point."""
+    a = domain.accidents_df(spark, sf_dir)
+    planning = spark.createDataFrame(
+        [(t,) for t in ["alpine", "sport"]], "planning_type string")
+    pairs = planning.crossJoin(a)
+    dist = K.haversine_km(F.lit(REF_LAT), F.lit(REF_LON), "latitude", "longitude")
+    rtw = K.route_type_weight("planning_type", "route_type")
+    keep = (dist <= 50.0) | (rtw >= 0.85)
+    return (pairs.select("planning_type", "accident_id", keep.alias("keep"))
+                 .groupBy("planning_type")
+                 .agg(F.count(F.lit(1)).alias("n_total"),
+                      F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                       .cast("bigint").alias("n_kept"))
+                 .orderBy("planning_type"))
+
+
+def sql_predict_prefilter() -> str:
+    dist = S.haversine_km(str(REF_LAT), str(REF_LON), "a.latitude", "a.longitude")
+    rtw = S.route_type_weight("p.planning_type", "a.route_type")
+    return f"""{_DOMAIN_WITH},
+planning AS (SELECT unnest(['alpine', 'sport']) AS planning_type)
+SELECT p.planning_type, count(*) AS n_total,
+       CAST(sum(CASE WHEN ({dist}) <= 50.0 OR ({rtw}) >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM planning p CROSS JOIN accidents a
+GROUP BY p.planning_type
+ORDER BY planning_type"""
+
+
+# --- J7: fuzzy route-name match (mp_routes.py:876-886) -----------------------
+
+def q_fuzzy_route_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """accident name vs route name: equality or substring containment either
+    way, on lowercase.  Accident 'route names' are derived so a fraction
+    genuinely matches."""
+    r = domain.routes_df(spark, sf_dir).select(
+        "route_id", F.lower(F.col("route_name")).alias("rname"))
+    a = domain.accidents_df(spark, sf_dir).select(
+        "accident_id",
+        F.lower(F.concat(F.lit("Customer#"),
+                         F.lpad((F.col("accident_id") * 11).cast("string"), 9, "0")))
+         .alias("aname"))
+    cond = ((F.col("rname") == F.col("aname"))
+            | F.col("rname").contains(F.col("aname"))
+            | F.col("aname").contains(F.col("rname")))
+    return (r.crossJoin(F.broadcast(a)).filter(cond)
+             .select("route_id", "accident_id")
+             .orderBy("route_id", "accident_id"))
+
+
+def sql_fuzzy_route_match() -> str:
+    return f"""{_DOMAIN_WITH},
+acc_names AS (
+  SELECT accident_id,
+         lower('Customer#' || lpad(CAST(accident_id * 11 AS VARCHAR), 9, '0'))
+           AS aname
+  FROM accidents
+),
+route_names AS (
+  SELECT route_id, lower(route_name) AS rname FROM routes
+)
+SELECT r.route_id, a.accident_id
+FROM route_names r CROSS JOIN acc_names a
+WHERE r.rname = a.aname
+   OR r.rname LIKE '%' || a.aname || '%'
+   OR a.aname LIKE '%' || r.rname || '%'
+ORDER BY route_id, accident_id"""
+
+
+# --- J5: location breadcrumb hierarchy (mp_routes.py:49-106) -----------------
+
+def breadcrumb_base_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic parent hierarchy: parent(l) = l // 10, root 0 has NULL."""
+    loc = domain.locations_df(spark, sf_dir).select("location_id")
+    return loc.withColumn(
+        "parent_id",
+        F.when(F.col("location_id") == 0, F.lit(None).cast("bigint"))
+         .otherwise((F.col("location_id") / 10).cast("bigint")))
+
+
+def q_location_breadcrumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative parent-chain traversal (<= 15 hops), built as a bounded
+    self-join loop — the Spark analog of WITH RECURSIVE for a shallow
+    hierarchy; the dimension is small so each hop is a broadcast join."""
+    base = breadcrumb_base_df(spark, sf_dir)
+    # chain state: (location_id, current, path, depth)
+    chain = base.select(
+        "location_id",
+        F.col("parent_id").alias("current"),
+        F.col("location_id").cast("string").alias("path"),
+        F.lit(1).alias("depth"))
+    parents = base.select(F.col("location_id").alias("p_loc"),
+                          F.col("parent_id").alias("p_parent"))
+    for _ in range(15):
+        if chain.filter(F.col("current").isNotNull()).isEmpty():
+            break
+        chain = (chain.join(F.broadcast(parents),
+                            chain["current"] == parents["p_loc"], "left")
+                      .select(
+                          "location_id",
+                          F.when(F.col("current").isNotNull(), F.col("p_parent"))
+                           .alias("next_current"),
+                          F.when(F.col("current").isNotNull(),
+                                 F.concat(F.col("current").cast("string"),
+                                          F.lit(" > "), F.col("path")))
+                           .otherwise(F.col("path")).alias("path"),
+                          (F.col("depth")
+                           + F.when(F.col("current").isNotNull(), 1)
+                              .otherwise(0)).alias("depth"))
+                      .withColumnRenamed("next_current", "current"))
+    return chain.select("location_id", "path",
+                        F.col("depth").cast("int").alias("depth")) \
+                .orderBy("location_id")
+
+
+def sql_location_breadcrumb() -> str:
+    return f"""{_DOMAIN_WITH},
+hier AS (
+  SELECT location_id,
+         CASE WHEN location_id = 0 THEN NULL
+              ELSE CAST(location_id // 10 AS BIGINT) END AS parent_id
+  FROM locations
+),
+crumbs AS (
+  WITH RECURSIVE walk(location_id, current, path, depth) AS (
+    SELECT location_id, parent_id, CAST(location_id AS VARCHAR), 1 FROM hier
+    UNION ALL
+    SELECT w.location_id, h.parent_id,
+           CAST(w.current AS VARCHAR) || ' > ' || w.path, w.depth + 1
+    FROM walk w JOIN hier h ON w.current = h.location_id
+    WHERE w.current IS NOT NULL AND w.depth <= 15
+  )
+  SELECT location_id, path, depth FROM walk WHERE current IS NULL
+)
+SELECT location_id, path, CAST(depth AS INT) AS depth
+FROM crumbs ORDER BY location_id"""
