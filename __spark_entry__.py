@@ -12,9 +12,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from safeascent_spark.operators import analytics as A
+from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import kernel_queries as KQ
 from safeascent_spark.operators import relational as R
 from safeascent_spark.operators import scoring
+from safeascent_spark.operators import similarity as SIM
+from safeascent_spark.operators import text as TX
 from safeascent_spark.operators import weather as W
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -64,6 +67,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_risk_trend": A.q_risk_trend,
         "w3_climbing_windows": A.q_climbing_windows,
         "k21_hourly_risk": A.q_hourly_risk,
+        # beyond-reference: dedup / similarity / text analysis (SURVEY §7 P6)
+        "dedup_exact": D.q_dedup_exact,
+        "dedup_ngram_jaccard": D.q_dedup_jaccard,
+        "dedup_minhash_signatures": D.q_minhash_signatures,
+        "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
+        "dedup_simhash": D.q_simhash,
+        "dedup_simhash_pairs": D.q_dedup_simhash_pairs,
+        "ann_cosine_topk": lambda s, sf: SIM.cosine_topk_df(s, sf),
+        "ann_lsh_topk": lambda s, sf: SIM.q_ann_lsh(s, sf),
+        "embedding_stats": SIM.q_embedding_stats,
+        "text_token_counts": TX.q_token_counts,
+        "text_lang_stats": TX.q_lang_stats,
+        "text_lang_id": TX.q_lang_id,
+        "text_quality_score": TX.q_quality_score,
+        "text_doc_fingerprint": TX.q_doc_fingerprint,
     }
 
 
@@ -101,4 +119,18 @@ def oracle_sql() -> dict[str, str]:
         "a8_risk_trend": A.sql_risk_trend(),
         "w3_climbing_windows": A.sql_climbing_windows(),
         "k21_hourly_risk": A.sql_hourly_risk(),
+        "dedup_exact": D.sql_dedup_exact(),
+        "dedup_ngram_jaccard": D.sql_dedup_jaccard(),
+        "dedup_minhash_signatures": D.sql_minhash_signatures(),
+        "dedup_minhash_lsh": D.sql_dedup_minhash_lsh(),
+        "dedup_simhash": D.sql_simhash(),
+        "dedup_simhash_pairs": D.sql_dedup_simhash_pairs(),
+        "ann_cosine_topk": SIM.sql_cosine_topk(),
+        "ann_lsh_topk": SIM.sql_ann_lsh(),
+        "embedding_stats": SIM.sql_embedding_stats(),
+        "text_token_counts": TX.sql_token_counts(),
+        "text_lang_stats": TX.sql_lang_stats(),
+        "text_lang_id": TX.sql_lang_id(),
+        "text_quality_score": TX.sql_quality_score(),
+        "text_doc_fingerprint": TX.sql_doc_fingerprint(),
     }

@@ -1,0 +1,307 @@
+"""Deduplication operators over `documents` (P6): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+All hashing is *integer arithmetic over data-derived word ids* (see
+operators/text.py) so the DuckDB oracle reproduces signatures bit-exactly —
+no engine-specific hash functions.
+
+Scale design:
+* exact dedup: one hash-groupBy — the canonical 100 TB dedup shuffle.
+* shingles: tokens -> 3-gram shingle ids; vocabulary dict is broadcast.
+* n-gram Jaccard: shingle-inverted-index self-join (equi-join on shingle id,
+  never a doc x doc cross join), then per-pair aggregation.
+* MinHash: K=8 linear hashes folded with MIN aggregates (map-side combine);
+  LSH bands of 2 rows -> candidate pairs via band equi-join.  The pair count
+  is driven by collisions, not |docs|^2.
+* SimHash: 16-bit signature from weighted word-bit sums; candidate pairs
+  restricted to an 8-bit band prefix before the Hamming check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import text as T
+
+HASH_P = 1_000_000_007
+# K=8 minhash linear-hash coefficients (odd a, arbitrary b)
+MINHASH_AB = [(2971, 11), (4111, 131), (5233, 257), (6373, 389),
+              (7529, 521), (8677, 653), (9811, 787), (10937, 919)]
+N_BANDS = 4  # bands of 2 signature rows each
+SIMHASH_BITS = 16
+SIMHASH_MULT = 2_654_435_761  # Knuth multiplicative constant
+JACCARD_THRESHOLD = 0.2
+HAMMING_MAX = 3
+
+
+# --- Exact dedup (hash-groupBy) ----------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5(text): survivor = min doc_id.
+    One shuffle on the text hash; at 100 TB hash first, never group raw text."""
+    d = T.docs_df(spark, sf_dir)
+    return (d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("doc_id").alias("keep_doc_id"))
+             .select("text_hash", "n_docs", "keep_doc_id",
+                     (F.col("n_docs") - 1).alias("n_removed"))
+             .orderBy("keep_doc_id"))
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS text_hash, count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id, count(*) - 1 AS n_removed
+FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""
+
+
+# --- Shingles (3-gram word windows -> integer ids) ---------------------------
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle_id): sid = w1*(V+1)^2 + w2*(V+1) + w3 over
+    data-derived word ids (exact in int64 for vocab < ~2M)."""
+    d = T.docs_df(spark, sf_dir)
+    v = T.vocab_df(spark, sf_dir)
+    vsize = v.count() + 1
+    words = (d.select("doc_id", F.posexplode(F.split(F.col("text"), " ")))
+               .withColumnRenamed("col", "word")
+               .filter(F.col("word") != ""))
+    w = words.join(F.broadcast(v), "word").select("doc_id", "pos", "wid")
+    w1 = w.alias("w1")
+    w2 = w.select(F.col("doc_id").alias("doc_id2"),
+                  (F.col("pos") - 1).alias("pos2"), F.col("wid").alias("wid2"))
+    w3 = w.select(F.col("doc_id").alias("doc_id3"),
+                  (F.col("pos") - 2).alias("pos3"), F.col("wid").alias("wid3"))
+    tri = (w1.join(w2, (F.col("w1.doc_id") == F.col("doc_id2"))
+                   & (F.col("w1.pos") == F.col("pos2")))
+             .join(w3, (F.col("w1.doc_id") == F.col("doc_id3"))
+                   & (F.col("w1.pos") == F.col("pos3"))))
+    # wid comes from row_number() (int32); widen before the polynomial so the
+    # shingle id and downstream minhash arithmetic stay in int64.
+    sid = (F.col("wid").cast("long") * vsize * vsize
+           + F.col("wid2").cast("long") * vsize + F.col("wid3").cast("long"))
+    return (tri.select(F.col("w1.doc_id").alias("doc_id"), sid.alias("sid"))
+               .distinct())
+
+
+SHINGLES_CTE_TMPL = """
+vsize AS (SELECT count(*) + 1 AS v FROM vocab),
+shingles AS (
+  SELECT DISTINCT t.doc_id,
+         wa.wid * v.v * v.v + wb.wid * v.v + wc.wid AS sid
+  FROM (
+    SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents) s,
+         (SELECT unnest(generate_series(1, 4096)) AS i)
+    WHERE i <= len(ws) - 2
+  ) t
+  JOIN vocab wa ON t.a = wa.word
+  JOIN vocab wb ON t.b = wb.word
+  JOIN vocab wc ON t.c = wc.word
+  CROSS JOIN vsize v
+)"""
+
+
+def _shingles_with() -> str:
+    return ("WITH " + T.TOKENS_CTE.strip() + ",\n" + T.VOCAB_CTE.strip()
+            + ",\n" + SHINGLES_CTE_TMPL.strip())
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with shingle-set Jaccard >= threshold, via the
+    inverted-index equi-join (no doc x doc cross join)."""
+    sh = shingles_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sid").alias("sid_b"))
+    common = (a.join(b, (F.col("sid") == F.col("sid_b"))
+                     & (F.col("doc_id") < F.col("doc_id_b")))
+                .groupBy("doc_id", "doc_id_b")
+                .agg(F.count(F.lit(1)).alias("n_common")))
+    j = (common
+         .join(sizes.withColumnRenamed("n", "n_a"), "doc_id")
+         .join(sizes.select(F.col("doc_id").alias("doc_id_b"),
+                            F.col("n").alias("n_b")), "doc_id_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (j.select(F.col("doc_id").alias("doc_a"),
+                     F.col("doc_id_b").alias("doc_b"),
+                     F.round(jac, 6).alias("jaccard"))
+             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+             .orderBy("doc_a", "doc_b"))
+
+
+def sql_dedup_jaccard() -> str:
+    return f"""{_shingles_with()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.doc_a = sa.doc_id
+JOIN sizes sb ON common.doc_b = sb.doc_id
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+
+# --- MinHash signatures + LSH candidate pairs --------------------------------
+
+def minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=8 minhash signature per doc: min((a*sid + b) % P) per hash fn,
+    folded as MIN aggregates (map-side combinable — one shuffle)."""
+    sh = shingles_df(spark, sf_dir)
+    aggs = [F.min((F.col("sid") * a + b) % HASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_df(spark, sf_dir).orderBy("doc_id")
+
+
+def sql_minhash_signatures() -> str:
+    aggs = ", ".join(
+        f"min((sid * {a} + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB))
+    return f"""{_shingles_with()}
+SELECT doc_id, {aggs} FROM shingles GROUP BY doc_id ORDER BY doc_id"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: N_BANDS bands of 2 signature rows; candidates
+    share any band; output estimated similarity = matching-signature
+    fraction.  Join is per-band equi-join on the band value."""
+    sig = minhash_df(spark, sf_dir).cache()
+    bands = []
+    for bi in range(N_BANDS):
+        h1, h2 = f"h{2*bi}", f"h{2*bi+1}"
+        bands.append(sig.select(
+            "doc_id", F.lit(bi).alias("band"),
+            (F.col(h1) * HASH_P + F.col(h2)).alias("band_val")))
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionAll(bdf)
+    a = banded.alias("a")
+    b = banded.select(F.col("doc_id").alias("doc_id_b"),
+                      F.col("band").alias("band_b"),
+                      F.col("band_val").alias("band_val_b"))
+    cand = (a.join(b, (F.col("band") == F.col("band_b"))
+                   & (F.col("band_val") == F.col("band_val_b"))
+                   & (F.col("doc_id") < F.col("doc_id_b")))
+             .select(F.col("doc_id").alias("doc_a"),
+                     F.col("doc_id_b").alias("doc_b"))
+             .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)])
+    est = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+              for i in range(8)) / F.lit(8.0)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .select("doc_a", "doc_b", F.round(est, 6).alias("est_similarity"))
+                .orderBy("doc_a", "doc_b"))
+
+
+def sql_dedup_minhash_lsh() -> str:
+    aggs = ", ".join(
+        f"min((sid * {a} + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, h{2*bi} * {HASH_P} + h{2*bi+1} AS band_val FROM sig"
+        for bi in range(N_BANDS))
+    est = ("(" + " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(8))
+        + ") / 8.0")
+    return f"""{_shingles_with()},
+sig AS (SELECT doc_id, {aggs} FROM shingles GROUP BY doc_id),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, round({est}, 6) AS est_similarity
+FROM cand c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+ORDER BY doc_a, doc_b"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit simhash: per word, h = (wid * Knuth) % 2^32; bit j of the
+    signature = sign of the count-weighted sum of (2*bit_j(h) - 1)."""
+    t = T.tokens_df(spark, sf_dir)
+    v = T.vocab_df(spark, sf_dir)
+    wc = (t.join(F.broadcast(v), "word")
+            .groupBy("doc_id", "wid").agg(F.count(F.lit(1)).alias("cnt")))
+    h = (F.col("wid") * SIMHASH_MULT) % 4294967296
+    bit_sums = [
+        F.sum(F.col("cnt") * (((h / (2 ** j)).cast("long") % 2) * 2 - 1))
+         .alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = wc.groupBy("doc_id").agg(*bit_sums)
+    sig = sum(F.when(F.col(f"s{j}") > 0, 2 ** j).otherwise(0)
+              for j in range(SIMHASH_BITS))
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_df(spark, sf_dir).orderBy("doc_id")
+
+
+def sql_simhash() -> str:
+    bit_sums = ", ".join(
+        f"sum(cnt * ((((wid * {SIMHASH_MULT}) % 4294967296) // {2 ** j}) % 2 * 2 - 1)) AS s{j}"
+        for j in range(SIMHASH_BITS))
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END"
+        for j in range(SIMHASH_BITS))
+    return f"""
+WITH {T.TOKENS_CTE.strip()},
+{T.VOCAB_CTE.strip()},
+wc AS (
+  SELECT t.doc_id, v.wid, count(*) AS cnt
+  FROM tokens t JOIN vocab v ON t.word = v.word
+  GROUP BY t.doc_id, v.wid
+),
+sums AS (SELECT doc_id, {bit_sums} FROM wc GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+FROM sums ORDER BY doc_id"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: same 8-bit band prefix AND Hamming distance <= 3."""
+    s = simhash_df(spark, sf_dir).cache()
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+                 (F.col("simhash") / 256).cast("long").alias("band_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+                 (F.col("simhash") / 256).cast("long").alias("band_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (a.join(b, (F.col("band_a") == F.col("band_b"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+             .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+             .filter(F.col("hamming") <= HAMMING_MAX)
+             .orderBy("doc_a", "doc_b"))
+
+
+def sql_dedup_simhash_pairs() -> str:
+    inner = sql_simhash().strip()
+    return f"""
+WITH sims AS ({inner.replace('ORDER BY doc_id', '')})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b
+  ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b"""

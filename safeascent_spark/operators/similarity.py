@@ -1,0 +1,225 @@
+"""Similarity search over the `embeddings` table (P6): brute-force cosine
+top-k baseline + random-hyperplane LSH bucketed variant.
+
+Spark side computes dot products with higher-order array functions
+(`zip_with` + `aggregate`) — JVM-side, no UDF, no explode of the probe side.
+The DuckDB oracle uses an explicit long-form (unnest + join + sum) of the
+same math; final values are rounded so the two float paths agree.
+
+Scale notes: queries are the broadcast side; the corpus scan streams.
+Brute force is O(|corpus| * k_queries) — the honest baseline; the LSH
+variant buckets the corpus by hyperplane sign bits so each query only
+scans its bucket (the 100 TB path, trading recall for a ~2^bits fanout cut).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import domain
+
+TOP_K = 10
+N_QUERIES = 5        # first N vec_ids serve as query vectors
+LSH_BITS = 4         # hyperplane count for the bucketed variant
+DIM = 64
+
+
+def embeddings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "embeddings")
+    # float -> double once at the scan so all math is double precision
+    return e.select(
+        "vec_id", "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+         .alias("vec"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk_df(spark: SparkSession, sf_dir: str,
+                   k: int = TOP_K) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for the query set."""
+    e = embeddings_df(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("vec").alias("qvec")))
+    pairs = domain.fan_out(e).crossJoin(F.broadcast(q)) \
+                 .filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec"))
+                                               * _norm(F.col("qvec")))
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("rank").cast("int").alias("rank"),
+                          F.col("vec_id").alias("neighbor_id"),
+                          F.round("cosine", 6).alias("cosine"))
+                  .orderBy("query_id", "rank"))
+
+
+def sql_cosine_topk(k: int = TOP_K) -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id, sum(q.x * c.x) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         d.dot / (nc.nrm * nq.nrm) AS cosine
+  FROM dots d
+  JOIN norms nc ON d.vec_id = nc.vec_id
+  JOIN norms nq ON d.query_id = nq.vec_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       round(cosine, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
+# --- LSH-bucketed variant ----------------------------------------------------
+
+def _plane_component(j: int, d: int) -> int:
+    """Deterministic integer hyperplane component in [-3, 3]."""
+    return ((j * 131 + d * 17) % 7) - 3
+
+
+def lsh_bucket_expr(vec):
+    """Sign-bit bucket id over LSH_BITS deterministic integer hyperplanes.
+
+    dot(vec, plane_j) computed with aggregate over the array; bit j set when
+    the projection is positive.
+    """
+    bucket = F.lit(0)
+    for j in range(LSH_BITS):
+        plane = F.array(*[F.lit(float(_plane_component(j, d)))
+                          for d in range(DIM)])
+        proj = F.aggregate(F.zip_with(vec, plane, lambda x, p: x * p),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return bucket
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    e = embeddings_df(spark, sf_dir).withColumn(
+        "bucket", lsh_bucket_expr(F.col("vec")))
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("vec").alias("qvec"),
+                  F.col("bucket").alias("qbucket")))
+    cand = (e.join(F.broadcast(q),
+                   (F.col("bucket") == F.col("qbucket"))
+                   & (F.col("vec_id") != F.col("query_id"))))
+    cos = _dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec"))
+                                               * _norm(F.col("qvec")))
+    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("rank").cast("int").alias("rank"),
+                          F.col("vec_id").alias("neighbor_id"),
+                          F.round("cosine", 6).alias("cosine"))
+                  .orderBy("query_id", "rank"))
+
+
+def sql_ann_lsh(k: int = TOP_K) -> str:
+    planes = " + ".join(
+        "CASE WHEN (" + " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {float(_plane_component(j, d))}"
+            for d in range(DIM))
+        + f") > 0 THEN {2 ** j} ELSE 0 END"
+        for j in range(LSH_BITS))
+    return f"""
+WITH buckets AS (
+  SELECT vec_id, ({planes}) AS bucket FROM embeddings
+),
+flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id, sum(q.x * c.x) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i
+  JOIN buckets bq ON q.vec_id = bq.vec_id
+  JOIN buckets bc ON c.vec_id = bc.vec_id
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    AND bq.bucket = bc.bucket
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id, d.dot / (nc.nrm * nq.nrm) AS cosine
+  FROM dots d
+  JOIN norms nc ON d.vec_id = nc.vec_id
+  JOIN norms nq ON d.query_id = nq.vec_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       round(cosine, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
+# --- Embedding column statistics ---------------------------------------------
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count, mean norm, mean of first component — the cheap
+    sanity aggregations a pipeline runs over an embedding column."""
+    e = embeddings_df(spark, sf_dir)
+    return (e.select("label", _norm(F.col("vec")).alias("nrm"),
+                     F.element_at("vec", 1).alias("c0"))
+             .groupBy("label")
+             .agg(F.count(F.lit(1)).alias("n_vectors"),
+                  F.round(F.avg("nrm"), 6).alias("avg_norm"),
+                  F.round(F.avg("c0"), 6).alias("avg_first_component"))
+             .orderBy("label"))
+
+
+def sql_embedding_stats() -> str:
+    return f"""
+WITH norms AS (
+  SELECT vec_id, label, CAST(embedding[1] AS DOUBLE) AS c0,
+         sqrt(sum_sq) AS nrm
+  FROM (
+    SELECT vec_id, label, embedding,
+           (SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+            FROM unnest(embedding) AS t(u)) AS sum_sq
+    FROM embeddings
+  )
+)
+SELECT label, count(*) AS n_vectors,
+       round(avg(nrm), 6) AS avg_norm,
+       round(avg(c0), 6) AS avg_first_component
+FROM norms GROUP BY label ORDER BY label"""

@@ -1,0 +1,254 @@
+"""Text-analysis operators over `documents` (P6 beyond-reference surface).
+
+Shared tokenization + data-derived word dictionary, plus language/quality/
+token statistics.  Everything is expressed so Spark and the DuckDB oracle
+agree exactly: tokens are single-space splits, word ids come from a
+row_number over the sorted distinct vocabulary (derived FROM the data, so
+ids are stable at any scale), and all hashing is integer arithmetic.
+
+Scale notes: the vocabulary dictionary is a distinct-aggregate (tiny
+result) broadcast back onto the token stream; token long-forms are never
+collected.  At 100 TB the only shuffle is the distinct + the final groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import domain
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+# Deterministic language marker-word profiles for the n-gram/keyword
+# language-ID heuristic (the synthetic corpus is English-ish; real corpora
+# would extend the profiles).
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "value", "table"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de", "shi", "le", "zai", "you"],
+}
+
+
+def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain.load_table(spark, sf_dir, "documents")
+
+
+def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) one row per token occurrence (empty tokens dropped)."""
+    d = docs_df(spark, sf_dir)
+    return (d.select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != ""))
+
+
+TOKENS_CTE = """
+tokens AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+)"""
+
+
+def vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word -> 1-based id by sorted order; data-derived so ids are stable."""
+    t = tokens_df(spark, sf_dir)
+    w = Window.orderBy("word")
+    return (t.select("word").distinct()
+             .withColumn("wid", F.row_number().over(w)))
+
+
+VOCAB_CTE = """
+vocab AS (
+  SELECT word, row_number() OVER (ORDER BY word) AS wid
+  FROM (SELECT DISTINCT word FROM tokens)
+)"""
+
+
+# --- Token statistics --------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency, top 50 (ties by word asc)."""
+    t = tokens_df(spark, sf_dir)
+    counts = t.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 50)
+                  .select(F.col("rank").cast("int").alias("rank"), "word", "n")
+                  .orderBy("rank"))
+
+
+def sql_token_counts() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()}
+SELECT CAST(rank AS INT) AS rank, word, n
+FROM (
+  SELECT word, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rank
+  FROM tokens GROUP BY word
+)
+WHERE rank <= 50 ORDER BY rank"""
+
+
+# --- Language / source aggregations -----------------------------------------
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_df(spark, sf_dir)
+    ntok = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.round(F.avg(F.col("n_chars").cast("double")), 6)
+                   .alias("avg_chars"),
+                  F.round(F.avg(ntok.cast("double")), 6).alias("avg_tokens"))
+             .orderBy("lang"))
+
+
+def sql_lang_stats() -> str:
+    ntok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       round(avg(CAST({ntok} AS DOUBLE)), 6) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang"""
+
+
+# --- Language-ID heuristic ---------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word voting: score per language = count of tokens in its
+    marker set; detected = argmax (ties by language code asc)."""
+    t = tokens_df(spark, sf_dir)
+    scores = [
+        F.sum(F.when(F.col("word").isin(markers), 1).otherwise(0))
+         .alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    per_doc = t.groupBy("doc_id").agg(*scores)
+    # argmax over the 5 fixed columns: greatest + case chain (ties -> asc code)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    detected = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS):  # asc order => first max wins
+        detected = F.coalesce(
+            detected,
+            F.when(F.col(f"s_{lang}") == best, F.lit(lang)))
+    d = docs_df(spark, sf_dir).select("doc_id", "lang")
+    return (per_doc.join(d, "doc_id")
+                   .select("doc_id", detected.alias("detected_lang"),
+                           (detected == F.col("lang")).alias("matches_label"))
+                   .orderBy("doc_id"))
+
+
+def sql_lang_id() -> str:
+    score_cols = ", ".join(
+        "sum(CASE WHEN word IN ({}) THEN 1 ELSE 0 END) AS s_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang)
+        for lang, markers in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    detect = "CASE " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)) + " END"
+    return f"""
+WITH {TOKENS_CTE.strip()},
+per_doc AS (
+  SELECT doc_id, {score_cols} FROM tokens GROUP BY doc_id
+)
+SELECT p.doc_id, {detect} AS detected_lang,
+       ({detect} = d.lang) AS matches_label
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+ORDER BY p.doc_id"""
+
+
+# --- Quality scoring ---------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length + stopword-ratio + mean-word-length quality heuristic with a
+    banded verdict — the shape of an LLM-data quality filter."""
+    d = docs_df(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    ntok = F.size(toks).cast("double")
+    nstop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+    mean_wlen = (F.col("n_chars").cast("double") - (ntok - 1)) / ntok
+    stop_ratio = nstop / ntok
+    len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    # quality in [0,1]: length presence + moderate stopword rate + word length
+    quality = (F.lit(0.4) * len_score
+               + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0))
+               + F.lit(0.3) * F.least(mean_wlen / F.lit(8.0), F.lit(1.0)))
+    band = (F.when(quality >= 0.75, "high")
+             .when(quality >= 0.5, "medium")
+             .otherwise("low"))
+    return d.select("doc_id",
+                    ntok.cast("bigint").alias("n_tokens"),
+                    F.round(stop_ratio, 6).alias("stopword_ratio"),
+                    F.round(mean_wlen, 6).alias("mean_word_len"),
+                    F.round(quality, 6).alias("quality"),
+                    band.alias("quality_band")).orderBy("doc_id")
+
+
+def sql_quality_score() -> str:
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    ntok = f"CAST(len({toks}) AS DOUBLE)"
+    nstop = f"CAST(len(list_filter({toks}, x -> x IN ({stop_in}))) AS DOUBLE)"
+    mean_wlen = f"((CAST(n_chars AS DOUBLE) - ({ntok} - 1)) / {ntok})"
+    stop_ratio = f"({nstop} / {ntok})"
+    quality = (f"(0.4 * least({ntok} / 100.0, 1.0)"
+               f" + 0.3 * least({stop_ratio} * 4.0, 1.0)"
+               f" + 0.3 * least({mean_wlen} / 8.0, 1.0))")
+    return f"""
+SELECT doc_id,
+       CAST({ntok} AS BIGINT) AS n_tokens,
+       round({stop_ratio}, 6) AS stopword_ratio,
+       round({mean_wlen}, 6) AS mean_word_len,
+       round({quality}, 6) AS quality,
+       CASE WHEN {quality} >= 0.75 THEN 'high'
+            WHEN {quality} >= 0.5 THEN 'medium'
+            ELSE 'low' END AS quality_band
+FROM documents ORDER BY doc_id"""
+
+
+# --- Document fingerprint (rolling hash over leading tokens) -----------------
+
+FP_PRIME = 1_000_000_007
+FP_BASE = 131
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash of the first 8 word-ids: an order-sensitive
+    content fingerprint (same-prefix docs collide; shuffled docs don't)."""
+    v = vocab_df(spark, sf_dir)
+    d = docs_df(spark, sf_dir)
+    pos = (d.select("doc_id", F.posexplode(F.split(F.col("text"), " ")))
+             .withColumnRenamed("col", "word")
+             .filter((F.col("word") != "") & (F.col("pos") < 8)))
+    wp = pos.join(F.broadcast(v), "word")
+    # fold: sum(wid * BASE^(7-pos)) % PRIME  (associative + exact in int64:
+    # wid<=~5e4, BASE^7=6e14 -> fits, then mod)
+    term = (F.col("wid") % FP_PRIME) * F.pow(F.lit(FP_BASE), 7 - F.col("pos")).cast("long")
+    # term <= vocab_size * 131^7; the 8-term sum stays < 2^63 for any
+    # vocabulary below ~10k words (DuckDB's HUGEINT sum is cast back).
+    return (wp.groupBy("doc_id")
+              .agg((F.sum(term) % FP_PRIME).alias("fingerprint"))
+              .orderBy("doc_id"))
+
+
+def sql_doc_fingerprint() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()},
+{VOCAB_CTE.strip()},
+pos AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+       (SELECT unnest(generate_series(1, 8)) AS i)
+  WHERE i <= len(ws) AND ws[i] <> ''
+)
+SELECT p.doc_id,
+       CAST(sum((v.wid % {FP_PRIME}) * CAST(pow({FP_BASE}, 7 - p.pos) AS BIGINT))
+            % {FP_PRIME} AS BIGINT) AS fingerprint
+FROM pos p JOIN vocab v ON p.word = v.word
+GROUP BY p.doc_id
+ORDER BY p.doc_id"""
