@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from safeascent_spark.operators import analytics as A
+from safeascent_spark.operators import batch as B
 from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import kernel_queries as KQ
 from safeascent_spark.operators import relational as R
@@ -67,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_risk_trend": A.q_risk_trend,
         "w3_climbing_windows": A.q_climbing_windows,
         "k21_hourly_risk": A.q_hourly_risk,
+        # factorized nightly batch scoring (SURVEY §2.8 / location factorization)
+        "batch_scores": lambda s, sf: B.batch_scores_df(s, sf),
+        "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
         # beyond-reference: dedup / similarity / text analysis (SURVEY §7 P6)
         "dedup_exact": D.q_dedup_exact,
         "dedup_ngram_jaccard": D.q_dedup_jaccard,
@@ -119,6 +123,8 @@ def oracle_sql() -> dict[str, str]:
         "a8_risk_trend": A.sql_risk_trend(),
         "w3_climbing_windows": A.sql_climbing_windows(),
         "k21_hourly_risk": A.sql_hourly_risk(),
+        "batch_scores": B.batch_scores_sql(),
+        "batch_scores_classed": B.batch_scores_classed_sql(),
         "dedup_exact": D.sql_dedup_exact(),
         "dedup_ngram_jaccard": D.sql_dedup_jaccard(),
         "dedup_minhash_signatures": D.sql_minhash_signatures(),

@@ -80,6 +80,14 @@ def route_type_weight(planning_type: str, accident_type: str) -> str:
     return f"(CASE {whens} ELSE {C.DEFAULT_ROUTE_TYPE_WEIGHT!r} END)"
 
 
+def route_type_index_sql(route_type: str) -> str:
+    """0-6 index into config.ROUTE_TYPES (mirror of kernels.route_type_index)."""
+    whens = " ".join(
+        f"WHEN lower({route_type}) = '{t}' THEN {i}"
+        for i, t in enumerate(C.ROUTE_TYPES))
+    return f"(CASE {whens} ELSE NULL END)"
+
+
 def route_type_matrix_values() -> str:
     """The 49-row matrix as a VALUES table for join-based oracles."""
     rows = ", ".join(f"('{p}', '{a}', {w!r})"

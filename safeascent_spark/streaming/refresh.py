@@ -1,0 +1,93 @@
+"""Structured-Streaming re-expression of the daily refresh (SURVEY.md §2.9).
+
+The reference has no streaming runtime — freshness is a 2am Celery cron plus
+cache TTLs (celery_app.py:51-61, utils/cache.py:24-27).  The Spark-native
+equivalent is a weather-update stream driving incremental re-scoring:
+
+  weather events stream -> per-bucket aggregate -> foreachBatch:
+      recompute the weather dimension for the touched buckets and
+      overwrite the affected partitions of the score table.
+
+This module implements that shape against a file source (the synthetic
+events parquet) with an availableNow trigger so it is testable in CI; on a
+cluster the same code points at a Kafka/file drop-zone and runs
+continuously.  Watermarking is included for the late-data contract even
+though the batch reference has no analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import domain
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos (see domain.load_table)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def weather_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of weather observations (events as the feed)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (spark.readStream
+            .schema(EVENT_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir))
+
+
+def bucket_updates(stream: DataFrame) -> DataFrame:
+    """Per-bucket windowed aggregate with event-time watermark.
+
+    The event time is reconstructed from the nanosecond long; a 1-hour
+    watermark bounds state for late observations.
+    """
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    return (with_time
+            .withWatermark("event_time", "1 hour")
+            .groupBy(F.window("event_time", "1 day").alias("day_window"),
+                     (F.col("user_id") % domain.N_WBUCKETS).alias("wbucket"))
+            .agg(F.avg("value").alias("v_avg"),
+                 F.count(F.lit(1)).alias("n_obs")))
+
+
+def run_refresh(spark: SparkSession, sf_dir: str, out_path: str,
+                timeout_sec: int = 120) -> int:
+    """One availableNow pass: stream -> per-bucket aggregates -> foreachBatch
+    upsert into the weather-dimension path.  Returns micro-batches processed.
+
+    foreachBatch is where incremental re-scoring hooks in: the touched
+    wbuckets identify which locations' scores must be recomputed — the
+    streaming analog of the reference's per-date recompute loop
+    (safety_computation_optimized.py:954-1019).
+    """
+    batches = {"n": 0}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batches["n"] += 1
+        # availableNow can emit a trailing empty commit batch; overwriting
+        # with it would wipe the dimension.
+        if batch_df.isEmpty():
+            return
+        (batch_df
+         .withColumn("day", F.col("day_window.start").cast("date"))
+         .drop("day_window")
+         .write.mode("overwrite").parquet(out_path))
+
+    q = (bucket_updates(weather_update_stream(spark, sf_dir))
+         .writeStream
+         .outputMode("update")
+         .foreachBatch(upsert)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", out_path + "_ckpt")
+         .start())
+    q.awaitTermination(timeout_sec)
+    q.stop()
+    return batches["n"]

@@ -1,0 +1,75 @@
+"""Pipeline-level tests: factorized-vs-pair equivalence (the reference's
+loop-vs-vectorized check), scoring invariants, weather edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from safeascent_spark import config as C
+from safeascent_spark.operators import batch as B
+from safeascent_spark.operators import scoring
+from safeascent_spark.operators import weather as W
+from tests.conftest import SF_SMOKE
+
+
+def test_batch_pair_vs_classed_equivalence(spark):
+    """Same algebra, different physical plan -> risk scores must agree.
+
+    Mirrors benchmark_vectorized_algorithm.py:233-238 (tolerance 0.1 risk
+    points there; we assert far tighter since only summation order differs).
+    """
+    pair = {r.route_id: r.risk_score
+            for r in B.batch_scores_df(spark, SF_SMOKE).collect()}
+    classed = {r.route_id: r.risk_score
+               for r in B.batch_scores_classed_df(spark, SF_SMOKE).collect()}
+    assert set(pair) == set(classed)
+    for rid, risk in pair.items():
+        assert classed[rid] == pytest.approx(risk, abs=1e-4), rid
+
+
+def test_risk_scores_bounded(spark):
+    rows = scoring.risk_scores_df(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.risk_score <= 100.0
+        assert r.color_code in {"green", "yellow", "orange", "red"}
+
+
+def test_top_contributors_sorted_and_capped(spark):
+    rows = scoring.top_contributors_df(spark, SF_SMOKE).collect()
+    by_route: dict[int, list] = {}
+    for r in rows:
+        by_route.setdefault(r.route_id, []).append(r)
+    for rid, items in by_route.items():
+        assert len(items) <= C.MAX_CONTRIBUTING_ACCIDENTS
+        infl = [i.influence for i in sorted(items, key=lambda x: x.rank)]
+        assert infl == sorted(infl, reverse=True), rid
+        assert all(i.influence > 0 for i in items)
+
+
+def test_weather_similarity_bounds_and_diagonal(spark):
+    sim = W.weather_similarity_df(spark, SF_SMOKE, with_extreme=False) \
+           .collect()
+    assert len(sim) > 0
+    diag = [r for r in sim if r.cur_bucket == r.acc_bucket]
+    for r in sim:
+        assert 0.0 <= r.weather_weight <= 1.0001
+    # a valid window compared with itself: every correlation is the
+    # both-constant-or-identical case -> all factor scores 1 -> similarity 1
+    valid_diag = [r for r in diag if r.weather_weight > 0]
+    assert valid_diag, "expected at least one valid self-pair"
+    for r in valid_diag:
+        assert r.weather_weight == pytest.approx(1.0, abs=1e-9)
+
+
+def test_invalid_windows_are_zero_not_neutral(spark):
+    """<5-day windows must score 0.0 (weather_similarity.py:124-126)."""
+    prof = {r.wbucket: r.n_days
+            for r in W.bucket_profile_df(spark, SF_SMOKE).collect()}
+    sim = W.weather_similarity_df(spark, SF_SMOKE, with_extreme=False) \
+           .collect()
+    for r in sim:
+        if (prof.get(r.cur_bucket, 0) < C.MIN_WEATHER_DAYS_REQUIRED
+                or prof.get(r.acc_bucket, 0) < C.MIN_WEATHER_DAYS_REQUIRED):
+            assert r.weather_weight == 0.0

@@ -1,0 +1,78 @@
+"""Sink (S8/S9/S10), streaming refresh, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from safeascent_spark import sinks
+from safeascent_spark.operators import multimodal as MM
+from safeascent_spark.operators import scoring
+from safeascent_spark.streaming import refresh
+from tests.conftest import SF_SMOKE
+
+
+def test_score_sink_roundtrip_and_retention(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = str(Path(tmp) / "scores")
+        df = scoring.risk_scores_df(spark, SF_SMOKE)
+        sinks.write_scores(df, path, "2024-06-15")
+        sinks.write_scores(df, path, "2024-06-16")
+        # idempotent re-write of one date must not duplicate
+        sinks.write_scores(df, path, "2024-06-16")
+        assert sinks.list_partitions(path) == ["2024-06-15", "2024-06-16"]
+
+        n = df.count()
+        got = sinks.read_scores(spark, path, "2024-06-16")
+        assert got.count() == n
+
+        # point-lookup semi-join
+        some = sinks.read_scores(spark, path, "2024-06-15", route_ids=[0, 1, 2])
+        assert some.count() == 3
+
+        removed = sinks.purge_old_partitions(path, keep_dates={"2024-06-16"})
+        assert removed == ["2024-06-15"]
+        assert sinks.list_partitions(path) == ["2024-06-16"]
+
+
+def test_streaming_refresh_availablenow(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        out = str(Path(tmp) / "weather_dim")
+        n_batches = refresh.run_refresh(spark, SF_SMOKE, out)
+        assert n_batches >= 1
+        dim = spark.read.parquet(out)
+        cols = set(dim.columns)
+        assert {"wbucket", "v_avg", "n_obs", "day"} <= cols
+        assert dim.count() > 0
+        # every bucket id within range
+        assert dim.filter("wbucket < 0 OR wbucket >= 100").count() == 0
+
+
+def test_multimodal_feature_extract(spark):
+    media = MM.media_df(spark, SF_SMOKE)
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == media.count()
+    for f in feats[:20]:
+        assert f.n_bytes > 0
+        assert 64 <= f.width < 1088 and 64 <= f.height < 1088
+    # deterministic: second run identical
+    feats2 = MM.extract_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+
+def test_multimodal_strict_raises(spark):
+    import pytest
+    media = MM.media_df(spark, SF_SMOKE)
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, strict=True)
+
+
+def test_multimodal_frame_sample(spark):
+    media = MM.media_df(spark, SF_SMOKE)
+    frames = MM.frame_sample(media, every_n=4).collect()
+    assert len(frames) > 0
+    by_media: dict[int, list] = {}
+    for fr in frames:
+        by_media.setdefault(fr.media_id, []).append(fr.frame_no)
+    for mid, nos in by_media.items():
+        assert nos == list(range(len(nos)))  # contiguous frame numbering
