@@ -77,8 +77,27 @@ def py_parse_grade(grade: str | None) -> float | None:
     return parse_yds("5." + g.lower())
 
 
-def grade_difficulty_join(df: DataFrame, grade_col: str,
-                          out_col: str) -> DataFrame:
+_DIM_CACHE: dict = {}
+
+
+def domain_grade_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized grade dimension over the domain's two grade sources
+    (routes + accidents).  The distinct-collect runs once per (session, sf)."""
+    key = (id(spark), sf_dir)
+    if key not in _DIM_CACHE:
+        from . import domain
+        r = domain.routes_df(spark, sf_dir).select("grade")
+        a = domain.accidents_df(spark, sf_dir).select("grade")
+        distinct = [x[0] for x in r.union(a).distinct().collect()
+                    if x[0] is not None]
+        rows = [(g, py_parse_grade(g)) for g in sorted(distinct)]
+        _DIM_CACHE[key] = spark.createDataFrame(
+            rows, "grade string, difficulty double").cache()
+    return _DIM_CACHE[key]
+
+
+def grade_difficulty_join(df: DataFrame, grade_col: str, out_col: str,
+                          dim: DataFrame | None = None) -> DataFrame:
     """Attach parsed difficulty via a broadcast lookup of distinct grades.
 
     One cheap distinct-aggregate job builds the dimension (grades are
@@ -87,10 +106,13 @@ def grade_difficulty_join(df: DataFrame, grade_col: str,
     a 150-branch CASE per row.
     """
     spark = df.sparkSession
-    distinct = [r[0] for r in df.select(grade_col).distinct().collect()
-                if r[0] is not None]
-    rows = [(g, py_parse_grade(g)) for g in distinct]
-    if rows:
-        dim = spark.createDataFrame(rows, f"{grade_col} string, {out_col} double")
-        return df.join(F.broadcast(dim), grade_col, "left")
-    return df.withColumn(out_col, F.lit(None).cast("double"))
+    if dim is None:
+        distinct = [r[0] for r in df.select(grade_col).distinct().collect()
+                    if r[0] is not None]
+        rows = [(g, py_parse_grade(g)) for g in distinct]
+        if not rows:
+            return df.withColumn(out_col, F.lit(None).cast("double"))
+        dim = spark.createDataFrame(rows, "grade string, difficulty double")
+    dim = dim.select(F.col("grade").alias(grade_col),
+                     F.col("difficulty").alias(out_col))
+    return df.join(F.broadcast(dim), grade_col, "left")

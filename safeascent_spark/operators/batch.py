@@ -77,9 +77,9 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
         F.col("wbucket").alias("acc_bucket"),
     )
     a = G.grade_difficulty_join(
-        a.withColumnRenamed("a_grade", "grade"), "grade", "a_gdiff") \
-         .drop("grade")
-    wsim = W.weather_similarity_df(spark, sf_dir)
+        a.withColumnRenamed("a_grade", "grade"), "grade", "a_gdiff",
+        dim=G.domain_grade_dim(spark, sf_dir)).drop("grade")
+    wsim = W.weather_similarity_cached(spark, sf_dir)
 
     pairs = lm.crossJoin(F.broadcast(a))
     pairs = pairs.join(
@@ -112,7 +112,9 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
 
 def _routes_adj_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     routes = domain.routes_df(spark, sf_dir)
-    return G.grade_difficulty_join(routes, "grade", "r_gdiff").select(
+    return G.grade_difficulty_join(
+        routes, "grade", "r_gdiff",
+        dim=G.domain_grade_dim(spark, sf_dir)).select(
         "route_id", "location_id", "r_gdiff",
         K.route_type_index("route_type").alias("r_tidx"))
 

@@ -47,11 +47,12 @@ def influence_pairs_df(spark: SparkSession, sf_dir: str,
     routes = domain.routes_df(spark, sf_dir)
     locations = domain.locations_df(spark, sf_dir)
     accidents = domain.accidents_df(spark, sf_dir)
-    wsim = W.weather_similarity_df(spark, sf_dir)
+    wsim = W.weather_similarity_cached(spark, sf_dir)
 
+    gdim = G.domain_grade_dim(spark, sf_dir)
     r = G.grade_difficulty_join(
         routes.join(F.broadcast(locations), "location_id"),
-        "grade", "r_gdiff",
+        "grade", "r_gdiff", dim=gdim,
     ).select(
         "route_id", "location_id", "wbucket", "r_gdiff",
         F.col("elevation_m").alias("r_elev"),
@@ -64,7 +65,7 @@ def influence_pairs_df(spark: SparkSession, sf_dir: str,
                       C.ELEVATION_DECAY_CONSTANT["default"]).alias("r_edecay"),
         K.route_type_index("route_type").alias("r_tidx"),
     )
-    a = G.grade_difficulty_join(accidents, "grade", "a_gdiff").select(
+    a = G.grade_difficulty_join(accidents, "grade", "a_gdiff", dim=gdim).select(
         F.col("accident_id"),
         F.col("a_gdiff"),
         F.col("elevation_m").alias("a_elev"),

@@ -92,6 +92,21 @@ def extreme_multiplier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("wbucket", mult.alias("extreme_multiplier"))
 
 
+_WSIM_CACHE: dict = {}
+
+
+def weather_similarity_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized + Spark-cached pair-grain similarity dimension.
+
+    Every scoring query broadcast-joins this table; it is bounded by
+    N_WBUCKETS^2 rows so caching it is free and saves the two-pass moment
+    aggregation per query."""
+    key = (id(spark), sf_dir)
+    if key not in _WSIM_CACHE:
+        _WSIM_CACHE[key] = weather_similarity_df(spark, sf_dir).cache()
+    return _WSIM_CACHE[key]
+
+
 def weather_similarity_df(spark: SparkSession, sf_dir: str,
                           with_extreme: bool = True) -> DataFrame:
     """K7: the (cur_bucket, acc_bucket) pair-grain similarity table.
