@@ -15,11 +15,13 @@ from safeascent_spark.operators import analytics as A
 from safeascent_spark.operators import batch as B
 from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import kernel_queries as KQ
+from safeascent_spark.operators import rangejoin as RJ
 from safeascent_spark.operators import relational as R
 from safeascent_spark.operators import scoring
 from safeascent_spark.operators import similarity as SIM
 from safeascent_spark.operators import text as TX
 from safeascent_spark.operators import weather as W
+from safeascent_spark import ml as ML
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -68,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_risk_trend": A.q_risk_trend,
         "w3_climbing_windows": A.q_climbing_windows,
         "k21_hourly_risk": A.q_hourly_risk,
+        # J2 range join + /predict lifecycle (SURVEY §2.3 J2, §3.1)
+        "j2_weather_range_join": RJ.q_weather_range_join,
+        "predict_point": RJ.q_predict_point,
         # factorized nightly batch scoring (SURVEY §2.8 / location factorization)
         "batch_scores": lambda s, sf: B.batch_scores_df(s, sf),
         "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
@@ -86,6 +91,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": TX.q_lang_id,
         "text_quality_score": TX.q_quality_score,
         "text_doc_fingerprint": TX.q_doc_fingerprint,
+        # MLlib layer (iterative -> no SQL oracle; driver applies the
+        # weaker rows-only check, as allowed for non-SQL-expressible ops)
+        "ml_risk_model": ML.q_ml_risk_model,
+        "ann_ivf_topk": ML.q_ann_ivf,
+        "embedding_kmeans_cells": ML.q_embedding_kmeans,
     }
 
 
@@ -123,6 +133,8 @@ def oracle_sql() -> dict[str, str]:
         "a8_risk_trend": A.sql_risk_trend(),
         "w3_climbing_windows": A.sql_climbing_windows(),
         "k21_hourly_risk": A.sql_hourly_risk(),
+        "j2_weather_range_join": RJ.sql_weather_range_join(),
+        "predict_point": RJ.sql_predict_point(),
         "batch_scores": B.batch_scores_sql(),
         "batch_scores_classed": B.batch_scores_classed_sql(),
         "dedup_exact": D.sql_dedup_exact(),

@@ -64,4 +64,11 @@ def assert_parity(spark_df, duck_con, sql: str, *, atol: float = 1e-9,
                 assert a == pytest.approx(b, abs=atol, rel=1e-9), \
                     f"{col}[{i}]: {a!r} vs {b!r}"
             else:
-                assert str(a) == str(b), f"{col}[{i}]: {a!r} vs {b!r}"
+                import datetime
+                import pandas as pd
+                if isinstance(a, (datetime.date, datetime.datetime, pd.Timestamp)) \
+                        and isinstance(b, (datetime.date, datetime.datetime, pd.Timestamp)):
+                    assert pd.Timestamp(a) == pd.Timestamp(b), \
+                        f"{col}[{i}]: {a!r} vs {b!r}"
+                else:
+                    assert str(a) == str(b), f"{col}[{i}]: {a!r} vs {b!r}"

@@ -18,8 +18,9 @@ ORACLES = entry.oracle_sql()
 
 def test_every_query_has_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
-    # Non-SQL-expressible ops may omit oracles; keep the list explicit.
-    allowed_weak = set()
+    # Non-SQL-expressible (iterative MLlib) ops get the driver's weaker
+    # rows-only check; keep the list explicit.
+    allowed_weak = {"ml_risk_model", "ann_ivf_topk", "embedding_kmeans_cells"}
     assert missing <= allowed_weak, f"queries missing oracles: {missing}"
 
 
