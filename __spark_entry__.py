@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_route_search": R.q_route_search,
         "f3_route_search_rock": R.q_route_search_rock,
         "f4_predict_prefilter": R.q_predict_prefilter,
+        "f7_bbox_radius_filter": R.q_bbox_radius_filter,
         "j1_routes_with_coords": R.q_routes_with_coords,
         "j5_location_breadcrumb": R.q_location_breadcrumb,
         "j7_fuzzy_route_match": R.q_fuzzy_route_match,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "f2_route_search": R.sql_route_search(),
         "f3_route_search_rock": R.sql_route_search_rock(),
         "f4_predict_prefilter": R.sql_predict_prefilter(),
+        "f7_bbox_radius_filter": R.sql_bbox_radius_filter(),
         "j1_routes_with_coords": R.sql_routes_with_coords(),
         "j5_location_breadcrumb": R.sql_location_breadcrumb(),
         "j7_fuzzy_route_match": R.sql_fuzzy_route_match(),

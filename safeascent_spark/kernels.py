@@ -389,6 +389,21 @@ def bearing_deg(lat1: ColumnOrName, lon1: ColumnOrName,
     return (deg + 360.0) % 360.0
 
 
+# --- F7: bounding-box prefilter (geo_utils.py:102-139) -----------------------
+
+def bbox_contains(center_lat: float, center_lon: float, radius_km: float,
+                  lat: ColumnOrName, lon: ColumnOrName) -> Column:
+    """Cos-latitude-corrected bounding box around a point: the cheap
+    pre-filter that enables parquet min/max row-group pruning before the
+    exact haversine test.  Reference: backend/app/utils/geo_utils.py:102-139.
+    """
+    import math
+    dlat = radius_km / 111.32
+    dlon = radius_km / (111.32 * math.cos(math.radians(center_lat)))
+    return (_col(lat).between(center_lat - dlat, center_lat + dlat)
+            & _col(lon).between(center_lon - dlon, center_lon + dlon))
+
+
 # --- K20: impact score (mp_routes.py:870-873) --------------------------------
 
 def impact_score(distance_km: ColumnOrName) -> Column:

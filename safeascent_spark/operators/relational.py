@@ -237,6 +237,38 @@ GROUP BY p.planning_type
 ORDER BY planning_type"""
 
 
+# --- F7: bounding-box prefilter + exact radius (geo_utils.py:102-139) --------
+
+def q_bbox_radius_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box pre-filter then exact haversine: per accident whether
+    the cheap box and the exact circle agree (the corner rows are the
+    interesting output — box-hit but circle-miss)."""
+    a = domain.accidents_df(spark, sf_dir)
+    radius = 100.0
+    box = K.bbox_contains(REF_LAT, REF_LON, radius, "latitude", "longitude")
+    dist = K.haversine_km(F.lit(REF_LAT), F.lit(REF_LON), "latitude", "longitude")
+    return (a.filter(box)
+             .select("accident_id",
+                     F.round(dist, 6).alias("distance_km"),
+                     (dist <= radius).alias("in_radius"))
+             .orderBy("accident_id"))
+
+
+def sql_bbox_radius_filter() -> str:
+    import math
+    radius = 100.0
+    dlat = radius / 111.32
+    dlon = radius / (111.32 * math.cos(math.radians(REF_LAT)))
+    dist = S.haversine_km(str(REF_LAT), str(REF_LON), "latitude", "longitude")
+    return f"""{_DOMAIN_WITH}
+SELECT accident_id, round({dist}, 6) AS distance_km,
+       ({dist}) <= {radius} AS in_radius
+FROM accidents
+WHERE latitude BETWEEN {REF_LAT - dlat!r} AND {REF_LAT + dlat!r}
+  AND longitude BETWEEN {REF_LON - dlon!r} AND {REF_LON + dlon!r}
+ORDER BY accident_id"""
+
+
 # --- J7: fuzzy route-name match (mp_routes.py:876-886) -----------------------
 
 def q_fuzzy_route_match(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,79 @@
+"""Physical-plan audits: the scale properties the engine claims must be
+visible in `explain` output — broadcasts where intended, pushed filters,
+no accidental cartesian products, codegen coverage."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from safeascent_spark import domain
+from safeascent_spark.operators import batch as B
+from safeascent_spark.operators import dedup as D
+from safeascent_spark.operators import rangejoin as RJ
+from safeascent_spark.operators import scoring
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_risk_scores_plan_shape(spark):
+    plan = plan_of(scoring.risk_scores_df(spark, SF_SMOKE))
+    # accidents + wsim dims ride broadcasts; the probe side streams
+    assert plan.count("BroadcastExchange") >= 2
+    # final aggregation is partial (map-side combine before the shuffle)
+    assert "partial_sum" in plan
+    # nested-loop joins: the intentional accident cross join (+ at most one
+    # inside the cached weather-similarity subplan)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Projection pruning: a 2-column query must not scan all columns."""
+    df = domain.routes_df(spark, SF_SMOKE).select("route_id", "location_id")
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert m.group(1).count(":") == 1, f"over-wide scan: {m.group(1)}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = domain.load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderkey") == 5).select("o_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,5)]" in plan
+
+
+def test_range_join_is_not_nested_loop(spark):
+    """The week-bucketed band join must be an equi hash join, not BNLJ."""
+    plan = plan_of(RJ.q_weather_range_join(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_join_is_equi_not_cross(spark):
+    """Near-dup mining must use the shingle inverted index (equi join)."""
+    plan = plan_of(D.q_dedup_jaccard(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch_classed_no_cartesian_on_route_join(spark):
+    """The route-level adjustment join is an equi join on location_id."""
+    plan = plan_of(B.batch_scores_classed_df(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # intentional BNLJ: locations x accidents (+ cached-dim subplan)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_codegen_covers_scoring_stage(spark):
+    # formatted mode omits codegen annotations; simple mode marks codegen'd
+    # operators with "*(n)"
+    df = scoring.risk_scores_df(spark, SF_SMOKE)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert simple.count("*(") >= 1
