@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": TX.q_lang_id,
         "text_quality_score": TX.q_quality_score,
         "text_doc_fingerprint": TX.q_doc_fingerprint,
+        "text_token_count_bpe": TX.q_token_count_bpe,
+        "dedup_embedding_cosine": SIM.q_dedup_embedding_cosine,
         # MLlib layer (iterative -> no SQL oracle; driver applies the
         # weaker rows-only check, as allowed for non-SQL-expressible ops)
         "ml_risk_model": ML.q_ml_risk_model,
@@ -153,4 +155,6 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": TX.sql_lang_id(),
         "text_quality_score": TX.sql_quality_score(),
         "text_doc_fingerprint": TX.sql_doc_fingerprint(),
+        "text_token_count_bpe": TX.sql_token_count_bpe(),
+        "dedup_embedding_cosine": SIM.sql_dedup_embedding_cosine(),
     }

@@ -223,3 +223,65 @@ SELECT label, count(*) AS n_vectors,
        round(avg(nrm), 6) AS avg_norm,
        round(avg(c0), 6) AS avg_first_component
 FROM norms GROUP BY label ORDER BY label"""
+
+
+# --- Embedding-cosine near-duplicate detection -------------------------------
+
+NEARDUP_COSINE = 0.95
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: cosine >= threshold, candidates
+    restricted to the same LSH bucket (never a full |corpus|^2 sweep)."""
+    e = embeddings_df(spark, sf_dir).withColumn(
+        "bucket", lsh_bucket_expr(F.col("vec")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+                 F.col("bucket").alias("ba"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+                 F.col("bucket").alias("bb"))
+    cand = a.join(b, (F.col("ba") == F.col("bb"))
+                  & (F.col("vec_a") < F.col("vec_b")))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
+                                            * _norm(F.col("vb")))
+    return (cand.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+                .filter(F.col("cosine") >= NEARDUP_COSINE)
+                .orderBy("vec_a", "vec_b"))
+
+
+def sql_dedup_embedding_cosine() -> str:
+    planes = " + ".join(
+        "CASE WHEN (" + " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {float(_plane_component(j, d))}"
+            for d in range(DIM))
+        + f") > 0 THEN {2 ** j} ELSE 0 END"
+        for j in range(LSH_BITS))
+    return f"""
+WITH buckets AS (
+  SELECT vec_id, ({planes}) AS bucket FROM embeddings
+),
+flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, sum(fa.x * fb.x) AS dot
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.vec_a
+  JOIN flat fb ON fb.vec_id = c.vec_b AND fa.i = fb.i
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT d.vec_a, d.vec_b,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON d.vec_a = na.vec_id
+JOIN norms nb ON d.vec_b = nb.vec_id
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {NEARDUP_COSINE}
+ORDER BY vec_a, vec_b"""

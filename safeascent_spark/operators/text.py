@@ -252,3 +252,33 @@ SELECT p.doc_id,
 FROM pos p JOIN vocab v ON p.word = v.word
 GROUP BY p.doc_id
 ORDER BY p.doc_id"""
+
+
+# --- BPE-ish token counting --------------------------------------------------
+# Word pieces / numbers / punctuation runs — the pre-tokenizer shape of
+# GPT-style BPE vocabularies, as a pure regex (identical in Spark & DuckDB).
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per doc + corpus-level ratio."""
+    d = docs_df(spark, sf_dir)
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0))
+    return (d.select("doc_id",
+                     ws.cast("bigint").alias("ws_tokens"),
+                     bpe.cast("bigint").alias("bpe_tokens"),
+                     F.round(bpe.cast("double") / ws.cast("double"), 6)
+                      .alias("bpe_per_word"))
+             .orderBy("doc_id"))
+
+
+def sql_token_count_bpe() -> str:
+    ws = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    bpe = f"len(regexp_extract_all(text, '{BPE_PATTERN}'))"
+    return f"""
+SELECT doc_id,
+       CAST({ws} AS BIGINT) AS ws_tokens,
+       CAST({bpe} AS BIGINT) AS bpe_tokens,
+       round(CAST({bpe} AS DOUBLE) / CAST({ws} AS DOUBLE), 6) AS bpe_per_word
+FROM documents ORDER BY doc_id"""
