@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from safeascent_spark.operators import analytics as A
+from safeascent_spark.operators import assembly as ASM
 from safeascent_spark.operators import batch as B
 from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import kernel_queries as KQ
@@ -71,6 +72,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_risk_trend": A.q_risk_trend,
         "w3_climbing_windows": A.q_climbing_windows,
         "k21_hourly_risk": A.q_hourly_risk,
+        # assembly + forecast horizon (SURVEY §2.1 S3/S4, §2.7 K22, §3.2)
+        "s4_location_routes_assembled": ASM.q_location_routes_assembled,
+        "s3_weather_arrays_assembled": ASM.q_weather_arrays_assembled,
+        "k22_weather_summary": ASM.q_weather_summary,
+        "location_forecast_horizon": ASM.q_location_forecast,
         # J2 range join + /predict lifecycle (SURVEY §2.3 J2, §3.1)
         "j2_weather_range_join": RJ.q_weather_range_join,
         "predict_point": RJ.q_predict_point,
@@ -137,6 +143,10 @@ def oracle_sql() -> dict[str, str]:
         "a8_risk_trend": A.sql_risk_trend(),
         "w3_climbing_windows": A.sql_climbing_windows(),
         "k21_hourly_risk": A.sql_hourly_risk(),
+        "s4_location_routes_assembled": ASM.sql_location_routes_assembled(),
+        "s3_weather_arrays_assembled": ASM.sql_weather_arrays_assembled(),
+        "k22_weather_summary": ASM.sql_weather_summary(),
+        "location_forecast_horizon": ASM.sql_location_forecast(),
         "j2_weather_range_join": RJ.sql_weather_range_join(),
         "predict_point": RJ.sql_predict_point(),
         "batch_scores": B.batch_scores_sql(),
