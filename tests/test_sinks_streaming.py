@@ -1,6 +1,9 @@
-"""Sink (S8/S9/S10), streaming refresh, and multimodal plumbing tests."""
+"""Sink (S8/S9/S10), streaming refresh, stateful operators, skew utilities,
+and multimodal plumbing tests."""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 import tempfile
 from pathlib import Path
@@ -76,3 +79,46 @@ def test_multimodal_frame_sample(spark):
         by_media.setdefault(fr.media_id, []).append(fr.frame_no)
     for mid, nos in by_media.items():
         assert nos == list(range(len(nos)))  # contiguous frame numbering
+
+
+def test_stateful_ema_stream(spark):
+    import tempfile
+    from pathlib import Path
+    from safeascent_spark.streaming import stateful
+    with tempfile.TemporaryDirectory() as tmp:
+        out = str(Path(tmp) / "ema")
+        n = stateful.run_stateful_ema(spark, SF_SMOKE, out)
+        assert n > 0
+        dim = spark.read.parquet(out)
+        rows = dim.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r.n_obs > 0 and r.ema is not None
+        # state totals must cover every event exactly once
+        from safeascent_spark import domain
+        total = sum(r.n_obs for r in rows)
+        assert total == domain.load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_salted_sum_matches_plain(spark):
+    from safeascent_spark import domain, skew
+    import pytest
+    li = domain.load_table(spark, SF_SMOKE, "lineitem")
+    plain = {r.l_orderkey: r.s for r in
+             li.groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").alias("s")).collect()}
+    salted = {r.l_orderkey: r.total for r in
+              skew.salted_sum(li, ["l_orderkey"], "l_quantity",
+                              "total").collect()}
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k] == pytest.approx(plain[k], rel=1e-12)
+
+
+def test_replicated_broadcast_join_matches_plain(spark):
+    from safeascent_spark import domain, skew
+    r = domain.routes_df(spark, SF_SMOKE)
+    loc = domain.locations_df(spark, SF_SMOKE)
+    plain = r.join(loc, "location_id").count()
+    salted = skew.replicate_broadcast_join(r, loc, "location_id").count()
+    assert plain == salted
