@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_freeze_thaw": W.q_freeze_thaw,
         "w_similarity": W.q_weather_similarity,
         "w_extreme_multiplier": W.q_extreme_multiplier,
+        "k5_pearson_factors": W.q_pearson_factors,
         # flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18)
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "w_freeze_thaw": W.sql_freeze_thaw(),
         "w_similarity": W.sql_weather_similarity(),
         "w_extreme_multiplier": W.sql_extreme_multiplier(),
+        "k5_pearson_factors": W.sql_pearson_factors(),
         "risk_scores": scoring.risk_scores_sql(),
         "top_contributors": scoring.top_contributors_sql(),
         "f1_accident_filter": R.sql_accident_filter(),

@@ -398,3 +398,28 @@ def sql_extreme_multiplier() -> str:
 {full}
 SELECT wbucket, round(extreme_multiplier, 9) AS extreme_multiplier
 FROM wmult ORDER BY wbucket"""
+
+
+def q_pearson_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: classic (unweighted, sample) Pearson correlation between factor
+    series within each bucket's window, via the native corr aggregate.
+    Reference: backend/app/utils/stats_utils.py:52-108."""
+    w = domain.weather_long_df(spark, sf_dir)
+    return (w.groupBy("wbucket")
+             .agg(F.count(F.lit(1)).alias("n_days"),
+                  F.round(F.corr("temperature", "wind_speed"), 6)
+                   .alias("corr_temp_wind"),
+                  F.round(F.corr("temperature", "cloud_cover"), 6)
+                   .alias("corr_temp_cloud"))
+             .filter(F.col("n_days") >= 2)
+             .orderBy("wbucket"))
+
+
+def sql_pearson_factors() -> str:
+    return f"""{_WEATHER_ONLY_WITH}
+SELECT wbucket, count(*) AS n_days,
+       round(corr(temperature, wind_speed), 6) AS corr_temp_wind,
+       round(corr(temperature, cloud_cover), 6) AS corr_temp_cloud
+FROM weather GROUP BY wbucket
+HAVING count(*) >= 2
+ORDER BY wbucket"""
