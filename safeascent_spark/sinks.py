@@ -71,3 +71,16 @@ def purge_old_partitions(path: str, keep_dates: set[str]) -> list[str]:
             shutil.rmtree(Path(path) / f"prediction_date={d}")
             removed.append(d)
     return removed
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 16) -> None:
+    """Persist a table bucketed on its join key so later joins/aggregations
+    on that key co-locate without a shuffle (the reference's PostGIS-index
+    analog for the relational side).  Requires a catalog table (bucketBy is
+    not supported for path-based writes).
+    """
+    (df.write.mode("overwrite")
+       .bucketBy(n_buckets, bucket_col)
+       .sortBy(bucket_col)
+       .saveAsTable(table))

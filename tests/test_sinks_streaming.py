@@ -122,3 +122,35 @@ def test_replicated_broadcast_join_matches_plain(spark):
     plain = r.join(loc, "location_id").count()
     salted = skew.replicate_broadcast_join(r, loc, "location_id").count()
     assert plain == salted
+
+
+def test_bucketed_write_avoids_shuffle_on_join(spark, tmp_path):
+    """Joining two tables bucketed on the same key must not shuffle either
+    side (no Exchange above the scans in the join subtree)."""
+    import shutil
+    from safeascent_spark import domain, sinks
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    for t in ("routes_b", "counts_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    r = domain.routes_df(spark, SF_SMOKE).select("route_id", "location_id")
+    c = domain.routes_df(spark, SF_SMOKE).groupBy("location_id").count()
+    sinks.write_bucketed(r, "routes_b", "location_id")
+    sinks.write_bucketed(c, "counts_b", "location_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a distributed join so the bucketing (not a broadcast) is
+        # what removes the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table("routes_b")
+                  .join(spark.table("counts_b"), "location_id")
+                  .filter("count >= 0"))
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucketing provides the distribution: no shuffle above the scans
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS routes_b")
+        spark.sql("DROP TABLE IF EXISTS counts_b")
