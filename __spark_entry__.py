@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18)
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
+        "risk_factor_breakdown": lambda s, sf: scoring.factor_breakdown_df(s, sf),
+        "cache_warming_top_routes": lambda s, sf: scoring.cache_warming_df(s, sf),
         # relational surface (SURVEY §2.2/§2.3: F1-F4, J1, J5, J7, A2, A5, A9)
         "f1_accident_filter": R.q_accident_filter,
         "f2_route_search": R.q_route_search,
@@ -89,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": D.q_dedup_jaccard,
         "dedup_minhash_signatures": D.q_minhash_signatures,
         "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
+        "dedup_clusters": D.q_dedup_clusters,
         "dedup_simhash": D.q_simhash,
         "dedup_simhash_pairs": D.q_dedup_simhash_pairs,
         "ann_cosine_topk": lambda s, sf: SIM.cosine_topk_df(s, sf),
@@ -128,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "k5_pearson_factors": W.sql_pearson_factors(),
         "risk_scores": scoring.risk_scores_sql(),
         "top_contributors": scoring.top_contributors_sql(),
+        "risk_factor_breakdown": scoring.factor_breakdown_sql(),
+        "cache_warming_top_routes": scoring.cache_warming_sql(),
         "f1_accident_filter": R.sql_accident_filter(),
         "f2_route_search": R.sql_route_search(),
         "f3_route_search_rock": R.sql_route_search_rock(),
@@ -157,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": D.sql_dedup_jaccard(),
         "dedup_minhash_signatures": D.sql_minhash_signatures(),
         "dedup_minhash_lsh": D.sql_dedup_minhash_lsh(),
+        "dedup_clusters": D.sql_dedup_clusters(),
         "dedup_simhash": D.sql_simhash(),
         "dedup_simhash_pairs": D.sql_dedup_simhash_pairs(),
         "ann_cosine_topk": SIM.sql_cosine_topk(),

@@ -305,3 +305,70 @@ FROM sims a JOIN sims b
   ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b"""
+
+
+# --- Connected components over near-dup pairs (cluster survivors) ------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    candidate graph via iterative min-label propagation (the GraphFrames
+    connected-components algorithm in plain DataFrame ops), with the
+    canonical survivor = min doc_id per component.
+
+    Iterates to a fixpoint with localCheckpoint truncating lineage each
+    round — the standard Spark iterative pattern; rounds are bounded by the
+    component diameter (tiny for dedup graphs).
+    """
+    docs = T.docs_df(spark, sf_dir).select("doc_id")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+                  .unionAll(pairs.select(F.col("doc_b").alias("src"),
+                                         F.col("doc_a").alias("dst"))))
+    edges = edges.cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")) \
+                 .localCheckpoint(eager=True)
+    for _ in range(20):
+        prop = (edges.join(labels, edges["src"] == labels["doc_id"])
+                     .select(F.col("dst").alias("doc_id"), "label"))
+        new_labels = (labels.unionAll(prop)
+                            .groupBy("doc_id")
+                            .agg(F.min("label").alias("label"))
+                            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+                  .select("doc_id",
+                          F.col("label").alias("cluster_rep"),
+                          "cluster_size",
+                          (F.col("doc_id") == F.col("label")).alias("is_kept"))
+                  .orderBy("doc_id"))
+
+
+def sql_dedup_clusters() -> str:
+    lsh = sql_dedup_minhash_lsh().strip()
+    return f"""
+WITH lsh_pairs AS ({lsh}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+walk AS (
+  WITH RECURSIVE reach(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON r.doc_id = e.src
+  )
+  SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id
+),
+sizes AS (SELECT label, count(*) AS cluster_size FROM walk GROUP BY label)
+SELECT w.doc_id, w.label AS cluster_rep, s.cluster_size,
+       (w.doc_id = w.label) AS is_kept
+FROM walk w JOIN sizes s ON w.label = s.label
+ORDER BY w.doc_id"""

@@ -237,3 +237,147 @@ FROM (
 )
 WHERE rank <= {limit}
 ORDER BY route_id, rank"""
+
+
+def factor_breakdown_df(spark: SparkSession, sf_dir: str,
+                        pred_date: str = domain.PRED_DATE,
+                        max_route_id: int = 20) -> DataFrame:
+    """Risk-breakdown attribution (mp_routes.py:995-1124): per significant
+    (route, accident) pair, every factor of the influence product.
+
+    Restricted to a route subset — the endpoint is a per-route drill-down,
+    not a batch surface."""
+    routes = domain.routes_df(spark, sf_dir).filter(
+        F.col("route_id") < max_route_id)
+    locations = domain.locations_df(spark, sf_dir)
+    accidents = domain.accidents_df(spark, sf_dir)
+    wsim = W.weather_similarity_cached(spark, sf_dir)
+
+    r = routes.join(F.broadcast(locations), "location_id")
+    a = accidents.select(
+        F.col("accident_id"),
+        F.col("latitude").alias("a_lat"), F.col("longitude").alias("a_lon"),
+        F.col("elevation_m").alias("a_elev"), F.col("accident_date"),
+        F.col("route_type").alias("a_type"), F.col("severity"),
+        F.col("grade").alias("a_grade"),
+        F.col("wbucket").alias("acc_bucket"))
+    pairs = r.crossJoin(F.broadcast(a))
+    pairs = pairs.join(
+        F.broadcast(wsim),
+        (pairs["wbucket"] == wsim["cur_bucket"])
+        & (pairs["acc_bucket"] == wsim["acc_bucket"]), "left",
+    ).drop(wsim["acc_bucket"]).drop("cur_bucket")
+
+    dist = K.haversine_km("latitude", "longitude", "a_lat", "a_lon")
+    pd_col = F.to_date(F.lit(pred_date))
+    spatial = K.spatial_weight(dist, "route_type")
+    temporal = K.temporal_weight(pd_col, "accident_date", "route_type")
+    elevation = K.elevation_weight("elevation_m", "a_elev", "route_type")
+    rt_w = K.route_type_weight("route_type", "a_type")
+    sev_w = K.severity_weight("severity")
+    grade_w = K.grade_weight("grade", "a_grade")
+    weather_w = F.coalesce(F.col("weather_weight"),
+                           F.lit(C.MISSING_WEATHER_NEUTRAL))
+    wfac = K.weather_factor(weather_w)
+    influence = spatial * temporal * elevation * rt_w * sev_w * grade_w * wfac
+    return (pairs.select(
+                "route_id", "accident_id",
+                F.round(dist, 3).alias("distance_km"),
+                F.round(spatial, 6).alias("spatial_weight"),
+                F.round(temporal, 6).alias("temporal_weight"),
+                F.round(elevation, 6).alias("elevation_weight"),
+                F.round(rt_w, 6).alias("route_type_weight"),
+                F.round(sev_w, 6).alias("severity_weight"),
+                F.round(grade_w, 6).alias("grade_weight"),
+                F.round(weather_w, 6).alias("weather_weight"),
+                influence.alias("raw_influence"))
+             .filter(F.col("raw_influence") > C.SIGNIFICANCE_THRESHOLD)
+             .select("route_id", "accident_id", "distance_km",
+                     "spatial_weight", "temporal_weight", "elevation_weight",
+                     "route_type_weight", "severity_weight", "grade_weight",
+                     "weather_weight",
+                     F.round("raw_influence", 6).alias("influence"))
+             .orderBy("route_id", "accident_id"))
+
+
+def factor_breakdown_sql(pred_date: str = domain.PRED_DATE,
+                         max_route_id: int = 20) -> str:
+    dist = S.haversine_km("l.latitude", "l.longitude", "a.latitude", "a.longitude")
+    weather_w = "coalesce(ws.weather_weight, 0.5)"
+    spatial = S.spatial_weight(f"({dist})", "r.route_type")
+    temporal = S.temporal_weight(f_date(pred_date), "a.accident_date",
+                                 "r.route_type")
+    elevation = S.elevation_weight("l.elevation_m", "a.elevation_m",
+                                   "r.route_type")
+    rt_w = S.route_type_weight("r.route_type", "a.route_type")
+    sev_w = S.severity_weight("a.severity")
+    grade_w = S.grade_weight_from_difficulty(
+        S.parse_grade("r.grade"), S.parse_grade("a.grade"))
+    wfac = S.weather_factor(weather_w)
+    influence = (f"{spatial} * {temporal} * {elevation} * {rt_w} * {sev_w}"
+                 f" * {grade_w} * {wfac}")
+    return f"""
+WITH {domain.ROUTES_CTE.strip()},
+{domain.LOCATIONS_CTE.strip()},
+{domain.ACCIDENTS_CTE.strip()},
+{domain.WEATHER_CTE.strip()},
+{domain.ARCHIVE_STATS_CTE.strip()},
+{W.wsim_ctes().strip()},
+bd AS (
+  SELECT r.route_id, a.accident_id,
+         round({dist}, 3) AS distance_km,
+         round({spatial}, 6) AS spatial_weight,
+         round({temporal}, 6) AS temporal_weight,
+         round({elevation}, 6) AS elevation_weight,
+         round({rt_w}, 6) AS route_type_weight,
+         round({sev_w}, 6) AS severity_weight,
+         round({grade_w}, 6) AS grade_weight,
+         round({weather_w}, 6) AS weather_weight,
+         {influence} AS raw_influence
+  FROM routes r
+  JOIN locations l ON r.location_id = l.location_id
+  CROSS JOIN accidents a
+  LEFT JOIN wsim ws ON l.wbucket = ws.cur_bucket AND a.wbucket = ws.acc_bucket
+  WHERE r.route_id < {max_route_id}
+)
+SELECT route_id, accident_id, distance_km, spatial_weight, temporal_weight,
+       elevation_weight, route_type_weight, severity_weight, grade_weight,
+       weather_weight, round(raw_influence, 6) AS influence
+FROM bd WHERE raw_influence > {C.SIGNIFICANCE_THRESHOLD!r}
+ORDER BY route_id, accident_id"""
+
+
+def cache_warming_df(spark: SparkSession, sf_dir: str,
+                     top_n: int = 200) -> DataFrame:
+    """Cache-warming analog (tasks/cache_warming.py:24-154): score only the
+    top-N most popular routes — a semi-join pushdown into the scoring plan."""
+    from pyspark.sql import Window
+    routes = domain.routes_df(spark, sf_dir)
+    w = Window.orderBy(F.col("popularity").desc_nulls_last(),
+                       F.col("route_id").asc())
+    top = (routes.withColumn("pop_rank", F.row_number().over(w))
+                 .filter(F.col("pop_rank") <= top_n)
+                 .select("route_id", "pop_rank"))
+    scores = risk_scores_df(spark, sf_dir)
+    return (scores.join(F.broadcast(top), "route_id")
+                  .select("route_id",
+                          F.col("pop_rank").cast("int").alias("pop_rank"),
+                          "risk_score", "color_code")
+                  .orderBy("pop_rank"))
+
+
+def cache_warming_sql(top_n: int = 200) -> str:
+    inner = risk_scores_sql()
+    return f"""
+WITH scores AS ({inner}),
+ranked AS (
+  SELECT route_id,
+         row_number() OVER (ORDER BY popularity DESC NULLS LAST,
+                            route_id ASC) AS pop_rank
+  FROM (SELECT c_custkey AS route_id, c_acctbal AS popularity FROM customer)
+)
+SELECT s.route_id, CAST(r.pop_rank AS INT) AS pop_rank,
+       s.risk_score, s.color_code
+FROM scores s JOIN ranked r ON s.route_id = r.route_id
+WHERE r.pop_rank <= {top_n}
+ORDER BY pop_rank"""
