@@ -73,3 +73,18 @@ def test_invalid_windows_are_zero_not_neutral(spark):
         if (prof.get(r.cur_bucket, 0) < C.MIN_WEATHER_DAYS_REQUIRED
                 or prof.get(r.acc_bucket, 0) < C.MIN_WEATHER_DAYS_REQUIRED):
             assert r.weather_weight == 0.0
+
+
+def test_pandas_udf_similarity_matches_closed_form(spark):
+    """Independent NumPy (applyInPandas) implementation must agree with the
+    Column-algebra similarity — a second loop-vs-vectorized style check."""
+    from safeascent_spark.operators import weather_udf
+    algebra = {(r.cur_bucket, r.acc_bucket): r.weather_weight
+               for r in W.weather_similarity_df(
+                   spark, SF_SMOKE, with_extreme=False).collect()}
+    udf = {(r.cur_bucket, r.acc_bucket): r.weather_weight
+           for r in weather_udf.weather_similarity_udf_df(
+               spark, SF_SMOKE).collect()}
+    assert set(algebra) == set(udf)
+    for k, v in algebra.items():
+        assert udf[k] == pytest.approx(v, abs=1e-9), k
