@@ -44,16 +44,19 @@ def main() -> None:
     queries[names[0]](spark, SF_DIR).write \
         .format("noop").mode("overwrite").save()
 
+    # Two interleaved passes, report the per-query minimum: local-VM noise
+    # comes in multi-second bursts, so consecutive same-query runs would
+    # both absorb a burst while interleaving spreads the risk.
     per_query: dict[str, float] = {}
-    for name in names:
-        best = None
-        for _ in range(2):  # best-of-2 damps local-VM scheduling noise
+    for _pass in range(2):
+        for name in names:
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        per_query[name] = round(best, 3)
+            if name not in per_query or dt < per_query[name]:
+                per_query[name] = dt
+    per_query = {k: round(v, 3) for k, v in per_query.items()}
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -58,6 +58,18 @@ FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""
 
 # --- Shingles (3-gram word windows -> integer ids) ---------------------------
 
+_SHINGLE_CACHE: dict = {}
+
+
+def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized + Spark-cached shingle table (several dedup queries
+    share it; the vocabulary distinct-collect runs once per session/sf)."""
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = shingles_df(spark, sf_dir).cache()
+    return _SHINGLE_CACHE[key]
+
+
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle_id): sid = w1*(V+1)^2 + w2*(V+1) + w3 over
     data-derived word ids (exact in int64 for vocab < ~2M)."""
@@ -114,7 +126,7 @@ def _shingles_with() -> str:
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with shingle-set Jaccard >= threshold, via the
     inverted-index equi-join (no doc x doc cross join)."""
-    sh = shingles_df(spark, sf_dir).cache()
+    sh = shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sid").alias("sid_b"))
@@ -157,7 +169,7 @@ ORDER BY doc_a, doc_b"""
 def minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K=8 minhash signature per doc: min((a*sid + b) % P) per hash fn,
     folded as MIN aggregates (map-side combinable — one shuffle)."""
-    sh = shingles_df(spark, sf_dir)
+    sh = shingles_cached(spark, sf_dir)
     aggs = [F.min((F.col("sid") * a + b) % HASH_P).alias(f"h{i}")
             for i, (a, b) in enumerate(MINHASH_AB)]
     return sh.groupBy("doc_id").agg(*aggs)
