@@ -52,6 +52,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # that with the legacy nanos-as-long mapping (the column arrives as
     # nanoseconds-since-epoch LongType — see ts_seconds()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp->date/month extraction is session-timezone dependent in
+    # Spark but wall-clock in DuckDB; pin UTC so oracle parity holds under
+    # any caller session (the driver builds its own).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
