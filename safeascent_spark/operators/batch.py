@@ -119,10 +119,6 @@ def _routes_adj_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         K.route_type_index("route_type").alias("r_tidx"))
 
 
-def _adjusted(rt_w, grade_w):
-    return rt_w * grade_w
-
-
 def _grade_w(r_gdiff, a_gdiff):
     gd = F.abs(r_gdiff - a_gdiff)
     return F.when(r_gdiff.isNull() | a_gdiff.isNull(), F.lit(1.0)) \

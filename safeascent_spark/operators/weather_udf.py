@@ -18,8 +18,6 @@ weather_similarity.py:88-218 (base similarity, no extreme multiplier).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 

@@ -20,7 +20,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 from .. import domain
-from .refresh import EVENT_SCHEMA, weather_update_stream
+from .refresh import weather_update_stream
 
 EMA_ALPHA = 0.2
 
