@@ -247,3 +247,19 @@ def test_temp_conversion_roundtrip(spark):
     assert one(spark, K.c_to_f(F.lit(0.0))) == 32.0
     assert one(spark, K.c_to_f(F.lit(100.0))) == 212.0
     assert one(spark, K.f_to_c(F.lit(32.0))) == 0.0
+
+
+def test_full_yds_table_column_vs_python(spark):
+    """Every YDS table entry (plus +/- and slash modifiers) must parse
+    identically through the Column expression and the Python port."""
+    cases = list(C.YDS_GRADES.keys())
+    cases += [g + "+" for g in C.YDS_GRADES] + [g + "-" for g in C.YDS_GRADES]
+    cases += ["5.10a/b", "5.11b/c", "5.12c/d"]
+    rows = (spark.createDataFrame([(g,) for g in cases], "g string")
+                 .select("g", K.parse_grade("g").alias("d")).collect())
+    for r in rows:
+        expect = G.py_parse_grade(r.g)
+        if expect is None:
+            assert r.d is None, r.g
+        else:
+            assert r.d == pytest.approx(expect, abs=1e-9), r.g
