@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_risk_trend": A.q_risk_trend,
         "w3_climbing_windows": A.q_climbing_windows,
         "k21_hourly_risk": A.q_hourly_risk,
+        "risk_rollup": A.q_risk_rollup,
         # assembly + forecast horizon (SURVEY §2.1 S3/S4, §2.7 K22, §3.2)
         "s4_location_routes_assembled": ASM.q_location_routes_assembled,
         "s3_weather_arrays_assembled": ASM.q_weather_arrays_assembled,
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "a8_risk_trend": A.sql_risk_trend(),
         "w3_climbing_windows": A.sql_climbing_windows(),
         "k21_hourly_risk": A.sql_hourly_risk(),
+        "risk_rollup": A.sql_risk_rollup(),
         "s4_location_routes_assembled": ASM.sql_location_routes_assembled(),
         "s3_weather_arrays_assembled": ASM.sql_weather_arrays_assembled(),
         "k22_weather_summary": ASM.sql_weather_summary(),

@@ -435,3 +435,37 @@ SELECT t.bucket,
 FROM wtd t JOIN means m ON t.bucket = m.bucket
 GROUP BY t.bucket, m.mx, m.sw, m.n_samples
 ORDER BY t.bucket"""
+
+
+# --- OLAP rollup over the scored surface (beyond-reference) ------------------
+
+def q_risk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level risk summary: ROLLUP(route_type, color_code) over the
+    flagship scores — subtotals per type and a grand total in one pass."""
+    from . import scoring
+    r = domain.routes_df(spark, sf_dir).select("route_id", "route_type")
+    s = scoring.risk_scores_df(spark, sf_dir).join(r, "route_id")
+    return (s.rollup("route_type", "color_code")
+             .agg(F.count(F.lit(1)).alias("n_routes"),
+                  F.round(F.avg("risk_score"), 6).alias("avg_risk"),
+                  F.round(F.max("risk_score"), 6).alias("max_risk"))
+             .orderBy(F.col("route_type").asc_nulls_first(),
+                      F.col("color_code").asc_nulls_first()))
+
+
+def sql_risk_rollup() -> str:
+    from . import scoring
+    inner = scoring.risk_scores_sql()
+    return f"""
+WITH scores AS ({inner}),
+typed AS (
+  SELECT s.route_id, s.risk_score, s.color_code,
+         {domain._sql_mod_case('s.route_id', domain.ROUTE_TYPE_BY_MOD)} AS route_type
+  FROM scores s
+)
+SELECT route_type, color_code, count(*) AS n_routes,
+       round(avg(risk_score), 6) AS avg_risk,
+       round(max(risk_score), 6) AS max_risk
+FROM typed
+GROUP BY ROLLUP(route_type, color_code)
+ORDER BY route_type ASC NULLS FIRST, color_code ASC NULLS FIRST"""
