@@ -35,7 +35,8 @@ from . import weather as W
 
 
 def influence_pairs_df(spark: SparkSession, sf_dir: str,
-                       pred_date: str = domain.PRED_DATE) -> DataFrame:
+                       pred_date: str = domain.PRED_DATE,
+                       routes: DataFrame | None = None) -> DataFrame:
     """Per (route, accident) influence rows — the exact per-route path.
 
     Every single-side kernel (grade parse, per-type constant lookups, season,
@@ -43,8 +44,12 @@ def influence_pairs_df(spark: SparkSession, sf_dir: str,
     join, so the pair-grain expression is a handful of arithmetic ops — this
     keeps the 15M+(at sf0.1) pair stage inside one tight whole-stage-codegen
     span instead of re-evaluating 100-branch CASE trees per pair.
+
+    ``routes`` lets callers push a route subset *below* the cross join (the
+    cache-warming path scores 200 routes, not the whole table).
     """
-    routes = domain.routes_df(spark, sf_dir)
+    if routes is None:
+        routes = domain.routes_df(spark, sf_dir)
     locations = domain.locations_df(spark, sf_dir)
     accidents = domain.accidents_df(spark, sf_dir)
     wsim = W.weather_similarity_cached(spark, sf_dir)
@@ -119,9 +124,10 @@ def influence_pairs_df(spark: SparkSession, sf_dir: str,
 
 
 def risk_scores_df(spark: SparkSession, sf_dir: str,
-                   pred_date: str = domain.PRED_DATE) -> DataFrame:
+                   pred_date: str = domain.PRED_DATE,
+                   routes: DataFrame | None = None) -> DataFrame:
     """Flagship: per-route risk score + color at the prediction date (A1+K18)."""
-    pairs = influence_pairs_df(spark, sf_dir, pred_date)
+    pairs = influence_pairs_df(spark, sf_dir, pred_date, routes=routes)
     agg = pairs.groupBy("route_id").agg(
         F.sum("influence").alias("influence_sum"),
         F.sum(F.when(F.col("influence") > C.SIGNIFICANCE_THRESHOLD, 1)
@@ -349,17 +355,30 @@ ORDER BY route_id, accident_id"""
 
 def cache_warming_df(spark: SparkSession, sf_dir: str,
                      top_n: int = 200) -> DataFrame:
-    """Cache-warming analog (tasks/cache_warming.py:24-154): score only the
-    top-N most popular routes — a semi-join pushdown into the scoring plan."""
+    """Cache-warming analog (tasks/cache_warming.py:24-154): score ONLY the
+    top-N most popular routes, like the reference.
+
+    Scale shape: top-N selection is ``orderBy().limit(n)`` — Spark executes
+    it as a distributed TakeOrderedAndProject (per-partition top-N, merge on
+    one reducer), never a single-partition global sort of the routes table.
+    The bounded N-row subset is then ranked (window over one tiny explicit
+    partition) and pushed *below* the scoring cross join via the ``routes``
+    override, so only N routes ever enter the pair stage — at 100 TB this is
+    scoring 200 routes, not the full table, to serve 200.
+    """
     from pyspark.sql import Window
     routes = domain.routes_df(spark, sf_dir)
-    w = Window.orderBy(F.col("popularity").desc_nulls_last(),
-                       F.col("route_id").asc())
-    top = (routes.withColumn("pop_rank", F.row_number().over(w))
-                 .filter(F.col("pop_rank") <= top_n)
-                 .select("route_id", "pop_rank"))
-    scores = risk_scores_df(spark, sf_dir)
-    return (scores.join(F.broadcast(top), "route_id")
+    pop_order = [F.col("popularity").desc_nulls_last(), F.col("route_id").asc()]
+    top = routes.orderBy(*pop_order).limit(top_n)
+    # Rank the bounded N-row subset. partitionBy must be non-foldable or
+    # Catalyst folds it to an empty spec (single-partition WindowExec warn);
+    # route_id % 1 is constant-valued but column-derived, so the spec stays.
+    rank_w = Window.partitionBy(F.col("route_id") % 1).orderBy(*pop_order)
+    ranks = (top.select("route_id", "popularity")
+                .withColumn("pop_rank", F.row_number().over(rank_w))
+                .select("route_id", "pop_rank"))
+    scores = risk_scores_df(spark, sf_dir, routes=top)
+    return (scores.join(F.broadcast(ranks), "route_id")
                   .select("route_id",
                           F.col("pop_rank").cast("int").alias("pop_rank"),
                           "risk_score", "color_code")
