@@ -131,18 +131,28 @@ PAGE_SIZE, PAGE_OFFSET = 50, 100
 
 
 def q_route_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIMIT/OFFSET page with total count (every list endpoint's shape)."""
+    """LIMIT/OFFSET page with total count (every list endpoint's shape).
+
+    Scale shape: the page is carved with ``orderBy().limit(offset+size)``
+    (distributed TakeOrderedAndProject) and ranked only within that bounded
+    result; the total is a separate scalar aggregate broadcast back — no
+    single-partition window ever sees the full routes table.
+    """
     r = domain.routes_df(spark, sf_dir)
-    w = Window.orderBy("route_name", "route_id")
-    return (r.withColumn("rn", F.row_number().over(w))
-             .withColumn("total_count", F.count(F.lit(1)).over(
-                 Window.partitionBy()))
-             .filter((F.col("rn") > PAGE_OFFSET)
-                     & (F.col("rn") <= PAGE_OFFSET + PAGE_SIZE))
-             .select("route_id", "route_name",
-                     F.col("rn").cast("bigint").alias("rn"),
-                     F.col("total_count").cast("bigint").alias("total_count"))
-             .orderBy("rn"))
+    order = [F.col("route_name").asc(), F.col("route_id").asc()]
+    total = r.groupBy().agg(F.count(F.lit(1)).alias("total_count"))
+    top = (r.select("route_id", "route_name")
+            .orderBy(*order).limit(PAGE_OFFSET + PAGE_SIZE))
+    # Non-foldable constant partition key over the bounded page (route_id is
+    # a non-null key, so the spec can never split on a null): see text.py.
+    w = Window.partitionBy(F.col("route_id") % 1).orderBy(*order)
+    return (top.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") > PAGE_OFFSET)
+               .crossJoin(F.broadcast(total))
+               .select("route_id", "route_name",
+                       F.col("rn").cast("bigint").alias("rn"),
+                       F.col("total_count").cast("bigint").alias("total_count"))
+               .orderBy("rn"))
 
 
 def sql_route_page() -> str:

@@ -53,11 +53,35 @@ tokens AS (
 
 
 def vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """word -> 1-based id by sorted order; data-derived so ids are stable."""
+    """word -> 1-based id by sorted order; data-derived so ids are stable.
+
+    Scale shape: ids equal a global ``row_number() OVER (ORDER BY word)``
+    but are computed WITHOUT a single-partition global sort.  Words are
+    bucketed by their 2-char prefix; ranking within bucket (a partitioned,
+    distributed window) ordered by word, plus the cumulative count of all
+    earlier buckets, reproduces the global sorted rank exactly — prefix
+    order is a prefix of word order.  The per-bucket count table is bounded
+    by the prefix alphabet (tiny), so the offset pass and the broadcast back
+    are O(|buckets|) regardless of corpus size.  The DuckDB oracle keeps the
+    plain global row_number because the ids are mathematically identical.
+    """
     t = tokens_df(spark, sf_dir)
-    w = Window.orderBy("word")
-    return (t.select("word").distinct()
-             .withColumn("wid", F.row_number().over(w)))
+    words = (t.select("word").distinct()
+              .withColumn("bkt", F.substring("word", 1, 2)))
+    in_bucket = Window.partitionBy("bkt").orderBy("word")
+    ranked = words.withColumn("r", F.row_number().over(in_bucket))
+    counts = words.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    # Running sum over the tiny bucket table; the constant-but-non-foldable
+    # partition key keeps the spec non-empty (Catalyst folds literals away,
+    # which would trip the single-partition WindowExec warning) while the
+    # input is already bounded by the prefix alphabet.
+    off_w = (Window.partitionBy(F.length("bkt") * 0).orderBy("bkt")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
+    return (ranked.join(F.broadcast(offsets.select("bkt", "off")), "bkt")
+                  .select("word",
+                          (F.col("off") + F.col("r")).cast("int").alias("wid")))
 
 
 VOCAB_CTE = """
@@ -73,11 +97,14 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token frequency, top 50 (ties by word asc)."""
     t = tokens_df(spark, sf_dir)
     counts = t.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
-    return (counts.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= 50)
-                  .select(F.col("rank").cast("int").alias("rank"), "word", "n")
-                  .orderBy("rank"))
+    order = [F.col("n").desc(), F.col("word").asc()]
+    # Distributed TakeOrderedAndProject, then rank the bounded 50-row result
+    # (non-foldable constant partition key: see vocab_df).
+    top = counts.orderBy(*order).limit(50)
+    w = Window.partitionBy(F.length("word") * 0).orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))
+               .select(F.col("rank").cast("int").alias("rank"), "word", "n")
+               .orderBy("rank"))
 
 
 def sql_token_counts() -> str:
