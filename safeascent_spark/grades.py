@@ -83,7 +83,7 @@ _DIM_CACHE: dict = {}
 def domain_grade_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized grade dimension over the domain's two grade sources
     (routes + accidents).  The distinct-collect runs once per (session, sf)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DIM_CACHE:
         from . import domain
         r = domain.routes_df(spark, sf_dir).select("grade")

@@ -33,6 +33,13 @@ SIMHASH_BITS = 16
 SIMHASH_MULT = 2_654_435_761  # Knuth multiplicative constant
 JACCARD_THRESHOLD = 0.2
 HAMMING_MAX = 3
+# Shingles appearing in more than this many documents are boilerplate
+# (headers, license blurbs): a shingle shared by k docs emits C(k,2)
+# candidate rows in the inverted-index join, so a single hot shingle with
+# k in the millions is a quadratic blowup on one key.  Such shingles carry
+# no near-dup signal; Jaccard is computed over the capped shingle sets on
+# both the Spark and oracle sides.
+MAX_SHINGLE_DF = 100
 
 
 # --- Exact dedup (hash-groupBy) ----------------------------------------------
@@ -64,7 +71,7 @@ _SHINGLE_CACHE: dict = {}
 def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized + Spark-cached shingle table (several dedup queries
     share it; the vocabulary distinct-collect runs once per session/sf)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SHINGLE_CACHE:
         _SHINGLE_CACHE[key] = shingles_df(spark, sf_dir).cache()
     return _SHINGLE_CACHE[key]
@@ -104,10 +111,10 @@ shingles AS (
          wa.wid * v.v * v.v + wb.wid * v.v + wc.wid AS sid
   FROM (
     SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
-    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-          FROM documents) s,
-         (SELECT unnest(generate_series(1, 4096)) AS i)
-    WHERE i <= len(ws) - 2
+    FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents) s)
   ) t
   JOIN vocab wa ON t.a = wa.word
   JOIN vocab wb ON t.b = wb.word
@@ -125,8 +132,18 @@ def _shingles_with() -> str:
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with shingle-set Jaccard >= threshold, via the
-    inverted-index equi-join (no doc x doc cross join)."""
+    inverted-index equi-join (no doc x doc cross join).
+
+    Boilerplate shingles with document frequency > MAX_SHINGLE_DF are dropped
+    *before* the self-join (left-anti against the tiny broadcast hot set), so
+    no single inverted-index key can emit a quadratic pair blowup; Jaccard is
+    over the capped sets on both sides of the oracle compare.
+    """
     sh = shingles_cached(spark, sf_dir)
+    hot = (sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") > MAX_SHINGLE_DF)
+             .select("sid"))
+    sh = sh.join(F.broadcast(hot), "sid", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sid").alias("sid_b"))
@@ -148,10 +165,16 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_dedup_jaccard() -> str:
     return f"""{_shingles_with()},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+hot AS (
+  SELECT sid FROM shingles GROUP BY sid HAVING count(*) > {MAX_SHINGLE_DF}
+),
+kept AS (
+  SELECT s.doc_id, s.sid FROM shingles s ANTI JOIN hot h ON s.sid = h.sid
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingles a JOIN shingles b
+  FROM kept a JOIN kept b
     ON a.sid = b.sid AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -339,19 +362,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.cache()
     labels = docs.select("doc_id", F.col("doc_id").alias("label")) \
                  .localCheckpoint(eager=True)
+    # Convergence probe: per-doc labels only ever decrease (min-fold), so the
+    # exact total of all labels is strictly decreasing until the fixpoint —
+    # one thin scalar aggregate per round instead of a join+count re-walk.
+    label_total = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_total = labels.agg(label_total).collect()[0][0]
     for _ in range(20):
         prop = (edges.join(labels, edges["src"] == labels["doc_id"])
                      .select(F.col("dst").alias("doc_id"), "label"))
-        new_labels = (labels.unionAll(prop)
-                            .groupBy("doc_id")
-                            .agg(F.min("label").alias("label"))
-                            .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
+        labels = (labels.unionAll(prop)
+                        .groupBy("doc_id")
+                        .agg(F.min("label").alias("label"))
+                        .localCheckpoint(eager=True))
+        total = labels.agg(label_total).collect()[0][0]
+        if total == prev_total:
             break
+        prev_total = total
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sizes, "label")
                   .select("doc_id",

@@ -101,7 +101,7 @@ def weather_similarity_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every scoring query broadcast-joins this table; it is bounded by
     N_WBUCKETS^2 rows so caching it is free and saves the two-pass moment
     aggregation per query."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _WSIM_CACHE:
         _WSIM_CACHE[key] = weather_similarity_df(spark, sf_dir).cache()
     return _WSIM_CACHE[key]
