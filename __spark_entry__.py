@@ -16,6 +16,7 @@ from safeascent_spark.operators import assembly as ASM
 from safeascent_spark.operators import batch as B
 from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import kernel_queries as KQ
+from safeascent_spark.operators import multimodal as MM
 from safeascent_spark.operators import rangejoin as RJ
 from safeascent_spark.operators import relational as R
 from safeascent_spark.operators import scoring
@@ -56,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_risk_model": ML.q_ml_risk_model,
         "ann_ivf_topk": ML.q_ann_ivf,
         "embedding_kmeans_cells": ML.q_embedding_kmeans,
+        # --- new in round 2 ---
+        "multimodal_png_meta": MM.q_multimodal_png_meta,
         # --- flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18) ---
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
@@ -183,4 +186,5 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_fingerprint": TX.sql_doc_fingerprint(),
         "text_token_count_bpe": TX.sql_token_count_bpe(),
         "dedup_embedding_cosine": SIM.sql_dedup_embedding_cosine(),
+        "multimodal_png_meta": MM.sql_multimodal_png_meta(),
     }

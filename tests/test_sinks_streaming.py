@@ -81,6 +81,37 @@ def test_multimodal_frame_sample(spark):
         assert nos == list(range(len(nos)))  # contiguous frame numbering
 
 
+def test_png_codec_roundtrip_pure():
+    payload = MM.encode_png(20, 17, 200)
+    w, h, bd, ct, psum = MM.decode_png(payload)
+    assert (w, h, bd, ct) == (20, 17, 8, 0)
+    assert psum == sum(20 * ((200 + r) % 256) for r in range(17))
+    # corrupting a payload byte must trip the CRC check
+    import pytest
+    broken = bytearray(payload)
+    broken[20] ^= 0xFF  # inside the IHDR data
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_png(bytes(broken))
+    with pytest.raises(ValueError, match="signature"):
+        MM.decode_png(b"GIF89a" + payload)
+
+
+def test_png_media_spark_roundtrip(spark):
+    media = MM.png_media_df(spark, SF_SMOKE)
+    meta = {r.media_id: r for r in MM.extract_png_meta(media).collect()}
+    docs = {r.doc_id: r.n_chars
+            for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+                          .select("doc_id", "n_chars").collect()}
+    assert set(meta) == set(docs)
+    for did, nc in docs.items():
+        m = meta[did]
+        assert (m.width, m.height) == (16 + did % 32, 16 + nc % 32)
+        assert m.n_pixels == m.width * m.height
+        assert m.n_bytes > 8 + 25 + 12  # sig + IHDR + IEND framing at least
+        assert m.pixel_sum == sum(m.width * ((nc % 256 + r) % 256)
+                                  for r in range(m.height))
+
+
 def test_stateful_ema_stream(spark):
     import tempfile
     from pathlib import Path
