@@ -49,9 +49,10 @@ def _corr_from_moments(vx, vy, cov):
              .otherwise(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), corr))))
 
 
-def bucket_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bucket_profile_df(spark: SparkSession, sf_dir: str,
+                      weather: DataFrame | None = None) -> DataFrame:
     """Per-bucket window metadata: day count, freeze-thaw count (A10)."""
-    w = domain.weather_long_df(spark, sf_dir)
+    w = domain.weather_long_df(spark, sf_dir) if weather is None else weather
     return w.groupBy("wbucket").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.when((F.col("temp_min") < 0) & (F.col("temp_max") > 0), 1)
@@ -108,26 +109,45 @@ def weather_similarity_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def weather_similarity_df(spark: SparkSession, sf_dir: str,
-                          with_extreme: bool = True) -> DataFrame:
+                          with_extreme: bool = True,
+                          weather: DataFrame | None = None) -> DataFrame:
     """K7: the (cur_bucket, acc_bucket) pair-grain similarity table.
 
     Columns: cur_bucket, acc_bucket, weather_weight (base 6-factor similarity
     x extreme multiplier of the *current* bucket).  Invalid (<5-day) windows
     yield 0.0 (weather_similarity.py:124-126); pairs absent entirely are the
     'missing pattern' neutral-0.5 path, handled by the caller's left join.
+    ``weather`` overrides the long-form window table (tests exercise partial
+    5-6 day windows through it).
     """
-    w = domain.weather_long_df(spark, sf_dir)
+    if weather is None:
+        weather = domain.weather_long_df(spark, sf_dir)
+    # Positional alignment, mirroring the reference exactly
+    # (weather_similarity.py:131-141 + time_utils.py:80-113): both series are
+    # truncated to nd = min(num_days_a, num_days_b) FIRST elements, and the
+    # decay weights are built for that shorter window, weight(i) =
+    # decay^(nd-1-i) (the reference normalizes to sum 1, but weighted Pearson
+    # is invariant to weight scale, so the raw weights give identical
+    # correlations).  For two full 7-day windows pos == day_offset and
+    # wraw == decay^(6-day_offset) — the previous calendar-aligned form.
+    from pyspark.sql import Window
+    seq = Window.partitionBy("wbucket").orderBy("day_offset")
+    w = (weather.withColumn("pos", F.row_number().over(seq) - 1)
+                .withColumn("wnd", F.count(F.lit(1)).over(
+                    Window.partitionBy("wbucket"))))
     a = w.alias("a")
     b = w.alias("b")
-    # Day-aligned pair rows; wraw = decay^(days_before), day_offset 6 = day 0.
-    pairs = a.join(b, F.col("a.day_offset") == F.col("b.day_offset")).select(
+    nd = F.least(F.col("a.wnd"), F.col("b.wnd"))
+    pairs = (a.join(b, F.col("a.pos") == F.col("b.pos"))
+              .filter(F.col("a.pos") < nd)
+              .select(
         F.col("a.wbucket").alias("cur_bucket"),
         F.col("b.wbucket").alias("acc_bucket"),
         F.pow(F.lit(C.WITHIN_WINDOW_TEMPORAL_DECAY),
-              (F.lit(6) - F.col("a.day_offset")).cast("double")).alias("wraw"),
+              (nd - 1 - F.col("a.pos")).cast("double")).alias("wraw"),
         *[F.col(f"a.{FACTOR_SRC[f]}").alias(f"x_{f}") for f in FACTORS],
         *[F.col(f"b.{FACTOR_SRC[f]}").alias(f"y_{f}") for f in FACTORS],
-    )
+    ))
 
     keys = ["cur_bucket", "acc_bucket"]
     # Pass 1: weighted means.
@@ -167,7 +187,7 @@ def weather_similarity_df(spark: SparkSession, sf_dir: str,
           for f in FACTORS],
     )
 
-    prof = bucket_profile_df(spark, sf_dir)
+    prof = bucket_profile_df(spark, sf_dir, weather=weather)
     pa = prof.select(F.col("wbucket").alias("cur_bucket"),
                      F.col("n_days").alias("n_days_a"),
                      F.col("ft_count").alias("ft_a"))
@@ -278,12 +298,18 @@ wprof AS (
          sum(CASE WHEN temp_min < 0 AND temp_max > 0 THEN 1 ELSE 0 END) AS ft_count
   FROM weather GROUP BY wbucket
 ),
+wseq AS (
+  SELECT *, row_number() OVER (PARTITION BY wbucket ORDER BY day_offset) - 1 AS pos,
+         count(*) OVER (PARTITION BY wbucket) AS wnd
+  FROM weather
+),
 wpair AS (
   SELECT a.wbucket AS cur_bucket, b.wbucket AS acc_bucket,
          pow({C.WITHIN_WINDOW_TEMPORAL_DECAY!r},
-             CAST(6 - a.day_offset AS DOUBLE)) AS wraw,
+             CAST(least(a.wnd, b.wnd) - 1 - a.pos AS DOUBLE)) AS wraw,
          {xcols}
-  FROM weather a JOIN weather b ON a.day_offset = b.day_offset
+  FROM wseq a JOIN wseq b ON a.pos = b.pos
+  WHERE a.pos < least(a.wnd, b.wnd)
 ),
 wmeans AS (
   SELECT cur_bucket, acc_bucket, sum(wraw) AS sw, {xy_means}
