@@ -20,8 +20,11 @@ _DOMAIN_WITH = (
 )
 
 # Fixed reference point for radius filters (mirrors a /predict request).
+# The radius is sized so the filters are non-vacuous on the synthetic domain
+# at sf0.01 (4 f1 rows, 34 f7 box rows) — a 0-row result would make the
+# Spark-vs-oracle hash compare trivially true.
 REF_LAT, REF_LON = 35.0, -115.0
-RADIUS_KM = 300.0
+RADIUS_KM = 600.0
 
 # F3 blocklist analog (mp_routes.py:306-309): exclude known-bad route names.
 BLOCKLIST = ["Customer#000000013", "Customer#000000666"]
@@ -254,7 +257,7 @@ def q_bbox_radius_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap box and the exact circle agree (the corner rows are the
     interesting output — box-hit but circle-miss)."""
     a = domain.accidents_df(spark, sf_dir)
-    radius = 100.0
+    radius = RADIUS_KM
     box = K.bbox_contains(REF_LAT, REF_LON, radius, "latitude", "longitude")
     dist = K.haversine_km(F.lit(REF_LAT), F.lit(REF_LON), "latitude", "longitude")
     return (a.filter(box)
@@ -266,7 +269,7 @@ def q_bbox_radius_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_bbox_radius_filter() -> str:
     import math
-    radius = 100.0
+    radius = RADIUS_KM
     dlat = radius / 111.32
     dlon = radius / (111.32 * math.cos(math.radians(REF_LAT)))
     dist = S.haversine_km(str(REF_LAT), str(REF_LON), "latitude", "longitude")
