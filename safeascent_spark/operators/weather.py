@@ -426,6 +426,91 @@ SELECT wbucket, round(extreme_multiplier, 9) AS extreme_multiplier
 FROM wmult ORDER BY wbucket"""
 
 
+# K8 per-factor diagnostics: the columns of the reference's
+# calculate_extreme_weather_analysis payload (weather_similarity.py:229-344),
+# flattened one column per factor field.  Check order fixed to the
+# reference's dict order for the triggered-factor list.
+K8_FACTORS = [  # (short, cur-mean col, stat mean col, stat std col, penalty key)
+    ("wind", "cm_wind", "mean_wind", "std_wind", "wind_speed"),
+    ("precip", "cm_precip", "mean_precip", "std_precip", "precipitation"),
+    ("temp", "cm_temp", "mean_temp", "std_temp", "temperature"),
+    ("vis", "cm_vis", "mean_vis", "std_vis", "visibility"),
+]
+
+
+def q_extreme_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 diagnostics: per-bucket per-factor extreme-weather breakdown."""
+    w = domain.weather_long_df(spark, sf_dir)
+    cur = w.groupBy("wbucket").agg(
+        F.avg("temperature").alias("cm_temp"),
+        F.avg("precipitation").alias("cm_precip"),
+        F.avg("wind_speed").alias("cm_wind"),
+        F.avg("visibility").alias("cm_vis"),
+    )
+    arch = domain.archive_stats_df(spark, sf_dir)
+    j = cur.join(arch, "wbucket", "left")
+
+    t = F.lit(C.EXTREME_WEATHER_SD_THRESHOLD)
+    cols, mult, trig = [], F.lit(1.0), []
+    for short, cm, mean, std, pkey in K8_FACTORS:
+        penalty = C.EXTREME_PENALTY_MULTIPLIERS[pkey]
+        no_var = F.col(std).isNull() | (F.col(std) == 0)
+        z = (F.col(cm) - F.col(mean)) / F.col(std)
+        is_ext = ~no_var & (F.abs(z) > t)
+        beyond = F.when(is_ext, F.abs(z) - t).otherwise(F.lit(0.0))
+        fmult = F.lit(1.0) + beyond * F.lit(penalty)
+        cols += [
+            F.round(F.col(cm), 6).alias(f"{short}_value"),
+            F.round(F.when(no_var, F.lit(None)).otherwise(z), 6)
+             .alias(f"{short}_z"),
+            is_ext.alias(f"{short}_extreme"),
+            F.round(fmult, 6).alias(f"{short}_mult"),
+        ]
+        mult = mult + beyond * F.lit(penalty)
+        trig.append(F.when(is_ext, F.lit(pkey)))
+    triggered = F.concat_ws(",", F.array_compact(F.array(*trig)))
+    return j.select(
+        "wbucket", *cols,
+        F.round(mult, 9).alias("extreme_multiplier"),
+        (mult > 1.0).alias("is_extreme"),
+        triggered.alias("triggered_factors"),
+    ).orderBy("wbucket")
+
+
+def sql_extreme_breakdown() -> str:
+    t = C.EXTREME_WEATHER_SD_THRESHOLD
+    cols, mult_terms, trig = [], [], []
+    for short, cm, mean, std, pkey in K8_FACTORS:
+        penalty = C.EXTREME_PENALTY_MULTIPLIERS[pkey]
+        no_var = f"(s.{std} IS NULL OR s.{std} = 0)"
+        z = f"((c.{cm} - s.{mean}) / s.{std})"
+        is_ext = f"(NOT {no_var} AND abs({z}) > {t!r})"
+        beyond = f"(CASE WHEN {is_ext} THEN abs({z}) - {t!r} ELSE 0.0 END)"
+        cols += [
+            f"round(c.{cm}, 6) AS {short}_value",
+            f"round(CASE WHEN {no_var} THEN NULL ELSE {z} END, 6) AS {short}_z",
+            f"{is_ext} AS {short}_extreme",
+            f"round(1.0 + {beyond} * {penalty!r}, 6) AS {short}_mult",
+        ]
+        mult_terms.append(f"{beyond} * {penalty!r}")
+        trig.append(f"CASE WHEN {is_ext} THEN '{pkey}' END")
+    mult = "1.0 + " + " + ".join(mult_terms)
+    triggered = ("array_to_string(list_filter(["
+                 + ", ".join(trig) + "], x -> x IS NOT NULL), ',')")
+    return f"""{_WEATHER_FULL_WITH},
+wcur8 AS (
+  SELECT wbucket, avg(temperature) AS cm_temp, avg(precipitation) AS cm_precip,
+         avg(wind_speed) AS cm_wind, avg(visibility) AS cm_vis
+  FROM weather GROUP BY wbucket
+)
+SELECT c.wbucket, {', '.join(cols)},
+       round({mult}, 9) AS extreme_multiplier,
+       ({mult}) > 1.0 AS is_extreme,
+       {triggered} AS triggered_factors
+FROM wcur8 c LEFT JOIN archive_stats s ON c.wbucket = s.wbucket
+ORDER BY c.wbucket"""
+
+
 def q_pearson_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5: classic (unweighted, sample) Pearson correlation between factor
     series within each bucket's window, via the native corr aggregate.
