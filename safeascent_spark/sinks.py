@@ -73,6 +73,79 @@ def purge_old_partitions(path: str, keep_dates: set[str]) -> list[str]:
     return removed
 
 
+# --- S9 row-level upsert: merge-on-read deltas + copy-on-write compaction ----
+#
+# Dynamic partition overwrite (write_scores) is the right unit when a whole
+# date is recomputed, but cannot express the reference's row-level
+# ``ON CONFLICT (route_id, date) DO UPDATE``
+# (safety_computation_optimized.py:827-905) against a partially-written
+# date.  The vanilla-parquet pattern for that is merge-on-read: row deltas
+# append under a sequence number, readers resolve latest-wins per key, and a
+# compaction folds deltas back into the base partition.  (Iceberg/Delta do
+# exactly this with a manifest; the filesystem sequence is the no-dependency
+# stand-in.)
+
+def _delta_root(path: str, pred_date: str) -> Path:
+    return Path(path + "__deltas") / f"prediction_date={pred_date}"
+
+
+def upsert_scores(df: DataFrame, path: str, pred_date: str) -> int:
+    """Row-level upsert into one date: appends a delta with the next
+    sequence number; conflicting route_ids win over base/earlier deltas at
+    read time.  Returns the sequence assigned."""
+    root = _delta_root(path, pred_date)
+    existing = ([int(p.name.split("=", 1)[1]) for p in root.iterdir()
+                 if p.is_dir() and p.name.startswith("delta_seq=")]
+                if root.exists() else [])
+    seq = max(existing, default=0) + 1
+    df.write.mode("overwrite").parquet(str(root / f"delta_seq={seq}"))
+    return seq
+
+
+def read_scores_current(spark: SparkSession, path: str, pred_date: str,
+                        route_ids: list[int] | None = None) -> DataFrame:
+    """Merge-on-read serving view: base partition + deltas, latest sequence
+    wins per route_id.  The resolve window partitions by route_id (never a
+    global sort), and the base scan still partition-prunes on date."""
+    from pyspark.sql import Window
+    base = read_scores(spark, path, pred_date, route_ids) \
+        .withColumn("_seq", F.lit(0))
+    root = _delta_root(path, pred_date)
+    seqs = ([int(p.name.split("=", 1)[1]) for p in root.iterdir()
+             if p.is_dir() and p.name.startswith("delta_seq=")]
+            if root.exists() else [])
+    merged = base
+    for s in sorted(seqs):
+        d = (spark.read.parquet(str(root / f"delta_seq={s}"))
+             .withColumn("prediction_date", F.lit(pred_date))
+             .withColumn("_seq", F.lit(s)))
+        if route_ids is not None:
+            ids = spark.createDataFrame([(int(i),) for i in route_ids],
+                                        "route_id bigint")
+            d = d.join(F.broadcast(ids), "route_id", "left_semi")
+        merged = merged.unionByName(d)
+    w = Window.partitionBy("route_id").orderBy(F.col("_seq").desc())
+    return (merged.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .drop("_rn", "_seq"))
+
+
+def compact_scores(spark: SparkSession, path: str, pred_date: str) -> int:
+    """Fold deltas into the base date partition (copy-on-write step) and
+    clear them; returns the number of delta sequences folded."""
+    root = _delta_root(path, pred_date)
+    seqs = ([p for p in root.iterdir()
+             if p.is_dir() and p.name.startswith("delta_seq=")]
+            if root.exists() else [])
+    if not seqs:
+        return 0
+    merged = read_scores_current(spark, path, pred_date) \
+        .drop("prediction_date").localCheckpoint(eager=True)
+    write_scores(merged, path, pred_date)
+    shutil.rmtree(root)
+    return len(seqs)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int = 16) -> None:
     """Persist a table bucketed on its join key so later joins/aggregations

@@ -67,14 +67,19 @@ def bucket_ema_stream(stream: DataFrame) -> DataFrame:
 
 def run_stateful_ema(spark: SparkSession, sf_dir: str, out_path: str,
                      timeout_sec: int = 180) -> int:
-    """One availableNow pass of the stateful EMA; returns rows written."""
+    """One availableNow pass of the stateful EMA; returns rows written.
+
+    Each micro-batch APPENDS with its batch_id (an overwrite-per-batch sink
+    would lose keys updated only in earlier batches when availableNow yields
+    several); ``read_ema_state`` resolves latest-batch-wins per key."""
     rows = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         rows["n"] += batch_df.count()
-        batch_df.write.mode("overwrite").parquet(out_path)
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("append").parquet(out_path))
 
     q = (bucket_ema_stream(weather_update_stream(spark, sf_dir))
          .writeStream
@@ -86,3 +91,14 @@ def run_stateful_ema(spark: SparkSession, sf_dir: str, out_path: str,
     q.awaitTermination(timeout_sec)
     q.stop()
     return rows["n"]
+
+
+def read_ema_state(spark: SparkSession, out_path: str) -> DataFrame:
+    """Current EMA state per bucket: the row from the highest batch_id
+    (update-mode emits one row per key per batch that touched it)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("wbucket").orderBy(F.col("batch_id").desc())
+    return (spark.read.parquet(out_path)
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .drop("_rn", "batch_id"))

@@ -38,6 +38,46 @@ def test_score_sink_roundtrip_and_retention(spark):
         assert sinks.list_partitions(path) == ["2024-06-16"]
 
 
+def test_upsert_merge_on_read_and_compaction(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = str(Path(tmp) / "scores")
+        df = scoring.risk_scores_df(spark, SF_SMOKE).localCheckpoint(eager=True)
+        n = df.count()
+        sinks.write_scores(df, path, "2024-06-15")
+        sinks.write_scores(df, path, "2024-06-16")
+
+        # row-level upsert into an existing date: change 2 rows, add 1 new
+        changed = (df.filter(F.col("route_id") < 2)
+                     .withColumn("risk_score", F.lit(99.0)))
+        added = spark.createDataFrame(
+            [(10_000_000, 1.5, "green", 0)],
+            "route_id bigint, risk_score double, color_code string, "
+            "num_contributing int")
+        seq = sinks.upsert_scores(changed.unionByName(added), path, "2024-06-16")
+        assert seq == 1
+
+        cur = sinks.read_scores_current(spark, path, "2024-06-16")
+        assert cur.count() == n + 1
+        got = {r.route_id: r.risk_score for r in
+               cur.filter(F.col("route_id").isin(0, 1, 10_000_000)).collect()}
+        assert got == {0: 99.0, 1: 99.0, 10_000_000: 1.5}
+        # a second upsert of the same key wins over the first (latest seq)
+        assert sinks.upsert_scores(
+            changed.limit(1).withColumn("risk_score", F.lit(50.0)),
+            path, "2024-06-16") == 2
+        cur2 = sinks.read_scores_current(spark, path, "2024-06-16")
+        assert cur2.filter(F.col("route_id") == 0).collect()[0].risk_score == 50.0
+        # the untouched date still reads pure base
+        assert sinks.read_scores_current(spark, path, "2024-06-15").count() == n
+
+        # compaction folds deltas into the base partition and clears them
+        assert sinks.compact_scores(spark, path, "2024-06-16") == 2
+        assert sinks.compact_scores(spark, path, "2024-06-16") == 0  # idempotent
+        after = sinks.read_scores(spark, path, "2024-06-16")
+        assert after.count() == n + 1
+        assert after.filter(F.col("route_id") == 0).collect()[0].risk_score == 50.0
+
+
 def test_streaming_refresh_availablenow(spark):
     with tempfile.TemporaryDirectory() as tmp:
         out = str(Path(tmp) / "weather_dim")
@@ -120,12 +160,12 @@ def test_stateful_ema_stream(spark):
         out = str(Path(tmp) / "ema")
         n = stateful.run_stateful_ema(spark, SF_SMOKE, out)
         assert n > 0
-        dim = spark.read.parquet(out)
-        rows = dim.collect()
+        rows = stateful.read_ema_state(spark, out).collect()
         assert len(rows) > 0
         for r in rows:
             assert r.n_obs > 0 and r.ema is not None
-        # state totals must cover every event exactly once
+        # latest state per key must cover every event exactly once, even if
+        # availableNow split the pass into several appended micro-batches
         from safeascent_spark import domain
         total = sum(r.n_obs for r in rows)
         assert total == domain.load_table(spark, SF_SMOKE, "events").count()
