@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 2 ---
         "multimodal_png_meta": MM.q_multimodal_png_meta,
         "k8_extreme_breakdown": W.q_extreme_breakdown,
+        "j5_breadcrumb_recursive": R.q_location_breadcrumb_recursive,
         # --- flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18) ---
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
@@ -189,4 +190,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": SIM.sql_dedup_embedding_cosine(),
         "multimodal_png_meta": MM.sql_multimodal_png_meta(),
         "k8_extreme_breakdown": W.sql_extreme_breakdown(),
+        "j5_breadcrumb_recursive": R.sql_location_breadcrumb(),
     }

@@ -368,6 +368,33 @@ def q_location_breadcrumb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("location_id")
 
 
+def q_location_breadcrumb_recursive(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """J5 via Spark 4 ``WITH RECURSIVE`` — the fixpoint runs inside the
+    engine with no driver-side loop bound; falls back to the bounded
+    iterative form on engines without recursive-CTE support."""
+    try:
+        spark.sql("WITH RECURSIVE _probe(n) AS (SELECT 1) "
+                  "SELECT n FROM _probe").collect()
+    except Exception:
+        return q_location_breadcrumb(spark, sf_dir)
+    breadcrumb_base_df(spark, sf_dir).createOrReplaceTempView(
+        "breadcrumb_hier")
+    return spark.sql("""
+WITH RECURSIVE walk(location_id, current, path, depth) AS (
+  SELECT location_id, parent_id, CAST(location_id AS STRING), 1
+  FROM breadcrumb_hier
+  UNION ALL
+  SELECT w.location_id, h.parent_id,
+         CAST(w.current AS STRING) || ' > ' || w.path, w.depth + 1
+  FROM walk w JOIN breadcrumb_hier h ON w.current = h.location_id
+  WHERE w.current IS NOT NULL AND w.depth <= 15
+)
+SELECT location_id, path, CAST(depth AS INT) AS depth
+FROM walk WHERE current IS NULL
+ORDER BY location_id""")
+
+
 def sql_location_breadcrumb() -> str:
     return f"""{_DOMAIN_WITH},
 hier AS (
