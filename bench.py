@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # correctness gate.
 HEADLINE = [
     "risk_scores",
+    "batch_scores",
     "batch_scores_classed",
     "top_contributors",
     "w_similarity",
@@ -44,11 +45,11 @@ def main() -> None:
     queries[names[0]](spark, SF_DIR).write \
         .format("noop").mode("overwrite").save()
 
-    # Two interleaved passes, report the per-query minimum: local-VM noise
+    # Interleaved passes, report the per-query minimum: local-VM noise
     # comes in multi-second bursts, so consecutive same-query runs would
     # both absorb a burst while interleaving spreads the risk.
     per_query: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in names:
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)

@@ -47,7 +47,17 @@ TAGS_BY_MOD = [
 ]
 
 
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Memoized per (session, sf, table): a spark.read.parquet re-lists files
+    # and re-reads footers on every call (~100 ms of driver work), and one
+    # query build touches the base tables up to 8 times.  The cached object
+    # is just the unresolved scan plan — no data is pinned.
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     # The driver's synthetic parquet uses TIMESTAMP(NANOS); Spark only reads
     # that with the legacy nanos-as-long mapping (the column arrives as
     # nanoseconds-since-epoch LongType — see ts_seconds()).
@@ -56,7 +66,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Spark but wall-clock in DuckDB; pin UTC so oracle parity holds under
     # any caller session (the driver builds its own).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _TABLE_CACHE[key]
 
 
 def ts_seconds(col):
@@ -74,7 +85,14 @@ def fan_out(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Input-file count is the cheap undersplit signal (a .rdd partition probe
+    # forces physical-plan materialization, ~300 ms per query build).  A
+    # cluster-scale table has >= parallelism files and skips the shuffle.
+    try:
+        n = len(df.inputFiles())
+    except Exception:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -82,6 +100,25 @@ def fan_out(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Spark builders
 # ---------------------------------------------------------------------------
+
+def _memo_df(fn):
+    """Memoize a (spark, sf_dir) -> DataFrame builder per session.
+
+    Building these plans costs hundreds of py4j round-trips (the CASE
+    derivations alone are ~50 Column calls); the returned DataFrame is an
+    immutable logical plan, so reuse is free and pins no data."""
+    cache: dict = {}
+
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in cache:
+            cache[key] = fn(spark, sf_dir)
+        return cache[key]
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
 
 def _mod_case(key, values: list, scale: int = 1):
     """CASE key*scale % len(values) -> values[i] (None allowed)."""
@@ -93,6 +130,7 @@ def _mod_case(key, values: list, scale: int = 1):
     return expr
 
 
+@_memo_df
 def routes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routes from customer; coords live on `locations` (J1 inheritance)."""
     c = load_table(spark, sf_dir, "customer")
@@ -107,6 +145,7 @@ def routes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_memo_df
 def locations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Location dimension derived from the route->location key space."""
     r = routes_df(spark, sf_dir)
@@ -122,6 +161,7 @@ def locations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_memo_df
 def accidents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accidents from supplier (the broadcast build side)."""
     s = load_table(spark, sf_dir, "supplier")
@@ -143,6 +183,7 @@ def accidents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_memo_df
 def weather_long_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form weather: one row per (wbucket, day_offset 0..6).
 
@@ -173,6 +214,7 @@ def weather_long_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_memo_df
 def archive_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket long-run weather stats (mean, population std per factor).
 

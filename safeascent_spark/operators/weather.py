@@ -104,7 +104,12 @@ def weather_similarity_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation per query."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _WSIM_CACHE:
-        _WSIM_CACHE[key] = weather_similarity_df(spark, sf_dir).cache()
+        # localCheckpoint (not .cache()): truncating the lineage keeps the
+        # two-pass moment subtree out of every consumer's analyzed plan —
+        # consumers broadcast it explicitly, so the lost size estimate is
+        # irrelevant, and the dim is bounded by N_WBUCKETS^2 rows.
+        _WSIM_CACHE[key] = weather_similarity_df(spark, sf_dir) \
+            .localCheckpoint(eager=True)
     return _WSIM_CACHE[key]
 
 
