@@ -24,6 +24,7 @@ from safeascent_spark.operators import similarity as SIM
 from safeascent_spark.operators import text as TX
 from safeascent_spark.operators import weather as W
 from safeascent_spark import ml as ML
+from safeascent_spark import skew as SK
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -61,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_meta": MM.q_multimodal_png_meta,
         "k8_extreme_breakdown": W.q_extreme_breakdown,
         "j5_breadcrumb_recursive": R.q_location_breadcrumb_recursive,
+        "text_tfidf_topk": TX.q_text_tfidf,
+        "skew_salted_sum": SK.q_skew_salted_sum,
         # --- flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18) ---
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
@@ -191,4 +194,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_png_meta": MM.sql_multimodal_png_meta(),
         "k8_extreme_breakdown": W.sql_extreme_breakdown(),
         "j5_breadcrumb_recursive": R.sql_location_breadcrumb(),
+        "text_tfidf_topk": TX.sql_text_tfidf(),
+        "skew_salted_sum": SK.sql_skew_salted_sum(),
     }

@@ -283,6 +283,65 @@ GROUP BY p.doc_id
 ORDER BY p.doc_id"""
 
 
+# --- TF-IDF term weighting ---------------------------------------------------
+
+TFIDF_TOPK = 5
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1, the standard smooth variant).
+
+    Scale shape: tf is one (doc_id, word) groupBy; df reuses the tf table
+    with a word-grain count; the scalar corpus size rides a broadcast; the
+    top-k window partitions by doc_id.  No global sorts, no UDFs.
+    """
+    t = tokens_df(spark, sf_dir)
+    tf = t.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (docs_df(spark, sf_dir)
+              .groupBy().agg(F.count(F.lit(1)).alias("n_docs")))
+    idf = (F.log((F.lit(1.0) + F.col("n_docs"))
+                 / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))
+    scored = (tf.join(dfreq, "word")
+                .crossJoin(F.broadcast(n_docs))
+                .select("doc_id", "word", "tf",
+                        idf.alias("idf"),
+                        (F.col("tf") * idf).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TFIDF_TOPK)
+                  .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                          "word", "tf",
+                          F.round("idf", 6).alias("idf"),
+                          F.round("tfidf", 6).alias("tfidf"))
+                  .orderBy("doc_id", "rank"))
+
+
+def sql_text_tfidf() -> str:
+    idf = "(ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0)"
+    return f"""
+WITH {TOKENS_CTE.strip()},
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, {idf} AS idf, t.tf * {idf} AS tfidf
+  FROM tf t JOIN dfreq d ON t.word = d.word CROSS JOIN nd n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, word, tf,
+       round(idf, 6) AS idf, round(tfidf, 6) AS tfidf
+FROM (
+  SELECT doc_id, word, tf, idf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TFIDF_TOPK}
+ORDER BY doc_id, rank"""
+
+
 # --- BPE-ish token counting --------------------------------------------------
 # Word pieces / numbers / punctuation runs — the pre-tokenizer shape of
 # GPT-style BPE vocabularies, as a pure regex (identical in Spark & DuckDB).

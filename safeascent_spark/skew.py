@@ -15,7 +15,7 @@ two remaining hot spots of this engine at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -31,6 +31,33 @@ def salted_sum(df: DataFrame, key_cols: list[str], value_col: str,
                      .agg(F.sum(value_col).alias("__partial")))
     return (partial.groupBy(*key_cols)
                    .agg(F.sum("__partial").alias(out_col)))
+
+
+def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked salted aggregation over the biggest table (events):
+    per user-bucket totals through the (key, salt) two-stage path.
+
+    The summed value is an integer expression so the salt-induced
+    reassociation is exact and the result hash-matches the oracle's plain
+    GROUP BY — the query proves the salted plan computes the same answer."""
+    from . import domain
+    e = domain.load_table(spark, sf_dir, "events")
+    keyed = e.select((F.col("user_id") % 100).alias("bucket"),
+                     (F.col("event_id") % 1000).cast("bigint").alias("v"))
+    out = salted_sum(keyed, ["bucket"], "v", "total")
+    n = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_events"))
+    return (out.join(n, "bucket")
+               .select("bucket", F.col("total").cast("bigint").alias("total"),
+                       F.col("n_events").cast("bigint").alias("n_events"))
+               .orderBy("bucket"))
+
+
+def sql_skew_salted_sum() -> str:
+    return """
+SELECT user_id % 100 AS bucket,
+       CAST(sum(event_id % 1000) AS BIGINT) AS total,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id % 100 ORDER BY bucket"""
 
 
 def replicate_broadcast_join(probe: DataFrame, dim: DataFrame,
