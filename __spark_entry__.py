@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_breadcrumb_recursive": R.q_location_breadcrumb_recursive,
         "text_tfidf_topk": TX.q_text_tfidf,
         "skew_salted_sum": SK.q_skew_salted_sum,
+        "ann_cosine_topk_int8": lambda s, sf: SIM.q_ann_cosine_int8(s, sf),
+        "dedup_filtered_docs": D.q_dedup_filtered_docs,
         # --- flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18) ---
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
@@ -196,4 +198,6 @@ def oracle_sql() -> dict[str, str]:
         "j5_breadcrumb_recursive": R.sql_location_breadcrumb(),
         "text_tfidf_topk": TX.sql_text_tfidf(),
         "skew_salted_sum": SK.sql_skew_salted_sum(),
+        "ann_cosine_topk_int8": SIM.sql_ann_cosine_int8(),
+        "dedup_filtered_docs": D.sql_dedup_filtered_docs(),
     }

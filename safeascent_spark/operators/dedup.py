@@ -387,6 +387,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .orderBy("doc_id"))
 
 
+def q_dedup_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus: documents surviving BOTH exact dedup (min doc_id
+    per text hash) and near-dup clustering (cluster representative) — the
+    end product a training-data pipeline feeds downstream."""
+    d = T.docs_df(spark, sf_dir)
+    exact_keep = (d.groupBy(F.md5(F.col("text")).alias("h"))
+                    .agg(F.min("doc_id").alias("doc_id"))
+                    .select("doc_id"))
+    near_keep = (q_dedup_clusters(spark, sf_dir)
+                 .filter(F.col("is_kept")).select("doc_id"))
+    return (d.join(exact_keep, "doc_id", "left_semi")
+             .join(near_keep, "doc_id", "left_semi")
+             .select("doc_id", "lang", "n_chars")
+             .orderBy("doc_id"))
+
+
+def sql_dedup_filtered_docs() -> str:
+    clusters = sql_dedup_clusters().strip()
+    return f"""
+WITH clusters AS ({clusters}),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN exact_keep e ON d.doc_id = e.doc_id
+JOIN clusters c ON d.doc_id = c.doc_id AND c.is_kept
+ORDER BY d.doc_id"""
+
+
 def sql_dedup_clusters() -> str:
     lsh = sql_dedup_minhash_lsh().strip()
     return f"""

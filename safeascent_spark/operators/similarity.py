@@ -100,6 +100,88 @@ WHERE rank <= {k}
 ORDER BY query_id, rank"""
 
 
+# --- int8-quantized variant --------------------------------------------------
+
+def quantized_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization: q = round(clamp(x, -1, 1) * 127).
+
+    The 100 TB play: a 64-dim float32 vector is 256 bytes, the int8 form is
+    64 — a 4x cut in scan+shuffle bandwidth for a small recall cost.  All
+    dot products and norms over the quantized vectors are exact integer
+    arithmetic, so Spark and the DuckDB oracle agree bitwise up to the one
+    final float division."""
+    e = embeddings_df(spark, sf_dir)
+    qv = F.transform(
+        F.col("vec"),
+        lambda x: F.round(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x))
+                          * 127, 0).cast("long"))
+    return e.select("vec_id", "label", qv.alias("qvec"))
+
+
+def q_ann_cosine_int8(spark: SparkSession, sf_dir: str,
+                      k: int = TOP_K) -> DataFrame:
+    """Brute-force top-k cosine over int8-quantized vectors."""
+    e = quantized_df(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("qvec").alias("quvec")))
+    pairs = domain.fan_out(e).crossJoin(F.broadcast(q)) \
+                 .filter(F.col("vec_id") != F.col("query_id"))
+    idot = F.aggregate(F.zip_with(F.col("qvec"), F.col("quvec"),
+                                  lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    inorm = lambda a: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x).cast("double"))
+    cos = idot.cast("double") / (inorm(F.col("qvec")) * inorm(F.col("quvec")))
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("rank").cast("int").alias("rank"),
+                          F.col("vec_id").alias("neighbor_id"),
+                          F.round("cosine", 6).alias("cosine"))
+                  .orderBy("query_id", "rank"))
+
+
+def sql_ann_cosine_int8(k: int = TOP_K) -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT)")
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+qnorms AS (
+  SELECT vec_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+  FROM qflat GROUP BY vec_id
+),
+qdots AS (
+  SELECT q.vec_id AS query_id, c.vec_id, CAST(sum(q.x * c.x) AS BIGINT) AS dot
+  FROM qflat q JOIN qflat c ON q.i = c.i
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+qscored AS (
+  SELECT d.query_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / (nc.nrm * nq.nrm) AS cosine
+  FROM qdots d
+  JOIN qnorms nc ON d.vec_id = nc.vec_id
+  JOIN qnorms nq ON d.query_id = nq.vec_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       round(cosine, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM qscored
+)
+WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
 # --- LSH-bucketed variant ----------------------------------------------------
 
 def _plane_component(j: int, d: int) -> int:
