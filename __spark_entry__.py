@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_sum": SK.q_skew_salted_sum,
         "ann_cosine_topk_int8": lambda s, sf: SIM.q_ann_cosine_int8(s, sf),
         "dedup_filtered_docs": D.q_dedup_filtered_docs,
+        "events_json_stats": A.q_events_json_stats,
         # --- flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18) ---
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
@@ -200,4 +201,5 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_sum": SK.sql_skew_salted_sum(),
         "ann_cosine_topk_int8": SIM.sql_ann_cosine_int8(),
         "dedup_filtered_docs": D.sql_dedup_filtered_docs(),
+        "events_json_stats": A.sql_events_json_stats(),
     }

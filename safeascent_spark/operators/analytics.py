@@ -469,3 +469,33 @@ SELECT route_type, color_code, count(*) AS n_routes,
 FROM typed
 GROUP BY ROLLUP(route_type, color_code)
 ORDER BY route_type ASC NULLS FIRST, color_code ASC NULLS FIRST"""
+
+
+# --- Semi-structured: JSON property extraction over events -------------------
+
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON `props` column with per-type stats —
+    the semi-structured scan shape (get_json_object stays JVM-side; at
+    scale prefer from_json with an explicit schema so the parse happens
+    once per row, not per path)."""
+    e = domain.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.select("event_type", k.alias("k"))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("k").alias("k_sum"),
+                  F.round(F.avg(F.col("k").cast("double")), 6)
+                   .alias("k_avg"),
+                  F.min("k").alias("k_min"),
+                  F.max("k").alias("k_max"))
+             .orderBy("event_type"))
+
+
+def sql_events_json_stats() -> str:
+    k = "CAST(json_extract(props, '$.k') AS BIGINT)"
+    return f"""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum({k}) AS BIGINT) AS k_sum,
+       round(avg(CAST({k} AS DOUBLE)), 6) AS k_avg,
+       min({k}) AS k_min, max({k}) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type"""
