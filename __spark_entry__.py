@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_int8": lambda s, sf: SIM.q_ann_cosine_int8(s, sf),
         "dedup_filtered_docs": D.q_dedup_filtered_docs,
         "events_json_stats": A.q_events_json_stats,
+        "events_cardinality_stats": A.q_events_cardinality_stats,
         # --- flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18) ---
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
@@ -202,4 +203,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_int8": SIM.sql_ann_cosine_int8(),
         "dedup_filtered_docs": D.sql_dedup_filtered_docs(),
         "events_json_stats": A.sql_events_json_stats(),
+        "events_cardinality_stats": A.sql_events_cardinality_stats(),
     }

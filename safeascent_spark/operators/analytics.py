@@ -499,3 +499,29 @@ SELECT event_type, count(*) AS n_events,
        round(avg(CAST({k} AS DOUBLE)), 6) AS k_avg,
        min({k}) AS k_min, max({k}) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+# --- Cardinality + percentile statistics over events -------------------------
+
+def q_events_cardinality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality and interpolated percentiles per event
+    type.  At 100 TB swap count_distinct for approx_count_distinct (HLL)
+    and percentile for percentile_approx — kept exact here so the DuckDB
+    oracle hash-matches (sketch implementations never agree bit-for-bit)."""
+    e = domain.load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n_users"),
+                  F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                  F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                  F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+             .orderBy("event_type"))
+
+
+def sql_events_cardinality_stats() -> str:
+    return """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type"""
