@@ -18,15 +18,12 @@ weaker rows-only check to these queries (documented in __spark_entry__).
 
 from __future__ import annotations
 
-from pyspark.ml import Pipeline
-from pyspark.ml.clustering import KMeans
-from pyspark.ml.evaluation import RegressionEvaluator
-from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
-from pyspark.ml.functions import array_to_vector
-from pyspark.ml.regression import LinearRegression
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# NOTE: pyspark.ml imports live inside the functions that need them — a
+# broken/absent MLlib in a consumer environment must not take down the
+# __spark_entry__ import chain (only the 3 rows-only ML queries would fail).
 
 from . import domain
 from .operators import scoring
@@ -46,7 +43,11 @@ def _route_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def risk_model_pipeline() -> Pipeline:
+def risk_model_pipeline():
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import (OneHotEncoder, StringIndexer,
+                                    VectorAssembler)
+    from pyspark.ml.regression import LinearRegression
     idx = StringIndexer(inputCol="route_type", outputCol="type_idx",
                         handleInvalid="keep")
     ohe = OneHotEncoder(inputCols=["type_idx"], outputCols=["type_vec"])
@@ -62,6 +63,7 @@ def risk_model_pipeline() -> Pipeline:
 def q_ml_risk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the surrogate on the engine's own scores; return per-route
     label vs prediction plus the global RMSE/R2 (constant columns)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
     feats = _route_features(spark, sf_dir)
     labels = scoring.risk_scores_df(spark, sf_dir).select(
         "route_id", "risk_score")
@@ -90,6 +92,8 @@ N_PROBE = 2  # cells searched per query
 def ivf_assignments(spark: SparkSession, sf_dir: str,
                     k: int = N_CENTROIDS):
     """Fit KMeans; return (model, corpus with cell assignment)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
     e = embeddings_df(spark, sf_dir)
     vecs = e.withColumn("fvec", array_to_vector(F.col("vec")))
     km = KMeans(k=k, seed=SEED, featuresCol="fvec", predictionCol="cell")
