@@ -25,6 +25,7 @@ from safeascent_spark.operators import text as TX
 from safeascent_spark.operators import weather as W
 from safeascent_spark import ml as ML
 from safeascent_spark import skew as SK
+from safeascent_spark.streaming import sessions as SESS
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -68,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_filtered_docs": D.q_dedup_filtered_docs,
         "events_json_stats": A.q_events_json_stats,
         "events_cardinality_stats": A.q_events_cardinality_stats,
+        "events_sessionization": SESS.q_events_sessionization,
         # --- flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18) ---
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
@@ -204,4 +206,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_filtered_docs": D.sql_dedup_filtered_docs(),
         "events_json_stats": A.sql_events_json_stats(),
         "events_cardinality_stats": A.sql_events_cardinality_stats(),
+        "events_sessionization": SESS.sql_events_sessionization(),
     }

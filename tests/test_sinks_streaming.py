@@ -171,6 +171,25 @@ def test_stateful_ema_stream(spark):
         assert total == domain.load_table(spark, SF_SMOKE, "events").count()
 
 
+def test_streaming_sessionization_matches_batch(spark):
+    from safeascent_spark.streaming import sessions
+    with tempfile.TemporaryDirectory() as tmp:
+        out = str(Path(tmp) / "sessions")
+        sessions.run_sessionization(spark, SF_SMOKE, out)
+        got = spark.read.parquet(out).collect()
+        batch = {(r.user_id, r.session_start, r.session_end):
+                 (r.n_events, r.v_sum)
+                 for r in sessions.user_sessions_batch(spark, SF_SMOKE)
+                                  .collect()}
+        assert len(batch) > 0
+        # every watermark-closed streamed session must match batch exactly
+        assert len(got) > 0
+        for r in got:
+            key = (r.user_id, r.session_start, r.session_end)
+            assert key in batch, key
+            assert batch[key] == (r.n_events, r.v_sum), key
+
+
 def test_salted_sum_matches_plain(spark):
     from safeascent_spark import domain, skew
     import pytest
