@@ -525,3 +525,65 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+# --- OLAP: pivot + CUBE ------------------------------------------------------
+
+MONTHS = list(range(1, 13))
+
+
+def q_accidents_month_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accident counts pivoted route_type x month — the wide matrix the
+    seasonal dashboards render.  The pivot value set is the fixed 1-12
+    month list so the output schema is static (a dynamic pivot would need
+    a driver-side distinct; never do that at 100 TB)."""
+    a = domain.accidents_df(spark, sf_dir)
+    return (a.select("route_type", F.month("accident_date").alias("m"))
+             .groupBy("route_type")
+             .pivot("m", MONTHS)
+             .agg(F.count(F.lit(1)))
+             .na.fill(0, [str(m) for m in MONTHS])
+             .select("route_type",
+                     *[F.col(str(m)).cast("bigint").alias(f"m{m:02d}")
+                       for m in MONTHS])
+             .orderBy("route_type"))
+
+
+def sql_accidents_month_pivot() -> str:
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN month(accident_date) = {m} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS m{m:02d}"
+        for m in MONTHS)
+    return f"""{_DOMAIN_WITH}
+SELECT route_type, {cols}
+FROM accidents GROUP BY route_type ORDER BY route_type"""
+
+
+def q_risk_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(route_type, color_code): every subtotal combination (rollup's
+    superset — includes per-color totals across types) in one pass."""
+    from . import scoring
+    r = domain.routes_df(spark, sf_dir).select("route_id", "route_type")
+    s = scoring.risk_scores_df(spark, sf_dir).join(r, "route_id")
+    return (s.cube("route_type", "color_code")
+             .agg(F.count(F.lit(1)).alias("n_routes"),
+                  F.round(F.avg("risk_score"), 6).alias("avg_risk"))
+             .orderBy(F.col("route_type").asc_nulls_first(),
+                      F.col("color_code").asc_nulls_first()))
+
+
+def sql_risk_cube() -> str:
+    from . import scoring
+    inner = scoring.risk_scores_sql()
+    return f"""
+WITH scores AS ({inner}),
+typed AS (
+  SELECT s.route_id, s.risk_score, s.color_code,
+         {domain._sql_mod_case('s.route_id', domain.ROUTE_TYPE_BY_MOD)} AS route_type
+  FROM scores s
+)
+SELECT route_type, color_code, count(*) AS n_routes,
+       round(avg(risk_score), 6) AS avg_risk
+FROM typed
+GROUP BY CUBE(route_type, color_code)
+ORDER BY route_type ASC NULLS FIRST, color_code ASC NULLS FIRST"""
