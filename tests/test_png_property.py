@@ -1,0 +1,46 @@
+"""Property-based tests for the pure-Python PNG codec (no Spark session —
+these run in milliseconds and hammer the chunk framing / filter handling)."""
+
+from __future__ import annotations
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from safeascent_spark.operators.multimodal import (PNG_SIG, decode_png,
+                                                   encode_png)
+
+
+@settings(max_examples=200, deadline=None)
+@given(width=st.integers(1, 257), height=st.integers(1, 97),
+       gray=st.integers(0, 255))
+def test_roundtrip_any_geometry(width, height, gray):
+    w, h, bd, ct, psum = decode_png(encode_png(width, height, gray))
+    assert (w, h, bd, ct) == (width, height, 8, 0)
+    assert psum == sum(width * ((gray + r) % 256) for r in range(height))
+
+
+@settings(max_examples=100, deadline=None)
+@given(width=st.integers(1, 64), height=st.integers(1, 64),
+       gray=st.integers(0, 255), flip=st.integers(8, 200),
+       bit=st.integers(0, 7))
+def test_any_single_bitflip_never_decodes_silently_wrong(width, height, gray,
+                                                         flip, bit):
+    """Corrupting any byte after the signature either raises (CRC / inflate
+    / framing) or — if it lands in IDAT padding that zlib tolerates — still
+    yields the exact original pixels.  A silent wrong decode is the only
+    unacceptable outcome."""
+    payload = bytearray(encode_png(width, height, gray))
+    flip = min(flip, len(payload) - 1)
+    payload[flip] ^= 1 << bit
+    expected = sum(width * ((gray + r) % 256) for r in range(height))
+    try:
+        w, h, _, _, psum = decode_png(bytes(payload))
+    except (ValueError, NotImplementedError, zlib.error, IndexError):
+        return  # detected — good
+    assert (w, h, psum) == (width, height, expected)
+
+
+def test_signature_is_the_real_png_magic():
+    assert PNG_SIG == bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
