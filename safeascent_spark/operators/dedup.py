@@ -29,7 +29,11 @@ HASH_P = 1_000_000_007
 MINHASH_AB = [(2971, 11), (4111, 131), (5233, 257), (6373, 389),
               (7529, 521), (8677, 653), (9811, 787), (10937, 919)]
 N_BANDS = 4  # bands of 2 signature rows each
-SIMHASH_BITS = 16
+# 32-bit simhash with a 16-bit band prefix: 2^16 candidate buckets keeps the
+# per-bucket pair fan-out sub-quadratic at corpus scale (an 8-bit band over
+# a 16-bit signature was ~127k candidate pairs at just 5k docs).
+SIMHASH_BITS = 32
+SIMHASH_BAND_SHIFT = 65536  # sig // 2^16 = top-16-bit band prefix
 SIMHASH_MULT = 2_654_435_761  # Knuth multiplicative constant
 JACCARD_THRESHOLD = 0.2
 HAMMING_MAX = 3
@@ -273,7 +277,7 @@ ORDER BY doc_a, doc_b"""
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit simhash: per word, h = (wid * Knuth) % 2^32; bit j of the
+    """32-bit simhash: per word, h = (wid * Knuth) % 2^32; bit j of the
     signature = sign of the count-weighted sum of (2*bit_j(h) - 1)."""
     t = T.tokens_df(spark, sf_dir)
     v = T.vocab_df(spark, sf_dir)
@@ -316,12 +320,14 @@ FROM sums ORDER BY doc_id"""
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: same 8-bit band prefix AND Hamming distance <= 3."""
+    """Near-dup pairs: same 16-bit band prefix AND Hamming distance <= 3."""
     s = simhash_df(spark, sf_dir).cache()
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
-                 (F.col("simhash") / 256).cast("long").alias("band_a"))
+                 (F.col("simhash") / SIMHASH_BAND_SHIFT).cast("long")
+                 .alias("band_a"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
-                 (F.col("simhash") / 256).cast("long").alias("band_b"))
+                 (F.col("simhash") / SIMHASH_BAND_SHIFT).cast("long")
+                 .alias("band_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (a.join(b, (F.col("band_a") == F.col("band_b"))
                    & (F.col("doc_a") < F.col("doc_b")))
@@ -337,7 +343,8 @@ WITH sims AS ({inner.replace('ORDER BY doc_id', '')})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sims a JOIN sims b
-  ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
+  ON (a.simhash // {SIMHASH_BAND_SHIFT}) = (b.simhash // {SIMHASH_BAND_SHIFT})
+  AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b"""
 
