@@ -1,0 +1,77 @@
+"""Format-agnostic ingestion layer (SURVEY §2.1 sources, generalized).
+
+The reference ingests from Postgres tables and HTTP APIs; the Spark-native
+engine reads columnar files.  This module makes the format a detail:
+every base table has an explicit schema (never schema-inference on CSV/JSON
+— at 100 TB an inference pass is a full extra scan, and inferred types
+drift), and ``read_table`` dispatches on format with identical downstream
+semantics.  ``write_table`` produces the same table in any format for
+round-trip tests and interchange.
+
+Parquet stays the scale default (columnar pruning + predicate pushdown);
+CSV/JSON are ingest/interchange formats that a real deployment would land
+into parquet with exactly this mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Explicit schemas for the driver's synthetic star schema.  TIMESTAMP(NANOS)
+# columns are carried as nanosecond longs end-to-end (see domain.ts_seconds).
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "events": T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]),
+    "documents": T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]),
+    "embeddings": T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]),
+}
+
+FORMATS = ("parquet", "csv", "json")
+
+
+def read_table(spark: SparkSession, path: str, name: str,
+               fmt: str = "parquet") -> DataFrame:
+    """Read a base table from any supported format with its fixed schema."""
+    if fmt == "parquet":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+    schema = TABLE_SCHEMAS.get(name)
+    if schema is None:
+        raise ValueError(f"no explicit schema for table {name!r}; "
+                         f"CSV/JSON ingestion requires one")
+    if fmt == "csv":
+        return (spark.read.schema(schema)
+                .option("header", "true").csv(path))
+    if fmt == "json":
+        return spark.read.schema(schema).json(path)
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Write a table in any supported format (interchange / tests)."""
+    w = df.write.mode("overwrite")
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "csv":
+        w.option("header", "true").csv(path)
+    elif fmt == "json":
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")

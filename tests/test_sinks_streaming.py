@@ -244,3 +244,38 @@ def test_bucketed_write_avoids_shuffle_on_join(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS routes_b")
         spark.sql("DROP TABLE IF EXISTS counts_b")
+
+
+def test_sources_format_roundtrip(spark):
+    """CSV and JSON ingestion with explicit schemas must reproduce the
+    parquet table exactly (documents: JSON only — its free text embeds
+    quotes/commas that CSV interchange would need escaping contracts for)."""
+    import math
+    from safeascent_spark import sources
+
+    def rows_equal(a, b):
+        if isinstance(a, list) and isinstance(b, list):
+            return len(a) == len(b) and all(rows_equal(x, y)
+                                            for x, y in zip(a, b))
+        if isinstance(a, float) and isinstance(b, float):
+            # float32 -> JSON decimal text -> float32 may not bit-roundtrip
+            return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-7)
+        return a == b
+
+    cases = [("events", ["csv", "json"]), ("documents", ["json"]),
+             ("embeddings", ["json"])]
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, fmts in cases:
+            base = sources.read_table(
+                spark, f"{SF_SMOKE}/{name}.parquet", name, "parquet")
+            key = base.columns[0]
+            expected = [tuple(r) for r in base.orderBy(key).collect()]
+            for fmt in fmts:
+                path = str(Path(tmp) / f"{name}_{fmt}")
+                sources.write_table(base, path, fmt)
+                back = sources.read_table(spark, path, name, fmt)
+                got = [tuple(r) for r in back.orderBy(key).collect()]
+                assert len(got) == len(expected), (name, fmt)
+                for x, y in zip(got, expected):
+                    assert all(rows_equal(a, b) for a, b in zip(x, y)), \
+                        (name, fmt, x[0])
