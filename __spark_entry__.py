@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": SESS.q_events_sessionization,
         "accidents_month_pivot": A.q_accidents_month_pivot,
         "risk_cube": A.q_risk_cube,
+        "text_decontamination": D.q_text_decontamination,
+        "text_pii_scan": TX.q_pii_scan,
         # --- flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18) ---
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
@@ -211,4 +213,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionization": SESS.sql_events_sessionization(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
+        "text_decontamination": D.sql_text_decontamination(),
+        "text_pii_scan": TX.sql_pii_scan(),
     }

@@ -349,6 +349,65 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b"""
 
 
+# --- Benchmark decontamination -----------------------------------------------
+
+def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing any shingle
+    with the 'benchmark' subset (docs with lang = 'en' and doc_id % 50 == 0
+    stand in for an eval set).  The overlap join is the shingle inverted
+    index again — benchmark shingles are a tiny broadcast side, so the scan
+    over corpus shingles never shuffles; this is the standard pre-training
+    decontamination shape (n-gram overlap against held-out benchmarks)."""
+    sh = shingles_cached(spark, sf_dir)
+    bench_ids = (T.docs_df(spark, sf_dir)
+                 .filter((F.col("lang") == "en") & (F.col("doc_id") % 50 == 0))
+                 .select("doc_id"))
+    bench_sh = (sh.join(F.broadcast(bench_ids), "doc_id")
+                  .select("sid").distinct())
+    corpus = sh.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    hits = (corpus.join(F.broadcast(bench_sh), "sid")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_shared_shingles")))
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    frac = F.col("n_shared_shingles") / F.col("n_shingles")
+    return (sizes.join(hits, "doc_id", "left")
+                 .na.fill(0, ["n_shared_shingles"])
+                 .select("doc_id", "n_shingles",
+                         F.col("n_shared_shingles").cast("bigint")
+                          .alias("n_shared_shingles"),
+                         F.round(frac, 6).alias("shared_frac"),
+                         (frac > 0.5).alias("contaminated"))
+                 .orderBy("doc_id"))
+
+
+def sql_text_decontamination() -> str:
+    return f"""{_shingles_with()},
+bench_ids AS (
+  SELECT doc_id FROM documents WHERE lang = 'en' AND doc_id % 50 = 0
+),
+bench_sh AS (
+  SELECT DISTINCT s.sid FROM shingles s JOIN bench_ids b ON s.doc_id = b.doc_id
+),
+corpus AS (
+  SELECT s.doc_id, s.sid FROM shingles s
+  ANTI JOIN bench_ids b ON s.doc_id = b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_shared_shingles
+  FROM corpus c JOIN bench_sh bs ON c.sid = bs.sid
+  GROUP BY c.doc_id
+)
+SELECT z.doc_id, z.n_shingles,
+       CAST(coalesce(h.n_shared_shingles, 0) AS BIGINT) AS n_shared_shingles,
+       round(coalesce(h.n_shared_shingles, 0) / CAST(z.n_shingles AS DOUBLE), 6)
+         AS shared_frac,
+       (coalesce(h.n_shared_shingles, 0) / CAST(z.n_shingles AS DOUBLE)) > 0.5
+         AS contaminated
+FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
+ORDER BY z.doc_id"""
+
+
 # --- Connected components over near-dup pairs (cluster survivors) ------------
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -283,6 +283,45 @@ GROUP BY p.doc_id
 ORDER BY p.doc_id"""
 
 
+# --- PII pattern scan --------------------------------------------------------
+# Identical regex source strings evaluated by both engines (both use
+# RE2/Java-regex-compatible syntax for these patterns).
+PII_PATTERNS = {
+    "emails": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "urls": "https?://[^\\s]+",
+    "long_numbers": "[0-9]{6,}",
+}
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII-pattern counts (emails / URLs / long digit runs) +
+    an any-hit flag — the redaction-or-drop gate of a training-data
+    pipeline, kept entirely in JVM regex (no UDF)."""
+    d = docs_df(spark, sf_dir)
+    counts = {k: F.size(F.regexp_extract_all(F.col("text"), F.lit(p), 0))
+              for k, p in PII_PATTERNS.items()}
+    any_hit = None
+    for c in counts.values():
+        any_hit = c > 0 if any_hit is None else any_hit | (c > 0)
+    return (d.select("doc_id",
+                     *[c.cast("bigint").alias(f"n_{k}")
+                       for k, c in counts.items()],
+                     any_hit.alias("has_pii"))
+             .orderBy("doc_id"))
+
+
+def sql_pii_scan() -> str:
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{k}"
+        for k, p in PII_PATTERNS.items())
+    flag = " OR ".join(
+        f"len(regexp_extract_all(text, '{p}')) > 0"
+        for p in PII_PATTERNS.values())
+    return f"""
+SELECT doc_id, {cols}, ({flag}) AS has_pii
+FROM documents ORDER BY doc_id"""
+
+
 # --- TF-IDF term weighting ---------------------------------------------------
 
 TFIDF_TOPK = 5
