@@ -13,8 +13,8 @@ Scale design:
 * MinHash: K=8 linear hashes folded with MIN aggregates (map-side combine);
   LSH bands of 2 rows -> candidate pairs via band equi-join.  The pair count
   is driven by collisions, not |docs|^2.
-* SimHash: 16-bit signature from weighted word-bit sums; candidate pairs
-  restricted to an 8-bit band prefix before the Hamming check.
+* SimHash: 32-bit signature from weighted word-bit sums; candidate pairs
+  restricted to a 16-bit band prefix before the Hamming check.
 """
 
 from __future__ import annotations
