@@ -113,6 +113,36 @@ def test_jaccard_hot_set_is_anti_join(spark):
         "LeftAnti" in plan, plan
 
 
+def test_embedding_neardup_is_banded_equi_join(spark):
+    """Corpus-wide embedding near-dup mining must be an equi join on
+    (band, sig) — 2^16 buckets per band — never a cartesian/NLJ sweep
+    (the round-2 16-bucket scheme was quadratic-within-bucket at scale)."""
+    from safeascent_spark.operators import similarity as SIM
+    df = SIM.q_dedup_embedding_cosine(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert SIM.N_BANDS * SIM.BAND_BITS == 128
+    # all 128 hyperplanes must be distinct (the old formula had period 7)
+    planes = {tuple(SIM._band_plane(j, d) for d in range(SIM.DIM))
+              for j in range(SIM.N_PLANES)}
+    assert len(planes) == SIM.N_PLANES
+
+
+def test_embedding_neardup_finds_seeded_twins(spark):
+    """Non-vacuous evidence: every seeded twin pair must surface with
+    cosine >= the threshold (banding recall ~1 for cosine ~0.998)."""
+    from safeascent_spark.operators import similarity as SIM
+    rows = SIM.q_dedup_embedding_cosine(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    twins = {(r.vec_a, r.vec_b) for r in rows
+             if r.vec_b - r.vec_a == SIM.TWIN_OFFSET}
+    n_vecs = SIM.embeddings_df(spark, SF_SMOKE).count()
+    expected = min(SIM.TWIN_COUNT, n_vecs)
+    assert len(twins) == expected, (len(twins), expected)
+    assert all(r.cosine >= SIM.NEARDUP_COSINE for r in rows)
+
+
 def test_codegen_covers_scoring_stage(spark):
     # formatted mode omits codegen annotations; simple mode marks codegen'd
     # operators with "*(n)"
