@@ -201,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_fingerprint": TX.sql_doc_fingerprint(),
         "text_token_count_bpe": TX.sql_token_count_bpe(),
         "dedup_embedding_cosine": SIM.sql_dedup_embedding_cosine(),
+        "ml_risk_model": ML.sql_ml_risk_model(),
         "multimodal_png_meta": MM.sql_multimodal_png_meta(),
         "k8_extreme_breakdown": W.sql_extreme_breakdown(),
         "j5_breadcrumb_recursive": R.sql_location_breadcrumb(),

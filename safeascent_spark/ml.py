@@ -60,22 +60,25 @@ def risk_model_pipeline():
     return Pipeline(stages=[idx, ohe, asm, lr])
 
 
-def q_ml_risk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the surrogate on the engine's own scores; return per-route
-    label vs prediction plus the global RMSE/R2 (constant columns)."""
-    from pyspark.ml.evaluation import RegressionEvaluator
+def q_ml_risk_model_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib Pipeline surrogate (OneHot + LinearRegression) — the iterative
+    form, kept as a pytest cross-check of the closed-form model below.
+    RMSE and R2 come from ONE aggregation over the predictions (sufficient
+    statistics), not two RegressionEvaluator jobs."""
     feats = _route_features(spark, sf_dir)
     labels = scoring.risk_scores_df(spark, sf_dir).select(
         "route_id", "risk_score")
     data = feats.join(labels, "route_id").cache()
     model = risk_model_pipeline().fit(data)
     pred = model.transform(data)
-    rmse = RegressionEvaluator(labelCol="risk_score",
-                               predictionCol="predicted_risk",
-                               metricName="rmse").evaluate(pred)
-    r2 = RegressionEvaluator(labelCol="risk_score",
-                             predictionCol="predicted_risk",
-                             metricName="r2").evaluate(pred)
+    m = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("risk_score").alias("sy"),
+        F.sum(F.col("risk_score") * F.col("risk_score")).alias("syy"),
+        F.sum((F.col("risk_score") - F.col("predicted_risk")) ** 2).alias("sse"),
+    ).collect()[0]
+    rmse = (m.sse / m.n) ** 0.5
+    r2 = 1.0 - m.sse / (m.syy - m.sy * m.sy / m.n)
     return (pred.select("route_id", "risk_score",
                         F.round("predicted_risk", 4).alias("predicted_risk"))
                 .withColumn("rmse", F.round(F.lit(rmse), 4))
@@ -83,10 +86,204 @@ def q_ml_risk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("route_id"))
 
 
+# --- Closed-form grouped ridge surrogate (hard DuckDB oracle) ----------------
+#
+# The registered ml_risk_model query.  Per route_type (7 groups), ridge
+# regression of risk_score on (elevation_m, popularity) + intercept, solved
+# in closed form from the normal equations via Cramer's rule on a 3x3
+# system.  Why this is hash-exact against DuckDB where MLlib's LBFGS/WLS
+# cannot be:
+#
+# * every sufficient statistic is an EXACT int64 sum — elevation is
+#   integer-valued, popularity has 2 decimals (x100), the label is the
+#   engine's own risk_score rounded to 6 decimals (x1e6) — so the grouped
+#   aggregation is order-independent and bitwise-identical in both engines;
+# * the per-group solve is scalar double arithmetic over those identical
+#   integers, written with the same expression tree on both sides, so the
+#   coefficients, predictions, and per-group RMSE/R2 agree bitwise.
+#
+# Scale shape: one map-side-combined groupBy over routes (7 result rows),
+# a broadcast join of the coefficient dim back to routes — exactly how
+# ridge-on-sufficient-statistics is trained on a 1000-executor cluster.
+# Reference: the predictive role of safety_algorithm.py; VERDICT r2 item 2.
+
+RIDGE_LAMBDA = 10.0
+POP_SCALE = 100          # popularity (c_acctbal) has exactly 2 decimals
+LABEL_SCALE = 1_000_000  # risk_score is rounded to 6 decimals upstream
+
+
+def _det3(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant — SAME expression tree as the SQL oracle."""
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def q_ml_risk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _route_features(spark, sf_dir)
+    labels = scoring.risk_scores_df(spark, sf_dir).select(
+        "route_id", "risk_score")
+    data = feats.join(labels, "route_id").select(
+        "route_id", "route_type", "elevation_m", "popularity", "risk_score",
+        F.col("elevation_m").cast("long").alias("ei"),
+        F.round(F.col("popularity") * POP_SCALE, 0).cast("long").alias("pi"),
+        F.round(F.col("risk_score") * LABEL_SCALE, 0).cast("long").alias("yi"),
+    )
+    ei, pi, yi = F.col("ei"), F.col("pi"), F.col("yi")
+    stats = data.groupBy("route_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ei").alias("s1"), F.sum("pi").alias("s2"),
+        F.sum(ei * ei).alias("s11"), F.sum(pi * pi).alias("s22"),
+        F.sum(ei * pi).alias("s12"),
+        F.sum("yi").alias("sy0"),
+        F.sum(ei * yi).alias("s1y"), F.sum(pi * yi).alias("s2y"),
+        F.sum(yi * yi).alias("syy0"),
+    )
+    # unscale the exact integer stats to doubles (identical ops in SQL)
+    lam = F.lit(RIDGE_LAMBDA)
+    unscaled = stats.select(
+        "route_type",
+        F.col("n").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("se"),
+        (F.col("s2").cast("double") / 100.0).alias("sp"),
+        F.col("s11").cast("double").alias("see"),
+        (F.col("s22").cast("double") / 10000.0).alias("spp"),
+        (F.col("s12").cast("double") / 100.0).alias("sep"),
+        (F.col("sy0").cast("double") / 1000000.0).alias("sy"),
+        (F.col("s1y").cast("double") / 1000000.0).alias("sey"),
+        (F.col("s2y").cast("double") / 100000000.0).alias("spy"),
+        (F.col("syy0").cast("double") / 1000000000000.0).alias("syy"),
+    )
+    c = {k: F.col(k) for k in
+         ("nd", "se", "sp", "see", "spp", "sep", "sy", "sey", "spy", "syy")}
+    a11, a12, a13 = c["see"] + lam, c["sep"], c["se"]
+    a21, a22, a23 = c["sep"], c["spp"] + lam, c["sp"]
+    a31, a32, a33 = c["se"], c["sp"], c["nd"]
+    det = _det3(a11, a12, a13, a21, a22, a23, a31, a32, a33)
+    coefs = unscaled.select(
+        "route_type", "nd", "se", "sp", "see", "spp", "sep",
+        "sy", "sey", "spy", "syy",
+        (_det3(c["sey"], a12, a13, c["spy"], a22, a23, c["sy"], a32, a33)
+         / det).alias("we"),
+        (_det3(a11, c["sey"], a13, a21, c["spy"], a23, a31, c["sy"], a33)
+         / det).alias("wp"),
+        (_det3(a11, a12, c["sey"], a21, a22, c["spy"], a31, a32, c["sy"])
+         / det).alias("b0"),
+    )
+    we, wp, b0 = F.col("we"), F.col("wp"), F.col("b0")
+    sse = (c["syy"]
+           - 2 * (we * c["sey"] + wp * c["spy"] + b0 * c["sy"])
+           + (we * we * c["see"] + wp * wp * c["spp"] + b0 * b0 * c["nd"]
+              + 2 * (we * wp * c["sep"] + we * b0 * c["se"]
+                     + wp * b0 * c["sp"])))
+    sst = c["syy"] - c["sy"] * c["sy"] / c["nd"]
+    model = coefs.select(
+        "route_type", "we", "wp", "b0",
+        F.sqrt(sse / c["nd"]).alias("rmse_g"),
+        (1.0 - sse / sst).alias("r2_g"),
+    )
+    return (data.join(F.broadcast(model), "route_type")
+                .select("route_id", "route_type", "risk_score",
+                        F.round(F.col("we") * F.col("elevation_m")
+                                + F.col("wp") * F.col("popularity")
+                                + F.col("b0"), 4).alias("predicted_risk"),
+                        F.round("rmse_g", 4).alias("rmse_g"),
+                        F.round("r2_g", 4).alias("r2_g"))
+                .orderBy("route_id"))
+
+
+def sql_ml_risk_model() -> str:
+    from .operators.scoring import risk_scores_sql
+    lam = repr(RIDGE_LAMBDA)
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (f"{a} * ({e} * {i} - {f} * {h}) "
+                f"- {b} * ({d} * {i} - {f} * {g}) "
+                f"+ {c} * ({d} * {h} - {e} * {g})")
+
+    a11, a12, a13 = f"(see + {lam})", "sep", "se"
+    a21, a22, a23 = "sep", f"(spp + {lam})", "sp"
+    a31, a32, a33 = "se", "sp", "nd"
+    det = det3(a11, a12, a13, a21, a22, a23, a31, a32, a33)
+    return f"""
+WITH {domain.ROUTES_CTE.strip()},
+{domain.LOCATIONS_CTE.strip()},
+scores AS (
+  SELECT route_id, risk_score FROM ({risk_scores_sql()})
+),
+data AS (
+  SELECT r.route_id, r.route_type,
+         COALESCE(l.elevation_m, 0.0) AS elevation_m,
+         COALESCE(r.popularity, 0.0) AS popularity, s.risk_score,
+         CAST(COALESCE(l.elevation_m, 0.0) AS BIGINT) AS ei,
+         CAST(round(COALESCE(r.popularity, 0.0) * {POP_SCALE}) AS BIGINT) AS pi,
+         CAST(round(s.risk_score * {LABEL_SCALE}) AS BIGINT) AS yi
+  FROM routes r
+  JOIN locations l ON r.location_id = l.location_id
+  JOIN scores s ON s.route_id = r.route_id
+),
+stats AS (
+  SELECT route_type, count(*) AS n,
+         CAST(sum(ei) AS BIGINT) AS s1, CAST(sum(pi) AS BIGINT) AS s2,
+         CAST(sum(ei * ei) AS BIGINT) AS s11,
+         CAST(sum(pi * pi) AS BIGINT) AS s22,
+         CAST(sum(ei * pi) AS BIGINT) AS s12,
+         CAST(sum(yi) AS BIGINT) AS sy0,
+         CAST(sum(ei * yi) AS BIGINT) AS s1y,
+         CAST(sum(pi * yi) AS BIGINT) AS s2y,
+         CAST(sum(yi * yi) AS BIGINT) AS syy0
+  FROM data GROUP BY route_type
+),
+unscaled AS (
+  SELECT route_type,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS se,
+         CAST(s2 AS DOUBLE) / 100.0 AS sp,
+         CAST(s11 AS DOUBLE) AS see,
+         CAST(s22 AS DOUBLE) / 10000.0 AS spp,
+         CAST(s12 AS DOUBLE) / 100.0 AS sep,
+         CAST(sy0 AS DOUBLE) / 1000000.0 AS sy,
+         CAST(s1y AS DOUBLE) / 1000000.0 AS sey,
+         CAST(s2y AS DOUBLE) / 100000000.0 AS spy,
+         CAST(syy0 AS DOUBLE) / 1000000000000.0 AS syy
+  FROM stats
+),
+coefs AS (
+  SELECT route_type, nd, se, sp, see, spp, sep, sy, sey, spy, syy,
+         ({det3('sey', a12, a13, 'spy', a22, a23, 'sy', a32, a33)})
+           / ({det}) AS we,
+         ({det3(a11, 'sey', a13, a21, 'spy', a23, a31, 'sy', a33)})
+           / ({det}) AS wp,
+         ({det3(a11, a12, 'sey', a21, a22, 'spy', a31, a32, 'sy')})
+           / ({det}) AS b0
+  FROM unscaled
+),
+model AS (
+  SELECT route_type, we, wp, b0,
+         sqrt((syy - 2 * (we * sey + wp * spy + b0 * sy)
+               + (we * we * see + wp * wp * spp + b0 * b0 * nd
+                  + 2 * (we * wp * sep + we * b0 * se + wp * b0 * sp)))
+              / nd) AS rmse_g,
+         1.0 - (syy - 2 * (we * sey + wp * spy + b0 * sy)
+                + (we * we * see + wp * wp * spp + b0 * b0 * nd
+                   + 2 * (we * wp * sep + we * b0 * se + wp * b0 * sp)))
+               / (syy - sy * sy / nd) AS r2_g
+  FROM coefs
+)
+SELECT d.route_id, d.route_type, d.risk_score,
+       round(m.we * d.elevation_m + m.wp * d.popularity + m.b0, 4)
+         AS predicted_risk,
+       round(m.rmse_g, 4) AS rmse_g,
+       round(m.r2_g, 4) AS r2_g
+FROM data d JOIN model m ON d.route_type = m.route_type
+ORDER BY d.route_id"""
+
+
 # --- KMeans IVF ANN ----------------------------------------------------------
 
 N_CENTROIDS = 16
-N_PROBE = 2  # cells searched per query
+# Cells searched per query.  The synthetic embeddings are near-uniform (no
+# real cluster structure), so IVF needs a wide probe to hold recall@10 >=
+# 0.7 vs brute force; on naturally clustered corpora 1-2 probes suffice.
+N_PROBE = 6
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str,
@@ -104,7 +301,13 @@ def ivf_assignments(spark: SparkSession, sf_dir: str,
 def q_ann_ivf(spark: SparkSession, sf_dir: str,
               topk: int = TOP_K) -> DataFrame:
     """IVF search: each query probes its N_PROBE nearest centroids' cells
-    only, then exact cosine within the probed cells."""
+    only, then exact cosine within the probed cells.
+
+    Emits a measurable per-query ``recall_at_k`` column — the overlap of the
+    IVF result with the exact brute-force top-k (`cosine_topk_df`, which is
+    oracle-green) — so the driver's rows-only check carries a checkable
+    quality signal instead of just a row count; pytest asserts a floor
+    (VERDICT r2 item 3)."""
     model, corpus = ivf_assignments(spark, sf_dir)
     centroids = [(ci, [float(x) for x in c])
                  for ci, c in enumerate(model.clusterCenters())]
@@ -131,12 +334,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str,
     scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w2))
-                  .filter(F.col("rank") <= topk)
-                  .select("query_id", F.col("rank").cast("int").alias("rank"),
-                          F.col("vec_id").alias("neighbor_id"),
-                          F.round("cosine", 6).alias("cosine"))
-                  .orderBy("query_id", "rank"))
+    ivf = (scored.withColumn("rank", F.row_number().over(w2))
+                 .filter(F.col("rank") <= topk)
+                 .select("query_id", F.col("rank").cast("int").alias("rank"),
+                         F.col("vec_id").alias("neighbor_id"),
+                         F.round("cosine", 6).alias("cosine")))
+    # recall@k vs the exact brute-force baseline (deterministic: seeded
+    # KMeans, fixed tie-breaks on both rankings)
+    from .operators.similarity import cosine_topk_df
+    brute = cosine_topk_df(spark, sf_dir, topk).select(
+        "query_id", "neighbor_id")
+    overlap = (ivf.select("query_id", "neighbor_id")
+                  .intersect(brute)
+                  .groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n_hit")))
+    return (ivf.join(F.broadcast(overlap), "query_id", "left")
+               .withColumn("recall_at_k",
+                           F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                                   / F.lit(float(topk)), 2))
+               .drop("n_hit")
+               .orderBy("query_id", "rank"))
 
 
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,61 @@
+"""ML-layer hard signals (VERDICT r2 items 2-3): the closed-form ridge
+surrogate is oracle-checked in test_oracle_parity; here the iterative pieces
+get quality floors — IVF recall vs the exact brute-force baseline, KMeans
+cell coverage, and an MLlib cross-check of the closed-form model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from safeascent_spark import ml as ML
+from tests.conftest import SF_ORACLE
+
+
+def test_ivf_recall_floor(spark):
+    """IVF top-k must recover >= 70% of the exact neighbors on average
+    (and never fall below 0.5 for any query) at N_PROBE of N_CENTROIDS."""
+    rows = ML.q_ann_ivf(spark, SF_ORACLE).collect()
+    per_query = {r.query_id: r.recall_at_k for r in rows}
+    assert len(per_query) == ML.N_QUERIES
+    assert min(per_query.values()) >= 0.5, per_query
+    assert sum(per_query.values()) / len(per_query) >= 0.7, per_query
+
+
+def test_kmeans_cells_cover_corpus(spark):
+    """Every vector lands in exactly one IVF cell."""
+    cells = ML.q_embedding_kmeans(spark, SF_ORACLE).collect()
+    n_corpus = ML.embeddings_df(spark, SF_ORACLE).count()
+    assert sum(r.n_vectors for r in cells) == n_corpus
+    assert len(cells) <= ML.N_CENTROIDS
+
+
+def test_closed_form_ridge_is_sane(spark):
+    """Per-type ridge: in-sample R2 bounded, predictions non-degenerate."""
+    df = ML.q_ml_risk_model(spark, SF_ORACLE)
+    groups = df.select("route_type", "rmse_g", "r2_g").distinct().collect()
+    assert len(groups) == 7
+    for g in groups:
+        assert g.rmse_g >= 0.0
+        # unpenalized intercept -> cannot do (much) worse than the mean
+        assert -0.05 <= g.r2_g <= 1.0, g
+    n_distinct_preds = df.select("predicted_risk").distinct().count()
+    assert n_distinct_preds > 10
+
+
+def test_mllib_cross_checks_closed_form(spark):
+    """The MLlib pipeline (more features, shared slopes) must agree with the
+    closed-form surrogate to first order: both clearly beat predicting 0,
+    and their global RMSEs are within 2x of each other."""
+    closed = ML.q_ml_risk_model(spark, SF_ORACLE)
+    sse_closed = closed.agg(F.sum(
+        (F.col("risk_score") - F.col("predicted_risk")) ** 2)).collect()[0][0]
+    mllib = ML.q_ml_risk_model_mllib(spark, SF_ORACLE)
+    rmse_mllib = mllib.select("rmse").first().rmse
+    n = closed.count()
+    rmse_closed = (sse_closed / n) ** 0.5
+    label_std = closed.agg(F.stddev_pop("risk_score")).collect()[0][0]
+    assert rmse_closed <= label_std * 1.05
+    assert rmse_mllib <= label_std * 1.05
+    assert rmse_mllib <= rmse_closed * 2.0
+    assert rmse_closed <= rmse_mllib * 2.0

@@ -19,8 +19,10 @@ ORACLES = entry.oracle_sql()
 def test_every_query_has_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
     # Non-SQL-expressible (iterative MLlib) ops get the driver's weaker
-    # rows-only check; keep the list explicit.
-    allowed_weak = {"ml_risk_model", "ann_ivf_topk", "embedding_kmeans_cells"}
+    # rows-only check; keep the list explicit.  ml_risk_model left this list
+    # in round 3 (closed-form ridge with a hard oracle); the two KMeans
+    # queries carry quality floors in tests/test_ml.py instead.
+    allowed_weak = {"ann_ivf_topk", "embedding_kmeans_cells"}
     assert missing <= allowed_weak, f"queries missing oracles: {missing}"
 
 
