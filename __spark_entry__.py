@@ -36,77 +36,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the round-1 driver hash-checked exactly the first 50
-    # registered queries, so registration order IS driver coverage. Queries
-    # with no CORRECTNESS_r01 row run first, new round-2 queries next, and
-    # the cheap already-proven kernels last (they are the ones a cap drops).
+    # NOTE on ordering: the driver hash-checks exactly the first 50
+    # registered queries, so registration order IS driver coverage and is
+    # ROTATED round-to-round (VERDICT r2 item 4) so every oracle-bearing
+    # query gets a driver hash row at least every other round.  Round 3
+    # front-loads: (a) the 29 queries last driver-checked in round 1,
+    # (b) the queries changed this round, (c) the perf-headline surface.
+    # The round-2-proven tail rotates forward again in round 4.
     return {
-        # --- round-1 driver-uncovered tail: text / embedding / ANN / ML ---
-        "dedup_simhash": D.q_simhash,
-        "dedup_simhash_pairs": D.q_dedup_simhash_pairs,
-        "ann_cosine_topk": lambda s, sf: SIM.cosine_topk_df(s, sf),
-        "ann_lsh_topk": lambda s, sf: SIM.q_ann_lsh(s, sf),
-        "embedding_stats": SIM.q_embedding_stats,
-        "text_token_counts": TX.q_token_counts,
-        "text_lang_stats": TX.q_lang_stats,
-        "text_lang_id": TX.q_lang_id,
-        "text_quality_score": TX.q_quality_score,
-        "text_doc_fingerprint": TX.q_doc_fingerprint,
-        "text_token_count_bpe": TX.q_token_count_bpe,
-        "dedup_embedding_cosine": SIM.q_dedup_embedding_cosine,
-        # MLlib layer (iterative -> no SQL oracle; driver applies the
-        # weaker rows-only check, as allowed for non-SQL-expressible ops)
-        "ml_risk_model": ML.q_ml_risk_model,
-        "ann_ivf_topk": ML.q_ann_ivf,
-        "embedding_kmeans_cells": ML.q_embedding_kmeans,
-        # --- new in round 2 ---
-        "multimodal_png_meta": MM.q_multimodal_png_meta,
-        "k8_extreme_breakdown": W.q_extreme_breakdown,
-        "j5_breadcrumb_recursive": R.q_location_breadcrumb_recursive,
-        "text_tfidf_topk": TX.q_text_tfidf,
-        "skew_salted_sum": SK.q_skew_salted_sum,
-        "ann_cosine_topk_int8": lambda s, sf: SIM.q_ann_cosine_int8(s, sf),
-        "dedup_filtered_docs": D.q_dedup_filtered_docs,
-        "events_json_stats": A.q_events_json_stats,
-        "events_cardinality_stats": A.q_events_cardinality_stats,
-        "events_sessionization": SESS.q_events_sessionization,
-        "accidents_month_pivot": A.q_accidents_month_pivot,
-        "risk_cube": A.q_risk_cube,
-        "text_decontamination": D.q_text_decontamination,
-        "text_pii_scan": TX.q_pii_scan,
-        # --- flagship scoring (SURVEY §2.8: J3, K9, A1, W1, K18) ---
-        "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
-        "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
-        "risk_factor_breakdown": lambda s, sf: scoring.factor_breakdown_df(s, sf),
-        "cache_warming_top_routes": lambda s, sf: scoring.cache_warming_df(s, sf),
-        # factorized nightly batch scoring (SURVEY §2.8 / location factorization)
-        "batch_scores": lambda s, sf: B.batch_scores_df(s, sf),
-        "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
-        # --- dedup / similarity (SURVEY §7 P6) ---
-        "dedup_exact": D.q_dedup_exact,
-        "dedup_ngram_jaccard": D.q_dedup_jaccard,
-        "dedup_minhash_signatures": D.q_minhash_signatures,
-        "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
-        "dedup_clusters": D.q_dedup_clusters,
-        # --- weather pipeline (SURVEY §2.4/§2.7: S3/J2, A10, K5-K8) ---
-        "w_weather_window": W.q_weather_window,
-        "w_freeze_thaw": W.q_freeze_thaw,
-        "w_similarity": W.q_weather_similarity,
-        "w_extreme_multiplier": W.q_extreme_multiplier,
-        "k5_pearson_factors": W.q_pearson_factors,
-        # --- relational surface (SURVEY §2.2/§2.3) ---
-        "f1_accident_filter": R.q_accident_filter,
-        "f2_route_search": R.q_route_search,
-        "f3_route_search_rock": R.q_route_search_rock,
-        "f4_predict_prefilter": R.q_predict_prefilter,
-        "f7_bbox_radius_filter": R.q_bbox_radius_filter,
+        # --- (a) last driver-checked in round 1: relational / analytics /
+        # assembly / range-join / kernels ---
         "j1_routes_with_coords": R.q_routes_with_coords,
         "j5_location_breadcrumb": R.q_location_breadcrumb,
         "j7_fuzzy_route_match": R.q_fuzzy_route_match,
         "a2_route_page": R.q_route_page,
         "a5_location_route_counts": R.q_location_route_counts,
         "a9_location_mode_type": R.q_location_mode_type,
-        # --- analytics endpoints (SURVEY §2.4/§2.5) ---
         "a3_seasonal_patterns": A.q_seasonal_patterns,
         "a4_ascent_rates": A.q_ascent_rates,
         "a7_weather_monthly_stats": A.q_weather_monthly_stats,
@@ -114,16 +59,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_climbing_windows": A.q_climbing_windows,
         "k21_hourly_risk": A.q_hourly_risk,
         "risk_rollup": A.q_risk_rollup,
-        # --- assembly + forecast horizon (SURVEY §2.1 S3/S4, §2.7 K22, §3.2) ---
         "s4_location_routes_assembled": ASM.q_location_routes_assembled,
         "s3_weather_arrays_assembled": ASM.q_weather_arrays_assembled,
         "k22_weather_summary": ASM.q_weather_summary,
         "location_forecast_horizon": ASM.q_location_forecast,
-        # --- J2 range join + /predict lifecycle (SURVEY §2.3 J2, §3.1) ---
         "j2_weather_range_join": RJ.q_weather_range_join,
         "predict_point": RJ.q_predict_point,
-        # --- scalar kernels (SURVEY §2.7): all green in r01; registered last
-        # so a driver query cap lands on already-proven single-kernel probes ---
         "k1_haversine": KQ.q_haversine,
         "k2_spatial_weight": KQ.q_spatial_weight,
         "k3_temporal_weight": KQ.q_temporal_weight,
@@ -134,6 +75,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k14_grade_weight": KQ.q_grade_weight,
         "k16_route_type_inference": KQ.q_route_type_inference,
         "k19_bearing_impact": KQ.q_bearing_impact,
+        # --- (b) changed in round 3: banded near-dup LSH, closed-form
+        # ridge (now oracle-bearing), IVF with recall column ---
+        "dedup_embedding_cosine": SIM.q_dedup_embedding_cosine,
+        "ml_risk_model": ML.q_ml_risk_model,
+        # iterative KMeans queries keep the weaker rows-only check; their
+        # quality floors (recall >= 0.7, cell coverage) live in tests/test_ml.py
+        "ann_ivf_topk": ML.q_ann_ivf,
+        "embedding_kmeans_cells": ML.q_embedding_kmeans,
+        # --- (c) flagship scoring + perf-headline surface (SURVEY §2.8) ---
+        "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
+        "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
+        "risk_factor_breakdown": lambda s, sf: scoring.factor_breakdown_df(s, sf),
+        "cache_warming_top_routes": lambda s, sf: scoring.cache_warming_df(s, sf),
+        "batch_scores": lambda s, sf: B.batch_scores_df(s, sf),
+        "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
+        "dedup_exact": D.q_dedup_exact,
+        "dedup_ngram_jaccard": D.q_dedup_jaccard,
+        "dedup_minhash_signatures": D.q_minhash_signatures,
+        "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
+        "dedup_clusters": D.q_dedup_clusters,
+        "events_sessionization": SESS.q_events_sessionization,
+        "w_similarity": W.q_weather_similarity,
+        "multimodal_png_meta": MM.q_multimodal_png_meta,
+        "skew_salted_sum": SK.q_skew_salted_sum,
+        "text_tfidf_topk": TX.q_text_tfidf,
+        "j5_breadcrumb_recursive": R.q_location_breadcrumb_recursive,
+        # ---- driver cap boundary (~50) — everything below was hash-green
+        # in CORRECTNESS_r02 and rotates forward again next round ----
+        "dedup_simhash": D.q_simhash,
+        "dedup_simhash_pairs": D.q_dedup_simhash_pairs,
+        "ann_cosine_topk": lambda s, sf: SIM.cosine_topk_df(s, sf),
+        "ann_lsh_topk": lambda s, sf: SIM.q_ann_lsh(s, sf),
+        "ann_cosine_topk_int8": lambda s, sf: SIM.q_ann_cosine_int8(s, sf),
+        "embedding_stats": SIM.q_embedding_stats,
+        "text_token_counts": TX.q_token_counts,
+        "text_lang_stats": TX.q_lang_stats,
+        "text_lang_id": TX.q_lang_id,
+        "text_quality_score": TX.q_quality_score,
+        "text_doc_fingerprint": TX.q_doc_fingerprint,
+        "text_token_count_bpe": TX.q_token_count_bpe,
+        "text_decontamination": D.q_text_decontamination,
+        "text_pii_scan": TX.q_pii_scan,
+        "dedup_filtered_docs": D.q_dedup_filtered_docs,
+        "events_json_stats": A.q_events_json_stats,
+        "events_cardinality_stats": A.q_events_cardinality_stats,
+        "accidents_month_pivot": A.q_accidents_month_pivot,
+        "risk_cube": A.q_risk_cube,
+        "k8_extreme_breakdown": W.q_extreme_breakdown,
+        "w_weather_window": W.q_weather_window,
+        "w_freeze_thaw": W.q_freeze_thaw,
+        "w_extreme_multiplier": W.q_extreme_multiplier,
+        "k5_pearson_factors": W.q_pearson_factors,
+        "f1_accident_filter": R.q_accident_filter,
+        "f2_route_search": R.q_route_search,
+        "f3_route_search_rock": R.q_route_search_rock,
+        "f4_predict_prefilter": R.q_predict_prefilter,
+        "f7_bbox_radius_filter": R.q_bbox_radius_filter,
     }
 
 
