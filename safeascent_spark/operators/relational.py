@@ -368,15 +368,29 @@ def q_location_breadcrumb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("location_id")
 
 
+_RECURSIVE_CTE_SUPPORT: dict[str, bool] = {}
+
+
+def _supports_recursive_cte(spark: SparkSession) -> bool:
+    """Probe WITH RECURSIVE support once per application (the probe is a
+    real .collect(); re-running it per query build wasted a job each call)."""
+    key = spark.sparkContext.applicationId
+    if key not in _RECURSIVE_CTE_SUPPORT:
+        try:
+            spark.sql("WITH RECURSIVE _probe(n) AS (SELECT 1) "
+                      "SELECT n FROM _probe").collect()
+            _RECURSIVE_CTE_SUPPORT[key] = True
+        except Exception:
+            _RECURSIVE_CTE_SUPPORT[key] = False
+    return _RECURSIVE_CTE_SUPPORT[key]
+
+
 def q_location_breadcrumb_recursive(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """J5 via Spark 4 ``WITH RECURSIVE`` — the fixpoint runs inside the
     engine with no driver-side loop bound; falls back to the bounded
     iterative form on engines without recursive-CTE support."""
-    try:
-        spark.sql("WITH RECURSIVE _probe(n) AS (SELECT 1) "
-                  "SELECT n FROM _probe").collect()
-    except Exception:
+    if not _supports_recursive_cte(spark):
         return q_location_breadcrumb(spark, sf_dir)
     breadcrumb_base_df(spark, sf_dir).createOrReplaceTempView(
         "breadcrumb_hier")

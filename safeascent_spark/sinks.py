@@ -92,12 +92,36 @@ def _delta_root(path: str, pred_date: str) -> Path:
 def upsert_scores(df: DataFrame, path: str, pred_date: str) -> int:
     """Row-level upsert into one date: appends a delta with the next
     sequence number; conflicting route_ids win over base/earlier deltas at
-    read time.  Returns the sequence assigned."""
+    read time.  Returns the sequence assigned.
+
+    Concurrency: the sequence directory is claimed with an atomic mkdir
+    (retrying on collision), so two concurrent upserts get distinct
+    sequences rather than overwriting each other.  Within one delta,
+    duplicate route_ids are resolved deterministically (max over the
+    remaining columns) before the write — otherwise the reader's
+    latest-sequence-wins window would break the tie arbitrarily.  A real
+    deployment would use a Delta/Iceberg MERGE for multi-writer atomicity;
+    this is the no-dependency filesystem stand-in (see module docstring).
+    """
+    from pyspark.sql import Window
     root = _delta_root(path, pred_date)
-    existing = ([int(p.name.split("=", 1)[1]) for p in root.iterdir()
-                 if p.is_dir() and p.name.startswith("delta_seq=")]
-                if root.exists() else [])
+    root.mkdir(parents=True, exist_ok=True)
+    # deterministic within-delta last-wins: one row per route_id
+    others = [c for c in df.columns if c != "route_id"]
+    if others:
+        w = Window.partitionBy("route_id").orderBy(
+            *[F.col(c).desc_nulls_last() for c in others])
+        df = (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    existing = [int(p.name.split("=", 1)[1]) for p in root.iterdir()
+                if p.is_dir() and p.name.startswith("delta_seq=")]
     seq = max(existing, default=0) + 1
+    while True:
+        try:
+            (root / f"delta_seq={seq}").mkdir()  # atomic claim
+            break
+        except FileExistsError:
+            seq += 1
     df.write.mode("overwrite").parquet(str(root / f"delta_seq={seq}"))
     return seq
 
@@ -106,19 +130,27 @@ def read_scores_current(spark: SparkSession, path: str, pred_date: str,
                         route_ids: list[int] | None = None) -> DataFrame:
     """Merge-on-read serving view: base partition + deltas, latest sequence
     wins per route_id.  The resolve window partitions by route_id (never a
-    global sort), and the base scan still partition-prunes on date."""
+    global sort), and the base scan still partition-prunes on date.
+
+    All deltas are read with ONE scan of the delta root — the directory
+    layout ``delta_seq=N`` is Spark partition discovery, so the sequence
+    arrives as a partition column and the plan size is constant in the
+    number of deltas (the round-2 form unioned one sub-plan per delta).
+    """
     from pyspark.sql import Window
     base = read_scores(spark, path, pred_date, route_ids) \
         .withColumn("_seq", F.lit(0))
     root = _delta_root(path, pred_date)
-    seqs = ([int(p.name.split("=", 1)[1]) for p in root.iterdir()
-             if p.is_dir() and p.name.startswith("delta_seq=")]
-            if root.exists() else [])
+    have_deltas = root.exists() and any(
+        p.is_dir() and p.name.startswith("delta_seq=")
+        for p in root.iterdir())
     merged = base
-    for s in sorted(seqs):
-        d = (spark.read.parquet(str(root / f"delta_seq={s}"))
+    if have_deltas:
+        d = (spark.read.parquet(str(root))
              .withColumn("prediction_date", F.lit(pred_date))
-             .withColumn("_seq", F.lit(s)))
+             .withColumn("_seq", F.col("delta_seq").cast("int"))
+             .drop("delta_seq")
+             .select(*base.columns))
         if route_ids is not None:
             ids = spark.createDataFrame([(int(i),) for i in route_ids],
                                         "route_id bigint")
