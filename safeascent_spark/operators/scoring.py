@@ -142,6 +142,17 @@ def risk_scores_df(spark: SparkSession, sf_dir: str,
     ).orderBy("route_id")
 
 
+def _batch_topk_gen(limit: int):
+    """Arrow-batch-local top-``limit`` per route_id (pandas, vectorized)."""
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (pdf.sort_values(["influence", "accident_id"],
+                                       ascending=[False, True])
+                          .groupby("route_id", sort=False).head(limit))
+    return gen
+
+
 def top_contributors_df(spark: SparkSession, sf_dir: str,
                         pred_date: str = domain.PRED_DATE,
                         limit: int = C.MAX_CONTRIBUTING_ACCIDENTS) -> DataFrame:
@@ -149,13 +160,32 @@ def top_contributors_df(spark: SparkSession, sf_dir: str,
 
     Reference: safety_algorithm.py:370-415 (sort desc, take 50).  Ties are
     broken by accident_id for determinism.
+
+    Scale shape: before the global window, a ``mapInPandas`` stage truncates
+    each Arrow batch to its local top-``limit`` per route.  This is an
+    *exact-superset* reduction — a row in the global top-k of its route is by
+    definition in the top-k of every subset that contains it — so the window
+    result is unchanged while the shuffled row count drops from "all
+    significant pairs" to <= limit per (route, batch).  With accidents on
+    the broadcast side each route's pairs are generated inside one partition,
+    so this is ~limit rows per route: the window's exchange+sort now touches
+    ~|routes|*limit rows instead of ~|routes|*|accidents|.  The influence
+    kernels stay in whole-stage codegen; only the pruned 4-column rows cross
+    the Arrow boundary, and float64 survives Arrow bit-exactly, so oracle
+    parity is unaffected.
     """
     from pyspark.sql import Window
     pairs = influence_pairs_df(spark, sf_dir, pred_date)
-    pruned = pairs.filter(F.col("influence") > C.SIGNIFICANCE_THRESHOLD)
+    pruned = (pairs.filter(F.col("influence") > C.SIGNIFICANCE_THRESHOLD)
+                   .select("route_id", "accident_id", "influence",
+                           "distance_km"))
+    local = pruned.mapInPandas(
+        _batch_topk_gen(limit),
+        "route_id bigint, accident_id bigint, influence double, "
+        "distance_km double")
     w = Window.partitionBy("route_id").orderBy(
         F.col("influence").desc(), F.col("accident_id").asc())
-    return (pruned.withColumn("rank", F.row_number().over(w))
+    return (local.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= limit)
                   .select("route_id",
                           F.col("rank").cast("int").alias("rank"),

@@ -32,6 +32,19 @@ def test_risk_scores_plan_shape(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_top_contributors_truncates_before_window(spark):
+    """W1 must pre-truncate each batch to its local top-k per route BEFORE
+    the global window's exchange (exact-superset reduction): the MapInPandas
+    stage has to sit below the Window in the plan, so the shuffle carries
+    ~|routes|*k rows, not every significant pair."""
+    plan = plan_of(scoring.top_contributors_df(spark, SF_SMOKE))
+    i_map, i_win = plan.find("MapInPandas"), plan.find("Window")
+    assert i_map != -1 and i_win != -1, plan
+    # "formatted" explain lists operators leaves-last, so the upstream
+    # truncation appears AFTER the window header in the text
+    assert i_map > i_win, plan
+
+
 def test_column_pruning_reaches_scan(spark):
     """Projection pruning: a 2-column query must not scan all columns."""
     df = domain.routes_df(spark, SF_SMOKE).select("route_id", "location_id")
