@@ -21,6 +21,11 @@ hash-compares results at sf0.01.
 
 from __future__ import annotations
 
+import math
+import os
+import re
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,17 +60,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and re-reads footers on every call (~100 ms of driver work), and one
     # query build touches the base tables up to 8 times.  The cached object
     # is just the unresolved scan plan — no data is pinned.
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
     # The driver's synthetic parquet uses TIMESTAMP(NANOS); Spark only reads
     # that with the legacy nanos-as-long mapping (the column arrives as
     # nanoseconds-since-epoch LongType — see ts_seconds()).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Timestamp->date/month extraction is session-timezone dependent in
     # Spark but wall-clock in DuckDB; pin UTC so oracle parity holds under
     # any caller session (the driver builds its own).
+    # Both confs are SESSION-scoped but the cache key is applicationId-scoped
+    # (plans are reusable across sessions sharing one SparkContext), so they
+    # are pinned unconditionally — a cache hit from a second session
+    # (spark.newSession()) must still get its own confs set.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _TABLE_CACHE[key]
 
@@ -85,16 +94,51 @@ def fan_out(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # Input-file count is the cheap undersplit signal (a .rdd partition probe
-    # forces physical-plan materialization, ~300 ms per query build).  A
-    # cluster-scale table has >= parallelism files and skips the shuffle.
-    try:
-        n = len(df.inputFiles())
-    except Exception:
-        n = df.rdd.getNumPartitions()
+    n = _estimate_scan_partitions(spark, df, target)
     if n < target:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string ('128MB', '4m', '134217728b', bare int) -> bytes."""
+    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]*)", v.strip())
+    unit = m.group(2).lower().rstrip("b") or ""
+    return int(m.group(1)) * {"": 1, "k": 2**10, "m": 2**20,
+                              "g": 2**30, "t": 2**40}[unit]
+
+
+def _estimate_scan_partitions(spark: SparkSession, df: DataFrame,
+                              parallelism: int) -> int:
+    """Estimate how many scan partitions Spark will give ``df`` — mirrors
+    FilePartition.maxSplitBytes (bytes + per-file open cost, packed), so a
+    single large SPLITTABLE file is not misread as undersplit (raw file
+    count was: 1 file => repartition even for a 10 GB parquet Spark would
+    scan as ~80 splits) and many tiny files are not misread as well-split.
+    Falls back to the physical-plan partition probe when the input has no
+    stat-able files (localCheckpoint returns no inputFiles)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.rdd.getNumPartitions()
+    max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                         "128MB"))
+    open_cost = _parse_bytes(spark.conf.get("spark.sql.files.openCostInBytes",
+                                            "4MB"))
+    total = 0
+    for f in files:
+        p = unquote(urlparse(f).path) if "://" in f else f
+        try:
+            total += os.path.getsize(p) + open_cost
+        except OSError:
+            # non-local filesystem: can't stat cheaply — treat each file as
+            # one split (the pre-round-3 heuristic)
+            return len(files)
+    bytes_per_core = total // max(parallelism, 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    return max(1, math.ceil(total / max_split))
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,12 @@ round-trip tests and interchange.
 Parquet stays the scale default (columnar pruning + predicate pushdown);
 CSV/JSON are ingest/interchange formats that a real deployment would land
 into parquet with exactly this mapping.
+
+Limitation: CSV cannot carry nested types — Spark's CSV source rejects
+array/map/struct columns on both write and read — so tables with an array
+column (``embeddings``) are parquet/JSON only.  ``read_table``/
+``write_table`` raise a clear ValueError up front instead of letting the
+csv writer fail with an opaque AnalysisException mid-job.
 """
 
 from __future__ import annotations
@@ -46,6 +52,15 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 FORMATS = ("parquet", "csv", "json")
 
 
+def _reject_nested_for_csv(schema: T.StructType) -> None:
+    nested = [f.name for f in schema.fields
+              if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+    if nested:
+        raise ValueError(
+            f"CSV cannot represent nested columns {nested}; "
+            f"use parquet or json for this table")
+
+
 def read_table(spark: SparkSession, path: str, name: str,
                fmt: str = "parquet") -> DataFrame:
     """Read a base table from any supported format with its fixed schema."""
@@ -57,6 +72,7 @@ def read_table(spark: SparkSession, path: str, name: str,
         raise ValueError(f"no explicit schema for table {name!r}; "
                          f"CSV/JSON ingestion requires one")
     if fmt == "csv":
+        _reject_nested_for_csv(schema)
         return (spark.read.schema(schema)
                 .option("header", "true").csv(path))
     if fmt == "json":
@@ -70,6 +86,7 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     if fmt == "parquet":
         w.parquet(path)
     elif fmt == "csv":
+        _reject_nested_for_csv(df.schema)
         w.option("header", "true").csv(path)
     elif fmt == "json":
         w.json(path)

@@ -98,7 +98,17 @@ def test_cache_warming_topn_below_cross_join(spark):
 
 def test_no_unpartitioned_windows_anywhere(spark):
     """Every Window in every registered query must carry a partition spec —
-    'WindowExec: No Partition Defined' moves the full input to one task."""
+    'WindowExec: No Partition Defined' moves the full input to one task.
+
+    Caveat (structural audit only): a handful of queries in text.py /
+    relational.py / scoring.py deliberately rank an ALREADY-BOUNDED input
+    (a TakeOrderedAndProject top-N or a <=256-row aggregate) with a
+    constant `col % 1` partition key.  Such a window still executes on one
+    task — fine for bounded inputs, a scale bug over unbounded ones — and
+    this sweep cannot tell the two apart, because `% 1` survives constant
+    folding precisely so the spec is non-empty.  Any NEW `% 1` window must
+    come with a boundedness argument at its definition site; do not use it
+    to silence this test on an unbounded input."""
     import __spark_entry__ as entry
     offenders = []
     for name, q in entry.queries().items():
