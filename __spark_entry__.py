@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k13_elevation_weight": KQ.q_elevation_weight,
         "k14_grade_weight": KQ.q_grade_weight,
         "k16_route_type_inference": KQ.q_route_type_inference,
+        "k16b_route_type_confidence": KQ.q_route_type_confidence,
         "k19_bearing_impact": KQ.q_bearing_impact,
         # --- (b) changed in round 3: banded near-dup LSH, closed-form
         # ridge (now oracle-bearing), IVF with recall column ---
@@ -100,9 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_meta": MM.q_multimodal_png_meta,
         "skew_salted_sum": SK.q_skew_salted_sum,
         "text_tfidf_topk": TX.q_text_tfidf,
-        "j5_breadcrumb_recursive": R.q_location_breadcrumb_recursive,
         # ---- driver cap boundary (~50) — everything below was hash-green
         # in CORRECTNESS_r02 and rotates forward again next round ----
+        "j5_breadcrumb_recursive": R.q_location_breadcrumb_recursive,
         "dedup_simhash": D.q_simhash,
         "dedup_simhash_pairs": D.q_dedup_simhash_pairs,
         "ann_cosine_topk": lambda s, sf: SIM.cosine_topk_df(s, sf),
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "k13_elevation_weight": KQ.sql_elevation_weight(),
         "k14_grade_weight": KQ.sql_grade_weight(),
         "k16_route_type_inference": KQ.sql_route_type_inference(),
+        "k16b_route_type_confidence": KQ.sql_route_type_confidence(),
         "k19_bearing_impact": KQ.sql_bearing_impact(),
         "w_weather_window": W.sql_weather_window(),
         "w_freeze_thaw": W.sql_freeze_thaw(),

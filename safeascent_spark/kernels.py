@@ -349,6 +349,36 @@ def infer_route_type(tags: ColumnOrName, accident_type: ColumnOrName,
     )
 
 
+def route_type_confidence(tags: ColumnOrName, accident_type: ColumnOrName,
+                          activity: ColumnOrName) -> Column:
+    """Confidence (0.0-1.0) for the K16 route-type inference.
+
+    Mirror of the reference's tiered cascade (route_type_mapper.py:168-241):
+    0.95 explicit type in tags > 0.85/0.80 specific accident type >
+    0.60 grade/roped tags > 0.50 any non-unknown accident type >
+    0.60/0.40 activity hints > 0.20 floor.
+    """
+    t = F.lower(F.coalesce(_col(tags), F.lit("")))
+    at = F.lower(F.coalesce(_col(accident_type), F.lit("")))
+    act = F.lower(F.coalesce(_col(activity), F.lit("")))
+    explicit = (t.contains("ice climbing") | t.contains("sport climbing")
+                | t.contains("trad") | t.contains("alpine")
+                | t.contains("mountaineering") | t.contains("mixed climbing")
+                | t.contains("aid climbing") | t.contains("boulder"))
+    return (
+        F.when(explicit, F.lit(0.95))
+         # reference tests "ice_climbing" then "ice" — substring "ice" covers both
+         .when(at.contains("ice"), F.lit(0.85))
+         .when(at.contains("avalanche"), F.lit(0.80))
+         .when(t.contains("grade:") | t.contains("roped"), F.lit(0.60))
+         .when((at != "") & (at != "unknown"), F.lit(0.50))
+         .when(act.contains("backcountry") | act.contains("mountaineer"),
+               F.lit(0.60))
+         .when(act.contains("climber") | act.contains("climbing"), F.lit(0.40))
+         .otherwise(F.lit(0.20))
+    )
+
+
 # --- K17: route-type normalization (mp_routes.py:109-150) --------------------
 
 def normalize_route_type(raw_type: ColumnOrName) -> Column:

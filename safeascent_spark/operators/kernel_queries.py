@@ -226,6 +226,80 @@ SELECT accident_id, tags,
 FROM accidents ORDER BY accident_id"""
 
 
+# --- K16b: confidence-scored route-type inference -----------------------------
+
+# Accident activity / accident-type free text exercising every confidence
+# tier of the reference cascade (route_type_mapper.py:168-241).  The
+# accidents table itself carries only `tags`; these are query-local derived
+# dimensions keyed on accident_id, exactly like the tags domain.
+ACTIVITY_BY_MOD = [
+    "Trad Climber", "Backcountry Tourer", "Hiker",
+    "Mountaineering Guide", None,
+]
+ACCIDENT_TYPE_BY_MOD = [
+    "ice_climbing_fall", "avalanche", "lowering_error",
+    "unknown", None, "rockfall", "stranded",
+]
+
+
+def q_route_type_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K16 confidence-scored variant: inferred type + tiered confidence."""
+    a = domain.accidents_df(spark, sf_dir).select(
+        "accident_id", "tags",
+        domain._mod_case("accident_id", ACCIDENT_TYPE_BY_MOD, scale=5)
+              .alias("accident_type"),
+        domain._mod_case("accident_id", ACTIVITY_BY_MOD).alias("activity"))
+    return a.select(
+        "accident_id", "accident_type", "activity",
+        K.infer_route_type("tags", "accident_type", "activity")
+         .alias("inferred_type"),
+        K.route_type_confidence("tags", "accident_type", "activity")
+         .alias("type_confidence"),
+    ).orderBy("accident_id")
+
+
+def sql_route_type_confidence() -> str:
+    t = "lower(coalesce(tags, ''))"
+    at = "lower(coalesce(accident_type, ''))"
+    act = "lower(coalesce(activity, ''))"
+    blob = f"concat_ws(' ', {t}, {at}, {act})"
+    infer = f"""(CASE
+     WHEN {blob} LIKE '%ice climb%' OR {t} LIKE '%ice%' THEN 'ice'
+     WHEN {blob} LIKE '%mixed%' THEN 'mixed'
+     WHEN {blob} LIKE '%alpine%' OR {blob} LIKE '%avalanche%'
+          OR {blob} LIKE '%rockfall%' OR {blob} LIKE '%backcountry%'
+          OR {blob} LIKE '%ski%' THEN 'alpine'
+     WHEN {blob} LIKE '%boulder%' THEN 'boulder'
+     WHEN {blob} LIKE '%sport%' OR regexp_matches({t}, '5\\.1[1-5]') THEN 'sport'
+     WHEN {blob} LIKE '%aid climb%' THEN 'aid'
+     WHEN {blob} LIKE '%trad%' OR {blob} LIKE '%rappel%' OR {blob} LIKE '%roped%'
+          OR regexp_matches({t}, '5\\.([0-9]|10)\\b') THEN 'trad'
+     ELSE 'default' END)"""
+    conf = f"""CAST((CASE
+     WHEN {t} LIKE '%ice climbing%' OR {t} LIKE '%sport climbing%'
+          OR {t} LIKE '%trad%' OR {t} LIKE '%alpine%'
+          OR {t} LIKE '%mountaineering%' OR {t} LIKE '%mixed climbing%'
+          OR {t} LIKE '%aid climbing%' OR {t} LIKE '%boulder%' THEN 0.95
+     WHEN {at} LIKE '%ice%' THEN 0.85
+     WHEN {at} LIKE '%avalanche%' THEN 0.80
+     WHEN {t} LIKE '%grade:%' OR {t} LIKE '%roped%' THEN 0.60
+     WHEN {at} <> '' AND {at} <> 'unknown' THEN 0.50
+     WHEN {act} LIKE '%backcountry%' OR {act} LIKE '%mountaineer%' THEN 0.60
+     WHEN {act} LIKE '%climber%' OR {act} LIKE '%climbing%' THEN 0.40
+     ELSE 0.20 END) AS DOUBLE)"""
+    return f"""{_DOMAIN_WITH}
+, acc2 AS (
+  SELECT accident_id, tags,
+         {domain._sql_mod_case('accident_id', ACCIDENT_TYPE_BY_MOD, scale=5)} AS accident_type,
+         {domain._sql_mod_case('accident_id', ACTIVITY_BY_MOD)} AS activity
+  FROM accidents
+)
+SELECT accident_id, accident_type, activity,
+       {infer} AS inferred_type,
+       {conf} AS type_confidence
+FROM acc2 ORDER BY accident_id"""
+
+
 # --- K19/K20: bearing + impact score ------------------------------------------
 
 def q_bearing_impact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -232,6 +232,31 @@ def test_route_type_inference(spark):
         assert r.got == r.expect
 
 
+def test_route_type_confidence_tiers(spark):
+    """One case per tier of the reference cascade (route_type_mapper.py:168-241),
+    matching its docstring examples: explicit tags 0.95, generic-fields 0.3-band
+    (here the 0.4 climber tier / 0.5 typed tier)."""
+    cases = [
+        # (tags, accident_type, activity, expect)
+        ("Ice Climbing, Alpine/Mountaineering", "ice_climbing", "Climbing", 0.95),
+        (None, "ice_climbing_fall", None, 0.85),
+        (None, "avalanche", None, 0.80),
+        ("grade: 5.9 roped", None, None, 0.60),
+        (None, "lowering_error", None, 0.50),
+        (None, "unknown", "Backcountry Tourer", 0.60),
+        (None, "unknown", "Sport Climber", 0.40),
+        (None, None, "Hiker", 0.20),
+        (None, None, None, 0.20),
+    ]
+    rows = (spark.createDataFrame(
+                cases, "tags string, at string, act string, expect double")
+                 .select("expect",
+                         K.route_type_confidence("tags", "at", "act")
+                          .alias("got")).collect())
+    for r in rows:
+        assert r.got == r.expect
+
+
 # --- K19/K20/K23 -------------------------------------------------------------
 
 def test_bearing_cardinal(spark):
