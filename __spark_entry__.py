@@ -15,6 +15,7 @@ from safeascent_spark.operators import analytics as A
 from safeascent_spark.operators import assembly as ASM
 from safeascent_spark.operators import batch as B
 from safeascent_spark.operators import dedup as D
+from safeascent_spark.operators import graph as G
 from safeascent_spark.operators import kernel_queries as KQ
 from safeascent_spark.operators import multimodal as MM
 from safeascent_spark.operators import rangejoin as RJ
@@ -96,13 +97,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": D.q_minhash_signatures,
         "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
         "dedup_clusters": D.q_dedup_clusters,
+        # new in round 3: star-contraction CC (O(log n) rounds) — same
+        # oracle as dedup_clusters, so a green row proves the equivalence
+        "dedup_clusters_largestar": G.q_dedup_clusters_largestar,
         "events_sessionization": SESS.q_events_sessionization,
         "w_similarity": W.q_weather_similarity,
         "multimodal_png_meta": MM.q_multimodal_png_meta,
         "skew_salted_sum": SK.q_skew_salted_sum,
-        "text_tfidf_topk": TX.q_text_tfidf,
         # ---- driver cap boundary (~50) — everything below was hash-green
-        # in CORRECTNESS_r02 and rotates forward again next round ----
+        # in CORRECTNESS_r02 (or r01+local r02) and rotates forward again
+        # next round ----
+        "text_tfidf_topk": TX.q_text_tfidf,
         "j5_breadcrumb_recursive": R.q_location_breadcrumb_recursive,
         "dedup_simhash": D.q_simhash,
         "dedup_simhash_pairs": D.q_dedup_simhash_pairs,
@@ -189,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": D.sql_minhash_signatures(),
         "dedup_minhash_lsh": D.sql_dedup_minhash_lsh(),
         "dedup_clusters": D.sql_dedup_clusters(),
+        # the star-contraction form must reproduce the exact same clusters
+        "dedup_clusters_largestar": D.sql_dedup_clusters(),
         "dedup_simhash": D.sql_simhash(),
         "dedup_simhash_pairs": D.sql_dedup_simhash_pairs(),
         "ann_cosine_topk": SIM.sql_cosine_topk(),
