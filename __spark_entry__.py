@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": SESS.q_events_sessionization,
         "w_similarity": W.q_weather_similarity,
         "multimodal_png_meta": MM.q_multimodal_png_meta,
+        # new in round 3: sliding-window token chunking (LLM context prep)
+        "text_chunks": TX.q_text_chunks,
         "skew_salted_sum": SK.q_skew_salted_sum,
         # ---- driver cap boundary (~50) — everything below was hash-green
         # in CORRECTNESS_r02 (or r01+local r02) and rotates forward again
@@ -213,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "k8_extreme_breakdown": W.sql_extreme_breakdown(),
         "j5_breadcrumb_recursive": R.sql_location_breadcrumb(),
         "text_tfidf_topk": TX.sql_text_tfidf(),
+        "text_chunks": TX.sql_text_chunks(),
         "skew_salted_sum": SK.sql_skew_salted_sum(),
         "ann_cosine_topk_int8": SIM.sql_ann_cosine_int8(),
         "dedup_filtered_docs": D.sql_dedup_filtered_docs(),

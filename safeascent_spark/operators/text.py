@@ -409,3 +409,70 @@ SELECT doc_id,
        CAST({bpe} AS BIGINT) AS bpe_tokens,
        round(CAST({bpe} AS DOUBLE) / CAST({ws} AS DOUBLE), 6) AS bpe_per_word
 FROM documents ORDER BY doc_id"""
+
+
+# --- Sliding-window document chunking (training-data prep) -------------------
+
+CHUNK_TOKENS = 64   # window size in whitespace tokens
+CHUNK_STRIDE = 48   # 16-token overlap between consecutive chunks
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size sliding-window chunks over each document's token sequence
+    (64-token windows, 16-token overlap) — the standard context-window prep
+    step of an LLM training pipeline.
+
+    Scale design: pure per-row array algebra (`sequence` -> `explode` ->
+    `slice` -> `array_join`), entirely inside whole-stage codegen with ZERO
+    shuffles — a 100 TB corpus chunks at scan speed.  Chunk count per doc is
+    1 if n <= 64 else ceil((n-64)/48)+1, so the final partial window is kept
+    and every token lands in at least one chunk.
+    """
+    d = docs_df(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    base = d.select("doc_id", ws.alias("ws"),
+                    F.size(ws).cast("bigint").alias("n_tokens"))
+    n_chunks = F.when(F.col("n_tokens") <= CHUNK_TOKENS, F.lit(1).cast("bigint")) \
+                .otherwise(F.expr(
+                    f"(n_tokens - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) "
+                    f"div {CHUNK_STRIDE} + 1")).cast("bigint")
+    ch = base.select(
+        "doc_id", "n_tokens", "ws",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             n_chunks - 1)).alias("chunk_idx"))
+    start = F.col("chunk_idx") * CHUNK_STRIDE          # 0-based
+    clen = F.least(F.lit(CHUNK_TOKENS).cast("bigint"),
+                   F.col("n_tokens") - start)
+    return (ch.select(
+                "doc_id",
+                F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+                (start + 1).cast("bigint").alias("start_tok"),
+                clen.cast("bigint").alias("chunk_len"),
+                F.array_join(F.slice(F.col("ws"), (start + 1).cast("int"),
+                                     clen.cast("int")), " ").alias("chunk_text"))
+              .orderBy("doc_id", "chunk_idx"))
+
+
+def sql_text_chunks() -> str:
+    k, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ws, n_tokens,
+         CASE WHEN n_tokens <= {k} THEN 1
+              ELSE (n_tokens - {k} + {s - 1}) // {s} + 1 END AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS chunk_idx,
+       CAST((i - 1) * {s} + 1 AS BIGINT) AS start_tok,
+       CAST(least({k}, n_tokens - (i - 1) * {s}) AS BIGINT) AS chunk_len,
+       array_to_string(ws[CAST((i - 1) * {s} + 1 AS BIGINT):
+                          CAST((i - 1) * {s} + least({k}, n_tokens - (i - 1) * {s}) AS BIGINT)],
+                       ' ') AS chunk_text
+FROM c, unnest(generate_series(1, n_chunks)) AS u(i)
+ORDER BY doc_id, chunk_idx"""
