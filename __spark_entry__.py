@@ -102,13 +102,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_largestar": G.q_dedup_clusters_largestar,
         "events_sessionization": SESS.q_events_sessionization,
         "w_similarity": W.q_weather_similarity,
-        "multimodal_png_meta": MM.q_multimodal_png_meta,
         # new in round 3: sliding-window token chunking (LLM context prep)
+        # + deterministic per-language stratified downsampling
         "text_chunks": TX.q_text_chunks,
-        "skew_salted_sum": SK.q_skew_salted_sum,
+        "sample_stratified": TX.q_sample_stratified,
         # ---- driver cap boundary (~50) — everything below was hash-green
         # in CORRECTNESS_r02 (or r01+local r02) and rotates forward again
         # next round ----
+        "multimodal_png_meta": MM.q_multimodal_png_meta,
+        "skew_salted_sum": SK.q_skew_salted_sum,
         "text_tfidf_topk": TX.q_text_tfidf,
         "j5_breadcrumb_recursive": R.q_location_breadcrumb_recursive,
         "dedup_simhash": D.q_simhash,
@@ -216,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "j5_breadcrumb_recursive": R.sql_location_breadcrumb(),
         "text_tfidf_topk": TX.sql_text_tfidf(),
         "text_chunks": TX.sql_text_chunks(),
+        "sample_stratified": TX.sql_sample_stratified(),
         "skew_salted_sum": SK.sql_skew_salted_sum(),
         "ann_cosine_topk_int8": SIM.sql_ann_cosine_int8(),
         "dedup_filtered_docs": D.sql_dedup_filtered_docs(),

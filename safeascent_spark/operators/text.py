@@ -476,3 +476,59 @@ SELECT doc_id,
                        ' ') AS chunk_text
 FROM c, unnest(generate_series(1, n_chunks)) AS u(i)
 ORDER BY doc_id, chunk_idx"""
+
+
+# --- Deterministic stratified sampling (corpus rebalancing) ------------------
+
+SAMPLE_TARGET_PER_STRATUM = 60
+SAMPLE_MOD = 1_000_003            # prime fold before the Knuth multiply
+SAMPLE_KNUTH = 2_654_435_761      # Knuth multiplicative constant
+SAMPLE_P = 1_000_000_007
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified downsampling to ~SAMPLE_TARGET_PER_STRATUM
+    docs per stratum — the corpus-rebalancing step of a training-data
+    pipeline (cap overrepresented languages, keep small strata whole).
+
+    Deterministic by construction: the keep decision is integer hash
+    arithmetic on doc_id (Knuth multiplicative hash into per-mille
+    buckets), NOT rand(), so the sample is reproducible, oracle-checkable,
+    and stable under re-partitioning.  Scale design: the per-stratum rate
+    table is a tiny broadcast join; the corpus scan itself never shuffles,
+    so sampling 100 TB is a single filter pass.
+    """
+    d = docs_df(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
+    rates = counts.select(
+        "lang", "n_stratum",
+        F.least(F.lit(1000).cast("bigint"),
+                F.expr(f"{SAMPLE_TARGET_PER_STRATUM * 1000} div n_stratum"))
+         .alias("keep_per_mille"))
+    bucket = F.expr(f"pmod(pmod(doc_id, {SAMPLE_MOD}) * {SAMPLE_KNUTH}, "
+                    f"{SAMPLE_P}) % 1000")
+    return (d.join(F.broadcast(rates), "lang")
+              .where(bucket < F.col("keep_per_mille"))
+              .select("doc_id", "lang", "n_stratum", "keep_per_mille")
+              .orderBy("doc_id"))
+
+
+def sql_sample_stratified() -> str:
+    t = SAMPLE_TARGET_PER_STRATUM * 1000
+    bucket = (f"(((doc_id % {SAMPLE_MOD}) * {SAMPLE_KNUTH}) "
+              f"% {SAMPLE_P}) % 1000")
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum
+  FROM documents GROUP BY lang
+),
+r AS (
+  SELECT lang, n_stratum,
+         least(1000, {t} // n_stratum) AS keep_per_mille
+  FROM c
+)
+SELECT d.doc_id, d.lang, r.n_stratum,
+       CAST(r.keep_per_mille AS BIGINT) AS keep_per_mille
+FROM documents d JOIN r USING (lang)
+WHERE {bucket} < r.keep_per_mille
+ORDER BY d.doc_id"""
