@@ -101,7 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle as dedup_clusters, so a green row proves the equivalence
         "dedup_clusters_largestar": G.q_dedup_clusters_largestar,
         "events_sessionization": SESS.q_events_sessionization,
-        "w_similarity": W.q_weather_similarity,
+        # new in round 3: curation-funnel composition (stage survivor counts)
+        "curation_funnel": D.q_curation_funnel,
         # new in round 3: sliding-window token chunking (LLM context prep)
         # + deterministic per-language stratified downsampling
         "text_chunks": TX.q_text_chunks,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver cap boundary (~50) — everything below was hash-green
         # in CORRECTNESS_r02 (or r01+local r02) and rotates forward again
         # next round ----
+        "w_similarity": W.q_weather_similarity,
         "multimodal_png_meta": MM.q_multimodal_png_meta,
         "skew_salted_sum": SK.q_skew_salted_sum,
         "text_tfidf_topk": TX.q_text_tfidf,
@@ -200,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": D.sql_dedup_clusters(),
         # the star-contraction form must reproduce the exact same clusters
         "dedup_clusters_largestar": D.sql_dedup_clusters(),
+        "curation_funnel": D.sql_curation_funnel(),
         "dedup_simhash": D.sql_simhash(),
         "dedup_simhash_pairs": D.sql_dedup_simhash_pairs(),
         "ann_cosine_topk": SIM.sql_cosine_topk(),

@@ -506,3 +506,85 @@ SELECT w.doc_id, w.label AS cluster_rep, s.cluster_size,
        (w.doc_id = w.label) AS is_kept
 FROM walk w JOIN sizes s ON w.label = s.label
 ORDER BY w.doc_id"""
+
+
+# --- Corpus-curation funnel (pipeline composition) ---------------------------
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts through the full curation pipeline — the monitoring
+    query every training-data run reports: raw -> quality filter
+    (quality >= 0.5) -> exact dedup (min doc_id per md5 among quality
+    survivors) -> near-dup clustering (global cluster representative) ->
+    decontamination (drop docs with >50% shingle overlap vs the benchmark
+    subset).  Composed ENTIRELY from the individually-oracle-verified
+    operators, on both the Spark and the DuckDB side — a green row here
+    certifies the composition semantics, not just the parts.
+
+    Scale design: each stage is a semijoin/anti-join against the previous
+    survivor set; the five stage counts are thin scalar aggregates unioned
+    at the end, so nothing is collected driver-side.
+
+    At sf0.01 stages 2 and 4 drop rows (500 -> 200 -> 144); stage 3 drops
+    none because the synthetic corpus has zero exact-duplicate texts (a
+    data property — the md5 grouping is the same logic as the green
+    ``dedup_exact``), and the 1 contaminated doc is already filtered
+    upstream, so the stage-5 anti-join runs against a non-empty side.
+    """
+    d = T.docs_df(spark, sf_dir)
+    quality_ids = (T.q_quality_score(spark, sf_dir)
+                   .where(F.col("quality") >= 0.5).select("doc_id"))
+    exact_ids = (d.join(quality_ids, "doc_id", "left_semi")
+                  .groupBy(F.md5(F.col("text")))
+                  .agg(F.min("doc_id").alias("doc_id"))
+                  .select("doc_id"))
+    near_keep = (q_dedup_clusters(spark, sf_dir)
+                 .where(F.col("is_kept")).select("doc_id"))
+    near_ids = exact_ids.join(near_keep, "doc_id", "left_semi")
+    contaminated = (q_text_decontamination(spark, sf_dir)
+                    .where(F.col("contaminated")).select("doc_id"))
+    clean_ids = near_ids.join(contaminated, "doc_id", "left_anti")
+
+    stages = [("raw", d.select("doc_id")), ("quality", quality_ids),
+              ("exact_dedup", exact_ids), ("near_dedup", near_ids),
+              ("decontaminated", clean_ids)]
+    parts = [
+        s.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+         .select(F.lit(i + 1).cast("int").alias("stage_idx"),
+                 F.lit(name).alias("stage"), "n_docs")
+        for i, (name, s) in enumerate(stages)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("stage_idx")
+
+
+def sql_curation_funnel() -> str:
+    from . import text as TXT  # quality oracle lives beside the Spark form
+    quality = TXT.sql_quality_score().strip()
+    clusters = sql_dedup_clusters().strip()
+    decon = sql_text_decontamination().strip()
+    return f"""
+WITH q AS (
+  SELECT doc_id FROM ({quality}) WHERE quality >= 0.5
+),
+e AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN q USING (doc_id)
+  GROUP BY md5(d.text)
+),
+n AS (
+  SELECT e.doc_id
+  FROM e JOIN (SELECT doc_id FROM ({clusters}) WHERE is_kept) c USING (doc_id)
+),
+f AS (
+  SELECT n.doc_id FROM n
+  ANTI JOIN (SELECT doc_id FROM ({decon}) WHERE contaminated) x USING (doc_id)
+)
+SELECT CAST(1 AS INT) AS stage_idx, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT 2, 'quality', CAST(count(*) AS BIGINT) FROM q
+UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT) FROM e
+UNION ALL SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT) FROM n
+UNION ALL SELECT 5, 'decontaminated', CAST(count(*) AS BIGINT) FROM f
+ORDER BY stage_idx"""
