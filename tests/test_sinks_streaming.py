@@ -279,3 +279,26 @@ def test_sources_format_roundtrip(spark):
                 for x, y in zip(got, expected):
                     assert all(rows_equal(a, b) for a, b in zip(x, y)), \
                         (name, fmt, x[0])
+
+
+def test_streaming_dedup_within_watermark(spark):
+    from safeascent_spark.streaming import dedupe
+    from safeascent_spark import domain
+
+    q = (dedupe.deduped_event_stream(spark, SF_SMOKE)
+         .writeStream.format("memory").queryName("dedup_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_id, count(*) AS c FROM dedup_sink GROUP BY event_id")
+    n_events = domain.load_table(spark, SF_SMOKE, "events") \
+                     .select("event_id").distinct().count()
+    assert got.count() == n_events                      # every id exactly once
+    assert got.filter("c > 1").count() == 0             # no duplicate emission
+    # and the duplicated source really delivered 2x (guard against the
+    # union being optimized away / the simulation being vacuous)
+    q2 = (dedupe.duplicated_event_stream(spark, SF_SMOKE)
+          .writeStream.format("memory").queryName("dup_sink")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert spark.table("dup_sink").count() == 2 * n_events
