@@ -173,3 +173,42 @@ def test_codegen_covers_scoring_stage(spark):
     simple = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple")
     assert simple.count("*(") >= 1
+
+
+def test_text_chunks_single_exchange(spark):
+    """Chunking is per-row array algebra: the only Exchange allowed in the
+    plan is the final presentation sort's range partitioning — the chunk
+    generation itself (sequence/explode/slice) must not shuffle."""
+    from safeascent_spark.operators import text as TX
+    plan = plan_of(TX.q_text_chunks(spark, SF_SMOKE))
+    # formatted explain prints each operator twice (tree + details)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert "Generate" in plan, plan             # the chunk-index explode
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    """The per-stratum rate table must ride a broadcast; the corpus scan
+    must not shuffle (one Exchange for the tiny rate aggregate + the final
+    sort only)."""
+    from safeascent_spark.operators import text as TX
+    plan = plan_of(TX.q_sample_stratified(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_score_sink_partition_pruning(spark, tmp_path):
+    """The date-partitioned score sink must prune partitions on read: a
+    single-date read lists one partition, not the whole table."""
+    from safeascent_spark import sinks
+    from safeascent_spark.operators import batch as B
+    path = str(tmp_path / "scores")
+    for d in ("2024-06-15", "2024-06-16"):
+        sinks.write_scores(B.batch_scores_df(spark, SF_SMOKE), path, d)
+    df = spark.read.parquet(path).filter(F.col("prediction_date") == "2024-06-15")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*prediction_date[^\]]* = 2024-06-15[^\]]*\]",
+                  plan)
+    assert m, plan[:2000]
+    # (inputFiles() lists the whole relation pre-pruning, so the plan's
+    # PartitionFilters entry — not the file list — is the pruning evidence)
+    assert df.count() == B.batch_scores_df(spark, SF_SMOKE).count()
