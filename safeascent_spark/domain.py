@@ -75,8 +75,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
-    _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return _TABLE_CACHE[key]
+
+
+def ts_to_nanos(df: DataFrame) -> DataFrame:
+    """Normalize an event-time ``ts`` column to the canonical ns-long form.
+
+    The driver's synthetic data has shipped ``ts`` both as TIMESTAMP(NANOS)
+    (which nanosAsLong surfaces as a nanosecond LongType) and as
+    timestamp[us] (which Spark reads as TIMESTAMP_NTZ / TIMESTAMP).  All
+    downstream epoch math — and its DuckDB ``epoch_ns`` oracle mirror — is
+    written against the ns-long form, so convert here, once, at the source.
+    A TIMESTAMP_NTZ wall clock is interpreted under the pinned UTC session
+    timezone, matching DuckDB's tz-free TIMESTAMP semantics exactly; the
+    µs->ns widening is exact (µs * 1000).
+    """
+    if "ts" not in df.columns:
+        return df
+    from pyspark.sql import types as T
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+    if isinstance(dt, T.TimestampType):
+        return df.withColumn("ts", F.unix_micros("ts") * 1000)
+    return df
 
 
 def ts_seconds(col):

@@ -65,8 +65,10 @@ def read_table(spark: SparkSession, path: str, name: str,
                fmt: str = "parquet") -> DataFrame:
     """Read a base table from any supported format with its fixed schema."""
     if fmt == "parquet":
+        from . import domain
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return domain.ts_to_nanos(spark.read.parquet(path))
     schema = TABLE_SCHEMAS.get(name)
     if schema is None:
         raise ValueError(f"no explicit schema for table {name!r}; "

@@ -19,27 +19,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .. import domain
 
-EVENT_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos (see domain.load_table)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def weather_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of weather observations (events as the feed)."""
+    """File-source stream of weather observations (events as the feed).
+
+    The stream declares the file's PHYSICAL schema (one batch footer read —
+    streaming sources cannot infer), then normalizes ``ts`` to the canonical
+    ns-long form exactly like the batch path, so the same downstream
+    expressions run against either event-time representation the driver
+    ships (TIMESTAMP(NANOS) or timestamp[us]).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (spark.readStream
-            .schema(EVENT_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return domain.ts_to_nanos(
+        spark.readStream
+             .schema(raw_schema)
+             .option("pathGlobFilter", "events.parquet")
+             .parquet(sf_dir))
 
 
 def bucket_updates(stream: DataFrame) -> DataFrame:
