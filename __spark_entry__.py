@@ -78,23 +78,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k16b_route_type_confidence": KQ.q_route_type_confidence,
         "k19_bearing_impact": KQ.q_bearing_impact,
         # --- (b) changed in round 3: banded near-dup LSH, closed-form
-        # ridge (now oracle-bearing), IVF with recall column ---
+        # ridge (now oracle-bearing), and the haversine/elevation
+        # strength-reduction (pow(x,2) -> x*x, both engines) that shifts
+        # last-ulp values in every distance-bearing query — so f1/f4/f7
+        # rotate back INTO the driver window this round ---
         "dedup_embedding_cosine": SIM.q_dedup_embedding_cosine,
         "ml_risk_model": ML.q_ml_risk_model,
-        # iterative KMeans queries keep the weaker rows-only check; their
-        # quality floors (recall >= 0.7, cell coverage) live in tests/test_ml.py
-        "ann_ivf_topk": ML.q_ann_ivf,
-        "embedding_kmeans_cells": ML.q_embedding_kmeans,
+        "f1_accident_filter": R.q_accident_filter,
+        "f4_predict_prefilter": R.q_predict_prefilter,
+        "f7_bbox_radius_filter": R.q_bbox_radius_filter,
         # --- (c) flagship scoring + perf-headline surface (SURVEY §2.8) ---
         "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
+        # new in round 3: the 300 km production-cap variant as a grid
+        # equi-join (the scale path when accidents no longer broadcast)
+        "risk_scores_capped": lambda s, sf: scoring.risk_scores_capped_df(s, sf),
         "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
         "risk_factor_breakdown": lambda s, sf: scoring.factor_breakdown_df(s, sf),
         "cache_warming_top_routes": lambda s, sf: scoring.cache_warming_df(s, sf),
         "batch_scores": lambda s, sf: B.batch_scores_df(s, sf),
         "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
-        "dedup_exact": D.q_dedup_exact,
         "dedup_ngram_jaccard": D.q_dedup_jaccard,
-        "dedup_minhash_signatures": D.q_minhash_signatures,
         "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
         "dedup_clusters": D.q_dedup_clusters,
         # new in round 3: star-contraction CC (O(log n) rounds) — same
@@ -108,8 +111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": TX.q_text_chunks,
         "sample_stratified": TX.q_sample_stratified,
         # ---- driver cap boundary (~50) — everything below was hash-green
-        # in CORRECTNESS_r02 (or r01+local r02) and rotates forward again
-        # next round ----
+        # in CORRECTNESS_r02 (or r01+local r02), is UNCHANGED this round
+        # (or rows-only: ann_ivf/kmeans), and is re-verified in
+        # CORRECTNESS_LOCAL_r03; rotates forward again next round ----
+        "dedup_exact": D.q_dedup_exact,
+        "dedup_minhash_signatures": D.q_minhash_signatures,
+        "ann_ivf_topk": ML.q_ann_ivf,
+        "embedding_kmeans_cells": ML.q_embedding_kmeans,
         "w_similarity": W.q_weather_similarity,
         "multimodal_png_meta": MM.q_multimodal_png_meta,
         "skew_salted_sum": SK.q_skew_salted_sum,
@@ -139,11 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_freeze_thaw": W.q_freeze_thaw,
         "w_extreme_multiplier": W.q_extreme_multiplier,
         "k5_pearson_factors": W.q_pearson_factors,
-        "f1_accident_filter": R.q_accident_filter,
         "f2_route_search": R.q_route_search,
         "f3_route_search_rock": R.q_route_search_rock,
-        "f4_predict_prefilter": R.q_predict_prefilter,
-        "f7_bbox_radius_filter": R.q_bbox_radius_filter,
     }
 
 
@@ -166,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "w_extreme_multiplier": W.sql_extreme_multiplier(),
         "k5_pearson_factors": W.sql_pearson_factors(),
         "risk_scores": scoring.risk_scores_sql(),
+        "risk_scores_capped": scoring.risk_scores_capped_sql(),
         "top_contributors": scoring.top_contributors_sql(),
         "risk_factor_breakdown": scoring.factor_breakdown_sql(),
         "cache_warming_top_routes": scoring.cache_warming_sql(),

@@ -60,8 +60,12 @@ def haversine_from_parts(rlat1: Column, rlon1: Column, coslat1: Column,
     """Haversine from precomputed radians/cosines (cross-join fast path)."""
     dlat = rlat2 - rlat1
     dlon = rlon2 - rlon1
-    a = (F.pow(F.sin(dlat / 2), 2)
-         + coslat1 * coslat2 * F.pow(F.sin(dlon / 2), 2))
+    # sin^2 as s*s, not pow(s, 2): an IEEE multiply is exact-deterministic
+    # across JVM and DuckDB libm (pow is only ~1-ulp) and cheaper per pair;
+    # codegen CSE evaluates each sin once.  sqlgen.haversine_km mirrors this.
+    s_lat = F.sin(dlat / 2)
+    s_lon = F.sin(dlon / 2)
+    a = (s_lat * s_lat + coslat1 * coslat2 * (s_lon * s_lon))
     return F.lit(2.0 * C.EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
@@ -216,7 +220,8 @@ def elevation_weight(route_elev_m: ColumnOrName, accident_elev_m: ColumnOrName,
     decay = map_literal(C.ELEVATION_DECAY_CONSTANT, route_type,
                         C.ELEVATION_DECAY_CONSTANT["default"])
     diff = F.abs(_col(accident_elev_m) - _col(route_elev_m))
-    bonus = F.lit(C.ELEVATION_BONUS_MAX) * F.exp(-F.pow(diff / decay, F.lit(2.0)))
+    q = diff / decay
+    bonus = F.lit(C.ELEVATION_BONUS_MAX) * F.exp(-(q * q))
     return F.when(_col(route_elev_m).isNull() | _col(accident_elev_m).isNull(),
                   F.lit(1.0)).otherwise(F.lit(1.0) + bonus)
 

@@ -98,9 +98,10 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
                 * F.when(F.col("a_same_season"), F.lit(C.SEASONAL_MULTIPLIER))
                    .otherwise(F.lit(1.0)))
     ediff = F.abs(F.col("a_elev") - F.col("l_elev"))
+    eq = ediff / F.col("l_edecay")
     elevation = F.when(F.col("l_elev").isNull() | F.col("a_elev").isNull(), F.lit(1.0)) \
                  .otherwise(F.lit(1.0) + F.lit(C.ELEVATION_BONUS_MAX)
-                            * F.exp(-F.pow(ediff / F.col("l_edecay"), F.lit(2.0))))
+                            * F.exp(-(eq * eq)))
     weather_w = F.coalesce(F.col("weather_weight"),
                            F.lit(C.MISSING_WEATHER_NEUTRAL))
     base = spatial * temporal * elevation * F.col("a_sevw") \

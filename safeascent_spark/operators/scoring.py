@@ -34,88 +34,182 @@ from .. import sqlgen as S
 from . import weather as W
 
 
+def _grid_cell_deg(radius_km: float, max_abs_lat_deg: float = 50.0) -> float:
+    """Smallest grid cell (degrees) such that every point pair within
+    ``radius_km`` lands in the same or an adjacent cell (+-1 in each axis).
+
+    Latitude: radius / (km per degree).  Longitude: invert the haversine at
+    the worst-case |latitude| of the domain (derived coords span 25..45 deg;
+    50 leaves margin).  This is what makes the grid equi-join EXACT: no
+    within-radius pair can be missed, and the post-join haversine filter
+    trims the corner surplus.
+    """
+    import math
+    km_per_deg = math.pi / 180.0 * C.EARTH_RADIUS_KM
+    lat_deg = radius_km / km_per_deg
+    s = math.sin(radius_km / (2.0 * C.EARTH_RADIUS_KM))
+    lon_rad = 2.0 * math.asin(min(1.0, s / math.cos(math.radians(max_abs_lat_deg))))
+    return max(lat_deg, math.degrees(lon_rad))
+
+
+# One fixed cell size sized for the reference's production search cap
+# (MAX_SEARCH_RADIUS_KM = 300, algorithm_config.py:30): 4.2 deg.
+GRID_CELL_DEG = round(_grid_cell_deg(C.MAX_SEARCH_RADIUS_KM) + 0.005, 2)
+
+
+def accident_class_dim(spark: SparkSession, sf_dir: str,
+                       pred_date: str = domain.PRED_DATE) -> DataFrame:
+    """Pre-multiplied (route_type x accident) factor dimension.
+
+    temporal, route-type-matrix and severity weights depend on the route
+    only through its TYPE (7 canonical values — domain.ROUTE_TYPE_BY_MOD
+    guarantees membership, so the pair equi-join on route_type is lossless).
+    Folding their product ``tfac`` — plus the per-type spatial bandwidth /
+    elevation decay constants and the accident's pair-stage fields — into
+    one 7x|accidents| broadcast dim removes two pow() calls, the 49-entry
+    matrix lookup and several CASE branches from the pair-grain expression,
+    and turns the scoring cross join into a BroadcastHashJoin keyed on
+    route_type (same |routes| x |accidents| pair count, cheaper per pair).
+
+    Mirrors the reference's own factor-out of per-accident loop invariants
+    (safety_algorithm_vectorized.py:314-376); the DuckDB oracle builds the
+    identical dim in its ``tdim`` CTE so float association matches bit-wise.
+    """
+    accidents = domain.accidents_df(spark, sf_dir)
+    gdim = G.domain_grade_dim(spark, sf_dir)
+    cell = F.lit(GRID_CELL_DEG)
+    a = G.grade_difficulty_join(accidents, "grade", "a_gdiff", dim=gdim).select(
+        "accident_id", "accident_date", "a_gdiff",
+        F.col("route_type").alias("a_type"),
+        K.severity_weight("severity").alias("a_sevw"),
+        F.col("elevation_m").alias("a_elev"),
+        F.radians("latitude").alias("a_rlat"),
+        F.radians("longitude").alias("a_rlon"),
+        F.cos(F.radians("latitude")).alias("a_coslat"),
+        F.floor(F.col("latitude") / cell).cast("int").alias("a_cx"),
+        F.floor(F.col("longitude") / cell).cast("int").alias("a_cy"),
+        F.col("wbucket").alias("acc_bucket"),
+    )
+    rt = spark.createDataFrame([(t,) for t in domain.ROUTE_TYPE_BY_MOD],
+                               "route_type string")
+    ax = F.broadcast(rt).crossJoin(a)
+    tfac = (K.temporal_weight(F.to_date(F.lit(pred_date)), "accident_date",
+                              "route_type")
+            * K.route_type_weight("route_type", "a_type")
+            * F.col("a_sevw"))
+    return ax.select(
+        "route_type", "accident_id",
+        tfac.alias("tfac"),
+        K.spatial_bandwidth("route_type").alias("bw"),
+        K.map_literal(C.ELEVATION_DECAY_CONSTANT, "route_type",
+                      C.ELEVATION_DECAY_CONSTANT["default"]).alias("edecay"),
+        "a_gdiff", "a_elev", "a_rlat", "a_rlon", "a_coslat",
+        "a_cx", "a_cy", "acc_bucket",
+    )
+
+
+# weather factor for pairs whose bucket pair is absent from the wsim dim:
+# the reference's missing-pattern neutral 0.5, gated+cubed (0.5^3 = 0.125,
+# exact in binary); the oracle uses the same config-derived literal.
+MISSING_WEATHER_FACTOR = C.MISSING_WEATHER_NEUTRAL ** C.WEATHER_POWER
+
+
 def influence_pairs_df(spark: SparkSession, sf_dir: str,
                        pred_date: str = domain.PRED_DATE,
                        routes: DataFrame | None = None) -> DataFrame:
     """Per (route, accident) influence rows — the exact per-route path.
 
-    Every single-side kernel (grade parse, per-type constant lookups, season,
-    radians) is evaluated ONCE at route / accident grain *before* the cross
-    join, so the pair-grain expression is a handful of arithmetic ops — this
-    keeps the 15M+(at sf0.1) pair stage inside one tight whole-stage-codegen
-    span instead of re-evaluating 100-branch CASE trees per pair.
+    Every single-side kernel (grade parse, per-type constant lookups,
+    radians) is evaluated ONCE at route grain, and every factor that depends
+    on the route only through its type rides pre-multiplied in the
+    accident_class_dim broadcast — so the pair-grain expression is down to
+    the haversine, three exp()s and a handful of multiplies, in one tight
+    whole-stage-codegen span.  The weather gate+cube is likewise
+    pre-computed per (bucket, bucket) dim row (``wfac``).
 
-    ``routes`` lets callers push a route subset *below* the cross join (the
+    ``routes`` lets callers push a route subset *below* the pair join (the
     cache-warming path scores 200 routes, not the whole table).
     """
+    pairs = _candidate_pairs(spark, sf_dir, pred_date, routes, grid=False)
+    return _pair_influence_select(pairs)
+
+
+def _route_side(spark: SparkSession, sf_dir: str,
+                routes: DataFrame | None) -> DataFrame:
+    """Route-grain probe side with per-route precomputed kernel inputs."""
     if routes is None:
         routes = domain.routes_df(spark, sf_dir)
     locations = domain.locations_df(spark, sf_dir)
-    accidents = domain.accidents_df(spark, sf_dir)
-    wsim = W.weather_similarity_cached(spark, sf_dir)
-
     gdim = G.domain_grade_dim(spark, sf_dir)
-    r = G.grade_difficulty_join(
+    cell = F.lit(GRID_CELL_DEG)
+    return G.grade_difficulty_join(
         routes.join(F.broadcast(locations), "location_id"),
         "grade", "r_gdiff", dim=gdim,
     ).select(
-        "route_id", "location_id", "wbucket", "r_gdiff",
+        "route_id", "location_id", "wbucket", "route_type", "r_gdiff",
         F.col("elevation_m").alias("r_elev"),
         F.radians("latitude").alias("r_rlat"),
         F.radians("longitude").alias("r_rlon"),
         F.cos(F.radians("latitude")).alias("r_coslat"),
-        K.spatial_bandwidth("route_type").alias("r_bw"),
-        K.temporal_lambda("route_type").alias("r_lam"),
-        K.map_literal(C.ELEVATION_DECAY_CONSTANT, "route_type",
-                      C.ELEVATION_DECAY_CONSTANT["default"]).alias("r_edecay"),
-        K.route_type_index("route_type").alias("r_tidx"),
+        F.floor(F.col("latitude") / cell).cast("int").alias("cx"),
+        F.floor(F.col("longitude") / cell).cast("int").alias("cy"),
     )
-    a = G.grade_difficulty_join(accidents, "grade", "a_gdiff", dim=gdim).select(
-        F.col("accident_id"),
-        F.col("a_gdiff"),
-        F.col("elevation_m").alias("a_elev"),
-        F.radians("latitude").alias("a_rlat"),
-        F.radians("longitude").alias("a_rlon"),
-        F.cos(F.radians("latitude")).alias("a_coslat"),
-        F.abs(F.datediff(F.to_date(F.lit(pred_date)), F.col("accident_date")))
-         .cast("double").alias("a_days"),
-        (K.season_of("accident_date") == F.lit(K.season_of_py(pred_date)))
-         .alias("a_same_season"),
-        K.severity_weight("severity").alias("a_sevw"),
-        K.route_type_index("route_type").alias("a_tidx"),
-        F.col("wbucket").alias("acc_bucket"),
-    )
-    pairs = domain.fan_out(r).crossJoin(F.broadcast(a))
-    pairs = pairs.join(
-        F.broadcast(wsim),
-        (pairs["wbucket"] == wsim["cur_bucket"])
-        & (pairs["acc_bucket"] == wsim["acc_bucket"]),
-        "left",
-    ).drop(wsim["acc_bucket"]).drop("cur_bucket")
 
+
+def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
+                     routes: DataFrame | None, grid: bool) -> DataFrame:
+    """Join routes against the accident-class dim (+ the weather-factor dim).
+
+    ``grid=False``: equi-join on route_type alone — every route meets every
+    accident (the exact full-sum semantics).  ``grid=True``: additionally
+    equi-join on the grid cell, with the dim replicated to the 3x3 cell
+    neighborhood — only accidents within ~one cell of the route are ever
+    paired, which is the 100 TB plan when the search radius is capped.
+    """
+    r = _route_side(spark, sf_dir, routes)
+    ax = accident_class_dim(spark, sf_dir, pred_date)
+    wsim = W.weather_similarity_cached(spark, sf_dir)
+    wdim = wsim.select(
+        "cur_bucket",
+        F.col("acc_bucket").alias("w_acc_bucket"),
+        K.weather_factor("weather_weight").alias("wfac"))
+    if grid:
+        neigh = F.array(F.lit(-1), F.lit(0), F.lit(1))
+        ax = (ax.withColumn("dx", F.explode(neigh))
+                .withColumn("dy", F.explode(neigh))
+                .withColumn("cx", F.col("a_cx") + F.col("dx"))
+                .withColumn("cy", F.col("a_cy") + F.col("dy"))
+                .drop("dx", "dy"))
+        keys = ["route_type", "cx", "cy"]
+    else:
+        keys = ["route_type"]
+    pairs = domain.fan_out(r).join(F.broadcast(ax), keys)
+    return pairs.join(
+        F.broadcast(wdim),
+        (pairs["wbucket"] == wdim["cur_bucket"])
+        & (pairs["acc_bucket"] == wdim["w_acc_bucket"]),
+        "left",
+    ).drop("cur_bucket", "w_acc_bucket")
+
+
+def _pair_influence_select(pairs: DataFrame) -> DataFrame:
+    """The pair-grain influence projection (shared by all scoring paths)."""
     dist = K.haversine_from_parts(
         F.col("r_rlat"), F.col("r_rlon"), F.col("r_coslat"),
         F.col("a_rlat"), F.col("a_rlon"), F.col("a_coslat"))
-    spatial = F.exp(-(dist * dist) / (F.lit(2.0) * F.col("r_bw") * F.col("r_bw")))
-    base_decay = F.pow(F.col("r_lam"), F.col("a_days"))
-    temporal = ((F.lit(1.0) - F.lit(C.TEMPORAL_DECAY_IMPACT)
-                 * (F.lit(1.0) - F.pow(base_decay, F.lit(C.TEMPORAL_DECAY_SHAPE))))
-                * F.when(F.col("a_same_season"), F.lit(C.SEASONAL_MULTIPLIER))
-                   .otherwise(F.lit(1.0)))
+    spatial = F.exp(-(dist * dist) / (F.lit(2.0) * F.col("bw") * F.col("bw")))
     ediff = F.abs(F.col("a_elev") - F.col("r_elev"))
+    eq = ediff / F.col("edecay")
     elevation = F.when(F.col("r_elev").isNull() | F.col("a_elev").isNull(), F.lit(1.0)) \
                  .otherwise(F.lit(1.0) + F.lit(C.ELEVATION_BONUS_MAX)
-                            * F.exp(-F.pow(ediff / F.col("r_edecay"), F.lit(2.0))))
-    rt_w = K.route_type_weight_indexed("r_tidx", "a_tidx")
+                            * F.exp(-(eq * eq)))
     gdiff = F.abs(F.col("r_gdiff") - F.col("a_gdiff"))
     grade_w = F.when(F.col("r_gdiff").isNull() | F.col("a_gdiff").isNull(), F.lit(1.0)) \
                .otherwise(F.greatest(F.lit(C.GRADE_MIN_WEIGHT),
                                      F.exp(-(gdiff * gdiff)
                                            / F.lit(2.0 * C.GRADE_SIGMA**2))))
-    weather_w = F.coalesce(F.col("weather_weight"),
-                           F.lit(C.MISSING_WEATHER_NEUTRAL))
-    influence = (spatial * temporal * elevation * rt_w * F.col("a_sevw")
-                 * grade_w * K.weather_factor(weather_w))
+    wfac = F.coalesce(F.col("wfac"), F.lit(MISSING_WEATHER_FACTOR))
+    influence = spatial * F.col("tfac") * elevation * grade_w * wfac
     return pairs.select(
         "route_id", "location_id", "accident_id",
         dist.alias("distance_km"),
@@ -123,11 +217,7 @@ def influence_pairs_df(spark: SparkSession, sf_dir: str,
     )
 
 
-def risk_scores_df(spark: SparkSession, sf_dir: str,
-                   pred_date: str = domain.PRED_DATE,
-                   routes: DataFrame | None = None) -> DataFrame:
-    """Flagship: per-route risk score + color at the prediction date (A1+K18)."""
-    pairs = influence_pairs_df(spark, sf_dir, pred_date, routes=routes)
+def _risk_agg(pairs: DataFrame) -> DataFrame:
     agg = pairs.groupBy("route_id").agg(
         F.sum("influence").alias("influence_sum"),
         F.sum(F.when(F.col("influence") > C.SIGNIFICANCE_THRESHOLD, 1)
@@ -140,6 +230,37 @@ def risk_scores_df(spark: SparkSession, sf_dir: str,
         K.color_code(risk).alias("color_code"),
         F.col("num_contributing").cast("int").alias("num_contributing"),
     ).orderBy("route_id")
+
+
+def risk_scores_df(spark: SparkSession, sf_dir: str,
+                   pred_date: str = domain.PRED_DATE,
+                   routes: DataFrame | None = None) -> DataFrame:
+    """Flagship: per-route risk score + color at the prediction date (A1+K18)."""
+    return _risk_agg(influence_pairs_df(spark, sf_dir, pred_date, routes=routes))
+
+
+def risk_scores_capped_df(spark: SparkSession, sf_dir: str,
+                          pred_date: str = domain.PRED_DATE,
+                          radius_km: float = C.MAX_SEARCH_RADIUS_KM) -> DataFrame:
+    """Risk scores under the reference's production search cap — the plan
+    that survives when accidents no longer broadcast whole.
+
+    The reference's search paths never consider accidents beyond
+    MAX_SEARCH_RADIUS_KM = 300 km (algorithm_config.py:30, the ST_DWithin
+    radius scan predict.py:440-486), so only nearby accidents contribute.
+    Physically this replaces "every route meets every accident" with a grid
+    equi-join: routes hash into GRID_CELL_DEG cells, the accident-class dim
+    is replicated to each cell's 3x3 neighborhood, and the join key is
+    (route_type, cell).  Pair count drops from |R| x |A| to |R| x |A_near| —
+    the asymptotic win at continental scale — while the post-join exact
+    haversine filter keeps the semantics exactly "distance <= radius"
+    (the cell size guarantees no within-radius pair is missed; see
+    _grid_cell_deg).  The DuckDB oracle states the same semantics
+    declaratively: WHERE distance_km <= radius over the full cross join.
+    """
+    pairs = _pair_influence_select(
+        _candidate_pairs(spark, sf_dir, pred_date, None, grid=True))
+    return _risk_agg(pairs.filter(F.col("distance_km") <= F.lit(radius_km)))
 
 
 def _batch_topk_gen(limit: int):
@@ -200,19 +321,29 @@ def top_contributors_df(spark: SparkSession, sf_dir: str,
 # ---------------------------------------------------------------------------
 
 def _influence_sql(pred_date: str) -> str:
-    """Shared CTE chain ending in pair-grain influence rows."""
+    """Shared CTE chain ending in pair-grain influence rows.
+
+    Mirrors the factorized Spark plan: ``tdim`` pre-multiplies
+    temporal x route_type_matrix x severity per (route_type, accident) —
+    the same association order as accident_class_dim — so the pair-grain
+    product ``spatial * tfac * elevation * grade * wfac`` is bit-identical
+    on both engines."""
     dist = S.haversine_km("p.latitude", "p.longitude",
                           "p.a_latitude", "p.a_longitude")
-    weather_w = "coalesce(ws.weather_weight, 0.5)"
+    tfac = (
+        f"{S.temporal_weight(f_date(pred_date), 'a.accident_date', 'rt.route_type')}"
+        f" * {S.route_type_weight('rt.route_type', 'a.route_type')}"
+        f" * {S.severity_weight('a.severity')}"
+    )
+    wfac = f"coalesce({S.weather_factor('ws.weather_weight')}, {MISSING_WEATHER_FACTOR!r})"
     influence = (
         f"{S.spatial_weight('p.dist', 'p.route_type')}"
-        f" * {S.temporal_weight(f_date(pred_date), 'p.accident_date', 'p.route_type')}"
+        f" * p.tfac"
         f" * {S.elevation_weight('p.elevation_m', 'p.a_elevation_m', 'p.route_type')}"
-        f" * {S.route_type_weight('p.route_type', 'p.a_route_type')}"
-        f" * {S.severity_weight('p.severity')}"
         f" * {S.grade_weight_from_difficulty(S.parse_grade('p.grade'), S.parse_grade('p.a_grade'))}"
-        f" * {S.weather_factor(weather_w)}"
+        f" * {wfac}"
     )
+    rtypes = ", ".join(f"('{t}')" for t in domain.ROUTE_TYPE_BY_MOD)
     return f"""
 WITH {domain.ROUTES_CTE.strip()},
 {domain.LOCATIONS_CTE.strip()},
@@ -220,16 +351,21 @@ WITH {domain.ROUTES_CTE.strip()},
 {domain.WEATHER_CTE.strip()},
 {domain.ARCHIVE_STATS_CTE.strip()},
 {W.wsim_ctes().strip()},
+rtypes(route_type) AS (VALUES {rtypes}),
+tdim AS (
+  SELECT rt.route_type, a.accident_id, {tfac} AS tfac
+  FROM rtypes rt CROSS JOIN accidents a
+),
 pair0 AS (
   SELECT r.route_id, r.location_id, r.route_type, r.grade,
          l.latitude, l.longitude, l.elevation_m, l.wbucket,
          a.accident_id, a.latitude AS a_latitude, a.longitude AS a_longitude,
-         a.elevation_m AS a_elevation_m, a.accident_date,
-         a.route_type AS a_route_type, a.severity, a.grade AS a_grade,
-         a.wbucket AS acc_bucket
+         a.elevation_m AS a_elevation_m, a.grade AS a_grade,
+         a.wbucket AS acc_bucket, t.tfac
   FROM routes r
   JOIN locations l ON r.location_id = l.location_id
   CROSS JOIN accidents a
+  JOIN tdim t ON t.route_type = r.route_type AND t.accident_id = a.accident_id
 ),
 pair1 AS (
   SELECT p.*, {dist} AS dist FROM pair0 p
@@ -255,6 +391,21 @@ SELECT route_id,
        CAST(sum(CASE WHEN influence > {C.SIGNIFICANCE_THRESHOLD!r} THEN 1 ELSE 0 END) AS INT)
          AS num_contributing
 FROM pairs
+GROUP BY route_id
+ORDER BY route_id"""
+
+
+def risk_scores_capped_sql(pred_date: str = domain.PRED_DATE,
+                           radius_km: float = C.MAX_SEARCH_RADIUS_KM) -> str:
+    risk = S.normalize_risk("sum(influence)")
+    return f"""{_influence_sql(pred_date)}
+SELECT route_id,
+       round({risk}, 6) AS risk_score,
+       {S.color_code(risk)} AS color_code,
+       CAST(sum(CASE WHEN influence > {C.SIGNIFICANCE_THRESHOLD!r} THEN 1 ELSE 0 END) AS INT)
+         AS num_contributing
+FROM pairs
+WHERE distance_km <= {radius_km!r}
 GROUP BY route_id
 ORDER BY route_id"""
 

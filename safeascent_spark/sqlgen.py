@@ -27,11 +27,14 @@ def map_case(mapping: dict[str, float], key_expr: str, default: float) -> str:
 
 def haversine_km(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     # Delta = difference of per-point radians (matches kernels.haversine_km).
+    # sin^2 as s*s (not pow): exact-deterministic multiply on both engines.
+    s_lat = f"sin((radians({lat2}) - radians({lat1})) / 2)"
+    s_lon = f"sin((radians({lon2}) - radians({lon1})) / 2)"
     return (
         f"(2.0 * {C.EARTH_RADIUS_KM} * asin(sqrt("
-        f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+        f"{s_lat} * {s_lat} + "
         f"cos(radians({lat1})) * cos(radians({lat2})) * "
-        f"pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
+        f"({s_lon} * {s_lon}))))"
     )
 
 
@@ -107,9 +110,10 @@ def elevation_weight(route_elev: str, accident_elev: str, route_type: str) -> st
     decay = map_case(C.ELEVATION_DECAY_CONSTANT, route_type,
                      C.ELEVATION_DECAY_CONSTANT["default"])
     diff = f"abs(({accident_elev}) - ({route_elev}))"
+    q = f"({diff} / {decay})"
     return (
         f"(CASE WHEN ({route_elev}) IS NULL OR ({accident_elev}) IS NULL THEN 1.0 "
-        f"ELSE 1.0 + {C.ELEVATION_BONUS_MAX} * exp(-pow({diff} / {decay}, 2.0)) END)"
+        f"ELSE 1.0 + {C.ELEVATION_BONUS_MAX} * exp(-({q} * {q})) END)"
     )
 
 

@@ -21,15 +21,50 @@ def plan_of(df) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
+def n_ops(plan: str, op: str) -> int:
+    """Count operator INSTANCES in a formatted plan (each instance prints
+    twice: once in the tree, once as its '(n) Op' detail header)."""
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
 def test_risk_scores_plan_shape(spark):
     plan = plan_of(scoring.risk_scores_df(spark, SF_SMOKE))
-    # accidents + wsim dims ride broadcasts; the probe side streams
+    # accident-class + wsim dims ride broadcasts; the probe side streams
     assert plan.count("BroadcastExchange") >= 2
     # final aggregation is partial (map-side combine before the shuffle)
     assert "partial_sum" in plan
-    # nested-loop joins: the intentional accident cross join (+ at most one
-    # inside the cached weather-similarity subplan)
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the pair stage is a broadcast HASH join on route_type (the factorized
+    # accident_class_dim); the only nested-loop join allowed is the bounded
+    # 7 x |accidents| dim build inside the broadcast subtree
+    assert "BroadcastHashJoin" in plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_capped_scoring_is_grid_equi_join(spark):
+    """The 300 km-capped scoring path must pair routes with accidents via
+    the (route_type, grid cell) equi-join — never a full cross join: the
+    only nested-loop join allowed is the bounded 7 x |accidents| dim build
+    inside the broadcast subtree."""
+    df = scoring.risk_scores_capped_df(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") <= 1
+    # the pair join carries the cell keys
+    assert re.search(r"cx#\d+", plan) and re.search(r"cy#\d+", plan), plan[:3000]
+
+
+def test_capped_scoring_is_monotone_below_full(spark):
+    """Capped risk sums a subset of the full query's non-negative influence
+    terms, so per route: capped risk <= full risk (and the capped result
+    only contains routes with >= 1 in-radius accident)."""
+    full = {r.route_id: r.risk_score
+            for r in scoring.risk_scores_df(spark, SF_SMOKE).collect()}
+    capped = scoring.risk_scores_capped_df(spark, SF_SMOKE).collect()
+    assert 0 < len(capped) <= len(full)
+    for row in capped:
+        assert row.risk_score <= full[row.route_id] + 1e-6, row
 
 
 def test_top_contributors_truncates_before_window(spark):
