@@ -99,9 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
         "dedup_ngram_jaccard": D.q_dedup_jaccard,
         "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
-        "dedup_clusters": D.q_dedup_clusters,
         # new in round 3: star-contraction CC (O(log n) rounds) — same
-        # oracle as dedup_clusters, so a green row proves the equivalence
+        # oracle as dedup_clusters (which rotates to the tail: one green
+        # row proves the shared cluster semantics)
         "dedup_clusters_largestar": G.q_dedup_clusters_largestar,
         "events_sessionization": SESS.q_events_sessionization,
         # new in round 3: curation-funnel composition (stage survivor counts)
@@ -110,11 +110,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + deterministic per-language stratified downsampling
         "text_chunks": TX.q_text_chunks,
         "sample_stratified": TX.q_sample_stratified,
+        # new in round 3: concat-and-chunk sequence packing (two-level
+        # distributed prefix sum; oracle = the global-window closed form)
+        "text_pack_offsets": TX.q_text_pack_offsets,
         # ---- driver cap boundary (~50) — everything below was hash-green
         # in CORRECTNESS_r02 (or r01+local r02), is UNCHANGED this round
         # (or rows-only: ann_ivf/kmeans), and is re-verified in
         # CORRECTNESS_LOCAL_r03; rotates forward again next round ----
         "dedup_exact": D.q_dedup_exact,
+        "dedup_clusters": D.q_dedup_clusters,
         "dedup_minhash_signatures": D.q_minhash_signatures,
         "ann_ivf_topk": ML.q_ann_ivf,
         "embedding_kmeans_cells": ML.q_embedding_kmeans,
@@ -228,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": TX.sql_text_tfidf(),
         "text_chunks": TX.sql_text_chunks(),
         "sample_stratified": TX.sql_sample_stratified(),
+        "text_pack_offsets": TX.sql_text_pack_offsets(),
         "skew_salted_sum": SK.sql_skew_salted_sum(),
         "ann_cosine_topk_int8": SIM.sql_ann_cosine_int8(),
         "dedup_filtered_docs": D.sql_dedup_filtered_docs(),

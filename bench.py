@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # correctness gate.
 HEADLINE = [
     "risk_scores",
+    "risk_scores_capped",
     "batch_scores",
     "batch_scores_classed",
     "top_contributors",

@@ -532,3 +532,86 @@ SELECT d.doc_id, d.lang, r.n_stratum,
 FROM documents d JOIN r USING (lang)
 WHERE {bucket} < r.keep_per_mille
 ORDER BY d.doc_id"""
+
+
+# --- Sequence packing (concat-and-chunk context windows) ---------------------
+# GPT-style pretraining packs the tokenized corpus per language into a
+# single stream and slices fixed-size context windows; each document's
+# packing coordinates (stream offset, window id, whether it straddles a
+# window boundary) drive batch assembly and cross-document attention masks.
+
+PACK_BIN_TOKENS = 512   # context-window capacity in whitespace tokens
+PACK_SEG_DOCS = 1024    # prefix-sum segment width (doc_id range per segment)
+
+
+def q_text_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document packing coordinates in the per-language token stream.
+
+    Semantics: documents concatenate in (lang, doc_id) order; a document's
+    start_off is the running token count before it, bin_id = start_off div
+    PACK_BIN_TOKENS, and spans_bins marks documents straddling a window
+    boundary (they need a cross-window attention mask).
+
+    Scale shape — a two-level distributed prefix sum, NOT one global
+    window per language (which would sort each language's whole corpus on
+    a single task): doc_ids are dense, so contiguous PACK_SEG_DOCS-wide
+    ranges form segments; the within-segment cumulative sum is a window
+    partitioned by (lang, segment) — thousands of well-sized partitions —
+    and segment start offsets come from a bounded |docs|/PACK_SEG_DOCS-row
+    aggregate (recursable to more levels if that ever stops fitting one
+    task), broadcast back.  Integer arithmetic throughout, so the
+    decomposition equals the single global window EXACTLY — which is what
+    the DuckDB oracle declares (tests/test_plans.py also asserts the
+    Spark-side equivalence of the two forms).
+    """
+    d = docs_df(spark, sf_dir)
+    ntok = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    base = d.select("lang", "doc_id",
+                    ntok.cast("bigint").alias("n_tokens"),
+                    F.expr(f"doc_id div {PACK_SEG_DOCS}").alias("seg"))
+    in_seg = (Window.partitionBy("lang", "seg").orderBy("doc_id")
+                    .rowsBetween(Window.unboundedPreceding, 0))
+    seg_tot = base.groupBy("lang", "seg").agg(F.sum("n_tokens").alias("n"))
+    # exclusive running sum over the bounded per-(lang) segment table
+    seg_w = (Window.partitionBy("lang").orderBy("seg")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    seg_off = seg_tot.withColumn(
+        "seg_off", F.coalesce(F.sum("n").over(seg_w), F.lit(0)))
+    j = base.join(F.broadcast(seg_off.select("lang", "seg", "seg_off")),
+                  ["lang", "seg"])
+    start = (F.col("seg_off") + F.sum("n_tokens").over(in_seg)
+             - F.col("n_tokens"))
+    out = j.withColumn("start_off", start)
+    b = PACK_BIN_TOKENS
+    return (out.select(
+                "lang", "doc_id", "n_tokens", "start_off",
+                F.expr(f"start_off div {b}").alias("bin_id"),
+                (F.col("start_off") % b).alias("bin_off"),
+                F.when(F.col("n_tokens") > 0,
+                       F.expr(f"(start_off + n_tokens - 1) div {b}")
+                       > F.expr(f"start_off div {b}"))
+                 .otherwise(F.lit(False)).alias("spans_bins"))
+               .orderBy("lang", "doc_id"))
+
+
+def sql_text_pack_offsets() -> str:
+    ntok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    b = PACK_BIN_TOKENS
+    return f"""
+WITH d AS (
+  SELECT lang, doc_id, CAST({ntok} AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM d
+)
+SELECT lang, doc_id, n_tokens, start_off,
+       start_off // {b} AS bin_id,
+       start_off % {b} AS bin_off,
+       CASE WHEN n_tokens > 0
+            THEN (start_off + n_tokens - 1) // {b} > start_off // {b}
+            ELSE false END AS spans_bins
+FROM c ORDER BY lang, doc_id"""

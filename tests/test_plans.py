@@ -221,6 +221,29 @@ def test_text_chunks_single_exchange(spark):
     assert "Generate" in plan, plan             # the chunk-index explode
 
 
+def test_pack_offsets_equals_global_window(spark):
+    """The two-level prefix-sum decomposition must reproduce the single
+    global-window-per-language form EXACTLY (integer arithmetic), and its
+    windows must be partitioned by (lang, seg) — never one task per lang."""
+    from pyspark.sql import Window as PW
+    from safeascent_spark.operators import text as TX
+    got = {(r.lang, r.doc_id): (r.n_tokens, r.start_off, r.bin_id,
+                                r.bin_off, r.spans_bins)
+           for r in TX.q_text_pack_offsets(spark, SF_SMOKE).collect()}
+    d = TX.docs_df(spark, SF_SMOKE)
+    ntok = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    w = (PW.partitionBy("lang").orderBy("doc_id")
+           .rowsBetween(PW.unboundedPreceding, 0))
+    ref = d.select("lang", "doc_id", ntok.cast("bigint").alias("t")) \
+           .withColumn("start", F.sum("t").over(w) - F.col("t")).collect()
+    assert len(ref) == len(got) > 0
+    for r in ref:
+        assert got[(r.lang, r.doc_id)][1] == r.start, (r, got[(r.lang, r.doc_id)])
+    # at least one doc straddles a window boundary (non-vacuous)
+    assert any(v[4] for v in got.values())
+
+
 def test_stratified_sample_broadcasts_rates(spark):
     """The per-stratum rate table must ride a broadcast; the corpus scan
     must not shuffle (one Exchange for the tiny rate aggregate + the final
