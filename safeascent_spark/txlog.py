@@ -1,0 +1,192 @@
+"""Versioned-manifest table format: atomic commits over plain parquet.
+
+The reference upserts scores with ``INSERT ... ON CONFLICT DO UPDATE``
+under PostgreSQL's transactional guarantees
+(safety_computation_optimized.py:827-905).  The filesystem merge-on-read
+stand-in in ``sinks.py`` is single-writer; this module supplies the missing
+catalog-table semantics — the same protocol Delta Lake / Iceberg use,
+reduced to its core:
+
+* A table is ``<root>/data/*.parquet`` plus a log ``<root>/_txlog/v{N}.json``.
+  Each manifest lists the EXACT data files of that snapshot (grouped by
+  partition value), so readers never list directories and never see
+  half-written files: files are written first under fresh unique names,
+  then referenced.
+* Commits are optimistic: build the next manifest against the current
+  version, then publish with ``os.link(tmp, v{N+1}.json)`` — hard-link
+  creation is atomic and fails with EEXIST if another writer took the
+  version, in which case the commit REBASES on the new head and retries
+  (bounded).  Readers always see a complete manifest or the previous one.
+* Old manifests stay until ``vacuum`` — which yields snapshot isolation and
+  time travel for free (``read_snapshot(version=K)``).
+
+Partition-grain operations rewrite only the partitions they touch; MERGE
+(latest-wins by key) rewrites only partitions present in the source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced the table while this commit was retried out."""
+
+
+def _log_dir(root: str) -> Path:
+    return Path(root) / "_txlog"
+
+
+def _manifest_path(root: str, version: int) -> Path:
+    return _log_dir(root) / f"v{version}.json"
+
+
+def current_version(root: str) -> int:
+    """Highest committed version, 0 if the table does not exist yet."""
+    d = _log_dir(root)
+    if not d.exists():
+        return 0
+    vs = [int(p.stem[1:]) for p in d.glob("v*.json")]
+    return max(vs, default=0)
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    v = current_version(root) if version is None else version
+    if v == 0:
+        return {"version": 0, "partitions": {}}
+    with open(_manifest_path(root, v)) as f:
+        return json.load(f)
+
+
+def _write_data_files(df: DataFrame, root: str) -> list[str]:
+    """Materialize ``df`` under a fresh unique directory; return the file
+    list (relative to root).  Unreferenced until a manifest commit."""
+    sub = f"data/{uuid.uuid4().hex}"
+    out = Path(root) / sub
+    df.write.mode("error").parquet(str(out))
+    return sorted(f"{sub}/{p.name}" for p in out.iterdir()
+                  if p.name.endswith(".parquet"))
+
+
+def _publish(root: str, manifest: dict) -> bool:
+    """Atomically publish ``manifest`` as the next version via hard link.
+
+    Returns False when the version was taken by a concurrent writer."""
+    d = _log_dir(root)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+    try:
+        os.link(tmp, _manifest_path(root, manifest["version"]))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        tmp.unlink()
+
+
+def read_snapshot(spark: SparkSession, root: str,
+                  version: int | None = None,
+                  partition: str | None = None) -> DataFrame:
+    """Read a committed snapshot (optionally one partition / an old
+    version).  Loads exactly the manifest's file list — no directory
+    listing, no exposure to in-flight writers."""
+    m = read_manifest(root, version)
+    parts = m["partitions"]
+    if partition is not None:
+        parts = {partition: parts.get(partition, [])}
+    frames = []
+    for pval, files in sorted(parts.items()):
+        if not files:
+            continue
+        df = spark.read.parquet(*[str(Path(root) / f) for f in files])
+        frames.append(df.withColumn("prediction_date", F.lit(pval)))
+    if not frames:
+        return spark.createDataFrame([], "route_id bigint") \
+            .withColumn("prediction_date", F.lit(None).cast("string"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _retrying_commit(root: str, build, max_retries: int = 10):
+    """Optimistic-commit loop: ``build(base_manifest)`` returns the changed
+    partition->files mapping; on a lost race the commit rebases on the new
+    head and retries.  Partition-disjoint writers therefore both land."""
+    for _ in range(max_retries):
+        base = read_manifest(root)
+        changed = build(base)
+        nxt = {"version": base["version"] + 1,
+               "partitions": {**base["partitions"], **changed}}
+        if _publish(root, nxt):
+            return nxt["version"]
+    raise CommitConflict(f"lost {max_retries} commit races on {root}")
+
+
+def commit_overwrite_partition(df: DataFrame, root: str,
+                               partition: str) -> int:
+    """Replace one partition's contents atomically (the nightly re-score
+    unit).  Returns the committed version."""
+    files = _write_data_files(df, root)
+    return _retrying_commit(root, lambda base: {partition: files})
+
+
+def merge_scores(df: DataFrame, root: str, partition: str,
+                 key: str = "route_id") -> int:
+    """Row-level MERGE (the reference's ON CONFLICT DO UPDATE): source rows
+    replace same-key rows of the partition, others are inserted.
+
+    Reads the CURRENT snapshot of the partition inside the retry loop, so a
+    rebased retry merges against the concurrent writer's rows instead of
+    clobbering them — the anomaly the round-2 advice flagged for the
+    directory-sequence stand-in.
+    """
+    spark = df.sparkSession
+    src = df.localCheckpoint(eager=True)  # pin source rows across retries
+
+    def build(base: dict) -> dict:
+        cur_files = base["partitions"].get(partition, [])
+        if cur_files:
+            cur = spark.read.parquet(
+                *[str(Path(root) / f) for f in cur_files])
+            keep = cur.join(src.select(key).distinct(), key, "left_anti")
+            merged = keep.unionByName(src.select(*keep.columns))
+        else:
+            merged = src
+        return {partition: _write_data_files(merged, root)}
+
+    return _retrying_commit(root, build)
+
+
+def vacuum(root: str, keep_versions: int = 1) -> list[str]:
+    """Drop manifests older than the newest ``keep_versions`` and delete
+    data files no surviving manifest references.  Returns removed files."""
+    head = current_version(root)
+    keep = range(max(1, head - keep_versions + 1), head + 1)
+    referenced: set[str] = set()
+    for v in keep:
+        for files in read_manifest(root, v)["partitions"].values():
+            referenced.update(files)
+    removed = []
+    data = Path(root) / "data"
+    if data.exists():
+        for sub in data.iterdir():
+            for p in sub.glob("*.parquet"):
+                rel = str(p.relative_to(root))
+                if rel not in referenced:
+                    p.unlink()
+                    removed.append(rel)
+            if not any(sub.iterdir()):
+                sub.rmdir()
+    for v in range(1, keep.start):
+        mp = _manifest_path(root, v)
+        if mp.exists():
+            mp.unlink()
+    return sorted(removed)

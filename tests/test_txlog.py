@@ -1,0 +1,82 @@
+"""Versioned-manifest table format: atomic swap, MERGE, races, time travel."""
+
+from __future__ import annotations
+
+from safeascent_spark import txlog as T
+
+D = "2024-06-15"
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "route_id bigint, risk_score double")
+
+
+def _snap(spark, root, version=None):
+    return {r.route_id: r.risk_score
+            for r in T.read_snapshot(spark, root, version).collect()}
+
+
+def test_overwrite_and_read_snapshot(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v = T.commit_overwrite_partition(_rows(spark, [(1, 10.0), (2, 20.0)]),
+                                     root, D)
+    assert v == 1
+    assert _snap(spark, root) == {1: 10.0, 2: 20.0}
+    # partition column is attached from the manifest key
+    row = T.read_snapshot(spark, root).collect()[0]
+    assert row.prediction_date == D
+
+
+def test_merge_is_latest_wins_insert_or_update(spark, tmp_path):
+    root = str(tmp_path / "t")
+    T.commit_overwrite_partition(_rows(spark, [(1, 10.0), (2, 20.0)]), root, D)
+    v = T.merge_scores(_rows(spark, [(2, 99.0), (3, 30.0)]), root, D)
+    assert v == 2
+    assert _snap(spark, root) == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_commit_race_rebases_and_keeps_both_writes(spark, tmp_path):
+    """Simulate a writer that lands BETWEEN this commit's manifest read and
+    its publish: the first publish must fail (version taken) and the retry
+    must merge against the interloper's rows, not clobber them."""
+    root = str(tmp_path / "t")
+    T.commit_overwrite_partition(_rows(spark, [(1, 10.0)]), root, D)
+    fired = {"done": False}
+    orig_read = T.read_manifest
+
+    def race_once(r, version=None):
+        m = orig_read(r, version)
+        if version is None and not fired["done"]:
+            fired["done"] = True
+            # interloper commits while our merge is in flight
+            T.merge_scores(_rows(spark, [(7, 70.0)]), root, D)
+            return m  # stale base: publish of v(m+1) must now collide
+        return m
+
+    T.read_manifest = race_once
+    try:
+        T.merge_scores(_rows(spark, [(1, 11.0)]), root, D)
+    finally:
+        T.read_manifest = orig_read
+    assert _snap(spark, root) == {1: 11.0, 7: 70.0}
+    assert T.current_version(root) == 3  # base + interloper + rebased retry
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    root = str(tmp_path / "t")
+    T.commit_overwrite_partition(_rows(spark, [(1, 10.0)]), root, D)
+    T.commit_overwrite_partition(_rows(spark, [(1, 99.0)]), root, D)
+    assert _snap(spark, root, version=1) == {1: 10.0}
+    assert _snap(spark, root, version=2) == {1: 99.0}
+    removed = T.vacuum(root, keep_versions=1)
+    assert removed, "v1's unreferenced files should be deleted"
+    assert _snap(spark, root) == {1: 99.0}  # head intact
+
+
+def test_partition_isolation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    T.commit_overwrite_partition(_rows(spark, [(1, 10.0)]), root, "2024-06-15")
+    T.commit_overwrite_partition(_rows(spark, [(2, 20.0)]), root, "2024-06-16")
+    one = T.read_snapshot(spark, root, partition="2024-06-15").collect()
+    assert [r.route_id for r in one] == [1]
+    assert len(T.read_snapshot(spark, root).collect()) == 2
