@@ -83,7 +83,8 @@ def purge_old_partitions(path: str, keep_dates: set[str]) -> list[str]:
 # append under a sequence number, readers resolve latest-wins per key, and a
 # compaction folds deltas back into the base partition.  (Iceberg/Delta do
 # exactly this with a manifest; the filesystem sequence is the no-dependency
-# stand-in.)
+# stand-in; safeascent_spark.txlog supplies the real thing — optimistic
+# manifest-swap commits, snapshot isolation, time travel.)
 
 def _delta_root(path: str, pred_date: str) -> Path:
     return Path(path + "__deltas") / f"prediction_date={pred_date}"
