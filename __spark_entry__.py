@@ -69,7 +69,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_haversine": KQ.q_haversine,
         "k2_spatial_weight": KQ.q_spatial_weight,
         "k3_temporal_weight": KQ.q_temporal_weight,
-        "k4_season_of_orders": KQ.q_season_of_orders,
         "k10_route_type_weight": KQ.q_route_type_weight,
         "k11_severity": KQ.q_severity,
         "k13_elevation_weight": KQ.q_elevation_weight,
@@ -112,13 +111,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": TX.q_sample_stratified,
         # new in round 3: concat-and-chunk sequence packing (two-level
         # distributed prefix sum; oracle = the global-window closed form)
+        # + Gopher-style repetition-ratio quality filter
         "text_pack_offsets": TX.q_text_pack_offsets,
+        "text_repetition": TX.q_text_repetition,
         # ---- driver cap boundary (~50) — everything below was hash-green
         # in CORRECTNESS_r02 (or r01+local r02), is UNCHANGED this round
         # (or rows-only: ann_ivf/kmeans), and is re-verified in
         # CORRECTNESS_LOCAL_r03; rotates forward again next round ----
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
+        "k4_season_of_orders": KQ.q_season_of_orders,
         "dedup_minhash_signatures": D.q_minhash_signatures,
         "ann_ivf_topk": ML.q_ann_ivf,
         "embedding_kmeans_cells": ML.q_embedding_kmeans,
@@ -233,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunks": TX.sql_text_chunks(),
         "sample_stratified": TX.sql_sample_stratified(),
         "text_pack_offsets": TX.sql_text_pack_offsets(),
+        "text_repetition": TX.sql_text_repetition(),
         "skew_salted_sum": SK.sql_skew_salted_sum(),
         "ann_cosine_topk_int8": SIM.sql_ann_cosine_int8(),
         "dedup_filtered_docs": D.sql_dedup_filtered_docs(),

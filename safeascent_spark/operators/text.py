@@ -615,3 +615,105 @@ SELECT lang, doc_id, n_tokens, start_off,
             THEN (start_off + n_tokens - 1) // {b} > start_off // {b}
             ELSE false END AS spans_bins
 FROM c ORDER BY lang, doc_id"""
+
+
+# --- Repetition-ratio quality signals (Gopher-style filters) -----------------
+# Pretraining corpora drop documents dominated by repeated content; the
+# standard signals are the fraction of tokens covered by the most frequent
+# word / bigram and the fraction of trigram occurrences that are duplicates.
+
+REP_TOP_WORD_MAX = 0.20     # Gopher-style thresholds on the fractions
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_TRIGRAM_MAX = 0.30
+
+
+def _grams_col(n: int):
+    """word n-gram array from the ``ws`` token array (empty when len < n).
+
+    The sequence is guarded: Spark's sequence(1, 0) would produce a
+    DESCENDING [1, 0], not an empty list.
+    """
+    if n == 1:
+        return F.col("ws")
+    idx = F.when(F.size("ws") >= n,
+                 F.sequence(F.lit(1), F.size("ws") - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("ws"), i + k) for k in range(n)]))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition fractions + the composed keep flag.
+
+    Scale shape: three explode -> groupBy(doc_id, gram) -> groupBy(doc_id)
+    chains — all equi-key aggregations with map-side combine, no windows,
+    no doc x doc interaction.  Documents too short for an n-gram get NULL
+    for that fraction (no evidence) and it does not fail the filter —
+    identical CASE logic in the oracle.
+    """
+    d = docs_df(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", ws.alias("ws"))
+
+    def frac(n: int, dup: bool, name: str) -> DataFrame:
+        g = base.select("doc_id", F.explode(_grams_col(n)).alias("g"))
+        c = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+        num = (F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+               if dup else F.max("n"))
+        return c.groupBy("doc_id").agg(
+            F.round(num.cast("double") / F.sum("n"), 6).alias(name))
+
+    out = (base.select("doc_id", F.size("ws").alias("n_tokens"))
+               .join(frac(1, False, "top_word_frac"), "doc_id", "left")
+               .join(frac(2, False, "top_bigram_frac"), "doc_id", "left")
+               .join(frac(3, True, "dup_trigram_frac"), "doc_id", "left"))
+    keep = ((F.coalesce(F.col("top_word_frac") <= REP_TOP_WORD_MAX, F.lit(True)))
+            & (F.coalesce(F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX,
+                          F.lit(True)))
+            & (F.coalesce(F.col("dup_trigram_frac") <= REP_DUP_TRIGRAM_MAX,
+                          F.lit(True))))
+    return (out.select("doc_id", "n_tokens", "top_word_frac",
+                       "top_bigram_frac", "dup_trigram_frac",
+                       keep.alias("passes_repetition_filter"))
+               .orderBy("doc_id"))
+
+
+def sql_text_repetition() -> str:
+    ws = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+    def grams(n):
+        if n == 1:
+            return "ws"
+        parts = " || ' ' || ".join(f"ws[i + {k}]" for k in range(n))
+        return (f"CASE WHEN len(ws) >= {n} THEN "
+                f"list_transform(range(1, len(ws) - {n - 2}), i -> {parts}) "
+                f"ELSE [] END")
+
+    def frac(n, dup, name):
+        num = ("sum(CASE WHEN n >= 2 THEN n ELSE 0 END)" if dup else "max(n)")
+        return f"""
+  SELECT doc_id, round(CAST({num} AS DOUBLE) / sum(n), 6) AS {name}
+  FROM (
+    SELECT doc_id, g, count(*) AS n
+    FROM (SELECT doc_id, unnest({grams(n)}) AS g
+          FROM (SELECT doc_id, {ws} AS ws FROM documents))
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id"""
+
+    keep = (f"(coalesce(f1.top_word_frac <= {REP_TOP_WORD_MAX}, true) AND "
+            f"coalesce(f2.top_bigram_frac <= {REP_TOP_BIGRAM_MAX}, true) AND "
+            f"coalesce(f3.dup_trigram_frac <= {REP_DUP_TRIGRAM_MAX}, true))")
+    return f"""
+WITH base AS (SELECT doc_id, len({ws}) AS n_tokens FROM documents),
+f1 AS ({frac(1, False, 'top_word_frac')}),
+f2 AS ({frac(2, False, 'top_bigram_frac')}),
+f3 AS ({frac(3, True, 'dup_trigram_frac')})
+SELECT b.doc_id, b.n_tokens, f1.top_word_frac, f2.top_bigram_frac,
+       f3.dup_trigram_frac, {keep} AS passes_repetition_filter
+FROM base b
+LEFT JOIN f1 ON b.doc_id = f1.doc_id
+LEFT JOIN f2 ON b.doc_id = f2.doc_id
+LEFT JOIN f3 ON b.doc_id = f3.doc_id
+ORDER BY b.doc_id"""
