@@ -90,3 +90,53 @@ def run_refresh(spark: SparkSession, sf_dir: str, out_path: str,
     q.awaitTermination(timeout_sec)
     q.stop()
     return batches["n"]
+
+
+def run_incremental_scores(spark: SparkSession, sf_dir: str,
+                           table_root: str,
+                           pred_date: str = domain.PRED_DATE,
+                           timeout_sec: int = 180) -> int:
+    """Streaming incremental score maintenance into the versioned table.
+
+    Each microbatch's touched weather buckets identify the affected
+    locations; ONLY their routes are re-scored (the route subset rides
+    below the scoring pair join) and the fresh rows are row-level MERGEd
+    into the txlog table — an atomic, optimistically-committed snapshot per
+    microbatch, safe against a concurrent nightly writer.  This is the
+    streaming analog of the reference's per-date recompute + ON CONFLICT
+    upsert (safety_computation_optimized.py:954-1019, 827-905) with the
+    Redis tier replaced by snapshot reads.
+
+    The touched-bucket collect is bounded by N_WBUCKETS (the weather grid),
+    not by data volume.  Returns micro-batches processed.
+    """
+    from .. import txlog
+    from ..operators import scoring
+
+    batches = {"n": 0}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batches["n"] += 1
+        buckets = [int(r.wbucket) for r in
+                   batch_df.select("wbucket").distinct().collect()]
+        locs = (domain.locations_df(spark, sf_dir)
+                .filter(F.col("wbucket").isin(buckets))
+                .select("location_id"))
+        routes = (domain.routes_df(spark, sf_dir)
+                  .join(F.broadcast(locs), "location_id"))
+        scores = scoring.risk_scores_df(spark, sf_dir, pred_date,
+                                        routes=routes)
+        txlog.merge_scores(scores, table_root, pred_date)
+
+    q = (bucket_updates(weather_update_stream(spark, sf_dir))
+         .writeStream
+         .outputMode("update")
+         .foreachBatch(merge_batch)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", table_root + "_ckpt")
+         .start())
+    q.awaitTermination(timeout_sec)
+    q.stop()
+    return batches["n"]

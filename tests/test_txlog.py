@@ -80,3 +80,36 @@ def test_partition_isolation(spark, tmp_path):
     one = T.read_snapshot(spark, root, partition="2024-06-15").collect()
     assert [r.route_id for r in one] == [1]
     assert len(T.read_snapshot(spark, root).collect()) == 2
+
+
+def test_streaming_incremental_scores_merge(spark, tmp_path):
+    """foreachBatch -> txlog MERGE: after one availableNow pass over the
+    events feed, the snapshot holds exactly the batch-computed scores for
+    the routes whose location's weather bucket was touched by the stream —
+    and ONLY those (incremental maintenance refreshes affected routes, not
+    the whole table) — committed as one atomic version per microbatch."""
+    from safeascent_spark.streaming import refresh as R
+    from safeascent_spark.operators import scoring
+    from safeascent_spark import domain
+    from pyspark.sql import functions as F
+    root = str(tmp_path / "scores")
+    sf = "/root/testdata/sf0.001"
+    n = R.run_incremental_scores(spark, sf, root)
+    assert n >= 1
+    got = {r.route_id: r.risk_score
+           for r in T.read_snapshot(spark, root).collect()}
+    want = {r.route_id: r.risk_score
+            for r in scoring.risk_scores_df(spark, sf).collect()}
+    touched = {int(r.wbucket) for r in
+               R.bucket_updates(
+                   spark.read.parquet(f"{sf}/events.parquet")
+                        .transform(domain.ts_to_nanos))
+                .select("wbucket").distinct().collect()}
+    expected_routes = {
+        r.route_id for r in domain.routes_df(spark, sf)
+        .join(domain.locations_df(spark, sf), "location_id")
+        .filter(F.col("wbucket").isin(sorted(touched)))
+        .select("route_id").collect()}
+    assert set(got) == expected_routes and len(got) > 0
+    assert all(got[k] == want[k] for k in got)
+    assert T.current_version(root) == n
