@@ -70,7 +70,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k2_spatial_weight": KQ.q_spatial_weight,
         "k3_temporal_weight": KQ.q_temporal_weight,
         "k10_route_type_weight": KQ.q_route_type_weight,
-        "k11_severity": KQ.q_severity,
         "k13_elevation_weight": KQ.q_elevation_weight,
         "k14_grade_weight": KQ.q_grade_weight,
         "k16_route_type_inference": KQ.q_route_type_inference,
@@ -114,6 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + Gopher-style repetition-ratio quality filter
         "text_pack_offsets": TX.q_text_pack_offsets,
         "text_repetition": TX.q_text_repetition,
+        # new in round 3: sketch aggregations under a self-certifying
+        # accuracy contract (HLL / GK booleans the oracle pins to true)
+        "events_approx_stats": A.q_events_approx_stats,
         # ---- driver cap boundary (~50) — everything below was hash-green
         # in CORRECTNESS_r02 (or r01+local r02), is UNCHANGED this round
         # (or rows-only: ann_ivf/kmeans), and is re-verified in
@@ -121,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
         "k4_season_of_orders": KQ.q_season_of_orders,
+        "k11_severity": KQ.q_severity,
         "dedup_minhash_signatures": D.q_minhash_signatures,
         "ann_ivf_topk": ML.q_ann_ivf,
         "embedding_kmeans_cells": ML.q_embedding_kmeans,
@@ -241,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_filtered_docs": D.sql_dedup_filtered_docs(),
         "events_json_stats": A.sql_events_json_stats(),
         "events_cardinality_stats": A.sql_events_cardinality_stats(),
+        "events_approx_stats": A.sql_events_approx_stats(),
         "events_sessionization": SESS.sql_events_sessionization(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),

@@ -527,6 +527,50 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type"""
 
 
+def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations (HLL cardinality, GK percentiles) with a
+    self-certifying accuracy contract — the 100 TB form of
+    q_events_cardinality_stats, made driver-checkable.
+
+    Sketch implementations never agree bit-for-bit across engines, so the
+    query emits the EXACT statistics (which DuckDB reproduces) plus
+    booleans asserting the Spark-side sketch landed inside its declared
+    tolerance: HLL(rsd=2%) within 10% of the exact cardinality (5 sigma),
+    and the GK approximate median inside the exact [p45, p55] rank window
+    (accuracy=10000 guarantees rank error 1e-4 << 0.05).  The oracle
+    states those contracts as literal ``true``s — a sketch accuracy
+    regression therefore breaks the hash gate.  Both sketches are
+    deterministic for a fixed input, so the booleans are stable.
+    """
+    e = domain.load_table(spark, sf_dir, "events")
+    agg = (e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.expr("approx_count_distinct(user_id, 0.02)").alias("hll"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("p50_gk"),
+    ))
+    hll_ok = (F.abs(F.col("hll") - F.col("n_users"))
+              <= F.lit(0.10) * F.col("n_users"))
+    gk_ok = F.col("p50_gk").between(F.col("p45"), F.col("p55"))
+    return (agg.select("event_type", "n_users",
+                       hll_ok.alias("hll_within_10pct"),
+                       F.round("p50", 6).alias("p50"),
+                       gk_ok.alias("gk_median_in_rank_window"))
+               .orderBy("event_type"))
+
+
+def sql_events_approx_stats() -> str:
+    return """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       true AS hll_within_10pct,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       true AS gk_median_in_rank_window
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
 # --- OLAP: pivot + CUBE ------------------------------------------------------
 
 MONTHS = list(range(1, 13))
