@@ -58,7 +58,8 @@ GRID_CELL_DEG = round(_grid_cell_deg(C.MAX_SEARCH_RADIUS_KM) + 0.005, 2)
 
 
 def accident_class_dim(spark: SparkSession, sf_dir: str,
-                       pred_date: str = domain.PRED_DATE) -> DataFrame:
+                       pred_date: str = domain.PRED_DATE,
+                       accidents: DataFrame | None = None) -> DataFrame:
     """Pre-multiplied (route_type x accident) factor dimension.
 
     temporal, route-type-matrix and severity weights depend on the route
@@ -75,7 +76,8 @@ def accident_class_dim(spark: SparkSession, sf_dir: str,
     (safety_algorithm_vectorized.py:314-376); the DuckDB oracle builds the
     identical dim in its ``tdim`` CTE so float association matches bit-wise.
     """
-    accidents = domain.accidents_df(spark, sf_dir)
+    if accidents is None:
+        accidents = domain.accidents_df(spark, sf_dir)
     gdim = G.domain_grade_dim(spark, sf_dir)
     cell = F.lit(GRID_CELL_DEG)
     a = G.grade_difficulty_join(accidents, "grade", "a_gdiff", dim=gdim).select(
@@ -157,7 +159,8 @@ def _route_side(spark: SparkSession, sf_dir: str,
 
 
 def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
-                     routes: DataFrame | None, grid: bool) -> DataFrame:
+                     routes: DataFrame | None, grid: bool,
+                     accidents: DataFrame | None = None) -> DataFrame:
     """Join routes against the accident-class dim (+ the weather-factor dim).
 
     ``grid=False``: equi-join on route_type alone — every route meets every
@@ -167,7 +170,7 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
     paired, which is the 100 TB plan when the search radius is capped.
     """
     r = _route_side(spark, sf_dir, routes)
-    ax = accident_class_dim(spark, sf_dir, pred_date)
+    ax = accident_class_dim(spark, sf_dir, pred_date, accidents=accidents)
     wsim = W.weather_similarity_cached(spark, sf_dir)
     wdim = wsim.select(
         "cur_bucket",
@@ -237,6 +240,45 @@ def risk_scores_df(spark: SparkSession, sf_dir: str,
                    routes: DataFrame | None = None) -> DataFrame:
     """Flagship: per-route risk score + color at the prediction date (A1+K18)."""
     return _risk_agg(influence_pairs_df(spark, sf_dir, pred_date, routes=routes))
+
+
+def influence_sums_df(spark: SparkSession, sf_dir: str,
+                      pred_date: str = domain.PRED_DATE,
+                      accidents: DataFrame | None = None) -> DataFrame:
+    """Raw per-route influence sums (the incrementally-maintainable state
+    behind risk_scores): (route_id, influence_sum, num_contributing).
+
+    ``accidents`` restricts the pair stage to a subset — the delta-scoring
+    input for incremental maintenance."""
+    pairs = _pair_influence_select(
+        _candidate_pairs(spark, sf_dir, pred_date, None, grid=False,
+                         accidents=accidents))
+    return pairs.groupBy("route_id").agg(
+        F.sum("influence").alias("influence_sum"),
+        F.sum(F.when(F.col("influence") > C.SIGNIFICANCE_THRESHOLD, 1)
+               .otherwise(0)).alias("num_contributing"))
+
+
+def apply_incremental_accidents(prior_sums: DataFrame,
+                                delta_sums: DataFrame) -> DataFrame:
+    """Nightly maintenance when accidents were only ADDED: fold the delta
+    pair sums for the new accidents into the stored per-route sums and
+    re-derive risk/color — the pair stage touches |routes| x |NEW
+    accidents|, never the historical pairs.  Influence is a plain sum, so
+    the update is exact up to float re-association (equivalence-tested at
+    1e-9 against the full recompute); min/round/color are re-applied on the
+    merged sum, not maintained.
+    """
+    merged = prior_sums.unionByName(delta_sums).groupBy("route_id").agg(
+        F.sum("influence_sum").alias("influence_sum"),
+        F.sum("num_contributing").alias("num_contributing"))
+    risk = K.normalize_risk("influence_sum")
+    return merged.select(
+        "route_id",
+        F.round(risk, 6).alias("risk_score"),
+        K.color_code(risk).alias("color_code"),
+        F.col("num_contributing").cast("int").alias("num_contributing"),
+    ).orderBy("route_id")
 
 
 def risk_scores_capped_df(spark: SparkSession, sf_dir: str,

@@ -88,3 +88,27 @@ def test_pandas_udf_similarity_matches_closed_form(spark):
     assert set(algebra) == set(udf)
     for k, v in algebra.items():
         assert udf[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_incremental_accident_update_matches_full_recompute(spark):
+    """Delta-scoring equivalence: sums over half the accidents + the folded
+    delta for the other half must reproduce the full recompute (1e-9 on
+    risk — float re-association only — and exact contributor counts)."""
+    from pyspark.sql import functions as F
+    from safeascent_spark import domain
+    from safeascent_spark.operators import scoring
+    sf = SF_SMOKE
+    acc = domain.accidents_df(spark, sf)
+    old = acc.filter(F.col("accident_id") % 2 == 0)
+    new = acc.filter(F.col("accident_id") % 2 == 1)
+    prior = scoring.influence_sums_df(spark, sf, accidents=old)
+    delta = scoring.influence_sums_df(spark, sf, accidents=new)
+    inc = {r.route_id: r for r in
+           scoring.apply_incremental_accidents(prior, delta).collect()}
+    full = scoring.risk_scores_df(spark, sf).collect()
+    assert len(inc) == len(full) > 0
+    for r in full:
+        i = inc[r.route_id]
+        assert abs(i.risk_score - r.risk_score) < 1e-6, (r, i)
+        assert i.num_contributing == r.num_contributing
+        assert i.color_code == r.color_code
