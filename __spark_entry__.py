@@ -62,7 +62,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "risk_rollup": A.q_risk_rollup,
         "s4_location_routes_assembled": ASM.q_location_routes_assembled,
         "s3_weather_arrays_assembled": ASM.q_weather_arrays_assembled,
-        "k22_weather_summary": ASM.q_weather_summary,
         "location_forecast_horizon": ASM.q_location_forecast,
         "j2_weather_range_join": RJ.q_weather_range_join,
         "predict_point": RJ.q_predict_point,
@@ -115,7 +114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": TX.q_text_repetition,
         # new in round 3: sketch aggregations under a self-certifying
         # accuracy contract (HLL / GK booleans the oracle pins to true)
+        # + real WAV/PCM audio decode (RIFF walk, fmt parse, PCM unpack)
         "events_approx_stats": A.q_events_approx_stats,
+        "multimodal_wav_meta": MM.q_multimodal_wav_meta,
         # ---- driver cap boundary (~50) — everything below was hash-green
         # in CORRECTNESS_r02 (or r01+local r02), is UNCHANGED this round
         # (or rows-only: ann_ivf/kmeans), and is re-verified in
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": D.q_dedup_clusters,
         "k4_season_of_orders": KQ.q_season_of_orders,
         "k11_severity": KQ.q_severity,
+        "k22_weather_summary": ASM.q_weather_summary,
         "dedup_minhash_signatures": D.q_minhash_signatures,
         "ann_ivf_topk": ML.q_ann_ivf,
         "embedding_kmeans_cells": ML.q_embedding_kmeans,
@@ -232,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": SIM.sql_dedup_embedding_cosine(),
         "ml_risk_model": ML.sql_ml_risk_model(),
         "multimodal_png_meta": MM.sql_multimodal_png_meta(),
+        "multimodal_wav_meta": MM.sql_multimodal_wav_meta(),
         "k8_extreme_breakdown": W.sql_extreme_breakdown(),
         "j5_breadcrumb_recursive": R.sql_location_breadcrumb(),
         "text_tfidf_topk": TX.sql_text_tfidf(),

@@ -10,11 +10,17 @@ Two tiers:
   in one ``mapInPandas`` stage, ships the binary column through Arrow into a
   second decode stage, and emits IHDR dimensions + pixel statistics that a
   DuckDB oracle recomputes arithmetically.
-* **Stubbed decode — audio/video.**  The container has no media codecs, so
-  ``decode_image_stub`` / ``frame_sample`` produce deterministic fake
-  features (clearly marked); the Spark-side contract — binary column schema,
-  typed metadata struct, batch iteration — is real and tested.  Swapping a
-  stub for PIL/ffmpeg is a one-function change.
+* **Real decode — WAV/PCM audio.**  ``encode_wav`` / ``decode_wav`` are a
+  pure-stdlib RIFF/WAVE codec (chunk walk, fmt parse, word-aligned chunk
+  skipping, 16-bit PCM unpack); ``multimodal_wav_meta`` mirrors the PNG
+  two-stage shape and its decoded statistics (duration, |sample| sums,
+  peak) are oracle-recomputed arithmetically.  Cross-validated against the
+  stdlib ``wave`` reader in tests.
+* **Stubbed decode — video / compressed audio.**  The container has no
+  media codecs, so ``decode_image_stub`` / ``frame_sample`` produce
+  deterministic fake features (clearly marked); the Spark-side contract —
+  binary column schema, typed metadata struct, batch iteration — is real
+  and tested.  Swapping a stub for PIL/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
@@ -266,3 +272,136 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return (media.filter(F.col("media_type") == "video")
                  .select("media_id", "payload")
                  .mapInPandas(run, "media_id long, frame_no int, frame_bytes binary"))
+
+
+# --- Real WAV/PCM audio codec (pure stdlib) ----------------------------------
+# Upgrades the audio leg from "honest stub" to a real decode, symmetric
+# with the PNG path: RIFF chunk walk, fmt parse, 16-bit PCM unpack.  The
+# sample values derive deterministically from (doc_id, n_chars) so the
+# DuckDB oracle recomputes the decoded statistics arithmetically.
+
+import struct
+
+
+def encode_wav(rate: int, n_samples: int, seed: int) -> bytes:
+    """Valid mono 16-bit PCM WAV; sample i = ((seed + 7*i) % 2048) - 1024.
+
+    Round-trips through any compliant reader (the stdlib ``wave`` module
+    included — asserted in tests)."""
+    samples = [((seed + 7 * i) % 2048) - 1024 for i in range(n_samples)]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Real WAV parse: RIFF framing, chunk walk, fmt fields, PCM unpack.
+
+    Returns (rate, channels, bits, n_samples, sum_abs, peak_abs)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    declared = struct.unpack("<I", payload[4:8])[0]
+    if declared != len(payload) - 8:
+        raise ValueError("RIFF size mismatch")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos:pos + 4]
+        ln = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        chunk = payload[pos + 8:pos + 8 + ln]
+        if typ == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16])
+            if audio_fmt != 1:
+                raise NotImplementedError("only PCM (format 1) supported")
+        elif typ == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise NotImplementedError("only mono 16-bit PCM supported")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data)
+    return (rate, channels, bits, n,
+            sum(abs(s) for s in samples), max(abs(s) for s in samples))
+
+
+def wav_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> real WAV payloads (mapInPandas stage 1).
+
+    rate = 8000 + (doc_id%8)*1000, n_samples = 200 + n_chars%300,
+    seed = doc_id — all integers, so the oracle mirrors the decode
+    arithmetically (see sql_multimodal_wav_meta)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "payload": [
+                    encode_wav(8000 + int(did) % 8 * 1000,
+                               200 + int(nc) % 300, int(did))
+                    for did, nc in zip(pdf["doc_id"], pdf["n_chars"])],
+            })
+
+    d = domain.load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", "n_chars")
+             .mapInPandas(run, "media_id long, payload binary"))
+
+
+WAV_META_SCHEMA = ("media_id long, sample_rate int, n_channels int, "
+                   "bits int, n_samples long, duration_us long, "
+                   "sum_abs long, peak_abs int")
+
+
+def extract_wav_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas stage 2: real decode of the binary audio column."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": [r[0] for r in rows],
+                "n_channels": [r[1] for r in rows],
+                "bits": [r[2] for r in rows],
+                "n_samples": [r[3] for r in rows],
+                "duration_us": [r[3] * 1_000_000 // r[0] for r in rows],
+                "sum_abs": [r[4] for r in rows],
+                "peak_abs": [r[5] for r in rows],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(run, WAV_META_SCHEMA)
+
+
+def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: WAV encode -> decode roundtrip, decoded stats."""
+    meta = extract_wav_meta(wav_media_df(spark, sf_dir))
+    return meta.orderBy("media_id")
+
+
+def sql_multimodal_wav_meta() -> str:
+    # Mirrors the encode rule: sample i = ((doc_id + 7*i) % 2048) - 1024.
+    s = "((media_id + 7 * i) % 2048) - 1024"
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         8000 + (doc_id % 8) * 1000 AS rate,
+         200 + n_chars % 300 AS ns
+  FROM documents
+),
+s AS (
+  SELECT media_id, rate, ns, unnest(generate_series(0, ns - 1)) AS i
+  FROM dims
+)
+SELECT media_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bits,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(ns * 1000000 // rate AS BIGINT) AS duration_us,
+       CAST(sum(abs({s})) AS BIGINT) AS sum_abs,
+       CAST(max(abs({s})) AS INT) AS peak_abs
+FROM s
+GROUP BY media_id, rate, ns
+ORDER BY media_id"""

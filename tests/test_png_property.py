@@ -44,3 +44,36 @@ def test_any_single_bitflip_never_decodes_silently_wrong(width, height, gray,
 
 def test_signature_is_the_real_png_magic():
     assert PNG_SIG == bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+
+
+# --- WAV codec ---------------------------------------------------------------
+
+def test_wav_roundtrips_through_stdlib_reader():
+    """Our encoder must produce files the stdlib wave module accepts with
+    identical params, and our decoder must agree with it sample-for-sample."""
+    import io
+    import struct
+    import wave
+    from safeascent_spark.operators.multimodal import decode_wav, encode_wav
+    payload = encode_wav(11000, 453, seed=42)
+    with wave.open(io.BytesIO(payload)) as w:
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth(),
+                w.getnframes()) == (11000, 1, 2, 453)
+        frames = struct.unpack("<453h", w.readframes(453))
+    rate, ch, bits, n, sum_abs, peak = decode_wav(payload)
+    assert (rate, ch, bits, n) == (11000, 1, 16, 453)
+    assert sum_abs == sum(abs(s) for s in frames)
+    assert peak == max(abs(s) for s in frames)
+
+
+def test_wav_decoder_rejects_corruption():
+    import pytest
+    from safeascent_spark.operators.multimodal import decode_wav, encode_wav
+    payload = bytearray(encode_wav(8000, 10, seed=1))
+    payload[0:4] = b"RIFX"
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(bytes(payload))
+    payload = bytearray(encode_wav(8000, 10, seed=1))
+    payload[4] ^= 0xFF  # declared RIFF size now wrong
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_wav(bytes(payload))
