@@ -604,13 +604,14 @@ WITH d AS (
 ),
 c AS (
   SELECT lang, doc_id, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_off
   FROM d
 )
 SELECT lang, doc_id, n_tokens, start_off,
-       start_off // {b} AS bin_id,
-       start_off % {b} AS bin_off,
+       CAST(start_off // {b} AS BIGINT) AS bin_id,
+       CAST(start_off % {b} AS BIGINT) AS bin_off,
        CASE WHEN n_tokens > 0
             THEN (start_off + n_tokens - 1) // {b} > start_off // {b}
             ELSE false END AS spans_bins
