@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in CORRECTNESS_r02 (or r01+local r02), is UNCHANGED this round
         # (or rows-only: ann_ivf/kmeans), and is re-verified in
         # CORRECTNESS_LOCAL_r03; rotates forward again next round ----
+        # capped top-k attribution (new in r3, registered past the cap —
+        # locally verified this round, rotates into the window next round)
+        "top_contributors_capped": lambda s, sf:
+            scoring.top_contributors_capped_df(s, sf),
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
         "k4_season_of_orders": KQ.q_season_of_orders,
@@ -184,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "risk_scores": scoring.risk_scores_sql(),
         "risk_scores_capped": scoring.risk_scores_capped_sql(),
         "top_contributors": scoring.top_contributors_sql(),
+        "top_contributors_capped": scoring.top_contributors_capped_sql(),
         "risk_factor_breakdown": scoring.factor_breakdown_sql(),
         "cache_warming_top_routes": scoring.cache_warming_sql(),
         "f1_accident_filter": R.sql_accident_filter(),

@@ -337,8 +337,27 @@ def top_contributors_df(spark: SparkSession, sf_dir: str,
     the Arrow boundary, and float64 survives Arrow bit-exactly, so oracle
     parity is unaffected.
     """
-    from pyspark.sql import Window
     pairs = influence_pairs_df(spark, sf_dir, pred_date)
+    return _topk_from_pairs(pairs, limit)
+
+
+def top_contributors_capped_df(spark: SparkSession, sf_dir: str,
+                               pred_date: str = domain.PRED_DATE,
+                               limit: int = C.MAX_CONTRIBUTING_ACCIDENTS,
+                               radius_km: float = C.MAX_SEARCH_RADIUS_KM) -> DataFrame:
+    """W1 under the production 300 km search cap: grid-pair generation (see
+    risk_scores_capped_df) feeding the same truncate-below-window top-k —
+    the attribution surface that stays fast when the corpus stops
+    broadcasting (sf1: the pair stage is ~11x cheaper than uncapped)."""
+    pairs = _pair_influence_select(
+        _candidate_pairs(spark, sf_dir, pred_date, None, grid=True)) \
+        .filter(F.col("distance_km") <= F.lit(radius_km))
+    return _topk_from_pairs(pairs, limit)
+
+
+def _topk_from_pairs(pairs: DataFrame,
+                     limit: int = C.MAX_CONTRIBUTING_ACCIDENTS) -> DataFrame:
+    from pyspark.sql import Window
     pruned = (pairs.filter(F.col("influence") > C.SIGNIFICANCE_THRESHOLD)
                    .select("route_id", "accident_id", "influence",
                            "distance_km"))
@@ -453,7 +472,10 @@ ORDER BY route_id"""
 
 
 def top_contributors_sql(pred_date: str = domain.PRED_DATE,
-                         limit: int = C.MAX_CONTRIBUTING_ACCIDENTS) -> str:
+                         limit: int = C.MAX_CONTRIBUTING_ACCIDENTS,
+                         radius_km: float | None = None) -> str:
+    cap = (f"AND distance_km <= {radius_km!r}" if radius_km is not None
+           else "")
     return f"""{_influence_sql(pred_date)}
 SELECT route_id, CAST(rank AS INT) AS rank, accident_id,
        round(influence, 6) AS influence, round(distance_km, 3) AS distance_km
@@ -462,10 +484,16 @@ FROM (
          row_number() OVER (PARTITION BY route_id
                             ORDER BY influence DESC, accident_id ASC) AS rank
   FROM pairs
-  WHERE influence > {C.SIGNIFICANCE_THRESHOLD!r}
+  WHERE influence > {C.SIGNIFICANCE_THRESHOLD!r} {cap}
 )
 WHERE rank <= {limit}
 ORDER BY route_id, rank"""
+
+
+def top_contributors_capped_sql(pred_date: str = domain.PRED_DATE,
+                                limit: int = C.MAX_CONTRIBUTING_ACCIDENTS,
+                                radius_km: float = C.MAX_SEARCH_RADIUS_KM) -> str:
+    return top_contributors_sql(pred_date, limit, radius_km=radius_km)
 
 
 def factor_breakdown_df(spark: SparkSession, sf_dir: str,
