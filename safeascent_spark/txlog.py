@@ -19,6 +19,10 @@ reduced to its core:
   (bounded).  Readers always see a complete manifest or the previous one.
 * Old manifests stay until ``vacuum`` — which yields snapshot isolation and
   time travel for free (``read_snapshot(version=K)``).
+* Manifest entries carry per-file statistics (row count, key min/max read
+  from the parquet footers at commit) so ``read_snapshot(key_between=...)``
+  skips files whose range is disjoint from the predicate — Iceberg-style
+  data skipping without opening a single pruned file.
 
 Partition-grain operations rewrite only the partitions they touch; MERGE
 (latest-wins by key) rewrites only partitions present in the source.
@@ -64,14 +68,37 @@ def read_manifest(root: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
-def _write_data_files(df: DataFrame, root: str) -> list[str]:
-    """Materialize ``df`` under a fresh unique directory; return the file
-    list (relative to root).  Unreferenced until a manifest commit."""
+def _file_stats(path: Path, key: str) -> dict:
+    """Per-file stats from the parquet footer (no data read): row count and
+    the key column's min/max across row groups — the Iceberg-manifest
+    metadata that makes reader-side data skipping possible."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    lo = hi = None
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if key in idx:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[key]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return {"rows": md.num_rows, "min_key": lo, "max_key": hi}
+
+
+def _write_data_files(df: DataFrame, root: str,
+                      key: str = "route_id") -> list[dict]:
+    """Materialize ``df`` under a fresh unique directory; return manifest
+    entries [{path, rows, min_key, max_key}] (paths relative to root).
+    Unreferenced until a manifest commit."""
     sub = f"data/{uuid.uuid4().hex}"
     out = Path(root) / sub
     df.write.mode("error").parquet(str(out))
-    return sorted(f"{sub}/{p.name}" for p in out.iterdir()
-                  if p.name.endswith(".parquet"))
+    return sorted(
+        ({"path": f"{sub}/{p.name}", **_file_stats(p, key)}
+         for p in out.iterdir() if p.name.endswith(".parquet")),
+        key=lambda e: e["path"])
 
 
 def _publish(root: str, manifest: dict) -> bool:
@@ -93,19 +120,31 @@ def _publish(root: str, manifest: dict) -> bool:
 
 def read_snapshot(spark: SparkSession, root: str,
                   version: int | None = None,
-                  partition: str | None = None) -> DataFrame:
+                  partition: str | None = None,
+                  key_between: tuple | None = None) -> DataFrame:
     """Read a committed snapshot (optionally one partition / an old
     version).  Loads exactly the manifest's file list — no directory
-    listing, no exposure to in-flight writers."""
+    listing, no exposure to in-flight writers.
+
+    ``key_between=(lo, hi)`` performs manifest-level data skipping: files
+    whose key min/max range (captured from parquet footers at commit) is
+    disjoint from [lo, hi] are never opened, and the exact filter is
+    re-applied to the survivors.  Files without stats are conservatively
+    kept."""
     m = read_manifest(root, version)
     parts = m["partitions"]
     if partition is not None:
         parts = {partition: parts.get(partition, [])}
     frames = []
     for pval, files in sorted(parts.items()):
+        if key_between is not None:
+            lo, hi = key_between
+            files = [e for e in files
+                     if e.get("min_key") is None
+                     or not (e["max_key"] < lo or e["min_key"] > hi)]
         if not files:
             continue
-        df = spark.read.parquet(*[str(Path(root) / f) for f in files])
+        df = spark.read.parquet(*[str(Path(root) / e["path"]) for e in files])
         frames.append(df.withColumn("prediction_date", F.lit(pval)))
     if not frames:
         return spark.createDataFrame([], "route_id bigint") \
@@ -113,6 +152,8 @@ def read_snapshot(spark: SparkSession, root: str,
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    if key_between is not None:
+        out = out.filter(F.col("route_id").between(*key_between))
     return out
 
 
@@ -155,7 +196,7 @@ def merge_scores(df: DataFrame, root: str, partition: str,
         cur_files = base["partitions"].get(partition, [])
         if cur_files:
             cur = spark.read.parquet(
-                *[str(Path(root) / f) for f in cur_files])
+                *[str(Path(root) / e["path"]) for e in cur_files])
             keep = cur.join(src.select(key).distinct(), key, "left_anti")
             merged = keep.unionByName(src.select(*keep.columns))
         else:
@@ -173,7 +214,7 @@ def vacuum(root: str, keep_versions: int = 1) -> list[str]:
     referenced: set[str] = set()
     for v in keep:
         for files in read_manifest(root, v)["partitions"].values():
-            referenced.update(files)
+            referenced.update(e["path"] for e in files)
     removed = []
     data = Path(root) / "data"
     if data.exists():

@@ -113,3 +113,25 @@ def test_streaming_incremental_scores_merge(spark, tmp_path):
     assert set(got) == expected_routes and len(got) > 0
     assert all(got[k] == want[k] for k in got)
     assert T.current_version(root) == n
+
+
+def test_manifest_data_skipping_prunes_files(spark, tmp_path):
+    """Files whose footer-derived key range is disjoint from the predicate
+    must never be opened: commit range-partitioned files, read with
+    key_between, and assert the scan's file list shrank while results stay
+    exact."""
+    from pyspark.sql import functions as F
+    root = str(tmp_path / "t")
+    df = (spark.range(0, 1000)
+          .select(F.col("id").alias("route_id"),
+                  (F.col("id") * 1.0).alias("risk_score"))
+          .repartitionByRange(4, "route_id"))
+    T.commit_overwrite_partition(df, root, D)
+    m = T.read_manifest(root)
+    entries = m["partitions"][D]
+    assert len(entries) == 4
+    assert all(e["min_key"] is not None for e in entries)
+    narrow = T.read_snapshot(spark, root, key_between=(100, 120))
+    assert len(narrow.inputFiles()) < len(entries)
+    rows = sorted(r.route_id for r in narrow.collect())
+    assert rows == list(range(100, 121))
