@@ -121,10 +121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in CORRECTNESS_r02 (or r01+local r02), is UNCHANGED this round
         # (or rows-only: ann_ivf/kmeans), and is re-verified in
         # CORRECTNESS_LOCAL_r03; rotates forward again next round ----
-        # capped top-k attribution (new in r3, registered past the cap —
-        # locally verified this round, rotates into the window next round)
+        # capped top-k attribution + capped classed batch (new in r3,
+        # registered past the cap — locally verified this round, rotate
+        # into the window next round)
         "top_contributors_capped": lambda s, sf:
             scoring.top_contributors_capped_df(s, sf),
+        "batch_scores_capped": lambda s, sf: B.batch_scores_capped_df(s, sf),
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
         "k4_season_of_orders": KQ.q_season_of_orders,
@@ -217,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "predict_point": RJ.sql_predict_point(),
         "batch_scores": B.batch_scores_sql(),
         "batch_scores_classed": B.batch_scores_classed_sql(),
+        "batch_scores_capped": B.batch_scores_capped_sql(),
         "dedup_exact": D.sql_dedup_exact(),
         "dedup_ngram_jaccard": D.sql_dedup_jaccard(),
         "dedup_minhash_signatures": D.sql_minhash_signatures(),

@@ -44,8 +44,17 @@ from .scoring import f_date
 
 
 def _location_base_df(spark: SparkSession, sf_dir: str,
-                      pred_date: str) -> DataFrame:
-    """base(location, accident) with the location's mode route type."""
+                      pred_date: str,
+                      radius_km: float | None = None) -> DataFrame:
+    """base(location, accident) with the location's mode route type.
+
+    ``radius_km`` switches the pair stage from the full cross join to the
+    grid-cell equi-join (see scoring.risk_scores_capped_df): the accident
+    side is replicated to the 3x3 cell neighborhood, pairs outside the
+    exact radius are trimmed — |locations| x |nearby| pairs at continental
+    scale."""
+    from .scoring import GRID_CELL_DEG
+    cell = F.lit(GRID_CELL_DEG)
     loc = domain.locations_df(spark, sf_dir)
     mode = R.q_location_mode_type(spark, sf_dir).select(
         "location_id", F.col("mode_type").alias("route_type"))
@@ -55,6 +64,8 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
         F.radians("latitude").alias("l_rlat"),
         F.radians("longitude").alias("l_rlon"),
         F.cos(F.radians("latitude")).alias("l_coslat"),
+        F.floor(F.col("latitude") / cell).cast("int").alias("cx"),
+        F.floor(F.col("longitude") / cell).cast("int").alias("cy"),
         K.spatial_bandwidth("route_type").alias("l_bw"),
         K.temporal_lambda("route_type").alias("l_lam"),
         K.map_literal(C.ELEVATION_DECAY_CONSTANT, "route_type",
@@ -67,6 +78,8 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
         F.radians("latitude").alias("a_rlat"),
         F.radians("longitude").alias("a_rlon"),
         F.cos(F.radians("latitude")).alias("a_coslat"),
+        F.floor(F.col("latitude") / cell).cast("int").alias("a_cx"),
+        F.floor(F.col("longitude") / cell).cast("int").alias("a_cy"),
         F.abs(F.datediff(F.to_date(F.lit(pred_date)), F.col("accident_date")))
          .cast("double").alias("a_days"),
         (K.season_of("accident_date") == F.lit(K.season_of_py(pred_date)))
@@ -81,7 +94,16 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
         dim=G.domain_grade_dim(spark, sf_dir)).drop("grade")
     wsim = W.weather_similarity_cached(spark, sf_dir)
 
-    pairs = lm.crossJoin(F.broadcast(a))
+    if radius_km is not None:
+        neigh = F.array(F.lit(-1), F.lit(0), F.lit(1))
+        a9 = (a.withColumn("dx", F.explode(neigh))
+               .withColumn("dy", F.explode(neigh))
+               .withColumn("cx", F.col("a_cx") + F.col("dx"))
+               .withColumn("cy", F.col("a_cy") + F.col("dy"))
+               .drop("dx", "dy", "a_cx", "a_cy"))
+        pairs = lm.join(F.broadcast(a9), ["cx", "cy"])
+    else:
+        pairs = lm.crossJoin(F.broadcast(a.drop("a_cx", "a_cy")))
     pairs = pairs.join(
         F.broadcast(wsim),
         (pairs["wbucket"] == wsim["cur_bucket"])
@@ -106,9 +128,12 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
                            F.lit(C.MISSING_WEATHER_NEUTRAL))
     base = spatial * temporal * elevation * F.col("a_sevw") \
         * K.weather_factor(weather_w)
-    return (pairs.select("location_id", "accident_id", "a_tidx", "a_gdiff",
-                         base.alias("base"))
-                 .filter(F.col("base") > C.SIGNIFICANCE_THRESHOLD))
+    out = pairs.select("location_id", "accident_id", "a_tidx", "a_gdiff",
+                       dist.alias("dist"), base.alias("base"))
+    if radius_km is not None:
+        out = out.filter(F.col("dist") <= F.lit(radius_km))
+    return (out.drop("dist")
+               .filter(F.col("base") > C.SIGNIFICANCE_THRESHOLD))
 
 
 def _routes_adj_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,9 +172,10 @@ def batch_scores_df(spark: SparkSession, sf_dir: str,
 
 
 def batch_scores_classed_df(spark: SparkSession, sf_dir: str,
-                            pred_date: str = domain.PRED_DATE) -> DataFrame:
+                            pred_date: str = domain.PRED_DATE,
+                            radius_km: float | None = None) -> DataFrame:
     """Same algebra with the accident-class factorization (the scale plan)."""
-    base = _location_base_df(spark, sf_dir, pred_date)
+    base = _location_base_df(spark, sf_dir, pred_date, radius_km=radius_km)
     classed = base.groupBy("location_id", "a_tidx", "a_gdiff").agg(
         F.sum("base").alias("base_sum"))
     r = _routes_adj_df(spark, sf_dir)
@@ -167,11 +193,23 @@ def batch_scores_classed_df(spark: SparkSession, sf_dir: str,
               .orderBy("route_id")
 
 
+def batch_scores_capped_df(spark: SparkSession, sf_dir: str,
+                           pred_date: str = domain.PRED_DATE,
+                           radius_km: float = C.MAX_SEARCH_RADIUS_KM) -> DataFrame:
+    """The full 100 TB nightly plan: grid-capped location base (pair count
+    |locations| x |nearby accidents|) + accident-class factorization
+    (route-level join bounded by |classes| per location) — the composition
+    of every scale lever in one pipeline, under the reference's production
+    300 km search cap."""
+    return batch_scores_classed_df(spark, sf_dir, pred_date,
+                                   radius_km=radius_km)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
 
-def _base_sql(pred_date: str) -> str:
+def _base_sql(pred_date: str, radius_km: float | None = None) -> str:
     dist = S.haversine_km("l.latitude", "l.longitude",
                           "a.latitude", "a.longitude")
     spatial = S.spatial_weight(f"({dist})", "m.mode_type")
@@ -183,6 +221,7 @@ def _base_sql(pred_date: str) -> str:
     weather_w = "coalesce(ws.weather_weight, 0.5)"
     base = (f"{spatial} * {temporal} * {elevation} * {sev} * "
             f"{S.weather_factor(weather_w)}")
+    cap = f" AND dist <= {radius_km!r}" if radius_km is not None else ""
     return f"""
 WITH {domain.ROUTES_CTE.strip()},
 {domain.LOCATIONS_CTE.strip()},
@@ -210,6 +249,7 @@ base AS (
          a.accident_id,
          {S.route_type_index_sql('a.route_type')} AS a_tidx,
          ga.difficulty AS a_gdiff,
+         {dist} AS dist,
          {base} AS base
   FROM locations l
   JOIN mode_type m ON l.location_id = m.location_id
@@ -218,7 +258,8 @@ base AS (
   LEFT JOIN wsim ws ON l.wbucket = ws.cur_bucket AND a.wbucket = ws.acc_bucket
 ),
 sig_base AS (
-  SELECT * FROM base WHERE base > {C.SIGNIFICANCE_THRESHOLD!r}
+  SELECT location_id, accident_id, a_tidx, a_gdiff, base
+  FROM base WHERE base > {C.SIGNIFICANCE_THRESHOLD!r}{cap}
 ),
 routes_adj AS (
   SELECT r.route_id, r.location_id,
@@ -256,9 +297,15 @@ SELECT route_id, round({risk}, 6) AS risk_score,
 FROM joined GROUP BY route_id ORDER BY route_id"""
 
 
-def batch_scores_classed_sql(pred_date: str = domain.PRED_DATE) -> str:
+def batch_scores_capped_sql(pred_date: str = domain.PRED_DATE,
+                            radius_km: float = C.MAX_SEARCH_RADIUS_KM) -> str:
+    return batch_scores_classed_sql(pred_date, radius_km=radius_km)
+
+
+def batch_scores_classed_sql(pred_date: str = domain.PRED_DATE,
+                             radius_km: float | None = None) -> str:
     risk = S.normalize_risk("sum(influence)")
-    return f"""{_base_sql(pred_date)},
+    return f"""{_base_sql(pred_date, radius_km=radius_km)},
 classed AS (
   SELECT location_id, a_tidx, a_gdiff, sum(base) AS base_sum
   FROM sig_base GROUP BY location_id, a_tidx, a_gdiff

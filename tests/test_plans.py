@@ -110,6 +110,17 @@ def test_jaccard_join_is_equi_not_cross(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_capped_batch_is_grid_equi_join(spark):
+    """The capped classed pipeline must pair locations with accidents via
+    the grid-cell equi-join (no cross join anywhere in the base stage)."""
+    df = B.batch_scores_capped_df(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    assert re.search(r"cx#\d+", plan) and re.search(r"cy#\d+", plan)
+
+
 def test_batch_classed_no_cartesian_on_route_join(spark):
     """The route-level adjustment join is an equi join on location_id."""
     plan = plan_of(B.batch_scores_classed_df(spark, SF_SMOKE))
