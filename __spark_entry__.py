@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_contributors_capped": lambda s, sf:
             scoring.top_contributors_capped_df(s, sf),
         "batch_scores_capped": lambda s, sf: B.batch_scores_capped_df(s, sf),
+        "multimodal_png_resize": MM.q_multimodal_png_resize,
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
         "k4_season_of_orders": KQ.q_season_of_orders,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_risk_model": ML.sql_ml_risk_model(),
         "multimodal_png_meta": MM.sql_multimodal_png_meta(),
         "multimodal_wav_meta": MM.sql_multimodal_wav_meta(),
+        "multimodal_png_resize": MM.sql_multimodal_png_resize(),
         "k8_extreme_breakdown": W.sql_extreme_breakdown(),
         "j5_breadcrumb_recursive": R.sql_location_breadcrumb(),
         "text_tfidf_topk": TX.sql_text_tfidf(),

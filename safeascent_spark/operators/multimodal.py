@@ -405,3 +405,94 @@ SELECT media_id,
 FROM s
 GROUP BY media_id, rate, ns
 ORDER BY media_id"""
+
+
+# --- Real resize over decoded PNGs -------------------------------------------
+
+RESIZE_W = 8
+RESIZE_H = 8
+
+
+def resize_gray_nn(pixels: list[bytes], w2: int, h2: int) -> bytes:
+    """Nearest-neighbor resample of decoded grayscale scanlines.
+
+    Source index = floor(target_index * src / dst) — the standard NN rule,
+    mirrored arithmetically by the oracle."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    return bytes(pixels[r2 * h // h2][c2 * w // w2]
+                 for r2 in range(h2) for c2 in range(w2))
+
+
+def decode_png_pixels(payload: bytes) -> list[bytes]:
+    """Like decode_png but returning the raw scanlines (filter 0 only)."""
+    w, hgt, _, _, _ = decode_png(payload)
+    pos, idat = 8, b""
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            idat += payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    return [raw[r * stride + 1:(r + 1) * stride] for r in range(hgt)]
+
+
+RESIZE_SCHEMA = ("media_id long, out_w int, out_h int, "
+                 "resized_sum long, resized_min int, resized_max int")
+
+
+def extract_png_resized(media: DataFrame, w2: int = RESIZE_W,
+                        h2: int = RESIZE_H) -> DataFrame:
+    """mapInPandas: real decode -> nearest-neighbor resize -> statistics.
+
+    The feature-extraction shape of a vision-data pipeline: the expensive
+    per-item work is Arrow-batched Python, everything around it is
+    DataFrame algebra."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [resize_gray_nn(decode_png_pixels(p), w2, h2)
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "out_w": w2, "out_h": h2,
+                "resized_sum": [sum(o) for o in outs],
+                "resized_min": [min(o) for o in outs],
+                "resized_max": [max(o) for o in outs],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def q_multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: encode -> decode -> NN-resize roundtrip stats."""
+    return (extract_png_resized(png_media_df(spark, sf_dir))
+            .orderBy("media_id"))
+
+
+def sql_multimodal_png_resize() -> str:
+    # Scanline r of the source is constant (gray + r) % 256, so the resized
+    # image's row r2 is RESIZE_W copies of (gray + (r2*h)//RESIZE_H) % 256.
+    px = f"(gray + (r2 * height) // {RESIZE_H}) % 256"
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         16 + n_chars % 32 AS height,
+         n_chars % 256 AS gray
+  FROM documents
+),
+rows_ AS (
+  SELECT media_id, height, gray,
+         unnest(generate_series(0, {RESIZE_H} - 1)) AS r2
+  FROM dims
+)
+SELECT media_id,
+       CAST({RESIZE_W} AS INT) AS out_w,
+       CAST({RESIZE_H} AS INT) AS out_h,
+       CAST(sum({RESIZE_W} * ({px})) AS BIGINT) AS resized_sum,
+       CAST(min({px}) AS INT) AS resized_min,
+       CAST(max({px}) AS INT) AS resized_max
+FROM rows_
+GROUP BY media_id
+ORDER BY media_id"""

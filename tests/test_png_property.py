@@ -77,3 +77,29 @@ def test_wav_decoder_rejects_corruption():
     payload[4] ^= 0xFF  # declared RIFF size now wrong
     with pytest.raises(ValueError, match="size mismatch"):
         decode_wav(bytes(payload))
+
+
+def test_resize_nn_on_nonconstant_grid():
+    """Oracle images are row-constant, so independently verify the NN
+    resize on a grid that varies in BOTH axes."""
+    from safeascent_spark.operators.multimodal import resize_gray_nn
+    src = [bytes((r * 10 + c) % 256 for c in range(5)) for r in range(7)]
+    out = resize_gray_nn(src, 3, 2)
+    expect = bytes(src[r2 * 7 // 2][c2 * 5 // 3]
+                   for r2 in range(2) for c2 in range(3))
+    assert out == expect
+    assert len(out) == 6
+
+
+def test_resize_roundtrip_through_real_codec():
+    """encode -> decode_png_pixels -> resize must agree with resizing the
+    known generator pattern directly."""
+    from safeascent_spark.operators.multimodal import (
+        decode_png_pixels, encode_png, resize_gray_nn)
+    payload = encode_png(20, 13, gray=200)
+    px = decode_png_pixels(payload)
+    assert len(px) == 13 and all(len(r) == 20 for r in px)
+    out = resize_gray_nn(px, 8, 8)
+    expect = bytes((200 + (r2 * 13 // 8)) % 256
+                   for r2 in range(8) for _ in range(8))
+    assert out == expect
