@@ -190,3 +190,49 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
        .bucketBy(n_buckets, bucket_col)
        .sortBy(bucket_col)
        .saveAsTable(table))
+
+
+# --- Z-order clustered spatial layout ---------------------------------------
+# At 100 TB the win for bbox/radius scans comes from LAYOUT: parquet keeps
+# min/max statistics per row group, and a scan with a lat/lon predicate
+# skips row groups whose range is disjoint — but only if spatially-near
+# rows are physically adjacent.  Interleaving the quantized coordinate bits
+# (Morton / Z-order curve) and range-partitioning + sorting by that key
+# makes BOTH lat and lon ranges tight in every row group, so bounding-box
+# pre-filters (kernels.bbox_contains) prune most of the table at the scan.
+
+Z_BITS = 16
+
+
+def morton_code(lat, lon, lat_min: float = 25.0, lat_span: float = 20.0,
+                lon_min: float = -125.0, lon_span: float = 20.0):
+    """Z-order key as a pure Column expression: quantize each coordinate to
+    Z_BITS bits and interleave them (lat odd bits, lon even bits)."""
+    from pyspark.sql import functions as F
+    scale = (1 << Z_BITS) - 1
+    qlat = F.least(F.lit(scale), F.greatest(F.lit(0),
+        ((lat - F.lit(lat_min)) / F.lit(lat_span) * scale).cast("int")))
+    qlon = F.least(F.lit(scale), F.greatest(F.lit(0),
+        ((lon - F.lit(lon_min)) / F.lit(lon_span) * scale).cast("int")))
+    code = F.lit(0).cast("long")
+    for k in range(Z_BITS):
+        code = (code
+                .bitwiseOR(F.shiftleft(F.shiftright(qlat, k).bitwiseAND(1),
+                                       2 * k + 1).cast("long"))
+                .bitwiseOR(F.shiftleft(F.shiftright(qlon, k).bitwiseAND(1),
+                                       2 * k).cast("long")))
+    return code
+
+
+def write_zordered(df: DataFrame, path: str, lat_col: str = "latitude",
+                   lon_col: str = "longitude", n_files: int = 8) -> None:
+    """Write ``df`` clustered along the Z-order curve of (lat, lon):
+    range-partitioned and sorted by the Morton key, so every parquet row
+    group covers a compact spatial tile."""
+    from pyspark.sql import functions as F
+    z = morton_code(F.col(lat_col), F.col(lon_col))
+    (df.withColumn("_z", z)
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(path))

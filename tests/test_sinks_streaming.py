@@ -302,3 +302,48 @@ def test_streaming_dedup_within_watermark(spark):
           .outputMode("append").trigger(availableNow=True).start())
     q2.awaitTermination(120)
     assert spark.table("dup_sink").count() == 2 * n_events
+
+
+def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
+    """The Z-ordered layout must make per-row-group lat AND lon ranges
+    dramatically tighter than an unclustered write — that tightness is
+    exactly what parquet min/max row-group skipping prunes on — while a
+    bbox read returns identical rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from safeascent_spark import domain, sinks
+    from safeascent_spark.kernels import bbox_contains
+
+    loc = domain.locations_df(spark, "/root/testdata/sf0.01")
+    rows = loc.crossJoin(spark.range(50).select(F.col("id").alias("rep"))) \
+              .select("location_id", "rep", "latitude", "longitude")
+    naive, zord = str(tmp_path / "naive"), str(tmp_path / "zord")
+    rows.repartition(16).write.parquet(naive)
+    # 16 range partitions = the top 4 Morton bits = a 4x4 spatial tiling,
+    # so BOTH axes' per-tile spans drop to ~1/4 of the domain
+    sinks.write_zordered(rows, zord, n_files=16)
+
+    def avg_spread(path, col):
+        spreads, n = 0.0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spreads += st.max - st.min
+                n += 1
+        return spreads / n
+
+    for col in ("latitude", "longitude"):
+        assert avg_spread(zord, col) < 0.5 * avg_spread(naive, col), col
+
+    box = bbox_contains(35.0, -115.0, 600.0, "latitude", "longitude")
+    a = sorted((r.location_id, r.rep) for r in
+               spark.read.parquet(zord).filter(box).collect())
+    b = sorted((r.location_id, r.rep) for r in
+               spark.read.parquet(naive).filter(box).collect())
+    assert a == b and len(a) > 0
