@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k22_weather_summary": ASM.q_weather_summary,
         "dedup_minhash_signatures": D.q_minhash_signatures,
         "ann_ivf_topk": ML.q_ann_ivf,
+        # new in round 3: product quantization + exact shortlist re-rank
+        # (rows-only like IVF; recall floor in tests/test_ml.py)
+        "ann_pq_topk": ML.q_ann_pq,
         "embedding_kmeans_cells": ML.q_embedding_kmeans,
         "w_similarity": W.q_weather_similarity,
         "multimodal_png_meta": MM.q_multimodal_png_meta,

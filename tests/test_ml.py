@@ -59,3 +59,14 @@ def test_mllib_cross_checks_closed_form(spark):
     assert rmse_mllib <= label_std * 1.05
     assert rmse_mllib <= rmse_closed * 2.0
     assert rmse_closed <= rmse_mllib * 2.0
+
+
+def test_pq_recall_floor(spark):
+    """PQ + exact shortlist re-rank must hold recall@10 >= 0.7 per query
+    vs the oracle-green brute force (measured 0.8-1.0 on the synthetic,
+    near-uniform embeddings — the hard case for quantization)."""
+    from safeascent_spark import ml as ML
+    rows = ML.q_ann_pq(spark, SF_ORACLE).collect()
+    per_query = {r.query_id: r.recall_at_k for r in rows}
+    assert len(per_query) == 5
+    assert all(v >= 0.7 for v in per_query.values()), per_query

@@ -22,7 +22,7 @@ def test_every_query_has_oracle_or_is_declared():
     # rows-only check; keep the list explicit.  ml_risk_model left this list
     # in round 3 (closed-form ridge with a hard oracle); the two KMeans
     # queries carry quality floors in tests/test_ml.py instead.
-    allowed_weak = {"ann_ivf_topk", "embedding_kmeans_cells"}
+    allowed_weak = {"ann_ivf_topk", "ann_pq_topk", "embedding_kmeans_cells"}
     assert missing <= allowed_weak, f"queries missing oracles: {missing}"
 
 
