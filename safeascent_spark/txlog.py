@@ -231,3 +231,18 @@ def vacuum(root: str, keep_versions: int = 1) -> list[str]:
         if mp.exists():
             mp.unlink()
     return sorted(removed)
+
+
+def compact(spark: SparkSession, root: str, partition: str,
+            target_files: int = 4) -> int:
+    """OPTIMIZE analog: rewrite one partition's current snapshot as
+    ``target_files`` files and commit the swap atomically.
+
+    Readers are never disturbed — they hold whichever manifest version they
+    opened (old files persist until ``vacuum``), and a concurrent MERGE that
+    wins the version race simply makes this compaction rebase and rewrite
+    on top of it.  Returns the committed version."""
+    cur = read_snapshot(spark, root, partition=partition) \
+        .drop("prediction_date").coalesce(target_files) \
+        .localCheckpoint(eager=True)
+    return commit_overwrite_partition(cur, root, partition)

@@ -135,3 +135,20 @@ def test_manifest_data_skipping_prunes_files(spark, tmp_path):
     assert len(narrow.inputFiles()) < len(entries)
     rows = sorted(r.route_id for r in narrow.collect())
     assert rows == list(range(100, 121))
+
+
+def test_compact_rewrites_small_files_atomically(spark, tmp_path):
+    """Many tiny MERGE deltas -> one compaction -> fewer files, same rows,
+    and the pre-compaction version still reads (snapshot isolation)."""
+    root = str(tmp_path / "t")
+    T.commit_overwrite_partition(_rows(spark, [(1, 1.0)]), root, D)
+    for i in range(2, 6):
+        T.merge_scores(_rows(spark, [(i, float(i))]), root, D)
+    before_v = T.current_version(root)
+    n_before = len(T.read_manifest(root)["partitions"][D])
+    v = T.compact(spark, root, D, target_files=1)
+    assert v == before_v + 1
+    assert len(T.read_manifest(root)["partitions"][D]) == 1 < n_before
+    assert _snap(spark, root) == {i: float(i) for i in range(1, 6)}
+    # pre-compaction snapshot still readable until vacuum
+    assert _snap(spark, root, version=before_v) == _snap(spark, root)
