@@ -119,8 +119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_meta": MM.q_multimodal_wav_meta,
         # ---- driver cap boundary (~50) — everything below was hash-green
         # in CORRECTNESS_r02 (or r01+local r02), is UNCHANGED this round
-        # (or rows-only: ann_ivf/kmeans), and is re-verified in
-        # CORRECTNESS_LOCAL_r03; rotates forward again next round ----
+        # (or rows-only: ann_ivf/pq/kmeans), and is re-verified in
+        # CORRECTNESS_LOCAL_r03 (93/93).  Round-4 rotation should front-load
+        # the tail queries that are NEW this round (top_contributors_capped,
+        # batch_scores_capped, multimodal_png_resize, ann_pq_topk) plus the
+        # long-unrotated r1/r2-proven tail. ----
         # capped top-k attribution + capped classed batch (new in r3,
         # registered past the cap — locally verified this round, rotate
         # into the window next round)
