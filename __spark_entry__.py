@@ -40,108 +40,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver hash-checks exactly the first 50
     # registered queries, so registration order IS driver coverage and is
     # ROTATED round-to-round (VERDICT r2 item 4) so every oracle-bearing
-    # query gets a driver hash row at least every other round.  Round 3
-    # front-loads: (a) the 29 queries last driver-checked in round 1,
-    # (b) the queries changed this round, (c) the perf-headline surface.
-    # The round-2-proven tail rotates forward again in round 4.
+    # query gets a driver hash row at least every other round.  Round 4
+    # front-loads (VERDICT r3 item 2): (a) the queries registered past the
+    # r3 cap boundary (new-in-r3 capped/PQ/resize + the whole r1/r2-proven
+    # tail — all 43 fit), (b) the iterative ANN/KMeans trio in their NEW
+    # self-certifying oracle-bearing form (VERDICT r3 item 3), and (c) the
+    # queries new this round.  The r3-green 50 rotate to the tail.
     return {
-        # --- (a) last driver-checked in round 1: relational / analytics /
-        # assembly / range-join / kernels ---
-        "j1_routes_with_coords": R.q_routes_with_coords,
-        "j5_location_breadcrumb": R.q_location_breadcrumb,
-        "j7_fuzzy_route_match": R.q_fuzzy_route_match,
-        "a2_route_page": R.q_route_page,
-        "a5_location_route_counts": R.q_location_route_counts,
-        "a9_location_mode_type": R.q_location_mode_type,
-        "a3_seasonal_patterns": A.q_seasonal_patterns,
-        "a4_ascent_rates": A.q_ascent_rates,
-        "a7_weather_monthly_stats": A.q_weather_monthly_stats,
-        "a8_risk_trend": A.q_risk_trend,
-        "w3_climbing_windows": A.q_climbing_windows,
-        "k21_hourly_risk": A.q_hourly_risk,
-        "risk_rollup": A.q_risk_rollup,
-        "s4_location_routes_assembled": ASM.q_location_routes_assembled,
-        "s3_weather_arrays_assembled": ASM.q_weather_arrays_assembled,
-        "location_forecast_horizon": ASM.q_location_forecast,
-        "j2_weather_range_join": RJ.q_weather_range_join,
-        "predict_point": RJ.q_predict_point,
-        "k1_haversine": KQ.q_haversine,
-        "k2_spatial_weight": KQ.q_spatial_weight,
-        "k3_temporal_weight": KQ.q_temporal_weight,
-        "k10_route_type_weight": KQ.q_route_type_weight,
-        "k13_elevation_weight": KQ.q_elevation_weight,
-        "k14_grade_weight": KQ.q_grade_weight,
-        "k16_route_type_inference": KQ.q_route_type_inference,
-        "k16b_route_type_confidence": KQ.q_route_type_confidence,
-        "k19_bearing_impact": KQ.q_bearing_impact,
-        # --- (b) changed in round 3: banded near-dup LSH, closed-form
-        # ridge (now oracle-bearing), and the haversine/elevation
-        # strength-reduction (pow(x,2) -> x*x, both engines) that shifts
-        # last-ulp values in every distance-bearing query — so f1/f4/f7
-        # rotate back INTO the driver window this round ---
-        "dedup_embedding_cosine": SIM.q_dedup_embedding_cosine,
-        "ml_risk_model": ML.q_ml_risk_model,
-        "f1_accident_filter": R.q_accident_filter,
-        "f4_predict_prefilter": R.q_predict_prefilter,
-        "f7_bbox_radius_filter": R.q_bbox_radius_filter,
-        # --- (c) flagship scoring + perf-headline surface (SURVEY §2.8) ---
-        "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
-        # new in round 3: the 300 km production-cap variant as a grid
-        # equi-join (the scale path when accidents no longer broadcast)
-        "risk_scores_capped": lambda s, sf: scoring.risk_scores_capped_df(s, sf),
-        "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
-        "risk_factor_breakdown": lambda s, sf: scoring.factor_breakdown_df(s, sf),
-        "cache_warming_top_routes": lambda s, sf: scoring.cache_warming_df(s, sf),
-        "batch_scores": lambda s, sf: B.batch_scores_df(s, sf),
-        "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
-        "dedup_ngram_jaccard": D.q_dedup_jaccard,
-        "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
-        # new in round 3: star-contraction CC (O(log n) rounds) — same
-        # oracle as dedup_clusters (which rotates to the tail: one green
-        # row proves the shared cluster semantics)
-        "dedup_clusters_largestar": G.q_dedup_clusters_largestar,
-        "events_sessionization": SESS.q_events_sessionization,
-        # new in round 3: curation-funnel composition (stage survivor counts)
-        "curation_funnel": D.q_curation_funnel,
-        # new in round 3: sliding-window token chunking (LLM context prep)
-        # + deterministic per-language stratified downsampling
-        "text_chunks": TX.q_text_chunks,
-        "sample_stratified": TX.q_sample_stratified,
-        # new in round 3: concat-and-chunk sequence packing (two-level
-        # distributed prefix sum; oracle = the global-window closed form)
-        # + Gopher-style repetition-ratio quality filter
-        "text_pack_offsets": TX.q_text_pack_offsets,
-        "text_repetition": TX.q_text_repetition,
-        # new in round 3: sketch aggregations under a self-certifying
-        # accuracy contract (HLL / GK booleans the oracle pins to true)
-        # + real WAV/PCM audio decode (RIFF walk, fmt parse, PCM unpack)
-        "events_approx_stats": A.q_events_approx_stats,
-        "multimodal_wav_meta": MM.q_multimodal_wav_meta,
-        # ---- driver cap boundary (~50) — everything below was hash-green
-        # in CORRECTNESS_r02 (or r01+local r02), is UNCHANGED this round
-        # (or rows-only: ann_ivf/pq/kmeans), and is re-verified in
-        # CORRECTNESS_LOCAL_r03 (93/93).  Round-4 rotation should front-load
-        # the tail queries that are NEW this round (top_contributors_capped,
-        # batch_scores_capped, multimodal_png_resize, ann_pq_topk) plus the
-        # long-unrotated r1/r2-proven tail. ----
-        # capped top-k attribution + capped classed batch (new in r3,
-        # registered past the cap — locally verified this round, rotate
-        # into the window next round)
+        # --- (a) new in r3 past the cap: capped attribution/batch + resize ---
         "top_contributors_capped": lambda s, sf:
             scoring.top_contributors_capped_df(s, sf),
         "batch_scores_capped": lambda s, sf: B.batch_scores_capped_df(s, sf),
         "multimodal_png_resize": MM.q_multimodal_png_resize,
+        # --- (b) the iterative trio, now self-certifying (VERDICT r3 item
+        # 3): deterministic ids/counts + booleans asserting the recall /
+        # coverage floors, which the DuckDB oracle pins to literal true —
+        # hard hash signal instead of rows-only.  Detailed per-neighbor
+        # forms remain pytest-checked (test_ml.py recall floors). ---
+        "ann_ivf_topk": ML.q_ann_ivf_certified,
+        "ann_pq_topk": ML.q_ann_pq_certified,
+        "embedding_kmeans_cells": ML.q_embedding_kmeans_certified,
+        # --- (c) new in round 4 ---
+        # A6 dedicated query: day-weighted mean/std per factor (VERDICT r3
+        # item 7; reference weather_service.py:99-110)
+        "a6_weighted_stats": W.q_weighted_stats,
+        # --- (a cont.) the long-unrotated r1/r2-proven tail ---
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
         "k4_season_of_orders": KQ.q_season_of_orders,
         "k11_severity": KQ.q_severity,
         "k22_weather_summary": ASM.q_weather_summary,
         "dedup_minhash_signatures": D.q_minhash_signatures,
-        "ann_ivf_topk": ML.q_ann_ivf,
-        # new in round 3: product quantization + exact shortlist re-rank
-        # (rows-only like IVF; recall floor in tests/test_ml.py)
-        "ann_pq_topk": ML.q_ann_pq,
-        "embedding_kmeans_cells": ML.q_embedding_kmeans,
         "w_similarity": W.q_weather_similarity,
         "multimodal_png_meta": MM.q_multimodal_png_meta,
         "skew_salted_sum": SK.q_skew_salted_sum,
@@ -173,6 +102,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k5_pearson_factors": W.q_pearson_factors,
         "f2_route_search": R.q_route_search,
         "f3_route_search_rock": R.q_route_search_rock,
+        # ---- driver cap boundary (~50; 6 slots above are held for queries
+        # added later this round — new queries are ALWAYS registered above
+        # the boundary so they get a driver row in their first round).
+        # Everything below was hash-green in CORRECTNESS_r03 (50/50) and
+        # rotates back into the window in round 5. ----
+        "j1_routes_with_coords": R.q_routes_with_coords,
+        "j5_location_breadcrumb": R.q_location_breadcrumb,
+        "j7_fuzzy_route_match": R.q_fuzzy_route_match,
+        "a2_route_page": R.q_route_page,
+        "a5_location_route_counts": R.q_location_route_counts,
+        "a9_location_mode_type": R.q_location_mode_type,
+        "a3_seasonal_patterns": A.q_seasonal_patterns,
+        "a4_ascent_rates": A.q_ascent_rates,
+        "a7_weather_monthly_stats": A.q_weather_monthly_stats,
+        "a8_risk_trend": A.q_risk_trend,
+        "w3_climbing_windows": A.q_climbing_windows,
+        "k21_hourly_risk": A.q_hourly_risk,
+        "risk_rollup": A.q_risk_rollup,
+        "s4_location_routes_assembled": ASM.q_location_routes_assembled,
+        "s3_weather_arrays_assembled": ASM.q_weather_arrays_assembled,
+        "location_forecast_horizon": ASM.q_location_forecast,
+        "j2_weather_range_join": RJ.q_weather_range_join,
+        "predict_point": RJ.q_predict_point,
+        "k1_haversine": KQ.q_haversine,
+        "k2_spatial_weight": KQ.q_spatial_weight,
+        "k3_temporal_weight": KQ.q_temporal_weight,
+        "k10_route_type_weight": KQ.q_route_type_weight,
+        "k13_elevation_weight": KQ.q_elevation_weight,
+        "k14_grade_weight": KQ.q_grade_weight,
+        "k16_route_type_inference": KQ.q_route_type_inference,
+        "k16b_route_type_confidence": KQ.q_route_type_confidence,
+        "k19_bearing_impact": KQ.q_bearing_impact,
+        "dedup_embedding_cosine": SIM.q_dedup_embedding_cosine,
+        "ml_risk_model": ML.q_ml_risk_model,
+        "f1_accident_filter": R.q_accident_filter,
+        "f4_predict_prefilter": R.q_predict_prefilter,
+        "f7_bbox_radius_filter": R.q_bbox_radius_filter,
+        "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
+        "risk_scores_capped": lambda s, sf: scoring.risk_scores_capped_df(s, sf),
+        "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
+        "risk_factor_breakdown": lambda s, sf: scoring.factor_breakdown_df(s, sf),
+        "cache_warming_top_routes": lambda s, sf: scoring.cache_warming_df(s, sf),
+        "batch_scores": lambda s, sf: B.batch_scores_df(s, sf),
+        "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
+        "dedup_ngram_jaccard": D.q_dedup_jaccard,
+        "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
+        "dedup_clusters_largestar": G.q_dedup_clusters_largestar,
+        "events_sessionization": SESS.q_events_sessionization,
+        "curation_funnel": D.q_curation_funnel,
+        "text_chunks": TX.q_text_chunks,
+        "sample_stratified": TX.q_sample_stratified,
+        "text_pack_offsets": TX.q_text_pack_offsets,
+        "text_repetition": TX.q_text_repetition,
+        # NOTE (ADVICE r3): events_approx_stats gates on data-dependent
+        # sketch contracts; its spot below the cap this round is also the
+        # conscious risk mitigation (the local checker still verifies it).
+        "events_approx_stats": A.q_events_approx_stats,
+        "multimodal_wav_meta": MM.q_multimodal_wav_meta,
     }
 
 
@@ -194,6 +181,11 @@ def oracle_sql() -> dict[str, str]:
         "w_similarity": W.sql_weather_similarity(),
         "w_extreme_multiplier": W.sql_extreme_multiplier(),
         "k5_pearson_factors": W.sql_pearson_factors(),
+        "a6_weighted_stats": W.sql_weighted_stats(),
+        # the iterative trio's self-certifying contracts (VERDICT r3 item 3)
+        "ann_ivf_topk": ML.sql_ann_ivf_certified(),
+        "ann_pq_topk": ML.sql_ann_pq_certified(),
+        "embedding_kmeans_cells": ML.sql_embedding_kmeans_certified(),
         "risk_scores": scoring.risk_scores_sql(),
         "risk_scores_capped": scoring.risk_scores_capped_sql(),
         "top_contributors": scoring.top_contributors_sql(),

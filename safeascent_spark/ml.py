@@ -370,14 +370,110 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("cell"))
 
 
+# --- Self-certifying driver forms of the iterative queries -------------------
+#
+# KMeans training is iterative and seeded-Spark-specific, so DuckDB can never
+# reproduce the neighbor lists / cell assignments — the detailed queries above
+# stay pytest-verified.  But the QUALITY CONTRACT is cross-engine checkable
+# (the events_approx_stats pattern, operators/analytics.py): emit only
+# deterministic values (query ids, result counts, the corpus cardinality)
+# plus booleans asserting the iterative result met its floor, and have the
+# oracle pin the booleans to literal ``true``.  A recall or coverage
+# regression then breaks the driver hash gate — hard signal, not rows-only.
+# Floors match the pytest ones (test_ml.py), which hold with margin at the
+# driver's sf0.01: IVF min>=0.5 & mean>=0.7, PQ per-query>=0.7.
+
+IVF_RECALL_MIN = 0.5    # per-query floor (pytest: test_ivf_recall_floor)
+IVF_RECALL_MEAN = 0.7   # corpus-mean floor
+PQ_RECALL_MIN = 0.7     # per-query floor (pytest: test_pq_recall_floor)
+
+
+def q_ann_ivf_certified(spark: SparkSession, sf_dir: str,
+                        topk: int = TOP_K) -> DataFrame:
+    """Driver form of IVF search: per query, the (deterministic) result
+    count + distinctness, and booleans certifying the recall floors."""
+    ivf = q_ann_ivf(spark, sf_dir, topk)
+    per_q = ivf.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.count_distinct("neighbor_id").alias("n_distinct"),
+        F.min("recall_at_k").alias("recall"))   # constant within a query
+    mean_ok = per_q.agg(
+        (F.avg("recall") >= F.lit(IVF_RECALL_MEAN)).alias("mean_recall_ok"))
+    return (per_q.crossJoin(F.broadcast(mean_ok))
+                 .select("query_id", "n_results",
+                         (F.col("n_distinct") == F.col("n_results"))
+                         .alias("results_distinct_ok"),
+                         (F.col("recall") >= F.lit(IVF_RECALL_MIN))
+                         .alias("recall_floor_ok"),
+                         "mean_recall_ok")
+                 .orderBy("query_id"))
+
+
+def sql_ann_ivf_certified(topk: int = TOP_K) -> str:
+    return f"""
+SELECT vec_id AS query_id,
+       CAST({topk} AS BIGINT) AS n_results,
+       true AS results_distinct_ok,
+       true AS recall_floor_ok,
+       true AS mean_recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id"""
+
+
+def q_ann_pq_certified(spark: SparkSession, sf_dir: str,
+                       topk: int = TOP_K) -> DataFrame:
+    """Driver form of PQ + exact re-rank: per-query recall floor contract."""
+    pq = q_ann_pq(spark, sf_dir, topk)
+    per_q = pq.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.count_distinct("neighbor_id").alias("n_distinct"),
+        F.min("recall_at_k").alias("recall"))
+    return (per_q.select("query_id", "n_results",
+                         (F.col("n_distinct") == F.col("n_results"))
+                         .alias("results_distinct_ok"),
+                         (F.col("recall") >= F.lit(PQ_RECALL_MIN))
+                         .alias("recall_floor_ok"))
+                 .orderBy("query_id"))
+
+
+def sql_ann_pq_certified(topk: int = TOP_K) -> str:
+    return f"""
+SELECT vec_id AS query_id,
+       CAST({topk} AS BIGINT) AS n_results,
+       true AS results_distinct_ok,
+       true AS recall_floor_ok
+FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id"""
+
+
+def q_embedding_kmeans_certified(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Driver form of the cluster profile: the cell-size SUM is the exact
+    corpus cardinality (DuckDB reproduces it as count(*)), so partition
+    coverage — every vector in exactly one cell — is value-checked, and
+    the cell-count bound is a pinned boolean."""
+    cells = q_embedding_kmeans(spark, sf_dir)
+    return cells.agg(
+        F.sum("n_vectors").alias("n_vectors_total"),
+        (F.count(F.lit(1)) <= F.lit(N_CENTROIDS)).alias("n_cells_within_k"),
+        (F.min("n_vectors") >= F.lit(1)).alias("cells_nonempty"))
+
+
+def sql_embedding_kmeans_certified() -> str:
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors_total,
+       true AS n_cells_within_k,
+       true AS cells_nonempty
+FROM embeddings"""
+
+
 # --- Product-quantization ANN ------------------------------------------------
 # The canonical billion-scale pairing with IVF: each vector is stored as
-# PQ_M sub-codes (here 8 codes x 16 centroids = 8 bytes vs 512 for raw
-# float64 x 64 dims — a 64x memory cut on the corpus side), and search
+# PQ_M sub-codes (16 codes x 16 centroids = 16 bytes vs 512 for raw
+# float64 x 64 dims — a 32x memory cut on the corpus side), and search
 # ranks by the distance to the CODE-RECONSTRUCTED vector (asymmetric
-# distance).  Iterative KMeans training keeps this in the rows-only driver
-# check; the query emits recall@k vs the oracle-green brute force and
-# pytest pins a floor, like IVF.
+# distance).  Iterative KMeans training keeps the detailed form out of the
+# hash gate; the registered query is the certified contract above, and the
+# detailed query emits recall@k vs the oracle-green brute force with a
+# pytest floor, like IVF.
 
 PQ_M = 16       # subspaces of DIM // PQ_M dims, 16 centroids each
 PQ_SHORTLIST = 5  # exact-rerank shortlist = PQ_SHORTLIST * topk
@@ -386,7 +482,8 @@ PQ_SHORTLIST = 5  # exact-rerank shortlist = PQ_SHORTLIST * topk
 def pq_codebooks(spark: SparkSession, sf_dir: str):
     """Train per-subspace codebooks (seeded) and code the corpus.
 
-    Returns (codebook_df: (m, code, sub), coded corpus with code_0..7)."""
+    Returns (codebook_df: (m, code, sub), coded corpus with
+    code_0..code_{PQ_M-1})."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from .operators.similarity import DIM

@@ -310,8 +310,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
     while pos + 8 <= len(payload):
         typ = payload[pos:pos + 4]
         ln = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if pos + 8 + ln > len(payload):
+            # a silent slice-clamp here would surface later as an opaque
+            # struct.error from unpack; corruption must be ValueError
+            raise ValueError("chunk length overruns payload")
         chunk = payload[pos + 8:pos + 8 + ln]
         if typ == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("fmt chunk shorter than 16 bytes")
             audio_fmt, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", chunk[:16])
             if audio_fmt != 1:

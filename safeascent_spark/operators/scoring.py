@@ -160,7 +160,8 @@ def _route_side(spark: SparkSession, sf_dir: str,
 
 def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
                      routes: DataFrame | None, grid: bool,
-                     accidents: DataFrame | None = None) -> DataFrame:
+                     accidents: DataFrame | None = None,
+                     broadcast_dim: bool = True) -> DataFrame:
     """Join routes against the accident-class dim (+ the weather-factor dim).
 
     ``grid=False``: equi-join on route_type alone — every route meets every
@@ -168,6 +169,18 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
     equi-join on the grid cell, with the dim replicated to the 3x3 cell
     neighborhood — only accidents within ~one cell of the route are ever
     paired, which is the 100 TB plan when the search radius is capped.
+
+    ``broadcast_dim=False`` drops the broadcast hint — the form for the
+    scale regime where the accident dim itself exceeds the broadcast
+    threshold and the grid join becomes a shuffle join on (route_type,
+    cell).  Geographic cells skew (accident hot-spots cluster), so THIS
+    form must run with AQE skew-join enabled — at cluster scale set
+    ``spark.sql.adaptive.skewJoin.*`` thresholds proportional to partition
+    sizes; ``tests/test_skew_grid.py`` pins that the skew split actually
+    activates on a 30%-hot cell and that results match the broadcast form
+    exactly.  (``skew.py:replicate_broadcast_join`` remains the manual
+    alternative when the dim still broadcasts but one cell dominates the
+    probe side.)
     """
     r = _route_side(spark, sf_dir, routes)
     ax = accident_class_dim(spark, sf_dir, pred_date, accidents=accidents)
@@ -186,7 +199,8 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
         keys = ["route_type", "cx", "cy"]
     else:
         keys = ["route_type"]
-    pairs = domain.fan_out(r).join(F.broadcast(ax), keys)
+    pairs = domain.fan_out(r).join(
+        F.broadcast(ax) if broadcast_dim else ax, keys)
     return pairs.join(
         F.broadcast(wdim),
         (pairs["wbucket"] == wdim["cur_bucket"])
@@ -305,17 +319,6 @@ def risk_scores_capped_df(spark: SparkSession, sf_dir: str,
     return _risk_agg(pairs.filter(F.col("distance_km") <= F.lit(radius_km)))
 
 
-def _batch_topk_gen(limit: int):
-    """Arrow-batch-local top-``limit`` per route_id (pandas, vectorized)."""
-    def gen(batches):
-        for pdf in batches:
-            if len(pdf):
-                yield (pdf.sort_values(["influence", "accident_id"],
-                                       ascending=[False, True])
-                          .groupby("route_id", sort=False).head(limit))
-    return gen
-
-
 def top_contributors_df(spark: SparkSession, sf_dir: str,
                         pred_date: str = domain.PRED_DATE,
                         limit: int = C.MAX_CONTRIBUTING_ACCIDENTS) -> DataFrame:
@@ -324,18 +327,19 @@ def top_contributors_df(spark: SparkSession, sf_dir: str,
     Reference: safety_algorithm.py:370-415 (sort desc, take 50).  Ties are
     broken by accident_id for determinism.
 
-    Scale shape: before the global window, a ``mapInPandas`` stage truncates
-    each Arrow batch to its local top-``limit`` per route.  This is an
-    *exact-superset* reduction — a row in the global top-k of its route is by
-    definition in the top-k of every subset that contains it — so the window
-    result is unchanged while the shuffled row count drops from "all
-    significant pairs" to <= limit per (route, batch).  With accidents on
-    the broadcast side each route's pairs are generated inside one partition,
-    so this is ~limit rows per route: the window's exchange+sort now touches
-    ~|routes|*limit rows instead of ~|routes|*|accidents|.  The influence
-    kernels stay in whole-stage codegen; only the pruned 4-column rows cross
-    the Arrow boundary, and float64 survives Arrow bit-exactly, so oracle
-    parity is unaffected.
+    Scale shape: the rank<=limit filter over a row_number window triggers
+    Spark's WindowGroupLimit rewrite (SPARK-37099): a PARTIAL group-limit
+    runs below the exchange, truncating every map partition to its local
+    top-``limit`` per route before anything shuffles — an exact-superset
+    reduction (a row in the global top-k of its route is by definition in
+    the top-k of every subset containing it).  With accidents on the
+    broadcast side each route's pairs are generated inside one partition,
+    so the window's exchange+sort touches ~|routes|*limit rows instead of
+    ~|routes|*|accidents| — all JVM-side, inside the same codegen pipeline
+    as the influence kernels.  (Round 3 hand-rolled this truncation as an
+    Arrow ``mapInPandas`` stage; that paid ~1M-row Arrow serialization at
+    sf0.1 to do what WindowGroupLimit already does natively — removed in
+    round 4, the plan test now pins the Partial group-limit shape.)
     """
     pairs = influence_pairs_df(spark, sf_dir, pred_date)
     return _topk_from_pairs(pairs, limit)
@@ -346,8 +350,8 @@ def top_contributors_capped_df(spark: SparkSession, sf_dir: str,
                                limit: int = C.MAX_CONTRIBUTING_ACCIDENTS,
                                radius_km: float = C.MAX_SEARCH_RADIUS_KM) -> DataFrame:
     """W1 under the production 300 km search cap: grid-pair generation (see
-    risk_scores_capped_df) feeding the same truncate-below-window top-k —
-    the attribution surface that stays fast when the corpus stops
+    risk_scores_capped_df) feeding the same WindowGroupLimit-truncated
+    top-k — the attribution surface that stays fast when the corpus stops
     broadcasting (sf1: the pair stage is ~11x cheaper than uncapped)."""
     pairs = _pair_influence_select(
         _candidate_pairs(spark, sf_dir, pred_date, None, grid=True)) \
@@ -361,13 +365,9 @@ def _topk_from_pairs(pairs: DataFrame,
     pruned = (pairs.filter(F.col("influence") > C.SIGNIFICANCE_THRESHOLD)
                    .select("route_id", "accident_id", "influence",
                            "distance_km"))
-    local = pruned.mapInPandas(
-        _batch_topk_gen(limit),
-        "route_id bigint, accident_id bigint, influence double, "
-        "distance_km double")
     w = Window.partitionBy("route_id").orderBy(
         F.col("influence").desc(), F.col("accident_id").asc())
-    return (local.withColumn("rank", F.row_number().over(w))
+    return (pruned.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= limit)
                   .select("route_id",
                           F.col("rank").cast("int").alias("rank"),

@@ -539,3 +539,83 @@ SELECT wbucket, count(*) AS n_days,
 FROM weather GROUP BY wbucket
 HAVING count(*) >= 2
 ORDER BY wbucket"""
+
+
+def q_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: day-weighted mean and population std per factor, per bucket.
+
+    The reference's ``_weighted_mean_and_std`` (weather_service.py:99-110):
+    wmean = sum(w*x)/sum(w), wstd = sqrt(max(sum(w*(x-wmean)^2)/sum(w), 0)),
+    with the within-window decay weights weight(i) = decay^(nd-1-i) built
+    positionally over the bucket's window (time_utils.py:80-113) — the same
+    alignment weather_similarity_df uses.  Two-pass centered form so Spark
+    and DuckDB decide the near-zero-variance edge identically (the reference
+    clamps negative variance, hence the greatest(.., 0)).
+
+    Scale shape: two map-side-combined groupBys over the long-form weather
+    table + a bounded broadcast-sized join between them; no window wider
+    than a wbucket (<= 7 rows)."""
+    from pyspark.sql import Window
+    w = domain.weather_long_df(spark, sf_dir)
+    seq = Window.partitionBy("wbucket").orderBy("day_offset")
+    s = (w.withColumn("pos", F.row_number().over(seq) - 1)
+          .withColumn("wnd", F.count(F.lit(1)).over(
+              Window.partitionBy("wbucket")))
+          .withColumn("wraw", F.pow(
+              F.lit(C.WITHIN_WINDOW_TEMPORAL_DECAY),
+              (F.col("wnd") - 1 - F.col("pos")).cast("double"))))
+    means = s.groupBy("wbucket").agg(
+        F.sum("wraw").alias("sw"),
+        *[F.sum(F.col("wraw") * F.col(FACTOR_SRC[f])).alias(f"sx_{f}")
+          for f in FACTORS],
+    ).select("wbucket", "sw",
+             *[(F.col(f"sx_{f}") / F.col("sw")).alias(f"m_{f}")
+               for f in FACTORS])
+    cent = s.join(means, "wbucket")
+    agg = cent.groupBy("wbucket").agg(
+        F.first("sw").alias("sw"),
+        *[e for f in FACTORS for e in (
+            F.first(f"m_{f}").alias(f"fm_{f}"),
+            F.sum(F.col("wraw")
+                  * F.pow(F.col(FACTOR_SRC[f]) - F.col(f"m_{f}"), 2))
+             .alias(f"ss_{f}"),
+        )],
+    )
+    return agg.select(
+        "wbucket",
+        *[e for f in FACTORS for e in (
+            F.round(F.col(f"fm_{f}"), 6).alias(f"wmean_{f}"),
+            F.round(F.sqrt(F.greatest(F.col(f"ss_{f}") / F.col("sw"),
+                                      F.lit(0.0))), 6).alias(f"wstd_{f}"),
+        )],
+    ).orderBy("wbucket")
+
+
+def sql_weighted_stats() -> str:
+    mean_cols = ", ".join(
+        f"sum(wraw * {FACTOR_SRC[f]}) / sum(wraw) AS m_{f}" for f in FACTORS)
+    out_cols = ", ".join(
+        f"round(m.m_{f}, 6) AS wmean_{f}, "
+        f"round(sqrt(greatest(sum(s.wraw * pow(s.{FACTOR_SRC[f]} - m.m_{f}, 2))"
+        f" / m.sw, 0.0)), 6) AS wstd_{f}"
+        for f in FACTORS)
+    group_means = ", ".join(f"m.m_{f}" for f in FACTORS)
+    return f"""{_WEATHER_ONLY_WITH},
+wseq AS (
+  SELECT *, row_number() OVER (PARTITION BY wbucket ORDER BY day_offset) - 1 AS pos,
+         count(*) OVER (PARTITION BY wbucket) AS wnd
+  FROM weather
+),
+wwt AS (
+  SELECT *, pow({C.WITHIN_WINDOW_TEMPORAL_DECAY!r},
+                CAST(wnd - 1 - pos AS DOUBLE)) AS wraw
+  FROM wseq
+),
+wm AS (
+  SELECT wbucket, sum(wraw) AS sw, {mean_cols}
+  FROM wwt GROUP BY wbucket
+)
+SELECT s.wbucket, {out_cols}
+FROM wwt s JOIN wm m ON s.wbucket = m.wbucket
+GROUP BY s.wbucket, m.sw, {group_means}
+ORDER BY s.wbucket"""

@@ -121,16 +121,22 @@ def _publish(root: str, manifest: dict) -> bool:
 def read_snapshot(spark: SparkSession, root: str,
                   version: int | None = None,
                   partition: str | None = None,
-                  key_between: tuple | None = None) -> DataFrame:
+                  key_between: tuple | None = None,
+                  key: str = "route_id") -> DataFrame:
     """Read a committed snapshot (optionally one partition / an old
     version).  Loads exactly the manifest's file list — no directory
     listing, no exposure to in-flight writers.
 
     ``key_between=(lo, hi)`` performs manifest-level data skipping: files
-    whose key min/max range (captured from parquet footers at commit) is
-    disjoint from [lo, hi] are never opened, and the exact filter is
+    whose ``key`` min/max range (captured from parquet footers at commit)
+    is disjoint from [lo, hi] are never opened, and the exact filter is
     re-applied to the survivors.  Files without stats are conservatively
-    kept."""
+    kept.  ``key`` must match the column the files were committed with
+    (``_write_data_files``'s key) — it is also the column of the
+    single-key empty-table fallback schema, which exists only so "read an
+    empty/missing table" composes; callers needing a real schema should
+    check ``read_manifest`` first (r3 ADVICE: the fallback previously
+    hardcoded route_id even for tables keyed otherwise)."""
     m = read_manifest(root, version)
     parts = m["partitions"]
     if partition is not None:
@@ -147,13 +153,13 @@ def read_snapshot(spark: SparkSession, root: str,
         df = spark.read.parquet(*[str(Path(root) / e["path"]) for e in files])
         frames.append(df.withColumn("prediction_date", F.lit(pval)))
     if not frames:
-        return spark.createDataFrame([], "route_id bigint") \
+        return spark.createDataFrame([], f"{key} bigint") \
             .withColumn("prediction_date", F.lit(None).cast("string"))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
     if key_between is not None:
-        out = out.filter(F.col("route_id").between(*key_between))
+        out = out.filter(F.col(key).between(*key_between))
     return out
 
 
@@ -206,30 +212,54 @@ def merge_scores(df: DataFrame, root: str, partition: str,
     return _retrying_commit(root, build)
 
 
-def vacuum(root: str, keep_versions: int = 1) -> list[str]:
+def vacuum(root: str, keep_versions: int = 1,
+           grace_seconds: float = 600.0) -> list[str]:
     """Drop manifests older than the newest ``keep_versions`` and delete
-    data files no surviving manifest references.  Returns removed files."""
+    data files no surviving manifest references.  Returns removed files.
+
+    Unreferenced files younger than ``grace_seconds`` (mtime) are KEPT: a
+    concurrent writer materializes data files *before* publishing its
+    manifest (the documented unreferenced-until-commit window, including
+    ``merge_scores`` retry attempts), so a zero-grace vacuum could delete
+    files whose manifest is about to publish — the Delta/Iceberg retention
+    threshold exists for exactly this (r3 ADVICE item 1).  Pass
+    ``grace_seconds=0`` only when the caller holds exclusive access."""
+    import time
+    cutoff = time.time() - grace_seconds
     head = current_version(root)
     keep = range(max(1, head - keep_versions + 1), head + 1)
     referenced: set[str] = set()
     for v in keep:
         for files in read_manifest(root, v)["partitions"].values():
             referenced.update(e["path"] for e in files)
-    removed = []
+    removed, grace_kept = [], set()
     data = Path(root) / "data"
     if data.exists():
         for sub in data.iterdir():
             for p in sub.glob("*.parquet"):
                 rel = str(p.relative_to(root))
                 if rel not in referenced:
+                    try:
+                        if p.stat().st_mtime > cutoff:
+                            grace_kept.add(rel)
+                            continue  # inside an in-flight commit's window
+                    except OSError:
+                        continue  # already gone (concurrent vacuum)
                     p.unlink()
                     removed.append(rel)
             if not any(sub.iterdir()):
                 sub.rmdir()
     for v in range(1, keep.start):
         mp = _manifest_path(root, v)
-        if mp.exists():
-            mp.unlink()
+        if not mp.exists():
+            continue
+        # keep the old manifest while the grace window protects any of its
+        # files — time travel to it must stay consistent until then
+        vfiles = {e["path"] for files in
+                  read_manifest(root, v)["partitions"].values() for e in files}
+        if vfiles & grace_kept:
+            continue
+        mp.unlink()
     return sorted(removed)
 
 
@@ -241,7 +271,13 @@ def compact(spark: SparkSession, root: str, partition: str,
     Readers are never disturbed — they hold whichever manifest version they
     opened (old files persist until ``vacuum``), and a concurrent MERGE that
     wins the version race simply makes this compaction rebase and rewrite
-    on top of it.  Returns the committed version."""
+    on top of it.  A missing/empty partition is a no-op returning the
+    current version — committing the empty-table fallback's degenerate
+    schema over a real partition was the r3 ADVICE item 2 hazard.  Returns
+    the committed version."""
+    m = read_manifest(root)
+    if not m["partitions"].get(partition):
+        return m["version"]
     cur = read_snapshot(spark, root, partition=partition) \
         .drop("prediction_date").coalesce(target_files) \
         .localCheckpoint(eager=True)

@@ -68,16 +68,17 @@ def test_capped_scoring_is_monotone_below_full(spark):
 
 
 def test_top_contributors_truncates_before_window(spark):
-    """W1 must pre-truncate each batch to its local top-k per route BEFORE
-    the global window's exchange (exact-superset reduction): the MapInPandas
-    stage has to sit below the Window in the plan, so the shuffle carries
-    ~|routes|*k rows, not every significant pair."""
+    """W1 must pre-truncate each map partition to its local top-k per route
+    BEFORE the global window's exchange (exact-superset reduction): Spark's
+    WindowGroupLimit rewrite (SPARK-37099) must fire in Partial mode below
+    the shuffle, so it carries ~|routes|*k rows, not every significant pair.
+    (Round 3 hand-rolled this as an Arrow mapInPandas stage — redundant with
+    the native rewrite and ~1M rows of extra Arrow serialization at sf0.1;
+    this test also guards against that stage creeping back in.)"""
     plan = plan_of(scoring.top_contributors_df(spark, SF_SMOKE))
-    i_map, i_win = plan.find("MapInPandas"), plan.find("Window")
-    assert i_map != -1 and i_win != -1, plan
-    # "formatted" explain lists operators leaves-last, so the upstream
-    # truncation appears AFTER the window header in the text
-    assert i_map > i_win, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan[plan.find("WindowGroupLimit"):], plan
+    assert "MapInPandas" not in plan, plan
 
 
 def test_column_pruning_reaches_scan(spark):
@@ -173,6 +174,41 @@ def test_no_unpartitioned_windows_anywhere(spark):
                first.endswith("DESC NULLS FIRST"):
                 offenders.append((name, m.group(0)[:120]))
     assert not offenders, offenders
+
+
+# The ONLY sanctioned constant-key (`% 1`) window sites.  Each ranks an
+# input already bounded at its definition site (top-N TakeOrdered result or
+# a <=256-row aggregate); the boundedness argument lives in a comment at
+# each site.  VERDICT r3 item 8: the structural window audit above cannot
+# distinguish bounded from unbounded constant-key windows, so any NEW site
+# must be reviewed for boundedness and added here — an unlisted one fails.
+CONSTANT_KEY_WINDOW_ALLOWLIST = {
+    ("safeascent_spark/operators/relational.py", 'F.col("route_id") % 1'),
+    ("safeascent_spark/operators/text.py", 'F.length("bkt") % 1'),
+    ("safeascent_spark/operators/text.py", 'F.length("word") % 1'),
+    ("safeascent_spark/operators/scoring.py", 'F.col("route_id") % 1'),
+}
+
+
+def test_constant_key_windows_are_allowlisted():
+    """Source sweep: every `partitionBy(<expr> % 1)` site must be in
+    CONSTANT_KEY_WINDOW_ALLOWLIST.  Guards against a future unbounded
+    constant-key window gaming test_no_unpartitioned_windows_anywhere."""
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent
+    found = set()
+    for p in sorted((root / "safeascent_spark").rglob("*.py")):
+        for line in p.read_text().splitlines():
+            if "partitionBy(" in line and "% 1)" in line:
+                m = re.search(r"partitionBy\((.*% 1)\)", line)
+                assert m, (p, line)
+                found.add((str(p.relative_to(root)), m.group(1).strip()))
+    assert found <= CONSTANT_KEY_WINDOW_ALLOWLIST, (
+        "new constant-key window site(s) — prove boundedness at the "
+        f"definition site, then allowlist: {found - CONSTANT_KEY_WINDOW_ALLOWLIST}")
+    # the allowlist itself must not go stale
+    assert found == CONSTANT_KEY_WINDOW_ALLOWLIST, (
+        f"stale allowlist entries: {CONSTANT_KEY_WINDOW_ALLOWLIST - found}")
 
 
 def test_jaccard_hot_set_is_anti_join(spark):

@@ -77,6 +77,23 @@ def test_wav_decoder_rejects_corruption():
     payload[4] ^= 0xFF  # declared RIFF size now wrong
     with pytest.raises(ValueError, match="size mismatch"):
         decode_wav(bytes(payload))
+    # a chunk whose declared length overruns the payload must be a clean
+    # ValueError, not a downstream struct.error (r3 ADVICE item 3)
+    import struct as _s
+    good = encode_wav(8000, 10, seed=1)
+    data_at = good.find(b"data")
+    payload = bytearray(good)
+    payload[data_at + 4:data_at + 8] = _s.pack("<I", 10_000)
+    payload[4:8] = _s.pack("<I", len(payload) - 8)  # keep RIFF size valid
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav(bytes(payload))
+    # fmt chunk shorter than 16 bytes: same contract
+    fmt_at = good.find(b"fmt ")
+    payload = bytearray(good[:fmt_at + 8 + 8])  # truncate fmt to 8 bytes
+    payload[fmt_at + 4:fmt_at + 8] = _s.pack("<I", 8)
+    payload[4:8] = _s.pack("<I", len(payload) - 8)
+    with pytest.raises(ValueError, match="fmt chunk"):
+        decode_wav(bytes(payload))
 
 
 def test_resize_nn_on_nonconstant_grid():

@@ -347,3 +347,59 @@ def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
     b = sorted((r.location_id, r.rep) for r in
                spark.read.parquet(naive).filter(box).collect())
     assert a == b and len(a) > 0
+
+
+def test_upsert_two_writer_contention(spark):
+    """S9 race (VERDICT r3 item 5): two concurrent upserts of the SAME date
+    must claim distinct delta sequences (atomic mkdir, not listing-max+1)
+    and both survive merge-on-read.  Threads synchronize on a barrier so
+    both directory listings happen before either mkdir."""
+    import threading
+    with tempfile.TemporaryDirectory() as tmp:
+        path = str(Path(tmp) / "scores")
+        base = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "route_id bigint, risk_score double")
+        sinks.write_scores(base, path, "2024-06-15")
+        d1 = spark.createDataFrame([(1, 11.0)],
+                                   "route_id bigint, risk_score double")
+        d2 = spark.createDataFrame([(2, 22.0)],
+                                   "route_id bigint, risk_score double")
+        barrier = threading.Barrier(2)
+        seqs: list[int] = []
+        orig = sinks._delta_root
+
+        def contended(df):
+            def patched(path_, date_):
+                root = orig(path_, date_)
+                root.mkdir(parents=True, exist_ok=True)
+                barrier.wait(timeout=30)  # both list before either claims
+                return root
+            sinks._delta_root = patched
+            try:
+                seqs.append(sinks.upsert_scores(df, path, "2024-06-15"))
+            finally:
+                sinks._delta_root = orig
+
+        t1 = threading.Thread(target=contended, args=(d1,))
+        t2 = threading.Thread(target=contended, args=(d2,))
+        t1.start(); t2.start(); t1.join(30); t2.join(30)
+        assert sorted(seqs) == [1, 2], seqs
+        got = {r.route_id: r.risk_score
+               for r in sinks.read_scores_current(
+                   spark, path, "2024-06-15").collect()}
+        assert got == {1: 11.0, 2: 22.0}, got
+
+
+def test_session_confs_pinned_for_new_session(spark):
+    """domain.load_table pins nanosAsLong + UTC session timezone
+    UNCONDITIONALLY (not only on cache miss), so a second session created
+    with spark.newSession() — fresh SESSION confs, shared SparkContext and
+    therefore shared plan cache — must produce identical results for a
+    timestamp-deriving oracle query (VERDICT r3 'what's wrong' item 1)."""
+    from safeascent_spark.operators import analytics as A
+    base = {tuple(r) for r in A.q_climbing_windows(spark, SF_SMOKE).collect()}
+    s2 = spark.newSession()
+    got = {tuple(r) for r in A.q_climbing_windows(s2, SF_SMOKE).collect()}
+    assert got == base
+    assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"

@@ -68,9 +68,40 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     T.commit_overwrite_partition(_rows(spark, [(1, 99.0)]), root, D)
     assert _snap(spark, root, version=1) == {1: 10.0}
     assert _snap(spark, root, version=2) == {1: 99.0}
-    removed = T.vacuum(root, keep_versions=1)
-    assert removed, "v1's unreferenced files should be deleted"
+    # default grace window: v1's files are unreferenced but FRESH — a
+    # concurrent writer's unpublished files look exactly like this, so
+    # vacuum must leave them alone (r3 ADVICE item 1)
+    assert T.vacuum(root, keep_versions=1) == []
+    assert _snap(spark, root, version=1) == {1: 10.0}  # still readable
+    removed = T.vacuum(root, keep_versions=1, grace_seconds=0)
+    assert removed, "past the grace window, v1's files should be deleted"
     assert _snap(spark, root) == {1: 99.0}  # head intact
+
+
+def test_vacuum_grace_protects_inflight_writer(spark, tmp_path):
+    """A writer that has materialized data files but not yet published its
+    manifest must survive a concurrent vacuum: its files are unreferenced
+    by ANY manifest, yet inside the grace window."""
+    root = str(tmp_path / "t")
+    T.commit_overwrite_partition(_rows(spark, [(1, 10.0)]), root, D)
+    # simulate the unreferenced-until-commit window of a second writer
+    pending = T._write_data_files(_rows(spark, [(2, 20.0)]), root)
+    assert T.vacuum(root, keep_versions=1) == []
+    # the in-flight writer now publishes; its files must still exist
+    v = T._retrying_commit(root, lambda base: {
+        D: base["partitions"].get(D, []) + pending})
+    assert v == 2
+    assert _snap(spark, root) == {1: 10.0, 2: 20.0}
+
+
+def test_compact_missing_partition_is_noop(spark, tmp_path):
+    """compact() on an absent/empty partition must not commit anything
+    (r3 ADVICE item 2: it used to commit the empty-fallback schema)."""
+    root = str(tmp_path / "t")
+    T.commit_overwrite_partition(_rows(spark, [(1, 10.0)]), root, D)
+    v = T.compact(spark, root, "2099-01-01")
+    assert v == 1 and T.current_version(root) == 1
+    assert _snap(spark, root) == {1: 10.0}
 
 
 def test_partition_isolation(spark, tmp_path):
