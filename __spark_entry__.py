@@ -64,6 +64,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A6 dedicated query: day-weighted mean/std per factor (VERDICT r3
         # item 7; reference weather_service.py:99-110)
         "a6_weighted_stats": W.q_weighted_stats,
+        # per-source quota sampling (WindowGroupLimit partial top-k)
+        "sample_domain_quota": TX.q_sample_domain_quota,
+        # exact-substring decontamination (token-window inverted index)
+        "decontam_substring": D.q_decontam_substring,
+        # CCNet-style unigram-LM bits/token quality score
+        "text_unigram_lm": TX.q_text_unigram_lm,
         # --- (a cont.) the long-unrotated r1/r2-proven tail ---
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
@@ -182,6 +188,9 @@ def oracle_sql() -> dict[str, str]:
         "w_extreme_multiplier": W.sql_extreme_multiplier(),
         "k5_pearson_factors": W.sql_pearson_factors(),
         "a6_weighted_stats": W.sql_weighted_stats(),
+        "sample_domain_quota": TX.sql_sample_domain_quota(),
+        "decontam_substring": D.sql_decontam_substring(),
+        "text_unigram_lm": TX.sql_text_unigram_lm(),
         # the iterative trio's self-certifying contracts (VERDICT r3 item 3)
         "ann_ivf_topk": ML.sql_ann_ivf_certified(),
         "ann_pq_topk": ML.sql_ann_pq_certified(),

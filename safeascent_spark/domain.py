@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 import os
 import re
+import weakref
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,7 +53,24 @@ TAGS_BY_MOD = [
 ]
 
 
-_TABLE_CACHE: dict = {}
+_SESSION_CACHES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def session_cache(spark: SparkSession, ns: str) -> dict:
+    """Per-SparkSession memo namespace for DataFrame builders.
+
+    A DataFrame executes under the conf of the session that BUILT it, so a
+    cache keyed by applicationId (shared across ``spark.newSession()``
+    clones) would silently run a second session's queries under the first
+    session's broadcast/AQE/timezone settings — exactly the hazard a skew
+    or conf test creating an isolated session must not hit.  Weak keys:
+    dropping the session drops its cached plans.
+    """
+    per = _SESSION_CACHES.get(spark)
+    if per is None:
+        per = {}
+        _SESSION_CACHES[spark] = per
+    return per.setdefault(ns, {})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,18 +84,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamp->date/month extraction is session-timezone dependent in
     # Spark but wall-clock in DuckDB; pin UTC so oracle parity holds under
     # any caller session (the driver builds its own).
-    # Both confs are SESSION-scoped but the cache key is applicationId-scoped
-    # (plans are reusable across sessions sharing one SparkContext), so they
-    # are pinned unconditionally — a cache hit from a second session
-    # (spark.newSession()) must still get its own confs set.
+    # Both confs are SESSION-scoped; pin them unconditionally so even a
+    # session that will hit this cache gets its own confs set.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
-    _TABLE_CACHE[key] = ts_to_nanos(
-        spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return _TABLE_CACHE[key]
+    cache = session_cache(spark, "load_table")
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = ts_to_nanos(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return cache[key]
 
 
 def ts_to_nanos(df: DataFrame) -> DataFrame:
@@ -176,13 +192,12 @@ def _memo_df(fn):
     Building these plans costs hundreds of py4j round-trips (the CASE
     derivations alone are ~50 Column calls); the returned DataFrame is an
     immutable logical plan, so reuse is free and pins no data."""
-    cache: dict = {}
 
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (spark.sparkContext.applicationId, sf_dir)
-        if key not in cache:
-            cache[key] = fn(spark, sf_dir)
-        return cache[key]
+        cache = session_cache(spark, f"memo_df:{fn.__name__}")
+        if sf_dir not in cache:
+            cache[sf_dir] = fn(spark, sf_dir)
+        return cache[sf_dir]
 
     wrapper.__name__ = fn.__name__
     wrapper.__doc__ = fn.__doc__

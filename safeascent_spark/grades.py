@@ -77,15 +77,13 @@ def py_parse_grade(grade: str | None) -> float | None:
     return parse_yds("5." + g.lower())
 
 
-_DIM_CACHE: dict = {}
-
-
 def domain_grade_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized grade dimension over the domain's two grade sources
     (routes + accidents).  The distinct-collect runs once per (session, sf)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from . import domain
+    _DIM_CACHE = domain.session_cache(spark, "grade_dim")
+    key = sf_dir
     if key not in _DIM_CACHE:
-        from . import domain
         r = domain.routes_df(spark, sf_dir).select("grade")
         a = domain.accidents_df(spark, sf_dir).select("grade")
         distinct = [x[0] for x in r.union(a).distinct().collect()

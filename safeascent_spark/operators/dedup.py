@@ -69,16 +69,14 @@ FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""
 
 # --- Shingles (3-gram word windows -> integer ids) ---------------------------
 
-_SHINGLE_CACHE: dict = {}
-
-
 def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized + Spark-cached shingle table (several dedup queries
     share it; the vocabulary distinct-collect runs once per session/sf)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SHINGLE_CACHE:
-        _SHINGLE_CACHE[key] = shingles_df(spark, sf_dir).cache()
-    return _SHINGLE_CACHE[key]
+    from .. import domain
+    cache = domain.session_cache(spark, "shingles")
+    if sf_dir not in cache:
+        cache[sf_dir] = shingles_df(spark, sf_dir).cache()
+    return cache[sf_dir]
 
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,3 +586,104 @@ UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT) FROM e
 UNION ALL SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT) FROM n
 UNION ALL SELECT 5, 'decontaminated', CAST(count(*) AS BIGINT) FROM f
 ORDER BY stage_idx"""
+
+
+# --- Exact-substring decontamination (token-boundary window join) ------------
+# The GPT-3/Pile-style exact-substring check: an eval-set fragment counts
+# as leaked only if it appears VERBATIM in a training document.  Donors
+# (docs with doc_id % DECON_DONOR_MOD == DECON_DONOR_REM) stand in for the
+# eval set; each contributes its first DECON_FRAG_TOKENS tokens as one
+# fragment.
+
+DECON_DONOR_MOD = 97
+DECON_DONOR_REM = 3
+DECON_FRAG_TOKENS = 8
+# Seeded "leaky" documents (donor's fragment quoted inside fresh text) make
+# the sf0.01 parity row set non-empty by construction — the same
+# non-vacuousness device as similarity.corpus_with_twins_df.  A random
+# 8-token run recurring naturally is ~vocab^-8; without seeding the check
+# would pass on two empty results and prove nothing.
+DECON_LEAK_OFFSET = 2_000_000
+
+
+def _decon_corpus(d: DataFrame):
+    """(corpus, frags): corpus = non-donors + seeded leaky quotes of every
+    other donor; frags = distinct first-DECON_FRAG_TOKENS-token fragments
+    of the donors (the stand-in eval set)."""
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    L = DECON_FRAG_TOKENS
+    donors = (d.filter(F.col("doc_id") % DECON_DONOR_MOD == DECON_DONOR_REM)
+               .select("doc_id", ws.alias("ws"))
+               .filter(F.size("ws") >= L)
+               .select("doc_id",
+                       F.concat_ws(" ", F.slice("ws", 1, L)).alias("frag")))
+    frags = donors.select("frag").distinct()
+    leaky = (donors.filter(
+                F.expr(f"(doc_id div {DECON_DONOR_MOD}) % 2 = 0"))
+                   .select((F.col("doc_id") + DECON_LEAK_OFFSET)
+                            .alias("doc_id"),
+                           F.concat(F.lit("quoted eval text "), F.col("frag"),
+                                    F.lit(" end quote")).alias("text")))
+    corpus = (d.filter(F.col("doc_id") % DECON_DONOR_MOD != DECON_DONOR_REM)
+               .select("doc_id", "text")
+               .unionByName(leaky))
+    return corpus, frags
+
+
+def q_decontam_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus documents containing any eval fragment verbatim (at token
+    granularity), with the count of distinct fragments each leaks.
+
+    Scale shape: NOT a contains() scan per (doc, fragment) pair — that is
+    a nested loop over |docs| x |frags|.  The corpus side explodes each
+    document into its DECON_FRAG_TOKENS-token sliding windows and
+    equi-joins the window string against the broadcast fragment dim, so
+    the work is O(total_tokens) regardless of eval-set size (an
+    Aho-Corasick analog built from relational pieces).  The DuckDB oracle
+    declares the same semantics via boundary-padded position(): a window
+    equals a fragment iff ' '||frag||' ' occurs in ' '||text||' ', exact
+    because tokens are single-space-joined on both sides.
+    """
+    d = T.docs_df(spark, sf_dir)
+    corpus, frags = _decon_corpus(d)
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    L = DECON_FRAG_TOKENS
+    idx = F.when(F.size("ws") >= L,
+                 F.sequence(F.lit(1), F.size("ws") - (L - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    windows = (corpus.select("doc_id", ws.alias("ws"))
+                     .select("doc_id", F.explode(
+                         F.transform(idx, lambda i: F.concat_ws(
+                             " ", F.slice("ws", i, L)))).alias("w")))
+    hits = (windows.join(F.broadcast(frags),
+                         windows["w"] == frags["frag"])
+                   .groupBy("doc_id")
+                   .agg(F.countDistinct("frag").cast("bigint")
+                         .alias("n_frags_leaked")))
+    return hits.orderBy("doc_id")
+
+
+def sql_decontam_substring() -> str:
+    L = DECON_FRAG_TOKENS
+    ws = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH donors AS (
+  SELECT doc_id, array_to_string(ws[1:{L}], ' ') AS frag
+  FROM (SELECT doc_id, {ws} AS ws FROM documents
+        WHERE doc_id % {DECON_DONOR_MOD} = {DECON_DONOR_REM})
+  WHERE len(ws) >= {L}
+),
+frags AS (SELECT DISTINCT frag FROM donors),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {DECON_DONOR_MOD} <> {DECON_DONOR_REM}
+  UNION ALL
+  SELECT doc_id + {DECON_LEAK_OFFSET} AS doc_id,
+         'quoted eval text ' || frag || ' end quote' AS text
+  FROM donors WHERE (doc_id // {DECON_DONOR_MOD}) % 2 = 0
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_frags_leaked
+FROM corpus d JOIN frags f
+  ON position((' ' || f.frag || ' ') IN (' ' || d.text || ' ')) > 0
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""

@@ -718,3 +718,92 @@ LEFT JOIN f1 ON b.doc_id = f1.doc_id
 LEFT JOIN f2 ON b.doc_id = f2.doc_id
 LEFT JOIN f3 ON b.doc_id = f3.doc_id
 ORDER BY b.doc_id"""
+
+
+# --- Per-domain quota sampling (cap overrepresented sources) -----------------
+# The domain-rebalancing step of a web-corpus pipeline (cap any one crawl
+# source/domain at a fixed document budget, pick the survivors by a
+# deterministic pseudo-random rank so reruns and backfills agree).
+
+DOMAIN_QUOTA = 18   # binds below the 25 docs/source of sf0.01
+
+
+def q_sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most DOMAIN_QUOTA documents per ``source``, chosen by a
+    deterministic Knuth-hash ranking of doc_id (reproducible "random"
+    sample; ties impossible because the hash is injective on doc_id within
+    one source at these moduli, but doc_id still breaks them defensively).
+
+    Scale shape: a per-group top-k, NOT a full per-source sort: the
+    row_number <= k filter triggers Spark's WindowGroupLimit rewrite, which
+    truncates every map partition to its local top-k BEFORE the shuffle —
+    at 100 TB each task forwards <= k rows per source it sees, so the
+    exchange carries O(#partitions x #sources x k), independent of corpus
+    size.  tests/test_plans.py pins the group-limit shape.
+    """
+    d = docs_df(spark, sf_dir)
+    rk = F.expr(f"pmod(pmod(doc_id, {SAMPLE_MOD}) * {SAMPLE_KNUTH}, "
+                f"{SAMPLE_P})")
+    w = Window.partitionBy("source").orderBy("rk", "doc_id")
+    return (d.select("doc_id", "source", rk.alias("rk"))
+             .withColumn("quota_rank",
+                         F.row_number().over(w).cast("bigint"))
+             .where(F.col("quota_rank") <= DOMAIN_QUOTA)
+             .select("doc_id", "source", "quota_rank")
+             .orderBy("source", "quota_rank"))
+
+
+def sql_sample_domain_quota() -> str:
+    rk = f"(((doc_id % {SAMPLE_MOD}) * {SAMPLE_KNUTH}) % {SAMPLE_P})"
+    return f"""
+SELECT doc_id, source, quota_rank
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY {rk}, doc_id) AS BIGINT)
+           AS quota_rank
+  FROM documents
+)
+WHERE quota_rank <= {DOMAIN_QUOTA}
+ORDER BY source, quota_rank"""
+
+
+# --- Unigram-LM quality score (CCNet-style perplexity proxy) -----------------
+# Score each document by the mean negative log2-probability of its tokens
+# under the corpus's own unigram language model.  High bits/token = tokens
+# rare in the corpus = "surprising" text; pipelines bucket on this to drop
+# gibberish (very high) and boilerplate (very low).
+
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram bits/token against the corpus unigram LM.
+
+    Scale shape: the unigram model is a token-grain groupBy (map-side
+    combined, vocabulary-bounded output) broadcast back onto the token
+    stream, then one doc-grain aggregation — the same two-shuffle budget
+    as TF-IDF.  No windows, no doc x doc interaction; probabilities are
+    exact ratios of BIGINT counts so both engines derive log2 from the
+    identical rational number.
+    """
+    toks = tokens_df(spark, sf_dir)
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    total = toks.count()  # scalar: corpus token count (one aggregate)
+    bits = -F.log2(F.col("n_word").cast("double") / F.lit(float(total)))
+    scored = (toks.join(F.broadcast(freq), "word")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                       F.round(F.avg(bits), 6).alias("bits_per_token")))
+    return scored.orderBy("doc_id")
+
+
+def sql_text_unigram_lm() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()},
+freq AS (SELECT word, count(*) AS n_word FROM tokens GROUP BY word),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tokens)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-log2(CAST(f.n_word AS DOUBLE) / total.n_total)), 6)
+         AS bits_per_token
+FROM tokens t JOIN freq f ON t.word = f.word CROSS JOIN total
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""

@@ -93,16 +93,14 @@ def extreme_multiplier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("wbucket", mult.alias("extreme_multiplier"))
 
 
-_WSIM_CACHE: dict = {}
-
-
 def weather_similarity_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized + Spark-cached pair-grain similarity dimension.
 
     Every scoring query broadcast-joins this table; it is bounded by
     N_WBUCKETS^2 rows so caching it is free and saves the two-pass moment
     aggregation per query."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    _WSIM_CACHE = domain.session_cache(spark, "wsim")
+    key = sf_dir
     if key not in _WSIM_CACHE:
         # localCheckpoint (not .cache()): truncating the lineage keeps the
         # two-pass moment subtree out of every consumer's analyzed plan —

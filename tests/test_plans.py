@@ -317,3 +317,35 @@ def test_score_sink_partition_pruning(spark, tmp_path):
     # (inputFiles() lists the whole relation pre-pruning, so the plan's
     # PartitionFilters entry — not the file list — is the pruning evidence)
     assert df.count() == B.batch_scores_df(spark, SF_SMOKE).count()
+
+
+def test_domain_quota_truncates_before_window(spark):
+    """The per-source quota sampler claims per-group top-k semantics: the
+    row_number <= k filter must fire the WindowGroupLimit rewrite in
+    Partial mode (map-side truncation to k rows per source BEFORE the
+    shuffle) — the property that makes the exchange O(#sources * k)."""
+    from safeascent_spark.operators import text as TX
+    plan = plan_of(TX.q_sample_domain_quota(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan[plan.find("WindowGroupLimit"):], plan
+
+
+def test_decontam_substring_is_broadcast_equi_join(spark):
+    """Exact-substring decontamination must be the token-window inverted
+    index (broadcast HASH join on the window string), never a
+    contains()-driven nested loop over |docs| x |frags|."""
+    plan = plan_of(D.q_decontam_substring(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert n_ops(plan, "CartesianProduct") == 0, plan
+
+
+def test_unigram_lm_is_broadcast_scored(spark):
+    """The unigram model rides a broadcast back onto the token stream (no
+    shuffle of the corpus for the probability lookup), and the per-doc
+    aggregation is map-side combined."""
+    from safeascent_spark.operators import text as TX
+    plan = plan_of(TX.q_text_unigram_lm(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "partial_avg" in plan, plan
+    assert n_ops(plan, "Window") == 0, plan
