@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_substring": D.q_decontam_substring,
         # CCNet-style unigram-LM bits/token quality score
         "text_unigram_lm": TX.q_text_unigram_lm,
+        # steady-state ingest dedup: new batch vs indexed corpus
+        "dedup_incremental": D.q_dedup_incremental,
         # --- (a cont.) the long-unrotated r1/r2-proven tail ---
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
@@ -191,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_domain_quota": TX.sql_sample_domain_quota(),
         "decontam_substring": D.sql_decontam_substring(),
         "text_unigram_lm": TX.sql_text_unigram_lm(),
+        "dedup_incremental": D.sql_dedup_incremental(),
         # the iterative trio's self-certifying contracts (VERDICT r3 item 3)
         "ann_ivf_topk": ML.sql_ann_ivf_certified(),
         "ann_pq_topk": ML.sql_ann_pq_certified(),

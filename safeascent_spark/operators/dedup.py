@@ -687,3 +687,108 @@ FROM corpus d JOIN frags f
   ON position((' ' || f.frag || ' ') IN (' ' || d.text || ' ')) > 0
 GROUP BY d.doc_id
 ORDER BY d.doc_id"""
+
+
+# --- Incremental dedup (new batch vs indexed corpus) -------------------------
+# Production ingest never re-pairs the corpus against itself: a new crawl
+# batch is deduplicated AGAINST the already-indexed corpus, so the cost per
+# ingest is O(|batch| + collisions) regardless of corpus size.  Docs with
+# doc_id % INCR_NEW_MOD == INCR_NEW_REM stand in for the new batch.
+
+INCR_NEW_MOD = 5
+INCR_NEW_REM = 4
+INCR_DUP_EST = 0.5   # signature-agreement fraction that marks a duplicate
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per new-batch document: corpus near-dup candidates via MinHash-LSH
+    band collisions, the best signature-agreement estimate, and the
+    keep/drop verdict.  Zero-candidate docs appear with n_candidates = 0.
+
+    Scale shape: the corpus's banded signatures stream (they are the big
+    side and in production live pre-materialized in the signature index);
+    the NEW BATCH's bands broadcast onto them — one equi-join on
+    (band, band_val), no corpus x corpus pairing, no shuffle of the
+    corpus.  Contrast q_dedup_minhash_lsh, which is the full-corpus
+    bootstrap; this is the steady-state ingest path.
+    """
+    sig = minhash_df(spark, sf_dir)
+    is_new = F.col("doc_id") % INCR_NEW_MOD == INCR_NEW_REM
+    new_sig, old_sig = sig.filter(is_new), sig.filter(~is_new)
+
+    def banded(s: DataFrame, idcol: str) -> DataFrame:
+        parts = []
+        for bi in range(N_BANDS):
+            h1, h2 = f"h{2*bi}", f"h{2*bi+1}"
+            parts.append(s.select(
+                F.col("doc_id").alias(idcol), F.lit(bi).alias("band"),
+                (F.col(h1) * HASH_P + F.col(h2)).alias("band_val")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    cand = (banded(old_sig, "old_id")
+            .join(F.broadcast(banded(new_sig, "new_id")),
+                  ["band", "band_val"])
+            .select("new_id", "old_id").distinct())
+    na = new_sig.select(F.col("doc_id").alias("new_id"),
+                        *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)])
+    oa = old_sig.select(F.col("doc_id").alias("old_id"),
+                        *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)])
+    est = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+              for i in range(8)) / F.lit(8.0)
+    scored = (cand.join(F.broadcast(na), "new_id").join(oa, "old_id")
+                  .groupBy("new_id")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                       F.max(est).alias("best_est")))
+    base = new_sig.select(F.col("doc_id").alias("new_id"))
+    return (base.join(scored, "new_id", "left")
+                .select(F.col("new_id").alias("new_doc_id"),
+                        F.coalesce("n_candidates", F.lit(0).cast("bigint"))
+                         .alias("n_candidates"),
+                        F.round("best_est", 6).alias("best_est"),
+                        F.coalesce(F.col("best_est") >= INCR_DUP_EST,
+                                   F.lit(False)).alias("is_dup"))
+                .orderBy("new_doc_id"))
+
+
+def sql_dedup_incremental() -> str:
+    aggs = ", ".join(
+        f"min((sid * {a} + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB))
+    band_rows_new = " UNION ALL ".join(
+        f"SELECT doc_id AS new_id, {bi} AS band, "
+        f"h{2*bi} * {HASH_P} + h{2*bi+1} AS band_val FROM new_sig"
+        for bi in range(N_BANDS))
+    band_rows_old = " UNION ALL ".join(
+        f"SELECT doc_id AS old_id, {bi} AS band, "
+        f"h{2*bi} * {HASH_P} + h{2*bi+1} AS band_val FROM old_sig"
+        for bi in range(N_BANDS))
+    est = ("(" + " + ".join(
+        f"CASE WHEN na.h{i} = oa.h{i} THEN 1 ELSE 0 END" for i in range(8))
+        + ") / 8.0")
+    return f"""{_shingles_with()},
+sig AS (SELECT doc_id, {aggs} FROM shingles GROUP BY doc_id),
+new_sig AS (SELECT * FROM sig WHERE doc_id % {INCR_NEW_MOD} = {INCR_NEW_REM}),
+old_sig AS (SELECT * FROM sig WHERE doc_id % {INCR_NEW_MOD} <> {INCR_NEW_REM}),
+nb AS ({band_rows_new}),
+ob AS ({band_rows_old}),
+cand AS (
+  SELECT DISTINCT nb.new_id, ob.old_id
+  FROM ob JOIN nb ON ob.band = nb.band AND ob.band_val = nb.band_val
+),
+scored AS (
+  SELECT c.new_id, CAST(count(*) AS BIGINT) AS n_candidates,
+         max({est}) AS best_est
+  FROM cand c
+  JOIN new_sig na ON c.new_id = na.doc_id
+  JOIN old_sig oa ON c.old_id = oa.doc_id
+  GROUP BY c.new_id
+)
+SELECT b.doc_id AS new_doc_id,
+       coalesce(s.n_candidates, 0) AS n_candidates,
+       round(s.best_est, 6) AS best_est,
+       coalesce(s.best_est >= {INCR_DUP_EST}, false) AS is_dup
+FROM new_sig b LEFT JOIN scored s ON b.doc_id = s.new_id
+ORDER BY new_doc_id"""

@@ -79,6 +79,11 @@ def read_table(spark: SparkSession, path: str, name: str,
                 .option("header", "true").csv(path))
     if fmt == "json":
         return spark.read.schema(schema).json(path)
+    if fmt == "orc":
+        # ORC is columnar like parquet (stripe-level min/max indexes give
+        # the same predicate-pushdown behavior); schema enforced so drift
+        # surfaces at read, matching the CSV/JSON contract.
+        return spark.read.schema(schema).orc(path)
     raise ValueError(f"unsupported format {fmt!r}")
 
 
@@ -92,5 +97,7 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         w.option("header", "true").csv(path)
     elif fmt == "json":
         w.json(path)
+    elif fmt == "orc":
+        w.orc(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")

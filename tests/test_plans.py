@@ -349,3 +349,13 @@ def test_unigram_lm_is_broadcast_scored(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan or "partial_avg" in plan, plan
     assert n_ops(plan, "Window") == 0, plan
+
+
+def test_dedup_incremental_broadcasts_the_batch(spark):
+    """Incremental ingest dedup must broadcast the NEW BATCH's bands and
+    signatures onto the streaming corpus — never shuffle or cross-pair the
+    corpus side."""
+    plan = plan_of(D.q_dedup_incremental(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert n_ops(plan, "CartesianProduct") == 0, plan

@@ -262,8 +262,9 @@ def test_sources_format_roundtrip(spark):
             return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-7)
         return a == b
 
-    cases = [("events", ["csv", "json"]), ("documents", ["json"]),
-             ("embeddings", ["json"])]
+    cases = [("events", ["csv", "json", "orc"]),
+             ("documents", ["json", "orc"]),
+             ("embeddings", ["json", "orc"])]
     with tempfile.TemporaryDirectory() as tmp:
         for name, fmts in cases:
             base = sources.read_table(
