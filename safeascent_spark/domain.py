@@ -142,8 +142,9 @@ def fan_out(df: DataFrame) -> DataFrame:
 
 
 def _parse_bytes(v: str) -> int:
-    """Spark size-conf string ('128MB', '4m', '134217728b', bare int) -> bytes."""
-    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]*)", v.strip())
+    """Spark size-conf string ('128MB', '4m', '134217728b', bare int,
+    '-1' = disabled) -> bytes."""
+    m = re.fullmatch(r"(-?\d+)\s*([a-zA-Z]*)", v.strip())
     unit = m.group(2).lower().rstrip("b") or ""
     return int(m.group(1)) * {"": 1, "k": 2**10, "m": 2**20,
                               "g": 2**30, "t": 2**40}[unit]

@@ -85,6 +85,14 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T.docs_df(spark, sf_dir)
     v = T.vocab_df(spark, sf_dir)
     vsize = v.count() + 1
+    return shingles_of(d, v, vsize)
+
+
+def shingles_of(d: DataFrame, v: DataFrame, vsize: int) -> DataFrame:
+    """Shingle table for an arbitrary (doc_id, text) frame against a given
+    vocabulary dim — the reusable core of shingles_df, also applied to
+    streaming ingest microbatches (words outside the vocab drop, the
+    documented behavior for out-of-corpus tokens)."""
     words = (d.select("doc_id", F.posexplode(F.split(F.col("text"), " ")))
                .withColumnRenamed("col", "word")
                .filter(F.col("word") != ""))
@@ -194,10 +202,28 @@ ORDER BY doc_a, doc_b"""
 def minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K=8 minhash signature per doc: min((a*sid + b) % P) per hash fn,
     folded as MIN aggregates (map-side combinable — one shuffle)."""
-    sh = shingles_cached(spark, sf_dir)
+    return minhash_of(shingles_cached(spark, sf_dir))
+
+
+def minhash_of(sh: DataFrame) -> DataFrame:
+    """Signatures for an arbitrary (doc_id, sid) shingle frame."""
     aggs = [F.min((F.col("sid") * a + b) % HASH_P).alias(f"h{i}")
             for i, (a, b) in enumerate(MINHASH_AB)]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def banded_sigs(sig: DataFrame, idcol: str) -> DataFrame:
+    """(idcol, band, band_val) — N_BANDS rows per signature row."""
+    parts = []
+    for bi in range(N_BANDS):
+        h1, h2 = f"h{2*bi}", f"h{2*bi+1}"
+        parts.append(sig.select(
+            F.col("doc_id").alias(idcol), F.lit(bi).alias("band"),
+            (F.col(h1) * HASH_P + F.col(h2)).alias("band_val")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,21 +741,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_df(spark, sf_dir)
     is_new = F.col("doc_id") % INCR_NEW_MOD == INCR_NEW_REM
     new_sig, old_sig = sig.filter(is_new), sig.filter(~is_new)
+    return incremental_verdicts(new_sig, old_sig).orderBy("new_doc_id")
 
-    def banded(s: DataFrame, idcol: str) -> DataFrame:
-        parts = []
-        for bi in range(N_BANDS):
-            h1, h2 = f"h{2*bi}", f"h{2*bi+1}"
-            parts.append(s.select(
-                F.col("doc_id").alias(idcol), F.lit(bi).alias("band"),
-                (F.col(h1) * HASH_P + F.col(h2)).alias("band_val")))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out
 
-    cand = (banded(old_sig, "old_id")
-            .join(F.broadcast(banded(new_sig, "new_id")),
+def incremental_verdicts(new_sig: DataFrame, old_sig: DataFrame) -> DataFrame:
+    """Per new-batch signature: candidate count, best signature-agreement
+    estimate vs the corpus index, keep/drop verdict.  The batch side
+    broadcasts; the corpus index streams (shared by the batch query and
+    the streaming foreachBatch ingest path)."""
+    cand = (banded_sigs(old_sig, "old_id")
+            .join(F.broadcast(banded_sigs(new_sig, "new_id")),
                   ["band", "band_val"])
             .select("new_id", "old_id").distinct())
     na = new_sig.select(F.col("doc_id").alias("new_id"),
@@ -749,8 +770,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("n_candidates"),
                         F.round("best_est", 6).alias("best_est"),
                         F.coalesce(F.col("best_est") >= INCR_DUP_EST,
-                                   F.lit(False)).alias("is_dup"))
-                .orderBy("new_doc_id"))
+                                   F.lit(False)).alias("is_dup")))
 
 
 def sql_dedup_incremental() -> str:

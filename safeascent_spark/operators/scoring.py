@@ -158,10 +158,44 @@ def _route_side(spark: SparkSession, sf_dir: str,
     )
 
 
+#  Estimated broadcast bytes per class-dim row: 13 numeric fields (8 B) +
+#  route_type string + grid keys + per-row object overhead, and the grid
+#  form replicates each row to the 3x3 neighborhood.  Deliberately
+#  conservative — crossing the threshold late means one driver OOM; early
+#  means one extra (skew-handled) shuffle.
+DIM_ROW_BYTES = 200
+DIM_GRID_REPLICATION = 9
+
+
+def dim_broadcasts(spark: SparkSession, sf_dir: str,
+                   grid: bool = True) -> bool:
+    """Auto strategy chooser for the capped pair stage: does the
+    7 x |accidents| class dim (x9 grid replication) fit this SESSION's
+    broadcast threshold?
+
+    |accidents| comes from the parquet footer statistics of the dim's
+    source table (a metadata-only count — no data scan), so the decision
+    costs one footer read, memoized per session.  This is the same
+    decision Spark's CBO would make from table stats; making it explicit
+    keeps the choice deterministic and testable (the skew tests pin the
+    shuffle form's behavior, test_plans the broadcast form's).
+    """
+    cache = domain.session_cache(spark, "dim_broadcasts")
+    key = (sf_dir, grid)
+    if key not in cache:
+        n_acc = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+        rows = n_acc * len(domain.ROUTE_TYPE_BY_MOD) \
+            * (DIM_GRID_REPLICATION if grid else 1)
+        thresh = domain._parse_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+        cache[key] = thresh > 0 and rows * DIM_ROW_BYTES <= thresh
+    return cache[key]
+
+
 def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
                      routes: DataFrame | None, grid: bool,
                      accidents: DataFrame | None = None,
-                     broadcast_dim: bool = True) -> DataFrame:
+                     broadcast_dim: bool | None = True) -> DataFrame:
     """Join routes against the accident-class dim (+ the weather-factor dim).
 
     ``grid=False``: equi-join on route_type alone — every route meets every
@@ -173,7 +207,9 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
     ``broadcast_dim=False`` drops the broadcast hint — the form for the
     scale regime where the accident dim itself exceeds the broadcast
     threshold and the grid join becomes a shuffle join on (route_type,
-    cell).  Geographic cells skew (accident hot-spots cluster), so THIS
+    cell).  ``broadcast_dim=None`` chooses automatically from the dim's
+    footer-statistics size vs this session's broadcast threshold
+    (``dim_broadcasts``).  Geographic cells skew (accident hot-spots cluster), so THIS
     form must run with AQE skew-join enabled — at cluster scale set
     ``spark.sql.adaptive.skewJoin.*`` thresholds proportional to partition
     sizes; ``tests/test_skew_grid.py`` pins that the skew split actually
@@ -183,6 +219,8 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
     probe side.)
     """
     r = _route_side(spark, sf_dir, routes)
+    if broadcast_dim is None:  # auto: size the dim against the session conf
+        broadcast_dim = dim_broadcasts(spark, sf_dir, grid=grid)
     ax = accident_class_dim(spark, sf_dir, pred_date, accidents=accidents)
     wsim = W.weather_similarity_cached(spark, sf_dir)
     wdim = wsim.select(
@@ -315,7 +353,8 @@ def risk_scores_capped_df(spark: SparkSession, sf_dir: str,
     declaratively: WHERE distance_km <= radius over the full cross join.
     """
     pairs = _pair_influence_select(
-        _candidate_pairs(spark, sf_dir, pred_date, None, grid=True))
+        _candidate_pairs(spark, sf_dir, pred_date, None, grid=True,
+                         broadcast_dim=None))
     return _risk_agg(pairs.filter(F.col("distance_km") <= F.lit(radius_km)))
 
 

@@ -404,3 +404,20 @@ def test_session_confs_pinned_for_new_session(spark):
     assert got == base
     assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
     assert s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+
+def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
+    """The foreachBatch ingest-dedup stream must produce bit-identical
+    verdicts to the batch q_dedup_incremental over the same documents:
+    signatures come from the same frozen corpus vocabulary, and the
+    per-microbatch plan is the same broadcast band join."""
+    from safeascent_spark.operators import dedup as D
+    from safeascent_spark.streaming import ingest_dedup
+
+    out = str(tmp_path / "verdicts")
+    n_batches = ingest_dedup.run_ingest_dedup(spark, SF_SMOKE, out)
+    assert n_batches >= 1
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in D.q_dedup_incremental(spark, SF_SMOKE).collect()}
+    assert got == want
+    assert len(want) > 0

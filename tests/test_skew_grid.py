@@ -92,3 +92,25 @@ def test_hot_cell_shuffle_matches_broadcast_form(skew_session):
     broadcast = {r.route_id: r.risk_score for r in capped(True).collect()}
     assert shuffled == broadcast
     assert len(shuffled) > 0
+
+
+def test_dim_broadcast_auto_chooser(spark):
+    """broadcast_dim=None sizes the class dim from parquet footer stats
+    against the SESSION's broadcast threshold: the tiny test dim
+    broadcasts under the default threshold, and the same call on a
+    session with broadcasting disabled plans the shuffle form."""
+    df = scoring.risk_scores_capped_df(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert scoring.dim_broadcasts(spark, SF_ORACLE) is True
+    assert "BroadcastHashJoin" in plan
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    assert scoring.dim_broadcasts(s2, SF_ORACLE) is False
+    pairs = scoring._pair_influence_select(scoring._candidate_pairs(
+        s2, SF_ORACLE, domain.PRED_DATE, None, grid=True,
+        broadcast_dim=None))
+    got = scoring._risk_agg(
+        pairs.filter(F.col("distance_km") <= 300.0)).collect()
+    want = df.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
