@@ -106,8 +106,20 @@ Q_TYPE, Q_GRADE = "alpine", "5.10a"
 def q_predict_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /predict lifecycle for one query point: F4 prefilter -> all
     kernels -> A1 risk, in one row (predict.py:57-335, sans HTTP sources;
-    weather neutral 0.5 as the missing-pattern path)."""
-    a = domain.accidents_df(spark, sf_dir)
+    weather neutral 0.5 as the missing-pattern path).
+
+    The query point's route-type CASEs constant-fold (Q_TYPE is a
+    literal); the accident grade attaches via the broadcast difficulty
+    dim instead of an inline parse_grade tree — value-identical
+    (grade_weight == grade_weight_from_difficulty of the parses,
+    kernels.py:318; parse_grade(Q_GRADE) folds to a constant) and it
+    keeps the scan projection inside the 64 KB codegen method limit the
+    inline parse tree used to blow (which sent this stage interpreted).
+    """
+    from .. import grades as G
+    a = G.grade_difficulty_join(domain.accidents_df(spark, sf_dir),
+                                "grade", "a_diff",
+                                dim=G.domain_grade_dim(spark, sf_dir))
     dist = K.haversine_km(F.lit(Q_LAT), F.lit(Q_LON), "latitude", "longitude")
     rt_w = K.route_type_weight(F.lit(Q_TYPE), "route_type")
     keep = (dist <= 50.0) | (rt_w >= 0.85)
@@ -118,7 +130,8 @@ def q_predict_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         * K.elevation_weight(F.lit(Q_ELEV), "elevation_m", F.lit(Q_TYPE))
         * rt_w
         * K.severity_weight("severity")
-        * K.grade_weight(F.lit(Q_GRADE), "grade")
+        * K.grade_weight_from_difficulty(K.parse_grade(F.lit(Q_GRADE)),
+                                         F.col("a_diff"))
         * K.weather_factor(F.lit(C.MISSING_WEATHER_NEUTRAL))
     )
     scored = a.filter(keep).select(influence.alias("influence"))

@@ -542,22 +542,46 @@ def factor_breakdown_df(spark: SparkSession, sf_dir: str,
     (route, accident) pair, every factor of the influence product.
 
     Restricted to a route subset — the endpoint is a per-route drill-down,
-    not a batch surface."""
+    not a batch surface.  Like the batch paths, the route-type-only
+    factors (temporal, route-type matrix, severity) and the grade PARSE
+    evaluate once per (route_type, accident) in a broadcast dim — not at
+    pair grain — which turns the cross join into a BroadcastHashJoin on
+    route_type and keeps the pair projection small enough for whole-stage
+    codegen (the inline form's two parse_grade trees + the 49-way matrix
+    blew the 64 KB generated-method limit and ran interpreted).  Factor
+    VALUES are unchanged: each factor is the same kernel expression over
+    the same inputs, grade_weight == grade_weight_from_difficulty of the
+    parsed difficulties (kernels.py:318), and the influence product keeps
+    the exact factor order, so the raw-formula DuckDB oracle still
+    matches."""
     routes = domain.routes_df(spark, sf_dir).filter(
         F.col("route_id") < max_route_id)
     locations = domain.locations_df(spark, sf_dir)
     accidents = domain.accidents_df(spark, sf_dir)
     wsim = W.weather_similarity_cached(spark, sf_dir)
+    gdim = G.domain_grade_dim(spark, sf_dir)
+    pd_col = F.to_date(F.lit(pred_date))
 
-    r = routes.join(F.broadcast(locations), "location_id")
-    a = accidents.select(
-        F.col("accident_id"),
-        F.col("latitude").alias("a_lat"), F.col("longitude").alias("a_lon"),
-        F.col("elevation_m").alias("a_elev"), F.col("accident_date"),
-        F.col("route_type").alias("a_type"), F.col("severity"),
-        F.col("grade").alias("a_grade"),
-        F.col("wbucket").alias("acc_bucket"))
-    pairs = r.crossJoin(F.broadcast(a))
+    r = G.grade_difficulty_join(
+        routes.join(F.broadcast(locations), "location_id"),
+        "grade", "r_diff", dim=gdim)
+    rt = spark.createDataFrame([(t,) for t in domain.ROUTE_TYPE_BY_MOD],
+                               "route_type string")
+    a = G.grade_difficulty_join(accidents, "grade", "a_diff", dim=gdim) \
+         .select("accident_id", "accident_date", "severity", "a_diff",
+                 F.col("route_type").alias("a_type"),
+                 F.col("latitude").alias("a_lat"),
+                 F.col("longitude").alias("a_lon"),
+                 F.col("elevation_m").alias("a_elev"),
+                 F.col("wbucket").alias("acc_bucket"))
+    adim = F.broadcast(rt).crossJoin(a).select(
+        "route_type", "accident_id",
+        "a_lat", "a_lon", "a_elev", "a_diff", "acc_bucket",
+        K.temporal_weight(pd_col, "accident_date", "route_type")
+         .alias("t_w"),
+        K.route_type_weight("route_type", "a_type").alias("rt_w"),
+        K.severity_weight("severity").alias("sev_w"))
+    pairs = r.join(F.broadcast(adim), "route_type")
     pairs = pairs.join(
         F.broadcast(wsim),
         (pairs["wbucket"] == wsim["cur_bucket"])
@@ -565,13 +589,12 @@ def factor_breakdown_df(spark: SparkSession, sf_dir: str,
     ).drop(wsim["acc_bucket"]).drop("cur_bucket")
 
     dist = K.haversine_km("latitude", "longitude", "a_lat", "a_lon")
-    pd_col = F.to_date(F.lit(pred_date))
     spatial = K.spatial_weight(dist, "route_type")
-    temporal = K.temporal_weight(pd_col, "accident_date", "route_type")
+    temporal = F.col("t_w")
     elevation = K.elevation_weight("elevation_m", "a_elev", "route_type")
-    rt_w = K.route_type_weight("route_type", "a_type")
-    sev_w = K.severity_weight("severity")
-    grade_w = K.grade_weight("grade", "a_grade")
+    rt_w = F.col("rt_w")
+    sev_w = F.col("sev_w")
+    grade_w = K.grade_weight_from_difficulty("r_diff", "a_diff")
     weather_w = F.coalesce(F.col("weather_weight"),
                            F.lit(C.MISSING_WEATHER_NEUTRAL))
     wfac = K.weather_factor(weather_w)
