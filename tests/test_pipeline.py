@@ -112,3 +112,29 @@ def test_incremental_accident_update_matches_full_recompute(spark):
         assert abs(i.risk_score - r.risk_score) < 1e-6, (r, i)
         assert i.num_contributing == r.num_contributing
         assert i.color_code == r.color_code
+
+
+def test_domain_quota_deterministic_under_repartition(spark):
+    """The quota sample must be a pure function of the data — identical
+    survivors regardless of physical layout (repartition count), and the
+    quota bound must hold per source."""
+    from safeascent_spark.operators import text as TX
+    from safeascent_spark import domain
+
+    base = TX.q_sample_domain_quota(spark, SF_SMOKE).collect()
+    per_source: dict[str, int] = {}
+    for r in base:
+        per_source[r.source] = max(per_source.get(r.source, 0), r.quota_rank)
+    assert per_source and all(v <= TX.DOMAIN_QUOTA for v in per_source.values())
+
+    # same answer from a differently-partitioned input
+    d = domain.load_table(spark, SF_SMOKE, "documents").repartition(13)
+    from pyspark.sql import Window, functions as F
+    rk = F.expr(f"pmod(pmod(doc_id, {TX.SAMPLE_MOD}) * {TX.SAMPLE_KNUTH}, "
+                f"{TX.SAMPLE_P})")
+    w = Window.partitionBy("source").orderBy("rk", "doc_id")
+    again = (d.select("doc_id", "source", rk.alias("rk"))
+              .withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
+              .where(F.col("quota_rank") <= TX.DOMAIN_QUOTA)
+              .select("doc_id", "source", "quota_rank").collect())
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
