@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": TX.q_text_unigram_lm,
         # steady-state ingest dedup: new batch vs indexed corpus
         "dedup_incremental": D.q_dedup_incremental,
+        # metadata-filtered vector search (pre-filter, not post-filter)
+        "ann_filtered_topk": SIM.q_ann_filtered_topk,
         # --- (a cont.) the long-unrotated r1/r2-proven tail ---
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
@@ -194,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_substring": D.sql_decontam_substring(),
         "text_unigram_lm": TX.sql_text_unigram_lm(),
         "dedup_incremental": D.sql_dedup_incremental(),
+        "ann_filtered_topk": SIM.sql_ann_filtered_topk(),
         # the iterative trio's self-certifying contracts (VERDICT r3 item 3)
         "ann_ivf_topk": ML.sql_ann_ivf_certified(),
         "ann_pq_topk": ML.sql_ann_pq_certified(),

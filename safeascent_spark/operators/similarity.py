@@ -496,3 +496,82 @@ JOIN norms na ON d.vec_a = na.vec_id
 JOIN norms nb ON d.vec_b = nb.vec_id
 WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {NEARDUP_COSINE}
 ORDER BY vec_a, vec_b"""
+
+
+# --- Filtered vector search (metadata predicate + top-k) ---------------------
+# Retrieval pipelines rarely search the whole corpus: RAG and dedup
+# lookups filter by tenant/language/class first.  The right plan
+# PRE-filters the corpus scan (predicate pushdown BEFORE scoring), not
+# post-filters the top-k — post-filtering an ANN shortlist silently
+# returns < k results when the filter is selective.
+
+FILTERED_TOP_K = 5
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str,
+                        k: int = FILTERED_TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbors restricted to the QUERY's OWN label
+    class (same-class retrieval — the label stands in for any metadata
+    predicate).
+
+    Scale shape: the label equality rides the pair join condition, so
+    Catalyst evaluates it BEFORE the O(DIM) dot product (a cheap int
+    compare prunes ~ (1 - 1/|labels|) of all pairs); the top-k
+    row_number <= k then truncates map-side via WindowGroupLimit.  At
+    selective filters this beats an unfiltered ANN + post-filter both on
+    cost and on result completeness.
+    """
+    e = embeddings_df(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("label").alias("qlabel"),
+                  F.col("vec").alias("qvec")))
+    pairs = (domain.fan_out(e)
+             .join(F.broadcast(q),
+                   (F.col("label") == F.col("qlabel"))
+                   & (F.col("vec_id") != F.col("query_id"))))
+    cos = _dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec"))
+                                               * _norm(F.col("qvec")))
+    scored = pairs.select("query_id", "vec_id", "label", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("rank").cast("int").alias("rank"),
+                          F.col("vec_id").alias("neighbor_id"), "label",
+                          F.round("cosine", 6).alias("cosine"))
+                  .orderBy("query_id", "rank"))
+
+
+def sql_ann_filtered_topk(k: int = FILTERED_TOP_K) -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id, c.label, sum(q.x * c.x) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i AND q.label = c.label
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id, c.label
+),
+scored AS (
+  SELECT d.query_id, d.vec_id, d.label,
+         d.dot / (nc.nrm * nq.nrm) AS cosine
+  FROM dots d
+  JOIN norms nc ON d.vec_id = nc.vec_id
+  JOIN norms nq ON d.query_id = nq.vec_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, label,
+       round(cosine, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -359,3 +359,14 @@ def test_dedup_incremental_broadcasts_the_batch(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
     assert n_ops(plan, "CartesianProduct") == 0, plan
+
+
+def test_ann_filtered_topk_prefilters_and_truncates(spark):
+    """Filtered vector search must join on the label equality (a hash
+    join key evaluated before the O(DIM) dot product — pre-filter, not
+    post-filter) and truncate the per-query top-k map-side."""
+    from safeascent_spark.operators import similarity as SIM
+    plan = plan_of(SIM.q_ann_filtered_topk(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert n_ops(plan, "CartesianProduct") == 0, plan
