@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": D.q_dedup_incremental,
         # metadata-filtered vector search (pre-filter, not post-filter)
         "ann_filtered_topk": SIM.q_ann_filtered_topk,
+        # --- (d) new in round 5 ---
+        # filter composed INTO the IVF probe path (VERDICT r4 item 1):
+        # label-aware cell probing via a per-(cell,label) occupancy dim,
+        # certified-recall contract vs the oracle-green exact filtered form
+        "ann_filtered_ivf_topk": ML.q_ann_filtered_ivf_certified,
         # --- (a cont.) the long-unrotated r1/r2-proven tail ---
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
@@ -197,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_lm": TX.sql_text_unigram_lm(),
         "dedup_incremental": D.sql_dedup_incremental(),
         "ann_filtered_topk": SIM.sql_ann_filtered_topk(),
+        "ann_filtered_ivf_topk": ML.sql_ann_filtered_ivf_certified(),
         # the iterative trio's self-certifying contracts (VERDICT r3 item 3)
         "ann_ivf_topk": ML.sql_ann_ivf_certified(),
         "ann_pq_topk": ML.sql_ann_pq_certified(),

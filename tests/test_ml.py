@@ -70,3 +70,45 @@ def test_pq_recall_floor(spark):
     per_query = {r.query_id: r.recall_at_k for r in rows}
     assert len(per_query) == 5
     assert all(v >= 0.7 for v in per_query.values()), per_query
+
+
+def test_filtered_ivf_recall_floor(spark):
+    """Filtered IVF (label composed into the probe path) must hold its
+    recall floors vs the ORACLE-GREEN exact filtered brute force
+    (measured 0.8 min / 0.88 mean at sf0.001 and sf0.01), return exactly
+    k same-label distinct neighbors per query, and agree with the exact
+    form on label purity."""
+    rows = ML.q_ann_filtered_ivf(spark, SF_ORACLE).collect()
+    per_query = {}
+    for r in rows:
+        assert r.label == r.qlabel, r          # label purity, row-level
+        per_query.setdefault(r.query_id, []).append(r)
+    assert len(per_query) == ML.N_QUERIES
+    recalls = {q: rs[0].recall_at_k for q, rs in per_query.items()}
+    assert min(recalls.values()) >= ML.FILTERED_IVF_RECALL_MIN, recalls
+    assert (sum(recalls.values()) / len(recalls)
+            >= ML.FILTERED_IVF_RECALL_MEAN), recalls
+    from safeascent_spark.operators.similarity import FILTERED_TOP_K
+    for q, rs in per_query.items():
+        assert len(rs) == FILTERED_TOP_K
+        assert len({r.neighbor_id for r in rs}) == FILTERED_TOP_K
+
+
+def test_filtered_ivf_probes_only_occupied_cells(spark):
+    """Every probed cell must contain >= 1 vector of the query's label
+    (the empty-probe-cell failure mode of naive filtered ANN), and the
+    probe count per query is exactly min(n_probe, #occupied cells)."""
+    corpus, probed = ML.filtered_ivf_candidates(spark, SF_ORACLE)
+    occ = {(r.cell, r.label) for r in
+           corpus.select("cell", "label").distinct().collect()}
+    probes = probed.select("query_id", "qlabel", "cell").collect()
+    assert len(probes) > 0
+    by_q = {}
+    for p in probes:
+        assert (p.cell, p.qlabel) in occ, p
+        by_q.setdefault((p.query_id, p.qlabel), set()).add(p.cell)
+    n_occupied = {}
+    for c, l in occ:
+        n_occupied[l] = n_occupied.get(l, 0) + 1
+    for (q, l), cells in by_q.items():
+        assert len(cells) == min(ML.N_PROBE_FILTERED, n_occupied[l]), (q, cells)

@@ -370,3 +370,30 @@ def test_ann_filtered_topk_prefilters_and_truncates(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert n_ops(plan, "CartesianProduct") == 0, plan
+
+
+def test_ann_filtered_ivf_candidates_are_cell_label_equi_join(spark):
+    """Filtered-IVF candidate generation must be a (cell, label) HASH
+    join against the broadcast probe list — the label prunes before any
+    O(DIM) arithmetic and only probed cells' rows are scored.  The only
+    nested-loop join allowed anywhere in the full query is the bounded
+    |queries| x N_CENTROIDS centroid-ranking stage; no CartesianProduct."""
+    from safeascent_spark import ml as ML
+    corpus, probed = ML.filtered_ivf_candidates(spark, SF_SMOKE)
+    cand = (corpus.alias("c")
+                  .join(F.broadcast(probed).alias("p"),
+                        (F.col("c.cell") == F.col("p.cell"))
+                        & (F.col("c.label") == F.col("p.qlabel"))))
+    plan = plan_of(cand)
+    assert "BroadcastHashJoin" in plan, plan
+    assert n_ops(plan, "CartesianProduct") == 0, plan
+    # the hash-join key list carries BOTH the cell and the label
+    m = re.search(r"Left keys \[2\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "cell" in m.group(1) and "label" in m.group(1), m.group(0)
+    # full query: the only BNLJs are the bounded |queries| x N_CENTROIDS
+    # centroid-ranking stage — it appears twice because the recall-
+    # certification leg re-derives the IVF subtree (no reuse node)
+    full = plan_of(ML.q_ann_filtered_ivf(spark, SF_SMOKE))
+    assert n_ops(full, "CartesianProduct") == 0, full
+    assert n_ops(full, "BroadcastNestedLoopJoin") <= 2, full
