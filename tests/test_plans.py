@@ -354,11 +354,18 @@ def test_unigram_lm_is_broadcast_scored(spark):
 def test_dedup_incremental_broadcasts_the_batch(spark):
     """Incremental ingest dedup must broadcast the NEW BATCH's bands and
     signatures onto the streaming corpus — never shuffle or cross-pair the
-    corpus side."""
+    corpus side.  ADVICE r4: the SCORING leg too — the corpus signature
+    table must ride a BroadcastHashJoin as the STREAMED side (the bounded
+    cand x batch aggregate builds), so no SortMergeJoin — and therefore no
+    shuffle of the corpus index — may appear anywhere in the plan."""
     plan = plan_of(D.q_dedup_incremental(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
     assert n_ops(plan, "CartesianProduct") == 0, plan
+    assert n_ops(plan, "SortMergeJoin") == 0, plan
+    assert n_ops(plan, "ShuffledHashJoin") == 0, plan
+    # the scoring join builds the candidate side (BuildLeft), streaming oa
+    assert re.search(r"BroadcastHashJoin Inner BuildLeft", plan), plan
 
 
 def test_ann_filtered_topk_prefilters_and_truncates(spark):
