@@ -53,7 +53,29 @@ TAGS_BY_MOD = [
 ]
 
 
-_SESSION_CACHES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_MEMO_ATTR = "_safeascent_memo"
+_JDF_ATTR = "_safeascent_persisted_jdfs"
+
+
+def _release_session_frames(jdfs: list) -> None:
+    """``weakref.finalize`` callback: best-effort unpersist of every
+    persisted frame a dead session registered via ``persisted()``, so
+    CacheManager entries and storage blocks return to the SHARED
+    SparkContext immediately instead of lingering forever (``.cache()``
+    registrations are never ContextCleaner-collected) — a storage-memory
+    leak for long-lived drivers that churn ``newSession()`` clones
+    (ADVICE r4).  The list holds only py4j JVM handles, which do NOT
+    reference the Python session — the finalize args therefore cannot
+    keep the session immortal (the documented ``weakref.finalize``
+    trap).  After the callback runs, the handles themselves are released,
+    letting ContextCleaner collect localCheckpoint RDD blocks too.
+    Exceptions are swallowed: if the whole context is gone, the blocks
+    are gone with it."""
+    for j in jdfs:
+        try:
+            j.unpersist(False)
+        except Exception:
+            pass
 
 
 def session_cache(spark: SparkSession, ns: str) -> dict:
@@ -63,14 +85,34 @@ def session_cache(spark: SparkSession, ns: str) -> dict:
     cache keyed by applicationId (shared across ``spark.newSession()``
     clones) would silently run a second session's queries under the first
     session's broadcast/AQE/timezone settings — exactly the hazard a skew
-    or conf test creating an isolated session must not hit.  Weak keys:
-    dropping the session drops its cached plans.
-    """
-    per = _SESSION_CACHES.get(spark)
+    or conf test creating an isolated session must not hit.
+
+    The memo lives as an ATTRIBUTE of the session object, not in a
+    module-level ``WeakKeyDictionary``: cached DataFrames strongly
+    reference their session, and a weak-key table whose VALUES reach the
+    key keeps the key alive forever (the documented weakref caveat) — the
+    session would never be collected.  As a session attribute, session →
+    memo → DataFrame → session is a pure internal cycle that CPython's
+    GC collects as soon as external references drop; the ``persisted()``
+    finalizer then frees the JVM-side storage."""
+    per = getattr(spark, _MEMO_ATTR, None)
     if per is None:
         per = {}
-        _SESSION_CACHES[spark] = per
+        setattr(spark, _MEMO_ATTR, per)
+        jdfs: list = []
+        setattr(spark, _JDF_ATTR, jdfs)
+        weakref.finalize(spark, _release_session_frames, jdfs)
     return per.setdefault(ns, {})
+
+
+def persisted(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Register a ``.cache()``'d / ``localCheckpoint``'ed frame for
+    unpersist-on-session-GC (see ``_release_session_frames``).  Builders
+    that store persisted frames in ``session_cache`` must route them
+    through here.  Returns ``df`` unchanged."""
+    session_cache(spark, "_persist_registry")  # ensure finalizer exists
+    getattr(spark, _JDF_ATTR).append(df._jdf)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -89,8 +89,8 @@ def domain_grade_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct = [x[0] for x in r.union(a).distinct().collect()
                     if x[0] is not None]
         rows = [(g, py_parse_grade(g)) for g in sorted(distinct)]
-        _DIM_CACHE[key] = spark.createDataFrame(
-            rows, "grade string, difficulty double").cache()
+        _DIM_CACHE[key] = domain.persisted(spark, spark.createDataFrame(
+            rows, "grade string, difficulty double").cache())
     return _DIM_CACHE[key]
 
 

@@ -75,7 +75,8 @@ def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import domain
     cache = domain.session_cache(spark, "shingles")
     if sf_dir not in cache:
-        cache[sf_dir] = shingles_df(spark, sf_dir).cache()
+        cache[sf_dir] = domain.persisted(
+            spark, shingles_df(spark, sf_dir).cache())
     return cache[sf_dir]
 
 
@@ -628,8 +629,10 @@ DECON_FRAG_TOKENS = 8
 # the sf0.01 parity row set non-empty by construction — the same
 # non-vacuousness device as similarity.corpus_with_twins_df.  A random
 # 8-token run recurring naturally is ~vocab^-8; without seeding the check
-# would pass on two empty results and prove nothing.
-DECON_LEAK_OFFSET = 2_000_000
+# would pass on two empty results and prove nothing.  Synthetic ids live
+# in the NEGATIVE namespace (-donor_id), disjoint from any real corpus id
+# by construction — an additive offset (the earlier 2_000_000) silently
+# collides once real doc_ids reach it (ADVICE r4).
 
 
 def _decon_corpus(d: DataFrame):
@@ -646,8 +649,7 @@ def _decon_corpus(d: DataFrame):
     frags = donors.select("frag").distinct()
     leaky = (donors.filter(
                 F.expr(f"(doc_id div {DECON_DONOR_MOD}) % 2 = 0"))
-                   .select((F.col("doc_id") + DECON_LEAK_OFFSET)
-                            .alias("doc_id"),
+                   .select((-F.col("doc_id")).alias("doc_id"),
                            F.concat(F.lit("quoted eval text "), F.col("frag"),
                                     F.lit(" end quote")).alias("text")))
     corpus = (d.filter(F.col("doc_id") % DECON_DONOR_MOD != DECON_DONOR_REM)
@@ -666,9 +668,12 @@ def q_decontam_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins the window string against the broadcast fragment dim, so
     the work is O(total_tokens) regardless of eval-set size (an
     Aho-Corasick analog built from relational pieces).  The DuckDB oracle
-    declares the same semantics via boundary-padded position(): a window
-    equals a fragment iff ' '||frag||' ' occurs in ' '||text||' ', exact
-    because tokens are single-space-joined on both sides.
+    declares the same semantics via boundary-padded position() over the
+    TOKENIZED corpus text — both sides are whitespace-normalized
+    (empty tokens dropped, single-space-joined) before the compare, so a
+    window equals a fragment iff ' '||frag||' ' occurs in
+    ' '||norm(text)||' ' for ANY input spacing, not just single-spaced
+    corpora (ADVICE r4: the earlier raw-text oracle was data-dependent).
     """
     d = T.docs_df(spark, sf_dir)
     corpus, frags = _decon_corpus(d)
@@ -704,13 +709,17 @@ corpus AS (
   SELECT doc_id, text FROM documents
   WHERE doc_id % {DECON_DONOR_MOD} <> {DECON_DONOR_REM}
   UNION ALL
-  SELECT doc_id + {DECON_LEAK_OFFSET} AS doc_id,
+  SELECT -doc_id AS doc_id,
          'quoted eval text ' || frag || ' end quote' AS text
   FROM donors WHERE (doc_id // {DECON_DONOR_MOD}) % 2 = 0
 )
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_frags_leaked
-FROM corpus d JOIN frags f
-  ON position((' ' || f.frag || ' ') IN (' ' || d.text || ' ')) > 0
+FROM (SELECT doc_id,
+             array_to_string(list_filter(string_split(text, ' '),
+                                         x -> x <> ''), ' ') AS ntext
+      FROM corpus) d
+JOIN frags f
+  ON position((' ' || f.frag || ' ') IN (' ' || d.ntext || ' ')) > 0
 GROUP BY d.doc_id
 ORDER BY d.doc_id"""
 

@@ -173,21 +173,27 @@ def dim_broadcasts(spark: SparkSession, sf_dir: str,
     7 x |accidents| class dim (x9 grid replication) fit this SESSION's
     broadcast threshold?
 
-    |accidents| comes from the parquet footer statistics of the dim's
-    source table (a metadata-only count — no data scan), so the decision
-    costs one footer read, memoized per session.  This is the same
-    decision Spark's CBO would make from table stats; making it explicit
-    keeps the choice deterministic and testable (the skew tests pin the
-    shuffle form's behavior, test_plans the broadcast form's).
+    |accidents| is counted through ``domain.accidents_df`` — the same
+    domain mapping (and session conf pinning) every consumer of the dim
+    uses, not a raw path read.  The count is a real (cheap, count-star
+    pushdown) Spark job over the dim's source table, memoized per
+    (sf, grid, threshold): one job per session per distinct threshold.
+    On a production deployment the number would come from catalog/table
+    statistics (ANALYZE), which is what this stands in for; making the
+    choice explicit keeps it deterministic and testable (the skew tests
+    pin the shuffle form's behavior, test_plans the broadcast form's).
+    The parsed threshold rides the cache key, so changing
+    ``spark.sql.autoBroadcastJoinThreshold`` mid-session re-decides
+    instead of replaying a stale strategy (ADVICE r4).
     """
     cache = domain.session_cache(spark, "dim_broadcasts")
-    key = (sf_dir, grid)
+    thresh = domain._parse_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    key = (sf_dir, grid, thresh)
     if key not in cache:
-        n_acc = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+        n_acc = domain.accidents_df(spark, sf_dir).count()
         rows = n_acc * len(domain.ROUTE_TYPE_BY_MOD) \
             * (DIM_GRID_REPLICATION if grid else 1)
-        thresh = domain._parse_bytes(
-            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
         cache[key] = thresh > 0 and rows * DIM_ROW_BYTES <= thresh
     return cache[key]
 

@@ -106,8 +106,9 @@ def weather_similarity_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two-pass moment subtree out of every consumer's analyzed plan —
         # consumers broadcast it explicitly, so the lost size estimate is
         # irrelevant, and the dim is bounded by N_WBUCKETS^2 rows.
-        _WSIM_CACHE[key] = weather_similarity_df(spark, sf_dir) \
-            .localCheckpoint(eager=True)
+        _WSIM_CACHE[key] = domain.persisted(
+            spark,
+            weather_similarity_df(spark, sf_dir).localCheckpoint(eager=True))
     return _WSIM_CACHE[key]
 
 

@@ -45,21 +45,29 @@ def corpus_index(spark: SparkSession, sf_dir: str):
             F.col("doc_id") % D.INCR_NEW_MOD != D.INCR_NEW_REM)
         vocab = T.vocab_df(spark, sf_dir)
         vsize = vocab.count() + 1
-        cache[sf_dir] = (old_sig.localCheckpoint(eager=True),
-                         vocab.localCheckpoint(eager=True), vsize)
+        cache[sf_dir] = (
+            domain.persisted(spark, old_sig.localCheckpoint(eager=True)),
+            domain.persisted(spark, vocab.localCheckpoint(eager=True)),
+            vsize)
     return cache[sf_dir]
 
 
-def incoming_doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incoming_doc_stream(spark: SparkSession, sf_dir: str,
+                        glob: str = "documents.parquet",
+                        max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream of the incoming documents (the batch slice of
-    the documents table stands in for the ingest feed)."""
+    the documents table stands in for the ingest feed).  ``glob`` selects
+    the feed files; ``max_files_per_trigger`` bounds each microbatch (the
+    restart-recovery test uses it to force a multi-epoch run)."""
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (spark.readStream
-                 .schema(schema)
-                 .option("pathGlobFilter", "documents.parquet")
-                 .parquet(sf_dir)
-                 .filter(F.col("doc_id") % D.INCR_NEW_MOD
-                         == D.INCR_NEW_REM))
+    reader = (spark.readStream
+                   .schema(schema)
+                   .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (reader.parquet(sf_dir)
+                  .filter(F.col("doc_id") % D.INCR_NEW_MOD
+                          == D.INCR_NEW_REM))
 
 
 def batch_verdicts(batch_df: DataFrame, spark: SparkSession,
@@ -72,27 +80,54 @@ def batch_verdicts(batch_df: DataFrame, spark: SparkSession,
 
 
 def run_ingest_dedup(spark: SparkSession, sf_dir: str, out_path: str,
-                     timeout_sec: int = 120) -> int:
-    """One availableNow pass of the ingest-dedup stream, appending each
+                     timeout_sec: int = 120,
+                     glob: str = "documents.parquet",
+                     max_files_per_trigger: int | None = None,
+                     fail_at_epoch: int | None = None) -> int:
+    """One availableNow pass of the ingest-dedup stream, writing each
     microbatch's verdicts as parquet under ``out_path``.  Returns the
     number of non-empty microbatches.  In production the sink would be
     the txlog MERGE path, as in ``streaming.refresh``.
+
+    EXACTLY-ONCE contract: ``foreachBatch`` is at-least-once — a crash
+    between the sink write and the checkpoint commit replays the epoch on
+    restart.  Verdicts are therefore written IDEMPOTENTLY, keyed by epoch
+    id (``out_path/epoch=<id>``, mode=overwrite): a replayed epoch
+    overwrites its own directory instead of appending duplicates, and the
+    file source's WAL replans the SAME files for an uncommitted epoch, so
+    the rewrite is byte-equivalent.  This is the standard epochId-based
+    idempotence pattern for foreachBatch sinks.
+
+    ``fail_at_epoch`` injects a crash AFTER the sink write of that epoch
+    but BEFORE its checkpoint commit — the worst-case window — for the
+    restart-recovery test.
     """
     batches = {"n": 0}
 
-    def handle(batch_df: DataFrame, _epoch: int) -> None:
+    def handle(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
         batches["n"] += 1
         (batch_verdicts(batch_df, spark, sf_dir)
-         .write.mode("append").parquet(out_path))
+         .write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}"))
+        if fail_at_epoch is not None and epoch >= fail_at_epoch:
+            raise RuntimeError(f"injected crash after epoch {epoch} sink "
+                               "write, before checkpoint commit")
 
-    q = (incoming_doc_stream(spark, sf_dir)
+    q = (incoming_doc_stream(spark, sf_dir, glob=glob,
+                             max_files_per_trigger=max_files_per_trigger)
          .writeStream
          .foreachBatch(handle)
          .trigger(availableNow=True)
          .option("checkpointLocation", out_path + "_ckpt")
          .start())
-    q.awaitTermination(timeout_sec)
-    q.stop()
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
     return batches["n"]
+
+
+def read_verdicts(spark: SparkSession, out_path: str) -> DataFrame:
+    """All verdicts written so far, without the epoch partition column."""
+    return spark.read.parquet(out_path).drop("epoch")

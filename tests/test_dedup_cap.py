@@ -57,3 +57,37 @@ def test_jaccard_pairs_bounded_and_oracle_agrees(spark, hot_corpus_dir):
                 f"read_parquet('{hot_corpus_dir}/documents.parquet')")
     oracle = con.execute(D.sql_dedup_jaccard()).fetchall()
     assert [(a, b, j) for a, b, j in oracle] == [(200, 201, 1.0)]
+
+
+def test_decontam_oracle_tokenizes_irregular_spacing(spark, tmp_path):
+    """ADVICE r4 (medium): the decontamination oracle must whitespace-
+    normalize the CORPUS side too — a fragment occurrence with
+    consecutive/irregular spaces must match in BOTH engines, and the two
+    must agree on a corpus that is NOT single-spaced.  Also pins the
+    negative-id namespace for seeded leaky docs (disjoint from any real
+    doc_id by construction, no additive-offset collision)."""
+    donor_frag = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # donor: doc_id % 97 == 3, >= 8 tokens; (3 div 97) % 2 == 0 so it
+        # seeds a leaky doc with doc_id == -3
+        {"doc_id": 3, "text": donor_frag + " trailing words here",
+         "lang": "en", "source": "s", "n_chars": 1},
+        # corpus doc containing the fragment with IRREGULAR spacing
+        {"doc_id": 10,
+         "text": "prefix  alpha beta  gamma delta epsilon zeta  eta theta suffix",
+         "lang": "en", "source": "s", "n_chars": 1},
+        # corpus doc without the fragment
+        {"doc_id": 11, "text": "nothing of interest in this one at all",
+         "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    d = tmp_path / "decon"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    got = [(r.doc_id, r.n_frags_leaked)
+           for r in D.q_decontam_substring(spark, str(d)).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    oracle = con.execute(D.sql_decontam_substring()).fetchall()
+    assert got == [(-3, 1), (10, 1)], got
+    assert [tuple(r) for r in oracle] == got, (oracle, got)

@@ -417,7 +417,90 @@ def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
     out = str(tmp_path / "verdicts")
     n_batches = ingest_dedup.run_ingest_dedup(spark, SF_SMOKE, out)
     assert n_batches >= 1
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    got = {tuple(r) for r in
+           ingest_dedup.read_verdicts(spark, out).collect()}
     want = {tuple(r) for r in D.q_dedup_incremental(spark, SF_SMOKE).collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_session_gc_unpersists_cached_frames(spark):
+    """ADVICE r4: a dead newSession() clone must release the storage its
+    session-cached frames held.  Two properties: (1) the session object
+    is actually collectible — the memo lives ON the session, so the
+    cached-DataFrame -> session reference is a collectible cycle, not a
+    weak-key-table immortality trap; (2) the finalizer unpersists the
+    cached frame (CacheManager entries are never ContextCleaner-
+    collected on their own)."""
+    import gc
+    import weakref
+
+    from safeascent_spark.operators import dedup as D
+
+    s2 = spark.newSession()
+    sh = D.shingles_cached(s2, SF_SMOKE)
+    sh.count()                       # materialize the cache
+    jdf = sh._jdf                    # py4j handle: no Python-session ref
+    assert jdf.storageLevel().useMemory()
+    ref = weakref.ref(s2)
+    del sh, s2
+    # upstream pyspark pins the LATEST session in RDD.toDF's closure
+    # (_monkey_patch_RDD); churn one more session to displace it — the
+    # exact long-lived-driver pattern the finalizer exists for
+    spark.newSession()
+    gc.collect()
+    assert ref() is None, "session leaked — cycle not collected"
+    assert not jdf.storageLevel().useMemory(), "cache blocks leaked"
+
+
+def test_streaming_ingest_restart_is_exactly_once(spark, tmp_path):
+    """VERDICT r4 item 4: kill the ingest-dedup stream in the worst-case
+    window (sink written, checkpoint NOT committed), restart from the
+    checkpoint, and assert the verdict set is exactly-once — the replayed
+    epoch overwrites its own epoch directory instead of appending a
+    duplicate, and no epoch is lost.  This is the streaming translation
+    of the reference's nightly-cron resumability semantics
+    (backend/app/celery_app.py:51-61)."""
+    import shutil
+
+    import pandas as pd
+    import pytest
+
+    from safeascent_spark.operators import dedup as D
+    from safeascent_spark.streaming import ingest_dedup
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # corpus file (index + vocabulary + the batch-equivalence target)
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", feed / "documents.parquet")
+    # the incoming feed: the batch slice split across 3 files -> 3 epochs
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    new = docs[docs.doc_id % D.INCR_NEW_MOD == D.INCR_NEW_REM] \
+        .reset_index(drop=True)
+    assert len(new) >= 3
+    third = len(new) // 3
+    for i in range(3):
+        hi = (i + 1) * third if i < 2 else len(new)
+        new.iloc[i * third:hi].to_parquet(feed / f"incoming_{i}.parquet")
+
+    out = str(tmp_path / "verdicts")
+    # run 1: crash after epoch 1's sink write, before its commit
+    with pytest.raises(Exception, match="injected crash"):
+        ingest_dedup.run_ingest_dedup(
+            spark, str(feed), out, glob="incoming_*.parquet",
+            max_files_per_trigger=1, fail_at_epoch=1)
+    # epoch 1's output exists on disk even though it was never committed —
+    # exactly the state an append sink would double on restart
+    assert (tmp_path / "verdicts" / "epoch=1").exists()
+
+    # run 2: restart from the checkpoint; replays epoch 1, finishes epoch 2
+    n2 = ingest_dedup.run_ingest_dedup(
+        spark, str(feed), out, glob="incoming_*.parquet",
+        max_files_per_trigger=1)
+    assert n2 >= 1
+    got = ingest_dedup.read_verdicts(spark, out).collect()
+    ids = [r.new_doc_id for r in got]
+    assert len(ids) == len(set(ids)), "duplicated verdicts after replay"
+    want = {tuple(r) for r in
+            D.q_dedup_incremental(spark, str(feed)).collect()}
+    assert {tuple(r) for r in got} == want, "lost or corrupted epochs"

@@ -95,16 +95,23 @@ def test_hot_cell_shuffle_matches_broadcast_form(skew_session):
 
 
 def test_dim_broadcast_auto_chooser(spark):
-    """broadcast_dim=None sizes the class dim from parquet footer stats
-    against the SESSION's broadcast threshold: the tiny test dim
+    """broadcast_dim=None sizes the class dim (counted through the domain
+    mapping) against the SESSION's broadcast threshold: the tiny test dim
     broadcasts under the default threshold, and the same call on a
-    session with broadcasting disabled plans the shuffle form."""
+    session with broadcasting disabled plans the shuffle form.  The
+    threshold rides the memo key, so changing it MID-SESSION re-decides
+    (ADVICE r4: a stale cached strategy must not survive a conf change)."""
     df = scoring.risk_scores_capped_df(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert scoring.dim_broadcasts(spark, SF_ORACLE) is True
     assert "BroadcastHashJoin" in plan
 
     s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    assert scoring.dim_broadcasts(s2, SF_ORACLE) is False
+    # mid-session conf change: the decision follows the new threshold
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    assert scoring.dim_broadcasts(s2, SF_ORACLE) is True
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     assert scoring.dim_broadcasts(s2, SF_ORACLE) is False
     pairs = scoring._pair_influence_select(scoring._candidate_pairs(

@@ -183,3 +183,76 @@ def test_compact_rewrites_small_files_atomically(spark, tmp_path):
     assert _snap(spark, root) == {i: float(i) for i in range(1, 6)}
     # pre-compaction snapshot still readable until vacuum
     assert _snap(spark, root, version=before_v) == _snap(spark, root)
+
+
+TWO_PROC_CHILD = r"""
+import pathlib, sys, time
+
+root, idx = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, sys.argv[3])
+
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "2")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from safeascent_spark import txlog
+
+go = pathlib.Path(root) / "GO"
+while not go.exists():
+    time.sleep(0.05)
+for i in range(5):
+    rows = [(idx * 1000 + i * 10 + j, float(idx)) for j in range(5)]
+    df = spark.createDataFrame(rows, "route_id bigint, risk_score double")
+    txlog.merge_scores(df, root, "2024-06-15")
+    # concurrent vacuum: the grace window must protect the OTHER
+    # process's written-but-unpublished data directories
+    txlog.vacuum(root, keep_versions=1, grace_seconds=600.0)
+print("CHILD_OK", idx)
+"""
+
+
+def test_two_process_commit_contention(spark, tmp_path):
+    """VERDICT r4 item 5: optimistic commits must survive contention from
+    two separate OS PROCESSES (distinct JVMs, so the only coordination is
+    the filesystem protocol itself: os.link atomicity + rebase-retry).
+    Both writers' every merge must land — distinct versions, no lost
+    rows — while each concurrently vacuums with the grace window
+    protecting the other's in-flight unpublished files."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    root = str(tmp_path / "table")
+    child = tmp_path / "child.py"
+    child.write_text(TWO_PROC_CHILD)
+    repo = str(Path(__file__).resolve().parent.parent)
+    procs = [subprocess.Popen(
+        [_sys.executable, str(child), root, str(idx), repo],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        for idx in (1, 2)]
+    import time
+    time.sleep(5)                      # let both sessions come up
+    (tmp_path / "table").mkdir(exist_ok=True)
+    (tmp_path / "table" / "GO").touch()
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert all(f"CHILD_OK {i}" in o for i, o in zip((1, 2), outs)), outs
+
+    from safeascent_spark import txlog
+    # every commit landed: 10 merges -> 10 distinct versions
+    assert txlog.current_version(root) == 10
+    snap = txlog.read_snapshot(spark, root, partition="2024-06-15")
+    got = {r.route_id: r.risk_score for r in snap.collect()}
+    want = {idx * 1000 + i * 10 + j: float(idx)
+            for idx in (1, 2) for i in range(5) for j in range(5)}
+    assert got == want, f"lost rows: {set(want) - set(got)}"
+    # post-hoc vacuum keeps the head snapshot intact
+    txlog.vacuum(root, keep_versions=1, grace_seconds=0.0)
+    again = {r.route_id: r.risk_score
+             for r in txlog.read_snapshot(
+                 spark, root, partition="2024-06-15").collect()}
+    assert again == want
