@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # label-aware cell probing via a per-(cell,label) occupancy dim,
         # certified-recall contract vs the oracle-green exact filtered form
         "ann_filtered_ivf_topk": ML.q_ann_filtered_ivf_certified,
+        # data mixing: DoReMi-style per-domain rates from token
+        # inventories + deterministic hash-mod sampling, all-int64 exact
+        "sample_mixture": TX.q_sample_mixture,
         # --- (a cont.) the long-unrotated r1/r2-proven tail ---
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
@@ -203,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": D.sql_dedup_incremental(),
         "ann_filtered_topk": SIM.sql_ann_filtered_topk(),
         "ann_filtered_ivf_topk": ML.sql_ann_filtered_ivf_certified(),
+        "sample_mixture": TX.sql_sample_mixture(),
         # the iterative trio's self-certifying contracts (VERDICT r3 item 3)
         "ann_ivf_topk": ML.sql_ann_ivf_certified(),
         "ann_pq_topk": ML.sql_ann_pq_certified(),

@@ -807,3 +807,118 @@ SELECT t.doc_id,
 FROM tokens t JOIN freq f ON t.word = f.word CROSS JOIN total
 GROUP BY t.doc_id
 ORDER BY t.doc_id"""
+
+
+# --- Data mixing / domain reweighting (DoReMi-style rates, exact) ------------
+# Pretraining corpora are built to a TARGET domain mixture (e.g. 60% web /
+# 30% books / 10% code by tokens).  Given per-domain token inventories, the
+# maximum total budget honoring the mixture is bounded by the scarcest
+# domain: B = min_d floor(tokens_d * 1000 / w_d) (w_d in per-mille).  Each
+# domain then contributes take_d = (w_d * B) div 1000 tokens, realized by
+# deterministic hash-mod document sampling at keep-rate
+# (take_d * 1000) div tokens_d per-mille — the same Knuth-hash device as
+# q_sample_stratified, so the sample is reproducible and oracle-exact.
+# All arithmetic is int64, so both engines agree bitwise.
+#
+# Scale shape: the rate computation is a |domains|-row aggregate (one
+# map-side-combined groupBy + a 3-row min); the sampling pass is a single
+# broadcast-join + filter over the corpus scan — no corpus shuffle.  This
+# is how a 100 TB mixture rebuild actually runs: plan rates from the
+# inventory, then one pass to emit the sample.
+
+MIX_TARGETS = [("web", 600), ("books", 300), ("code", 100)]  # per-mille
+
+
+def _mix_domain_col():
+    """source 'srcN' -> domain by N % 3 (the synthetic domain mapping)."""
+    n = F.substring(F.col("source"), 4, 10).cast("int")
+    return (F.when(n % 3 == 0, "web")
+             .when(n % 3 == 1, "books")
+             .otherwise("code"))
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_df(spark, sf_dir)
+    ntok = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    base = d.select("doc_id", _mix_domain_col().alias("domain"),
+                    ntok.cast("bigint").alias("n_tokens"))
+    w = F.when(F.col("domain") == "web", MIX_TARGETS[0][1]) \
+         .when(F.col("domain") == "books", MIX_TARGETS[1][1]) \
+         .otherwise(MIX_TARGETS[2][1]).cast("bigint")
+    inv = (base.groupBy("domain")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").alias("tok"))
+               .withColumn("w", w)
+               .withColumn("cap", F.expr("(tok * 1000) div w")))
+    budget = inv.agg(F.min("cap").alias("B"))
+    rates = (inv.crossJoin(F.broadcast(budget))
+                .withColumn("take", F.expr("(w * B) div 1000"))
+                .withColumn("keep_per_mille",
+                            F.least(F.lit(1000).cast("bigint"),
+                                    F.expr("(take * 1000) div tok")))
+                .withColumn("binding", F.col("cap") == F.col("B")))
+    bucket = F.expr(f"pmod(pmod(doc_id, {SAMPLE_MOD}) * {SAMPLE_KNUTH}, "
+                    f"{SAMPLE_P}) % 1000")
+    sampled = (base.join(F.broadcast(rates.select("domain", "keep_per_mille")),
+                         "domain")
+                   .where(bucket < F.col("keep_per_mille"))
+                   .groupBy("domain")
+                   .agg(F.count(F.lit(1)).alias("n_sampled_docs"),
+                        F.sum("n_tokens").alias("n_sampled_tokens")))
+    return (rates.join(F.broadcast(sampled), "domain", "left")
+                 .select("domain", "n_docs", F.col("tok").alias("n_tokens"),
+                         "keep_per_mille", "binding",
+                         F.coalesce("n_sampled_docs", F.lit(0).cast("bigint"))
+                          .alias("n_sampled_docs"),
+                         F.coalesce("n_sampled_tokens",
+                                    F.lit(0).cast("bigint"))
+                          .alias("n_sampled_tokens"))
+                 .orderBy("domain"))
+
+
+def sql_sample_mixture() -> str:
+    bucket = (f"(((doc_id % {SAMPLE_MOD}) * {SAMPLE_KNUTH}) "
+              f"% {SAMPLE_P}) % 1000")
+    wcase = ("CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 'web' "
+             "WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 'books' "
+             "ELSE 'code' END")
+    tgt = ("CASE domain WHEN 'web' THEN 600 WHEN 'books' THEN 300 "
+           "ELSE 100 END")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {wcase} AS domain,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+inv AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tok,
+         CAST({tgt} AS BIGINT) AS w
+  FROM base GROUP BY domain
+),
+caps AS (SELECT *, (tok * 1000) // w AS cap FROM inv),
+b AS (SELECT min(cap) AS B FROM caps),
+rates AS (
+  SELECT c.domain, c.n_docs, c.tok, c.w, c.cap, b.B,
+         (c.w * b.B) // 1000 AS take,
+         least(1000, (((c.w * b.B) // 1000) * 1000) // c.tok)
+           AS keep_per_mille,
+         c.cap = b.B AS binding
+  FROM caps c CROSS JOIN b
+),
+sampled AS (
+  SELECT bs.domain,
+         CAST(count(*) AS BIGINT) AS n_sampled_docs,
+         CAST(sum(bs.n_tokens) AS BIGINT) AS n_sampled_tokens
+  FROM base bs JOIN rates r USING (domain)
+  WHERE {bucket} < r.keep_per_mille
+  GROUP BY bs.domain
+)
+SELECT r.domain, r.n_docs, r.tok AS n_tokens,
+       CAST(r.keep_per_mille AS BIGINT) AS keep_per_mille, r.binding,
+       coalesce(s.n_sampled_docs, 0) AS n_sampled_docs,
+       coalesce(s.n_sampled_tokens, 0) AS n_sampled_tokens
+FROM rates r LEFT JOIN sampled s USING (domain)
+ORDER BY r.domain"""

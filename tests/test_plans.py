@@ -404,3 +404,14 @@ def test_ann_filtered_ivf_candidates_are_cell_label_equi_join(spark):
     full = plan_of(ML.q_ann_filtered_ivf(spark, SF_SMOKE))
     assert n_ops(full, "CartesianProduct") == 0, full
     assert n_ops(full, "BroadcastNestedLoopJoin") <= 2, full
+
+
+def test_sample_mixture_is_single_broadcast_pass(spark):
+    """The mixture sampling pass must be a broadcast of the |domains|-row
+    rate table onto the corpus scan — no corpus-side SortMergeJoin; the
+    only exchanges are the tiny inventory aggregates and the final sort."""
+    from safeascent_spark.operators import text as TX
+    plan = plan_of(TX.q_sample_mixture(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert n_ops(plan, "SortMergeJoin") == 0, plan
+    assert n_ops(plan, "CartesianProduct") == 0, plan
