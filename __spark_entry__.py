@@ -39,42 +39,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver hash-checks exactly the first 50
     # registered queries, so registration order IS driver coverage and is
-    # ROTATED round-to-round (VERDICT r2 item 4) so every oracle-bearing
-    # query gets a driver hash row at least every other round.  Round 4
-    # front-loads (VERDICT r3 item 2): (a) the queries registered past the
-    # r3 cap boundary (new-in-r3 capped/PQ/resize + the whole r1/r2-proven
-    # tail — all 43 fit), (b) the iterative ANN/KMeans trio in their NEW
-    # self-certifying oracle-bearing form (VERDICT r3 item 3), and (c) the
-    # queries new this round.  The r3-green 50 rotate to the tail.
+    # ROTATED round-to-round (VERDICT r2 item 4).  Round 5 front-loads
+    # (a) the four queries new this round, then (b) every query whose most
+    # recent driver row is r3 (they sat below the r4 boundary and would
+    # otherwise go two rounds stale).  That set is 4 + 49 = 53 for a
+    # 50-slot window: at 103 registered queries the rotation has SATURATED
+    # (the ≤1-round-stale invariant is only achievable with ≤100 queries).
+    # The three leave-outs are chosen so each is pinned by an IN-WINDOW
+    # contract and all three are re-verified by tools/local_correctness.py
+    # this round (CORRECTNESS_LOCAL_r05.json):
+    #   * dedup_clusters_largestar — its oracle is literally
+    #     sql_dedup_clusters(), the contract the r4-green dedup_clusters
+    #     row already hash-pins;
+    #   * j5_location_breadcrumb — same oracle as the r4-green
+    #     j5_breadcrumb_recursive (sql_location_breadcrumb());
+    #   * k1_haversine — the K1 kernel rides every in-window scoring row
+    #     (risk_scores, *_capped, top_contributors, predict_point,
+    #     f7_bbox_radius_filter), and its code is frozen since r1.
+    # The r4-green 50 rotate to the tail.
     return {
-        # --- (a) new in r3 past the cap: capped attribution/batch + resize ---
-        "top_contributors_capped": lambda s, sf:
-            scoring.top_contributors_capped_df(s, sf),
-        "batch_scores_capped": lambda s, sf: B.batch_scores_capped_df(s, sf),
-        "multimodal_png_resize": MM.q_multimodal_png_resize,
-        # --- (b) the iterative trio, now self-certifying (VERDICT r3 item
-        # 3): deterministic ids/counts + booleans asserting the recall /
-        # coverage floors, which the DuckDB oracle pins to literal true —
-        # hard hash signal instead of rows-only.  Detailed per-neighbor
-        # forms remain pytest-checked (test_ml.py recall floors). ---
-        "ann_ivf_topk": ML.q_ann_ivf_certified,
-        "ann_pq_topk": ML.q_ann_pq_certified,
-        "embedding_kmeans_cells": ML.q_embedding_kmeans_certified,
-        # --- (c) new in round 4 ---
-        # A6 dedicated query: day-weighted mean/std per factor (VERDICT r3
-        # item 7; reference weather_service.py:99-110)
-        "a6_weighted_stats": W.q_weighted_stats,
-        # per-source quota sampling (WindowGroupLimit partial top-k)
-        "sample_domain_quota": TX.q_sample_domain_quota,
-        # exact-substring decontamination (token-window inverted index)
-        "decontam_substring": D.q_decontam_substring,
-        # CCNet-style unigram-LM bits/token quality score
-        "text_unigram_lm": TX.q_text_unigram_lm,
-        # steady-state ingest dedup: new batch vs indexed corpus
-        "dedup_incremental": D.q_dedup_incremental,
-        # metadata-filtered vector search (pre-filter, not post-filter)
-        "ann_filtered_topk": SIM.q_ann_filtered_topk,
-        # --- (d) new in round 5 ---
+        # --- (a) new in round 5 ---
         # filter composed INTO the IVF probe path (VERDICT r4 item 1):
         # label-aware cell probing via a per-(cell,label) occupancy dim,
         # certified-recall contract vs the oracle-green exact filtered form
@@ -82,7 +66,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data mixing: DoReMi-style per-domain rates from token
         # inventories + deterministic hash-mod sampling, all-int64 exact
         "sample_mixture": TX.q_sample_mixture,
-        # --- (a cont.) the long-unrotated r1/r2-proven tail ---
+        # SemDeDup-style semantic dedup: SRP-cell partition + in-cell
+        # integer-exact cosine prune (Abbas et al. 2023)
+        "dedup_semantic": SIM.q_dedup_semantic,
+        # intra-corpus repeated n-gram (boilerplate) profiling, the
+        # EXACTSUBSTR analog of Lee et al. 2022 at fixed window width
+        "dedup_repeated_ngrams": D.q_dedup_repeated_ngrams,
+        # --- (b) the r3-latest 46 rotating back into the window ---
+        "j7_fuzzy_route_match": R.q_fuzzy_route_match,
+        "a2_route_page": R.q_route_page,
+        "a5_location_route_counts": R.q_location_route_counts,
+        "a9_location_mode_type": R.q_location_mode_type,
+        "a3_seasonal_patterns": A.q_seasonal_patterns,
+        "a4_ascent_rates": A.q_ascent_rates,
+        "a7_weather_monthly_stats": A.q_weather_monthly_stats,
+        "a8_risk_trend": A.q_risk_trend,
+        "w3_climbing_windows": A.q_climbing_windows,
+        "k21_hourly_risk": A.q_hourly_risk,
+        "risk_rollup": A.q_risk_rollup,
+        "s4_location_routes_assembled": ASM.q_location_routes_assembled,
+        "s3_weather_arrays_assembled": ASM.q_weather_arrays_assembled,
+        "location_forecast_horizon": ASM.q_location_forecast,
+        "j2_weather_range_join": RJ.q_weather_range_join,
+        "predict_point": RJ.q_predict_point,
+        "k2_spatial_weight": KQ.q_spatial_weight,
+        "k3_temporal_weight": KQ.q_temporal_weight,
+        "k10_route_type_weight": KQ.q_route_type_weight,
+        "k13_elevation_weight": KQ.q_elevation_weight,
+        "k14_grade_weight": KQ.q_grade_weight,
+        "k16_route_type_inference": KQ.q_route_type_inference,
+        "k16b_route_type_confidence": KQ.q_route_type_confidence,
+        "k19_bearing_impact": KQ.q_bearing_impact,
+        "dedup_embedding_cosine": SIM.q_dedup_embedding_cosine,
+        "ml_risk_model": ML.q_ml_risk_model,
+        "f1_accident_filter": R.q_accident_filter,
+        "f4_predict_prefilter": R.q_predict_prefilter,
+        "f7_bbox_radius_filter": R.q_bbox_radius_filter,
+        "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
+        "risk_scores_capped": lambda s, sf: scoring.risk_scores_capped_df(s, sf),
+        "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
+        "risk_factor_breakdown": lambda s, sf: scoring.factor_breakdown_df(s, sf),
+        "cache_warming_top_routes": lambda s, sf: scoring.cache_warming_df(s, sf),
+        "batch_scores": lambda s, sf: B.batch_scores_df(s, sf),
+        "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
+        "dedup_ngram_jaccard": D.q_dedup_jaccard,
+        "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
+        "events_sessionization": SESS.q_events_sessionization,
+        "curation_funnel": D.q_curation_funnel,
+        "text_chunks": TX.q_text_chunks,
+        "sample_stratified": TX.q_sample_stratified,
+        "text_pack_offsets": TX.q_text_pack_offsets,
+        "text_repetition": TX.q_text_repetition,
+        # integer-safe since r5 (exact rank-window certification, VERDICT
+        # r4 "what's wrong" #1) — safe inside the driver window now.
+        "events_approx_stats": A.q_events_approx_stats,
+        "multimodal_wav_meta": MM.q_multimodal_wav_meta,
+        # ---- driver cap boundary (50). Everything below was hash-green in
+        # CORRECTNESS_r04 (50/50) — except the three r3-row leave-outs
+        # (rationale in the header note) — and rotates back into the
+        # window in round 6. ----
+        "dedup_clusters_largestar": G.q_dedup_clusters_largestar,
+        "j5_location_breadcrumb": R.q_location_breadcrumb,
+        "k1_haversine": KQ.q_haversine,
+        "j1_routes_with_coords": R.q_routes_with_coords,
+        "top_contributors_capped": lambda s, sf:
+            scoring.top_contributors_capped_df(s, sf),
+        "batch_scores_capped": lambda s, sf: B.batch_scores_capped_df(s, sf),
+        "multimodal_png_resize": MM.q_multimodal_png_resize,
+        # the iterative trio in self-certifying oracle-bearing form
+        # (VERDICT r3 item 3): deterministic ids/counts + booleans
+        # asserting the recall / coverage floors, which the DuckDB oracle
+        # pins to literal true.  Detailed per-neighbor forms remain
+        # pytest-checked (test_ml.py recall floors).
+        "ann_ivf_topk": ML.q_ann_ivf_certified,
+        "ann_pq_topk": ML.q_ann_pq_certified,
+        "embedding_kmeans_cells": ML.q_embedding_kmeans_certified,
+        # A6 dedicated query: day-weighted mean/std per factor (reference
+        # weather_service.py:99-110)
+        "a6_weighted_stats": W.q_weighted_stats,
+        "sample_domain_quota": TX.q_sample_domain_quota,
+        "decontam_substring": D.q_decontam_substring,
+        "text_unigram_lm": TX.q_text_unigram_lm,
+        "dedup_incremental": D.q_dedup_incremental,
+        "ann_filtered_topk": SIM.q_ann_filtered_topk,
         "dedup_exact": D.q_dedup_exact,
         "dedup_clusters": D.q_dedup_clusters,
         "k4_season_of_orders": KQ.q_season_of_orders,
@@ -120,64 +186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k5_pearson_factors": W.q_pearson_factors,
         "f2_route_search": R.q_route_search,
         "f3_route_search_rock": R.q_route_search_rock,
-        # ---- driver cap boundary (~50; 6 slots above are held for queries
-        # added later this round — new queries are ALWAYS registered above
-        # the boundary so they get a driver row in their first round).
-        # Everything below was hash-green in CORRECTNESS_r03 (50/50) and
-        # rotates back into the window in round 5. ----
-        "j1_routes_with_coords": R.q_routes_with_coords,
-        "j5_location_breadcrumb": R.q_location_breadcrumb,
-        "j7_fuzzy_route_match": R.q_fuzzy_route_match,
-        "a2_route_page": R.q_route_page,
-        "a5_location_route_counts": R.q_location_route_counts,
-        "a9_location_mode_type": R.q_location_mode_type,
-        "a3_seasonal_patterns": A.q_seasonal_patterns,
-        "a4_ascent_rates": A.q_ascent_rates,
-        "a7_weather_monthly_stats": A.q_weather_monthly_stats,
-        "a8_risk_trend": A.q_risk_trend,
-        "w3_climbing_windows": A.q_climbing_windows,
-        "k21_hourly_risk": A.q_hourly_risk,
-        "risk_rollup": A.q_risk_rollup,
-        "s4_location_routes_assembled": ASM.q_location_routes_assembled,
-        "s3_weather_arrays_assembled": ASM.q_weather_arrays_assembled,
-        "location_forecast_horizon": ASM.q_location_forecast,
-        "j2_weather_range_join": RJ.q_weather_range_join,
-        "predict_point": RJ.q_predict_point,
-        "k1_haversine": KQ.q_haversine,
-        "k2_spatial_weight": KQ.q_spatial_weight,
-        "k3_temporal_weight": KQ.q_temporal_weight,
-        "k10_route_type_weight": KQ.q_route_type_weight,
-        "k13_elevation_weight": KQ.q_elevation_weight,
-        "k14_grade_weight": KQ.q_grade_weight,
-        "k16_route_type_inference": KQ.q_route_type_inference,
-        "k16b_route_type_confidence": KQ.q_route_type_confidence,
-        "k19_bearing_impact": KQ.q_bearing_impact,
-        "dedup_embedding_cosine": SIM.q_dedup_embedding_cosine,
-        "ml_risk_model": ML.q_ml_risk_model,
-        "f1_accident_filter": R.q_accident_filter,
-        "f4_predict_prefilter": R.q_predict_prefilter,
-        "f7_bbox_radius_filter": R.q_bbox_radius_filter,
-        "risk_scores": lambda spark, sf: scoring.risk_scores_df(spark, sf),
-        "risk_scores_capped": lambda s, sf: scoring.risk_scores_capped_df(s, sf),
-        "top_contributors": lambda spark, sf: scoring.top_contributors_df(spark, sf),
-        "risk_factor_breakdown": lambda s, sf: scoring.factor_breakdown_df(s, sf),
-        "cache_warming_top_routes": lambda s, sf: scoring.cache_warming_df(s, sf),
-        "batch_scores": lambda s, sf: B.batch_scores_df(s, sf),
-        "batch_scores_classed": lambda s, sf: B.batch_scores_classed_df(s, sf),
-        "dedup_ngram_jaccard": D.q_dedup_jaccard,
-        "dedup_minhash_lsh": D.q_dedup_minhash_lsh,
-        "dedup_clusters_largestar": G.q_dedup_clusters_largestar,
-        "events_sessionization": SESS.q_events_sessionization,
-        "curation_funnel": D.q_curation_funnel,
-        "text_chunks": TX.q_text_chunks,
-        "sample_stratified": TX.q_sample_stratified,
-        "text_pack_offsets": TX.q_text_pack_offsets,
-        "text_repetition": TX.q_text_repetition,
-        # NOTE (ADVICE r3): events_approx_stats gates on data-dependent
-        # sketch contracts; its spot below the cap this round is also the
-        # conscious risk mitigation (the local checker still verifies it).
-        "events_approx_stats": A.q_events_approx_stats,
-        "multimodal_wav_meta": MM.q_multimodal_wav_meta,
     }
 
 
@@ -207,6 +215,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered_topk": SIM.sql_ann_filtered_topk(),
         "ann_filtered_ivf_topk": ML.sql_ann_filtered_ivf_certified(),
         "sample_mixture": TX.sql_sample_mixture(),
+        "dedup_semantic": SIM.sql_dedup_semantic(),
+        "dedup_repeated_ngrams": D.sql_dedup_repeated_ngrams(),
         # the iterative trio's self-certifying contracts (VERDICT r3 item 3)
         "ann_ivf_topk": ML.sql_ann_ivf_certified(),
         "ann_pq_topk": ML.sql_ann_pq_certified(),

@@ -830,3 +830,114 @@ SELECT b.doc_id AS new_doc_id,
        coalesce(s.best_est >= {INCR_DUP_EST}, false) AS is_dup
 FROM new_sig b LEFT JOIN scored s ON b.doc_id = s.new_id
 ORDER BY new_doc_id"""
+
+
+# --- Intra-corpus repeated n-gram (boilerplate) detection --------------------
+# Training-data hygiene beyond doc-level dedup: license headers, navigation
+# chrome and quoted templates recur VERBATIM across otherwise-distinct
+# documents ("Deduplicating Training Data Makes Language Models Better",
+# Lee et al. 2022 — their EXACTSUBSTR pass).  A distributed suffix array is
+# overkill for fixed-width spans; a token-window inverted index (the same
+# machinery as q_decontam_substring, but self-referential: corpus vs corpus
+# instead of corpus vs eval set) finds every RNG_W-token window shared by
+# >= RNG_MIN_DF distinct documents in two hash-partitioned aggregations.
+
+RNG_W = 8            # tokens per window (matches DECON_FRAG_TOKENS)
+RNG_MIN_DF = 3       # distinct docs before a window counts as boilerplate
+RNG_BOILER_MOD = 7   # seeded-header docs: doc_id % MOD == REM
+RNG_BOILER_REM = 2
+RNG_BOILER_VARIANTS = 3
+_RNG_HDR_PRE = "standard header variant "
+_RNG_HDR_POST = " all rights reserved do not redistribute this document "
+# Natural 8-token verbatim recurrence across >=3 synthetic docs is
+# ~vocab^-8-rare, so (as with _decon_corpus) a deterministic boilerplate
+# header is seeded onto doc_id % 7 == 2 docs — 3 variants, each shared by
+# ~1/21 of the corpus — making the parity row set non-empty by construction
+# and exercising the df>=RNG_MIN_DF cut on a genuinely hot key.
+
+
+def _rng_corpus(d: DataFrame) -> DataFrame:
+    v = (F.col("doc_id") % RNG_BOILER_VARIANTS).cast("string")
+    seeded = F.concat(F.lit(_RNG_HDR_PRE), v, F.lit(_RNG_HDR_POST),
+                      F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % RNG_BOILER_MOD == RNG_BOILER_REM, seeded)
+         .otherwise(F.col("text")).alias("text"))
+
+
+def q_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate profile: how many of its RNG_W-token
+    sliding windows recur in >= RNG_MIN_DF distinct documents.
+
+    Scale shape: explode to (doc, window) is a map-only pass over
+    O(total_tokens); pre-aggregating to (doc_id, window, cnt) BEFORE the
+    document-frequency groupBy makes both shuffles map-side combined and
+    makes df = count(*) exact over already-distinct (doc, window) pairs.
+    The df join is an equi-join on the window key, co-partitioned with the
+    producing aggregation.  At 100 TB the window key would be the 64-bit
+    rolling hash (text.py doc_fingerprint recipe) instead of the literal
+    string — same plan, 8-byte keys; the string key here is the
+    oracle-parity choice.  Nothing is doc x doc; the hot keys are the
+    seeded headers themselves, which is exactly what the operator reports.
+    """
+    corpus = _rng_corpus(T.docs_df(spark, sf_dir))
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    W = RNG_W
+    idx = F.when(F.size("ws") >= W,
+                 F.sequence(F.lit(1), F.size("ws") - (W - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    wins = (corpus.select("doc_id", ws.alias("ws"))
+                  .select("doc_id", F.explode(
+                      F.transform(idx, lambda i: F.concat_ws(
+                          " ", F.slice("ws", i, W)))).alias("w")))
+    perdoc = (wins.groupBy("doc_id", "w")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    df = (perdoc.groupBy("w")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("df_docs")))
+    rep = F.when(F.col("df_docs") >= RNG_MIN_DF, F.col("cnt")) \
+           .otherwise(F.lit(0).cast("bigint"))
+    return (perdoc.join(df, "w")
+                  .groupBy("doc_id")
+                  .agg(F.sum("cnt").cast("bigint").alias("n_windows"),
+                       F.sum(rep).cast("bigint").alias("repeated_windows"))
+                  .select("doc_id", "n_windows", "repeated_windows",
+                          (F.col("repeated_windows") > 0)
+                           .alias("any_repeated"))
+                  .orderBy("doc_id"))
+
+
+def sql_dedup_repeated_ngrams() -> str:
+    W = RNG_W
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {RNG_BOILER_MOD} = {RNG_BOILER_REM}
+              THEN '{_RNG_HDR_PRE}'
+                   || CAST(doc_id % {RNG_BOILER_VARIANTS} AS VARCHAR)
+                   || '{_RNG_HDR_POST}' || text
+              ELSE text END AS text
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, array_to_string(ws[i:i + {W - 1}], ' ') AS w
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - {W - 1})) AS i
+        FROM (SELECT doc_id, {toks} AS ws FROM corpus)
+        WHERE len(ws) >= {W})
+),
+perdoc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM wins GROUP BY doc_id, w
+),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df_docs FROM perdoc GROUP BY w)
+SELECT p.doc_id,
+       CAST(sum(p.cnt) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN d.df_docs >= {RNG_MIN_DF}
+                     THEN p.cnt ELSE 0 END) AS BIGINT) AS repeated_windows,
+       sum(CASE WHEN d.df_docs >= {RNG_MIN_DF} THEN p.cnt ELSE 0 END) > 0
+         AS any_repeated
+FROM perdoc p JOIN df d USING (w)
+GROUP BY p.doc_id
+ORDER BY p.doc_id"""

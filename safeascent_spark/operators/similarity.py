@@ -575,3 +575,136 @@ FROM (
 )
 WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+# --- SemDeDup-style semantic deduplication -----------------------------------
+# Doc-level *semantic* dedup (SemDeDup, Abbas et al. 2023): partition the
+# embedding space into cells, then inside each cell prune every vector that
+# is within cosine tau of an earlier-kept one.  The cell here is the band-0
+# 16-bit random-hyperplane signature (the same deterministic SRP machinery
+# as the near-dup banding above) rather than a k-means cell: identical
+# partition-then-prune semantics, but exactly reproducible in ANSI SQL, so
+# the DuckDB oracle checks full values instead of a recall certificate.
+# (The k-means-cell variant of the same pattern lives in ml.py as
+# embedding_kmeans_cells + ann_ivf_topk.)  The keep rule is the
+# deterministic parallel form: v is pruned iff SOME u < v in its cell has
+# cos(u, v) >= tau — order-free, so every executor and the oracle agree
+# without sequential chaining.
+
+SEMDEDUP_TAU_NUM = 9    # tau = 0.9, kept as a ratio for integer-exact math
+SEMDEDUP_TAU_DEN = 10
+
+
+def _idot(a, b):
+    """Integer dot product over long arrays (exact, order-independent)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, pruned) over the twin-seeded corpus.
+
+    All comparisons are int64: cos(qa, qb) >= NUM/DEN is evaluated as
+    dot >= 0 AND dot^2 * DEN^2 >= NUM^2 * |qa|^2 * |qb|^2 over the
+    int8-quantized vectors (max |dot^2*DEN^2| ~ 2^47 — no overflow), so
+    Spark and DuckDB agree bitwise with zero float divisions.
+
+    Scale shape: the signature pass is a linear scan; the only shuffle is
+    the self-equi-join on the 2^16-bucket cell key, where the per-cell
+    pair count is (|corpus|/65536)^2-ish — the same sub-quadratic budget
+    as dedup_embedding_cosine.  The prune decision never leaves the cell,
+    so cells scale out embarrassingly; a skewed hot cell is AQE-splittable
+    because the join is a plain equi-join.
+    """
+    corpus = corpus_with_twins_df(spark, sf_dir)
+    cells = (band_signatures_df(corpus)
+             .filter(F.col("band") == 0)
+             .select("vec_id", F.col("sig").alias("cell")))
+    q = corpus.select("vec_id", _quantize_vec(F.col("vec")).alias("qvec"))
+    m = (cells.join(q, "vec_id")
+              .withColumn("n2", _idot(F.col("qvec"), F.col("qvec"))))
+    a = m.select(F.col("vec_id").alias("va"), "cell",
+                 F.col("qvec").alias("qa"), F.col("n2").alias("na2"))
+    b = m.select(F.col("vec_id").alias("vb"), "cell",
+                 F.col("qvec").alias("qb"), F.col("n2").alias("nb2"))
+    pairs = (a.join(b, "cell")
+              .filter((F.col("va") < F.col("vb"))
+                      & (F.col("na2") > 0) & (F.col("nb2") > 0)))
+    dot = _idot(F.col("qa"), F.col("qb"))
+    dup = (dot >= 0) & (dot * dot * F.lit(SEMDEDUP_TAU_DEN ** 2)
+                        >= F.lit(SEMDEDUP_TAU_NUM ** 2)
+                           * F.col("na2") * F.col("nb2"))
+    pruned = (pairs.filter(dup)
+                   .select(F.col("vb").alias("vec_id"))
+                   .distinct()
+                   .withColumn("is_pruned", F.lit(True)))
+    return (cells.join(pruned, "vec_id", "left")
+                 .select("vec_id", "cell",
+                         F.coalesce(F.col("is_pruned"), F.lit(False))
+                          .alias("pruned"))
+                 .orderBy("vec_id"))
+
+
+def sql_dedup_semantic() -> str:
+    return f"""
+WITH flat0 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+flat AS (
+  SELECT * FROM flat0
+  UNION ALL
+  SELECT vec_id + {TWIN_OFFSET}, i,
+         x + (((i - 1) * 7) % 11 - 5) / 255.0
+  FROM flat0 WHERE vec_id < {TWIN_COUNT}
+),
+qflat AS (
+  SELECT vec_id, i,
+         CAST(round(least(greatest(x, -1.0), 1.0) * 127) AS BIGINT) AS qx
+  FROM flat
+),
+planes AS (
+  SELECT js.j, ds.d,
+         ((js.j * 73856093 + ds.d * 19349663) % 131) % 7 - 3 AS p
+  FROM (SELECT unnest(generate_series(0, {BAND_BITS - 1})) AS j) js,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS d) ds
+),
+proj AS (
+  SELECT q.vec_id, pl.j, CAST(sum(q.qx * pl.p) AS BIGINT) AS pr
+  FROM qflat q JOIN planes pl ON q.i = pl.d + 1
+  GROUP BY q.vec_id, pl.j
+),
+cells AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pr > 0
+                       THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+           AS cell
+  FROM proj GROUP BY vec_id
+),
+n2 AS (
+  SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2 FROM qflat
+  GROUP BY vec_id
+),
+m AS (SELECT c.vec_id, c.cell, n.n2 FROM cells c JOIN n2 n USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.n2 AS na2, b.n2 AS nb2
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.n2 > 0 AND b.n2 > 0
+),
+dots AS (
+  SELECT p.va, p.vb, p.na2, p.nb2,
+         CAST(sum(qa.qx * qb.qx) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN qflat qa ON qa.vec_id = p.va
+  JOIN qflat qb ON qb.vec_id = p.vb AND qa.i = qb.i
+  GROUP BY p.va, p.vb, p.na2, p.nb2
+),
+pruned AS (
+  SELECT DISTINCT vb AS vec_id FROM dots
+  WHERE dot >= 0
+    AND dot * dot * {SEMDEDUP_TAU_DEN ** 2}
+        >= {SEMDEDUP_TAU_NUM ** 2} * na2 * nb2
+)
+SELECT m.vec_id, m.cell, (p.vec_id IS NOT NULL) AS pruned
+FROM m LEFT JOIN pruned p USING (vec_id)
+ORDER BY m.vec_id"""
