@@ -352,6 +352,12 @@ def cluster_zorder(spark: SparkSession, root: str, partition: str,
     by the Morton interleave of ``cols`` and commit the swap atomically,
     recording per-file min/max for every clustered column in the manifest.
 
+    Generalizes ``sinks.write_zordered`` (fixed lat/lon geo-bounds, plain
+    directory write, row-group-level skipping only) to arbitrary column
+    sets with data-driven bounds INSIDE the transactional format, where
+    the manifest's per-column ranges let ``read_snapshot(cols_between=…)``
+    prune whole files without opening a footer.
+
     Why it matters at 100 TB: ``compact``/linear sort makes ONE column's
     per-file ranges tight — a 2-D predicate (lat box x lon box, the radius
     scan S2's shape) still opens every file for the dominant column's
