@@ -26,6 +26,7 @@ from safeascent_spark.operators import text as TX
 from safeascent_spark.operators import weather as W
 from safeascent_spark import ml as ML
 from safeascent_spark import skew as SK
+from safeascent_spark.streaming import correlate as CORR
 from safeascent_spark.streaming import sessions as SESS
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -186,6 +187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k5_pearson_factors": W.q_pearson_factors,
         "f2_route_search": R.q_route_search,
         "f3_route_search_rock": R.q_route_search_rock,
+        # stream-stream interval join, batch form (r5; tail-registered
+        # because the window is saturated with r3-latest rotation debt —
+        # CORRECTNESS_LOCAL_r05 carries its evidence until the r6 window)
+        "events_correlated": CORR.q_events_correlated,
     }
 
 
@@ -292,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cardinality_stats": A.sql_events_cardinality_stats(),
         "events_approx_stats": A.sql_events_approx_stats(),
         "events_sessionization": SESS.sql_events_sessionization(),
+        "events_correlated": CORR.sql_events_correlated(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),
