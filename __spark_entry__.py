@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # because the window is saturated with r3-latest rotation debt —
         # CORRECTNESS_LOCAL_r05 carries its evidence until the r6 window)
         "events_correlated": CORR.q_events_correlated,
+        # soft dedup: keep duplicates, downweight by cluster size x quality
+        # band (exact int64 ppm) — tail-registered, same rationale as above
+        "sample_softdedup": D.q_sample_softdedup,
     }
 
 
@@ -298,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "events_approx_stats": A.sql_events_approx_stats(),
         "events_sessionization": SESS.sql_events_sessionization(),
         "events_correlated": CORR.sql_events_correlated(),
+        "sample_softdedup": D.sql_sample_softdedup(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),

@@ -941,3 +941,58 @@ SELECT p.doc_id,
 FROM perdoc p JOIN df d USING (w)
 GROUP BY p.doc_id
 ORDER BY p.doc_id"""
+
+
+# --- Soft dedup: duplicate-aware sampling weights ----------------------------
+# Hard dedup (drop all but one copy) discards the weak signal that a text
+# repeated across sources is often IMPORTANT; soft dedup instead keeps every
+# copy and downweights by commonness at sampling time ("SoftDedup", Xue et
+# al., ACL 2024).  Here commonness = near-dup cluster size (exact duplicates
+# share all shingles, so they land in the same LSH component — one unified
+# multiplicity), composed with the quality band as an integer multiplier.
+
+SOFT_BAND_MULT = {"high": 3, "medium": 2, "low": 1}
+SOFT_SCALE = 1_000_000   # weights as exact ppm integers, no float division
+
+
+def q_sample_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_size, quality_band, weight_ppm): sampling weight
+    proportional to quality and inversely proportional to duplicate-cluster
+    size, as an exact int64 ppm value (band_mult * SCALE // cluster_size) —
+    no float arithmetic anywhere, so Spark and DuckDB agree bitwise.
+
+    Scale shape: reuses the CC cluster pass (bounded label-propagation
+    rounds) and one broadcast-free equi-join of the band column onto it;
+    the weight itself is a Column expression.  Downstream, sampling
+    against weight_ppm is the same hash-mod draw ``sample_mixture`` uses:
+    keep iff pmod(hash64(doc_id), SCALE) < weight_ppm — deterministic,
+    shuffle-free, executor-local."""
+    clusters = q_dedup_clusters(spark, sf_dir) \
+        .select("doc_id", "cluster_size")
+    bands = T.quality_band_df(spark, sf_dir)
+    mult = F.when(F.col("quality_band") == "high",
+                  SOFT_BAND_MULT["high"]) \
+            .when(F.col("quality_band") == "medium",
+                  SOFT_BAND_MULT["medium"]) \
+            .otherwise(SOFT_BAND_MULT["low"]).cast("long")
+    return (clusters.join(bands, "doc_id")
+                    .select("doc_id", "cluster_size", "quality_band",
+                            F.floor(mult * F.lit(SOFT_SCALE)
+                                    / F.col("cluster_size"))
+                             .cast("bigint").alias("weight_ppm"))
+                    .orderBy("doc_id"))
+
+
+def sql_sample_softdedup() -> str:
+    clusters = sql_dedup_clusters().strip()
+    band = T.sql_quality_band_expr()
+    return f"""
+WITH clusters AS ({clusters}),
+bands AS (SELECT doc_id, {band} AS quality_band FROM documents)
+SELECT c.doc_id, c.cluster_size, b.quality_band,
+       CAST(floor((CASE b.quality_band WHEN 'high' THEN {SOFT_BAND_MULT['high']}
+                   WHEN 'medium' THEN {SOFT_BAND_MULT['medium']}
+                   ELSE {SOFT_BAND_MULT['low']} END * {SOFT_SCALE})
+                  / c.cluster_size) AS BIGINT) AS weight_ppm
+FROM clusters c JOIN bands b ON c.doc_id = b.doc_id
+ORDER BY c.doc_id"""

@@ -240,6 +240,39 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+def quality_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_band) — the band leg of ``q_quality_score``, as a
+    composable input for reweighting operators (``dedup.py
+    q_sample_softdedup``).  Same formula, same thresholds."""
+    d = docs_df(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    ntok = F.size(toks).cast("double")
+    nstop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+    mean_wlen = (F.col("n_chars").cast("double") - (ntok - 1)) / ntok
+    quality = (F.lit(0.4) * F.least(ntok / F.lit(100.0), F.lit(1.0))
+               + F.lit(0.3) * F.least(nstop / ntok * 4.0, F.lit(1.0))
+               + F.lit(0.3) * F.least(mean_wlen / F.lit(8.0), F.lit(1.0)))
+    band = (F.when(quality >= 0.75, "high")
+             .when(quality >= 0.5, "medium")
+             .otherwise("low"))
+    return d.select("doc_id", band.alias("quality_band"))
+
+
+def sql_quality_band_expr() -> str:
+    """DuckDB CASE expression mirroring ``quality_band_df`` (over a row of
+    ``documents``), for composition into other oracles."""
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    ntok = f"CAST(len({toks}) AS DOUBLE)"
+    nstop = f"CAST(len(list_filter({toks}, x -> x IN ({stop_in}))) AS DOUBLE)"
+    mean_wlen = f"((CAST(n_chars AS DOUBLE) - ({ntok} - 1)) / {ntok})"
+    quality = (f"(0.4 * least({ntok} / 100.0, 1.0)"
+               f" + 0.3 * least(({nstop} / {ntok}) * 4.0, 1.0)"
+               f" + 0.3 * least({mean_wlen} / 8.0, 1.0))")
+    return (f"CASE WHEN {quality} >= 0.75 THEN 'high' "
+            f"WHEN {quality} >= 0.5 THEN 'medium' ELSE 'low' END")
+
+
 # --- Document fingerprint (rolling hash over leading tokens) -----------------
 
 FP_PRIME = 1_000_000_007

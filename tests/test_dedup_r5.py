@@ -106,3 +106,35 @@ def test_semdedup_plan_is_cell_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cell" in plan  # the self-join key is the SRP cell
+
+
+@pytest.fixture(scope="module")
+def soft_corpus_dir(tmp_path_factory):
+    rows = []
+    # two identical rare docs (one near-dup cluster of 2) + two singletons
+    dup = "rare alpine couloir beta sequence description words tokens here"
+    for i in (10, 11):
+        rows.append({"doc_id": i, "text": dup, "lang": "en",
+                     "source": "synthetic", "n_chars": len(dup)})
+    for i in (20, 21):
+        t = f"completely unrelated singleton document number {i} with words"
+        rows.append({"doc_id": i, "text": t, "lang": "en",
+                     "source": "synthetic", "n_chars": len(t)})
+    d = tmp_path_factory.mktemp("softcorpus")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_softdedup_weight_contract(spark, soft_corpus_dir):
+    got = {r["doc_id"]: r for r in
+           D.q_sample_softdedup(spark, soft_corpus_dir).collect()}
+    # identical docs share one cluster of 2; both keep a row (soft dedup
+    # never drops) at exactly half a singleton's weight for their band
+    assert got[10]["cluster_size"] == got[11]["cluster_size"] == 2
+    assert got[10]["weight_ppm"] == got[11]["weight_ppm"]
+    m = D.SOFT_BAND_MULT[got[10]["quality_band"]]
+    assert got[10]["weight_ppm"] == m * D.SOFT_SCALE // 2
+    for i in (20, 21):
+        assert got[i]["cluster_size"] == 1
+        mi = D.SOFT_BAND_MULT[got[i]["quality_band"]]
+        assert got[i]["weight_ppm"] == mi * D.SOFT_SCALE
