@@ -385,3 +385,71 @@ def cluster_zorder(spark: SparkSession, root: str, partition: str,
                     .localCheckpoint(eager=True))
     files = _write_data_files(clustered, root, stats_cols=tuple(cols))
     return _retrying_commit(root, lambda base: {partition: files})
+
+
+def table_changes(spark: SparkSession, root: str, v_from: int, v_to: int,
+                  key: str = "route_id") -> DataFrame:
+    """Row-level change feed between two committed versions (the Delta
+    CDF / Iceberg incremental-read analog): returns the rows that were
+    inserted, updated, or deleted going v_from -> v_to, tagged
+    ``_change_type`` in {'insert', 'update_postimage', 'delete'}.
+
+    Two-level pruning before any row comparison:
+    * partitions whose manifest file lists are IDENTICAL between the two
+      versions are skipped outright (a merge/compact/zorder rewrites the
+      partitions it touches, so an unchanged file list proves unchanged
+      rows) — the manifest diff is metadata-only;
+    * within a changed partition, the old and new snapshots are compared
+      by a full outer join on ``key``: new-only keys are inserts,
+      old-only keys are deletes, and both-sides keys are updates only
+      when any non-key column differs.
+
+    The downstream consumer cost is therefore O(changed partitions), not
+    O(table) — the property that makes incremental consumption viable on
+    a table where the nightly job rewrites one date partition of
+    thousands.  Deterministic: no timestamps, versions are the cursor."""
+    m_from, m_to = read_manifest(root, v_from), read_manifest(root, v_to)
+    p_from, p_to = m_from["partitions"], m_to["partitions"]
+    changed = [p for p in set(p_from) | set(p_to)
+               if [e["path"] for e in p_from.get(p, [])]
+               != [e["path"] for e in p_to.get(p, [])]]
+    out = None
+    for part in sorted(changed):
+        old = read_snapshot(spark, root, version=v_from, partition=part,
+                            key=key)
+        new = read_snapshot(spark, root, version=v_to, partition=part,
+                            key=key)
+        # align schemas: a partition absent in one version yields the
+        # single-key fallback frame; compare on the union of columns
+        cols = [c for c in new.columns if c != "prediction_date"] \
+            if len(new.columns) > 2 else \
+            [c for c in old.columns if c != "prediction_date"]
+        value_cols = [c for c in cols if c != key]
+        o = old.select(*[F.col(c).alias(f"_o_{c}") for c in cols]) \
+            if set(cols) <= set(old.columns) else None
+        n = new.select(*cols) if set(cols) <= set(new.columns) else None
+        if o is None:  # partition newly created: all inserts
+            delta = new.select(*cols).withColumn(
+                "_change_type", F.lit("insert"))
+        elif n is None:  # partition dropped: all deletes
+            delta = old.select(*cols).withColumn(
+                "_change_type", F.lit("delete"))
+        else:
+            j = n.join(o, F.col(key) == F.col(f"_o_{key}"), "full_outer")
+            diff = F.lit(False)
+            for c in value_cols:
+                diff = diff | ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+            tag = (F.when(F.col(f"_o_{key}").isNull(), "insert")
+                    .when(F.col(key).isNull(), "delete")
+                    .when(diff, "update_postimage"))
+            picked = [F.coalesce(F.col(c), F.col(f"_o_{c}")).alias(c)
+                      for c in cols]
+            delta = (j.withColumn("_change_type", tag)
+                      .filter(F.col("_change_type").isNotNull())
+                      .select(*picked, "_change_type"))
+        delta = delta.withColumn("_partition", F.lit(part))
+        out = delta if out is None else out.unionByName(delta)
+    if out is None:
+        return spark.createDataFrame(
+            [], f"{key} bigint, _change_type string, _partition string")
+    return out
