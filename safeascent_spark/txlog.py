@@ -190,7 +190,10 @@ def read_snapshot(spark: SparkSession, root: str,
             .withColumn("prediction_date", F.lit(None).cast("string"))
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        # allowMissingColumns: partitions committed before a column was
+        # added read as null for it (additive schema evolution — the
+        # Delta mergeSchema read semantics)
+        out = out.unionByName(f, allowMissingColumns=True)
     if key_between is not None:
         out = out.filter(F.col(key).between(*key_between))
     if cols_between is not None:
@@ -453,3 +456,22 @@ def table_changes(spark: SparkSession, root: str, v_from: int, v_to: int,
         return spark.createDataFrame(
             [], f"{key} bigint, _change_type string, _partition string")
     return out
+
+
+def restore_table(root: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION analog: republish version ``version``'s
+    partition mapping as a NEW head version (no data movement — manifests
+    are pointers), so the rollback is itself an auditable commit and time
+    travel to the bad interval keeps working until ``vacuum``.  Goes
+    through the optimistic-commit loop, so a concurrent writer cannot be
+    silently clobbered: the restore lands on top of whatever won."""
+    target = read_manifest(root, version)["partitions"]
+
+    def build(base: dict) -> dict:
+        # replace the whole mapping: partitions created after `version`
+        # must revert to absent, which the merge in _retrying_commit can't
+        # express additively — so return every key, absent ones as []
+        return {p: target.get(p, []) for p in
+                set(base["partitions"]) | set(target)}
+
+    return _retrying_commit(root, build)
