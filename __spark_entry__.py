@@ -194,6 +194,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # soft dedup: keep duplicates, downweight by cluster size x quality
         # band (exact int64 ppm) — tail-registered, same rationale as above
         "sample_softdedup": D.q_sample_softdedup,
+        # kNN label propagation: int8-exact cosine kNN + integer majority
+        # vote (r5; tail-registered, same saturation rationale)
+        "knn_classify": SIM.q_knn_classify,
+        # leakage-safe train/val/test split keyed on the content
+        # fingerprint, not the row id (r5; tail-registered)
+        "sample_split": TX.q_sample_split,
     }
 
 
@@ -302,6 +308,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionization": SESS.sql_events_sessionization(),
         "events_correlated": CORR.sql_events_correlated(),
         "sample_softdedup": D.sql_sample_softdedup(),
+        "knn_classify": SIM.sql_knn_classify(),
+        "sample_split": TX.sql_sample_split(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),

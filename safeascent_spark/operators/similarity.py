@@ -708,3 +708,108 @@ pruned AS (
 SELECT m.vec_id, m.cell, (p.vec_id IS NOT NULL) AS pruned
 FROM m LEFT JOIN pruned p USING (vec_id)
 ORDER BY m.vec_id"""
+
+
+# --- kNN label propagation (majority-vote classification) --------------------
+# Training-data curation routinely labels an unlabeled slice by vote of its
+# nearest labeled neighbors (quality tiers, topic buckets, license classes);
+# the reference's analog is route-type inference from nearby routes
+# (mp_routes.py route_type_weighting usage).  The engine form: int8-exact
+# cosine kNN against the labeled corpus, then an integer majority vote.
+
+KNN_QUERIES = 20     # vec_id < KNN_QUERIES form the unlabeled probe slice
+KNN_K = 15           # neighbors per probe
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str,
+                   k: int = KNN_K) -> DataFrame:
+    """Majority-vote kNN classification over int8-quantized cosine.
+
+    Determinism contract (what makes this hash-green, not rows-only): all
+    dot products and squared norms are exact int64 arithmetic over the
+    quantized vectors, the rank order divides identical integers through
+    identical IEEE doubles in both engines, and the vote itself is pure
+    integer counting with a (votes DESC, label ASC) tie-break — no float
+    ever decides between two candidates that could collide.
+
+    Scale: probes broadcast (the unlabeled slice per pass is bounded); the
+    labeled corpus streams through one WindowGroupLimit top-k, then the
+    vote aggregates |probes| x k rows — corpus-size-independent post-join.
+    """
+    e = quantized_df(spark, sf_dir)
+    probes = (e.filter(F.col("vec_id") < KNN_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qvec").alias("quvec")))
+    corpus = e.filter(F.col("vec_id") >= KNN_QUERIES)
+    pairs = domain.fan_out(corpus).crossJoin(F.broadcast(probes))
+    idot = F.aggregate(F.zip_with(F.col("qvec"), F.col("quvec"),
+                                  lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    inorm = lambda a: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x).cast("double"))
+    cos = idot.cast("double") / (inorm(F.col("qvec")) * inorm(F.col("quvec")))
+    scored = pairs.select("query_id", "vec_id", "label", cos.alias("cosine"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    topk = (scored.withColumn("rank", F.row_number().over(wk))
+                  .filter(F.col("rank") <= k))
+    votes = topk.groupBy("query_id", "label") \
+                .agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc())
+    return (votes.withColumn("vrank", F.row_number().over(wv))
+                 .filter(F.col("vrank") == 1)
+                 .select("query_id",
+                         F.col("label").alias("predicted_label"),
+                         "votes",
+                         F.expr(f"votes * 1000000 div {k}")
+                          .cast("bigint").alias("agreement_ppm"))
+                 .orderBy("query_id"))
+
+
+def sql_knn_classify(k: int = KNN_K) -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT)")
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, label, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+qnorms AS (
+  SELECT vec_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+  FROM qflat GROUP BY vec_id
+),
+qdots AS (
+  SELECT q.vec_id AS query_id, c.vec_id, any_value(c.label) AS label,
+         CAST(sum(q.x * c.x) AS BIGINT) AS dot
+  FROM qflat q JOIN qflat c ON q.i = c.i
+  WHERE q.vec_id < {KNN_QUERIES} AND c.vec_id >= {KNN_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+),
+topk AS (
+  SELECT query_id, label FROM (
+    SELECT d.query_id, d.label,
+           row_number() OVER (
+             PARTITION BY d.query_id
+             ORDER BY CAST(d.dot AS DOUBLE) / (nc.nrm * nq.nrm) DESC,
+                      d.vec_id ASC) AS rank
+    FROM qdots d
+    JOIN qnorms nc ON d.vec_id = nc.vec_id
+    JOIN qnorms nq ON d.query_id = nq.vec_id
+  ) WHERE rank <= {k}
+),
+votes AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+  FROM topk GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes,
+       CAST(votes * 1000000 // {k} AS BIGINT) AS agreement_ppm
+FROM (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label ASC) AS vrank
+  FROM votes
+)
+WHERE vrank = 1
+ORDER BY query_id"""

@@ -279,9 +279,9 @@ FP_PRIME = 1_000_000_007
 FP_BASE = 131
 
 
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling hash of the first 8 word-ids: an order-sensitive
-    content fingerprint (same-prefix docs collide; shuffled docs don't)."""
+def fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fingerprint) without the presentation sort — the reusable
+    form (q_doc_fingerprint and the leakage-safe split both build on it)."""
     v = vocab_df(spark, sf_dir)
     d = docs_df(spark, sf_dir)
     pos = (d.select("doc_id", F.posexplode(F.split(F.col("text"), " ")))
@@ -294,8 +294,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # term <= vocab_size * 131^7; the 8-term sum stays < 2^63 for any
     # vocabulary below ~10k words (DuckDB's HUGEINT sum is cast back).
     return (wp.groupBy("doc_id")
-              .agg((F.sum(term) % FP_PRIME).alias("fingerprint"))
-              .orderBy("doc_id"))
+              .agg((F.sum(term) % FP_PRIME).alias("fingerprint")))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash of the first 8 word-ids: an order-sensitive
+    content fingerprint (same-prefix docs collide; shuffled docs don't)."""
+    return fingerprint_df(spark, sf_dir).orderBy("doc_id")
 
 
 def sql_doc_fingerprint() -> str:
@@ -955,3 +960,74 @@ SELECT r.domain, r.n_docs, r.tok AS n_tokens,
        coalesce(s.n_sampled_tokens, 0) AS n_sampled_tokens
 FROM rates r LEFT JOIN sampled s USING (domain)
 ORDER BY r.domain"""
+
+
+# --- Leakage-safe train/val/test split ---------------------------------------
+# The canonical pre-training holdout mistake is splitting by doc_id: two
+# near-identical documents straddle the train/test boundary and the eval
+# leaks.  Splitting on a CONTENT key instead of the row key sends every
+# exact-duplicate group to the same side by construction.  The hash is the
+# same Knuth multiplicative bucket as the sampling family (reproducible,
+# re-partition-stable, rand()-free); the content key is the rolling-hash
+# fingerprint.  Docs too short to fingerprint (no in-vocab token in the
+# first 8 positions) fall back to fingerprint 0 — i.e. they form one
+# group, which is exactly right: they are content-indistinguishable.
+
+SPLIT_TRAIN_PER_MILLE = 800   # [0,800) train, [800,900) val, [900,1000) test
+SPLIT_VAL_PER_MILLE = 900
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test assignment.
+
+    Scale: the fingerprint is one map-side-combined aggregate over the
+    first 8 tokens per doc; the split itself is pure column arithmetic —
+    no extra shuffle beyond the fingerprint's groupBy, and the assignment
+    is identical no matter how the corpus is partitioned or re-ingested.
+    """
+    d = docs_df(spark, sf_dir).select("doc_id", "lang")
+    fp = fingerprint_df(spark, sf_dir)
+    j = d.join(fp, "doc_id", "left") \
+         .withColumn("fingerprint", F.coalesce("fingerprint", F.lit(0)))
+    bucket = F.expr(f"pmod(pmod(fingerprint, {SAMPLE_MOD}) * {SAMPLE_KNUTH}, "
+                    f"{SAMPLE_P}) % 1000")
+    split = (F.when(bucket < SPLIT_TRAIN_PER_MILLE, "train")
+              .when(bucket < SPLIT_VAL_PER_MILLE, "val")
+              .otherwise("test"))
+    return (j.select("doc_id", "lang", "fingerprint",
+                     bucket.cast("bigint").alias("bucket"),
+                     split.alias("split"))
+             .orderBy("doc_id"))
+
+
+def sql_sample_split() -> str:
+    bucket = (f"(((fingerprint % {SAMPLE_MOD}) * {SAMPLE_KNUTH}) "
+              f"% {SAMPLE_P}) % 1000")
+    return f"""
+WITH {TOKENS_CTE.strip()},
+{VOCAB_CTE.strip()},
+pos AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+       (SELECT unnest(generate_series(1, 8)) AS i)
+  WHERE i <= len(ws) AND ws[i] <> ''
+),
+fp AS (
+  SELECT p.doc_id,
+         CAST(sum((v.wid % {FP_PRIME})
+                  * CAST(pow({FP_BASE}, 7 - p.pos) AS BIGINT))
+              % {FP_PRIME} AS BIGINT) AS fingerprint
+  FROM pos p JOIN vocab v ON p.word = v.word
+  GROUP BY p.doc_id
+),
+assigned AS (
+  SELECT d.doc_id, d.lang, coalesce(f.fingerprint, 0) AS fingerprint
+  FROM documents d LEFT JOIN fp f USING (doc_id)
+)
+SELECT doc_id, lang, fingerprint,
+       CAST({bucket} AS BIGINT) AS bucket,
+       CASE WHEN {bucket} < {SPLIT_TRAIN_PER_MILLE} THEN 'train'
+            WHEN {bucket} < {SPLIT_VAL_PER_MILLE} THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+ORDER BY doc_id"""

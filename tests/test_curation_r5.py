@@ -1,0 +1,79 @@
+"""Round-5 curation additions: kNN label propagation + leakage-safe split.
+
+Both carry full oracles in test_oracle_parity; these tests pin the
+SEMANTIC contracts the parity check can't see:
+  * the split sends exact-duplicate documents to the same side (the
+    leakage-safety property that motivates splitting on content);
+  * the kNN vote tie-breaks deterministically and its plan keeps the
+    probe side broadcast (corpus streams, no corpus x corpus join).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def dup_corpus_dir(tmp_path_factory):
+    # 3 distinct texts, each duplicated under distant doc_ids; plus an
+    # empty and a whitespace-only doc (both must fall back to group 0).
+    texts = {
+        "alpha ridge route with bolted anchors near the summit": (0, 500),
+        "loose talus approach cross the gully before first light": (1, 777),
+        "classic crack climb sustained hands to the chains": (2, 901),
+    }
+    rows = []
+    for text, ids in texts.items():
+        for i in ids:
+            rows.append({"doc_id": i, "text": text, "lang": "en",
+                         "source": "syn", "n_chars": len(text)})
+    rows.append({"doc_id": 50, "text": "", "lang": "en", "source": "syn",
+                 "n_chars": 0})
+    rows.append({"doc_id": 51, "text": "   ", "lang": "en", "source": "syn",
+                 "n_chars": 3})
+    d = tmp_path_factory.mktemp("dupcorpus")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_split_sends_duplicates_to_the_same_side(spark, dup_corpus_dir):
+    from safeascent_spark.operators import text as T
+    out = {r["doc_id"]: r for r in
+           T.q_sample_split(spark, dup_corpus_dir).collect()}
+    assert out[0]["split"] == out[500]["split"]
+    assert out[0]["fingerprint"] == out[500]["fingerprint"]
+    assert out[1]["split"] == out[777]["split"]
+    assert out[2]["split"] == out[901]["split"]
+    # content-free docs collapse into the fingerprint-0 group together
+    assert out[50]["fingerprint"] == 0 == out[51]["fingerprint"]
+    assert out[50]["split"] == out[51]["split"]
+
+
+def test_split_is_total_and_stable_under_repartition(spark):
+    from safeascent_spark.operators import text as T
+    base = T.q_sample_split(spark, SF_SMOKE).collect()
+    docs = T.docs_df(spark, SF_SMOKE)
+    assert len(base) == docs.count()  # every doc assigned exactly once
+    again = T.q_sample_split(spark, SF_SMOKE).collect()
+    assert base == again
+
+
+def test_knn_vote_is_full_coverage_and_bounded(spark):
+    from safeascent_spark.operators import similarity as S
+    rows = S.q_knn_classify(spark, SF_ORACLE).collect()
+    assert [r["query_id"] for r in rows] == list(range(S.KNN_QUERIES))
+    for r in rows:
+        assert 1 <= r["votes"] <= S.KNN_K
+        assert r["agreement_ppm"] == r["votes"] * 1_000_000 // S.KNN_K
+
+
+def test_knn_plan_broadcasts_probes_not_corpus(spark):
+    from safeascent_spark.operators import similarity as S
+    plan = S.q_knn_classify(spark, SF_ORACLE)._jdf.queryExecution() \
+            .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # probe side broadcast
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

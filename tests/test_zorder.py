@@ -10,7 +10,13 @@ from pyspark.sql import functions as F
 from safeascent_spark import txlog
 
 N_SIDE = 120           # 120 x 120 grid = 14 400 points in [0, 120)^2
-N_FILES = 16
+# 64 files = 8x8 Morton blocks (~15 units/axis) vs 64 lat slabs (~1.9
+# units).  The margin matters: repartitionByRange picks boundaries by
+# SAMPLING, so per-file ranges wobble run to run; with the 20-unit box a
+# 4x4 block layout could tie the ~3-slab linear count under unlucky
+# boundaries (observed as an order-dependent flake), while at 8x8 the
+# linear layout keeps ~12 slabs vs z's ~4-9 blocks — sampling-proof.
+N_FILES = 64
 BOX = (30.0, 50.0)     # ~1/36 of the area in 2-D
 
 
