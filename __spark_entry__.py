@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe train/val/test split keyed on the content
         # fingerprint, not the row id (r5; tail-registered)
         "sample_split": TX.q_sample_split,
+        # weekly cohort-retention triangle over events (r5; tail-registered)
+        "events_retention": A.q_events_retention,
     }
 
 
@@ -310,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_softdedup": D.sql_sample_softdedup(),
         "knn_classify": SIM.sql_knn_classify(),
         "sample_split": TX.sql_sample_split(),
+        "events_retention": A.sql_events_retention(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),

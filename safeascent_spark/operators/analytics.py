@@ -693,3 +693,52 @@ SELECT route_type, color_code, count(*) AS n_routes,
 FROM typed
 GROUP BY CUBE(route_type, color_code)
 ORDER BY route_type ASC NULLS FIRST, color_code ASC NULLS FIRST"""
+
+
+# --- Cohort retention (first-seen week x activity week) ----------------------
+# The canonical product-analytics rollup the reference serves as its usage
+# dashboards' backing query (user_tracking endpoints): bucket every user by
+# first-seen week, then count how many of each cohort return N weeks later.
+
+RETENTION_EPOCH_DAY = 19723   # epoch day of 2024-01-01 (week-0 anchor)
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over `events`.
+
+    Weeks are integer day-arithmetic from a fixed epoch (floor(days/7)) —
+    no locale/ISO-week semantics, so both engines agree exactly.
+
+    Scale shape: pass 1 is a map-side-combined min-aggregate per user
+    (|users| rows out); pass 2 joins the per-user cohort back onto the
+    distinct (user, week) activity set — both shuffles key on user_id, so
+    Catalyst reuses one exchange; the retention matrix itself is bounded
+    by weeks^2 / 2, corpus-size-independent.
+    """
+    e = domain.load_table(spark, sf_dir, "events")
+    # ts is the canonical ns-long (domain.ts_to_nanos); `div` matches
+    # DuckDB `//` because the epoch anchor keeps the numerator >= 0
+    week = F.expr(f"(ts div {_DAY_NS} - {RETENTION_EPOCH_DAY}) div 7")
+    uw = e.select("user_id", week.alias("week")).distinct()
+    cohorts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (uw.join(cohorts, "user_id")
+              .withColumn("weeks_since", F.col("week") - F.col("cohort_week"))
+              .groupBy("cohort_week", "weeks_since")
+              .agg(F.countDistinct("user_id").alias("n_users"))
+              .orderBy("cohort_week", "weeks_since"))
+
+
+def sql_events_retention() -> str:
+    week = f"(epoch_ns(ts) // {_DAY_NS} - {RETENTION_EPOCH_DAY}) // 7"
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, {week} AS week FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week, uw.week - c.cohort_week AS weeks_since,
+       count(DISTINCT uw.user_id) AS n_users
+FROM uw JOIN cohorts c USING (user_id)
+GROUP BY c.cohort_week, weeks_since
+ORDER BY c.cohort_week, weeks_since"""

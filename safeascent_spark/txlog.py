@@ -167,23 +167,42 @@ def read_snapshot(spark: SparkSession, root: str,
     if partition is not None:
         parts = {partition: parts.get(partition, [])}
     frames = []
-    for pval, files in sorted(parts.items()):
-        if key_between is not None:
-            lo, hi = key_between
-            files = [e for e in files
-                     if e.get("min_key") is None
-                     or not (e["max_key"] < lo or e["min_key"] > hi)]
-        if cols_between is not None:
-            def _survives(e: dict) -> bool:
-                for c, (lo, hi) in cols_between.items():
-                    rng = e.get("cols", {}).get(c)
-                    if rng is not None and (rng[1] < lo or rng[0] > hi):
-                        return False
-                return True
-            files = [e for e in files if _survives(e)]
+    for pval, entries in sorted(parts.items()):
+        # deletion vectors: tombstone entries list DELETED keys
+        # (merge-on-read row deletes, see delete_where); they ride the
+        # same pruning as data files — a tombstone whose key range is
+        # disjoint from the predicate cannot affect any surviving row,
+        # because survivors are re-filtered exactly below
+        tombs = [e for e in entries if e.get("tombstone")]
+        files = [e for e in entries if not e.get("tombstone")]
+
+        def _prune(fs: list[dict]) -> list[dict]:
+            if key_between is not None:
+                lo, hi = key_between
+                fs = [e for e in fs
+                      if e.get("min_key") is None
+                      or not (e["max_key"] < lo or e["min_key"] > hi)]
+            if cols_between is not None:
+                def _survives(e: dict) -> bool:
+                    for c, (lo, hi) in cols_between.items():
+                        rng = e.get("cols", {}).get(c)
+                        if rng is not None and (rng[1] < lo or rng[0] > hi):
+                            return False
+                    return True
+                fs = [e for e in fs if _survives(e)]
+            return fs
+
+        files, tombs = _prune(files), _prune(tombs)
         if not files:
             continue
         df = spark.read.parquet(*[str(Path(root) / e["path"]) for e in files])
+        if tombs:
+            dead = spark.read.parquet(
+                *[str(Path(root) / e["path"]) for e in tombs]) \
+                .select(key).distinct()
+            # deleted-key sets are bounded per maintenance cycle (compact /
+            # merge materialize them away), so the anti-join broadcasts
+            df = df.join(F.broadcast(dead), key, "left_anti")
         frames.append(df.withColumn("prediction_date", F.lit(pval)))
     if not frames:
         return spark.createDataFrame([], f"{key} bigint") \
@@ -238,17 +257,78 @@ def merge_scores(df: DataFrame, root: str, partition: str,
     src = df.localCheckpoint(eager=True)  # pin source rows across retries
 
     def build(base: dict) -> dict:
-        cur_files = base["partitions"].get(partition, [])
+        entries = base["partitions"].get(partition, [])
+        cur_files = [e for e in entries if not e.get("tombstone")]
+        tombs = [e for e in entries if e.get("tombstone")]
         if cur_files:
             cur = spark.read.parquet(
                 *[str(Path(root) / e["path"]) for e in cur_files])
+            if tombs:  # apply deletion vectors before merging, else the
+                # rewrite would resurrect rows deleted by delete_where
+                dead = spark.read.parquet(
+                    *[str(Path(root) / e["path"]) for e in tombs]) \
+                    .select(key).distinct()
+                cur = cur.join(F.broadcast(dead), key, "left_anti")
             keep = cur.join(src.select(key).distinct(), key, "left_anti")
             merged = keep.unionByName(src.select(*keep.columns))
         else:
             merged = src
+        # the rewrite materializes the deletes: tombstones do not carry over
         return {partition: _write_data_files(merged, root)}
 
     return _retrying_commit(root, build)
+
+
+def delete_where(spark: SparkSession, root: str, partition: str,
+                 predicate, key: str = "route_id") -> int:
+    """Row-level DELETE as merge-on-read deletion vectors (the Delta DV /
+    Iceberg positional-delete analog, key-grain): commit a TOMBSTONE file
+    listing the deleted keys instead of rewriting any data file.
+
+    Why it matters at 100 TB: a GDPR-style delete of a handful of keys
+    from a date partition otherwise rewrites the whole partition
+    (``merge_scores``'s shape — O(partition)); a deletion vector writes
+    O(deleted keys) and defers the rewrite to the next ``compact`` /
+    ``merge_scores`` / ``cluster_zorder`` of that partition, all of which
+    materialize the deletes and drop the tombstones.  Readers apply the
+    tombstones as a broadcast anti-join (``read_snapshot``), so snapshot
+    semantics, time travel, ``table_changes`` (the deletes surface as
+    ``delete`` change rows) and vacuum's reference tracking all compose
+    unchanged.
+
+    ``predicate`` is a Column or SQL string evaluated against the
+    partition's CURRENT snapshot inside the optimistic-commit loop (a
+    rebased retry re-evaluates against the winner's rows).  No-op (current
+    version returned) when the partition is missing or nothing matches."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    def build(base: dict) -> dict:
+        entries = base["partitions"].get(partition, [])
+        if not [e for e in entries if not e.get("tombstone")]:
+            return {}
+        snap = read_snapshot(spark, root, version=base["version"],
+                             partition=partition, key=key)
+        dead = snap.filter(pred).select(key).distinct() \
+                   .localCheckpoint(eager=True)
+        if dead.isEmpty():
+            return {}
+        tomb = [{**e, "tombstone": True}
+                for e in _write_data_files(dead, root, key=key)]
+        return {partition: entries + tomb}
+
+    def _noop_aware_commit():
+        for _ in range(10):
+            base = read_manifest(root)
+            changed = build(base)
+            if not changed:
+                return base["version"]
+            nxt = {"version": base["version"] + 1,
+                   "partitions": {**base["partitions"], **changed}}
+            if _publish(root, nxt):
+                return nxt["version"]
+        raise CommitConflict(f"lost 10 commit races on {root}")
+
+    return _noop_aware_commit()
 
 
 def vacuum(root: str, keep_versions: int = 1,
