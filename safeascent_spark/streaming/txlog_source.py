@@ -58,7 +58,8 @@ def commit_cursor(checkpoint: str, version: int) -> None:
 
 def run_table_stream(spark: SparkSession, root: str, checkpoint: str,
                      sink, key: str = "route_id",
-                     fail_after_version: int | None = None) -> list[int]:
+                     fail_after_version: int | None = None,
+                     include_preimages: bool = False) -> list[int]:
     """One availableNow pass over the table's unprocessed commits.
 
     Calls ``sink(delta_df, version)`` for every version in
@@ -72,7 +73,8 @@ def run_table_stream(spark: SparkSession, root: str, checkpoint: str,
     processed: list[int] = []
     head = txlog.current_version(root)
     for v in range(read_cursor(checkpoint) + 1, head + 1):
-        delta = txlog.table_changes(spark, root, v - 1, v, key=key) \
+        delta = txlog.table_changes(spark, root, v - 1, v, key=key,
+                                    include_preimages=include_preimages) \
                      .withColumn("_commit_version", F.lit(v))
         if not delta.isEmpty():
             sink(delta, v)
@@ -106,3 +108,25 @@ def read_change_log(spark: SparkSession, out_path: str):
     """Everything the parquet sink has emitted so far (version column
     restored from the partition directory)."""
     return spark.read.option("basePath", out_path).parquet(out_path)
+
+
+def incremental_sum_delta(changes, group_cols: list[str], value_col: str):
+    """Per-group additive state delta from a PRE-IMAGE-bearing change feed
+    (``table_changes(include_preimages=True)``): post-images and inserts
+    add, pre-images and deletes subtract — so a maintained running
+    (sum, count) per group tracks the table exactly without re-reading it
+    (the incremental materialized-view maintenance identity; proven
+    against full recompute in tests/test_dv_stream.py).
+
+    Scale: one map-side-combined aggregate over O(changed rows); the
+    maintained state itself is only ever touched at group grain."""
+    ct = F.col("_change_type")
+    sign = (F.when(ct.isin("insert", "update_postimage"), F.lit(1))
+             .when(ct.isin("delete", "update_preimage"), F.lit(-1))
+             .otherwise(F.lit(0)))
+    rows = (F.when(ct == "insert", F.lit(1))
+             .when(ct == "delete", F.lit(-1)).otherwise(F.lit(0)))
+    return (changes
+            .groupBy(*group_cols)
+            .agg(F.sum(F.col(value_col) * sign).alias(f"{value_col}_delta"),
+                 F.sum(rows).alias("row_delta")))

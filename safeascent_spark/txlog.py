@@ -471,7 +471,8 @@ def cluster_zorder(spark: SparkSession, root: str, partition: str,
 
 
 def table_changes(spark: SparkSession, root: str, v_from: int, v_to: int,
-                  key: str = "route_id") -> DataFrame:
+                  key: str = "route_id",
+                  include_preimages: bool = False) -> DataFrame:
     """Row-level change feed between two committed versions (the Delta
     CDF / Iceberg incremental-read analog): returns the rows that were
     inserted, updated, or deleted going v_from -> v_to, tagged
@@ -490,7 +491,15 @@ def table_changes(spark: SparkSession, root: str, v_from: int, v_to: int,
     The downstream consumer cost is therefore O(changed partitions), not
     O(table) — the property that makes incremental consumption viable on
     a table where the nightly job rewrites one date partition of
-    thousands.  Deterministic: no timestamps, versions are the cursor."""
+    thousands.  Deterministic: no timestamps, versions are the cursor.
+
+    ``include_preimages=True`` additionally emits an
+    ``update_preimage``-tagged row (the OLD values) for every updated
+    key — the Delta CDF four-type contract.  Pre-images are what make
+    the feed ALGEBRAICALLY consumable: an incremental aggregate
+    maintainer adds post-images and subtracts pre-images/deletes
+    (``streaming.txlog_source.incremental_sum_delta``) without ever
+    re-reading the table."""
     m_from, m_to = read_manifest(root, v_from), read_manifest(root, v_to)
     p_from, p_to = m_from["partitions"], m_to["partitions"]
     changed = [p for p in set(p_from) | set(p_to)
@@ -530,6 +539,13 @@ def table_changes(spark: SparkSession, root: str, v_from: int, v_to: int,
             delta = (j.withColumn("_change_type", tag)
                       .filter(F.col("_change_type").isNotNull())
                       .select(*picked, "_change_type"))
+            if include_preimages:
+                pre = (j.filter(F.col(key).isNotNull()
+                                & F.col(f"_o_{key}").isNotNull() & diff)
+                        .select(*[F.col(f"_o_{c}").alias(c) for c in cols])
+                        .withColumn("_change_type",
+                                    F.lit("update_preimage")))
+                delta = delta.unionByName(pre)
         delta = delta.withColumn("_partition", F.lit(part))
         out = delta if out is None else out.unionByName(delta)
     if out is None:

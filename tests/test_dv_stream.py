@@ -158,3 +158,53 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
         (1, 1.0, "insert", v1),
         (1, 1.5, "update_postimage", v2),
         (7, 7.0, "insert", v3)}  # no duplicate, no loss
+
+
+# --- pre-images + incremental aggregate maintenance --------------------------
+
+def test_preimages_tag_old_values(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = txlog.commit_overwrite_partition(
+        _df(spark, [(1, 1.0), (2, 2.0)]), root, "d")
+    v2 = txlog.merge_scores(_df(spark, [(2, 9.0), (3, 3.0)]), root, "d")
+    ch = txlog.table_changes(spark, root, v1, v2, include_preimages=True)
+    got = {(r["route_id"], r["score"], r["_change_type"])
+           for r in ch.collect()}
+    assert got == {(2, 2.0, "update_preimage"),
+                   (2, 9.0, "update_postimage"),
+                   (3, 3.0, "insert")}
+
+
+def test_incremental_mv_maintenance_tracks_full_recompute(spark, tmp_path):
+    """The materialized-view identity: per-partition (sum, count)
+    maintained ONLY from the change feed equals full recompute after
+    every commit — inserts, updates, merge-on-read deletes, and a
+    maintenance compaction (which must contribute nothing)."""
+    root = str(tmp_path / "t")
+    txlog.commit_overwrite_partition(
+        _df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), root, "d1")
+    txlog.commit_overwrite_partition(_df(spark, [(9, 9.0)]), root, "d2")
+    txlog.merge_scores(_df(spark, [(2, 20.0), (4, 4.0)]), root, "d1")
+    txlog.delete_where(spark, root, "d1", "route_id = 3")
+    txlog.compact(spark, root, "d1", target_files=1)
+    txlog.merge_scores(_df(spark, [(9, 0.5)]), root, "d2")
+
+    state: dict[str, tuple[float, int]] = {}
+    for v in range(1, txlog.current_version(root) + 1):
+        ch = txlog.table_changes(spark, root, v - 1, v,
+                                 include_preimages=True)
+        if ch.isEmpty():
+            continue
+        delta = TS.incremental_sum_delta(ch, ["_partition"], "score")
+        for r in delta.collect():
+            s, n = state.get(r["_partition"], (0.0, 0))
+            state[r["_partition"]] = (s + r["score_delta"],
+                                      n + r["row_delta"])
+    # full recompute from the head snapshot
+    snap = txlog.read_snapshot(spark, root)
+    truth = {r["prediction_date"]: (r["s"], r["n"]) for r in
+             snap.groupBy("prediction_date")
+                 .agg(F.sum("score").alias("s"),
+                      F.count(F.lit(1)).alias("n")).collect()}
+    assert {k: (round(v[0], 9), v[1]) for k, v in state.items()} \
+        == {k: (round(v[0], 9), v[1]) for k, v in truth.items()}
