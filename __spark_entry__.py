@@ -202,6 +202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": TX.q_sample_split,
         # weekly cohort-retention triangle over events (r5; tail-registered)
         "events_retention": A.q_events_retention,
+        # asymmetric shingle-containment near-dup — doc-inside-doc
+        # duplication Jaccard misses (r5; tail-registered)
+        "dedup_containment": D.q_dedup_containment,
+        # strictly-ordered conversion funnel with per-step windows (r5)
+        "events_funnel": A.q_events_funnel,
     }
 
 
@@ -313,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify": SIM.sql_knn_classify(),
         "sample_split": TX.sql_sample_split(),
         "events_retention": A.sql_events_retention(),
+        "dedup_containment": D.sql_dedup_containment(),
+        "events_funnel": A.sql_events_funnel(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),

@@ -742,3 +742,87 @@ SELECT c.cohort_week, uw.week - c.cohort_week AS weeks_since,
 FROM uw JOIN cohorts c USING (user_id)
 GROUP BY c.cohort_week, weeks_since
 ORDER BY c.cohort_week, weeks_since"""
+
+
+# --- Ordered conversion funnel (view -> click -> purchase) -------------------
+# The sequential-pattern cousin of the retention triangle: a user
+# converts at step k only with a step-k event strictly AFTER their
+# earliest step-(k-1) conversion time and within the per-step window.
+# All comparisons are int64 nanosecond arithmetic.
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_STEP_WINDOW_NS = 7 * _DAY_NS   # max gap between consecutive steps
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per funnel step: users reaching it + mean hours from the previous
+    step (earliest-qualifying-event semantics, exactly ordered).
+
+    Scale shape: each step is one min-aggregate over that step's events
+    joined to the previous step's per-user conversion times — every
+    shuffle keys on user_id, so Catalyst reuses one exchange layout; no
+    window over the raw event stream, no sessionize-then-filter pass.
+    The per-step output is |users| rows, collapsing to |steps| at the end.
+    """
+    e = domain.load_table(spark, sf_dir, "events") \
+              .select("user_id", "event_type", "ts")
+    prev = None
+    out = []
+    for i, step in enumerate(FUNNEL_STEPS):
+        ev = e.filter(F.col("event_type") == step)
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (ev.join(prev.select("user_id",
+                                       F.col("t").alias("t_prev")),
+                           "user_id")
+                     .filter((F.col("ts") > F.col("t_prev"))
+                             & (F.col("ts") - F.col("t_prev")
+                                <= FUNNEL_STEP_WINDOW_NS))
+                     .groupBy("user_id")
+                     .agg(F.min("ts").alias("t"),
+                          F.first("t_prev").alias("t_prev")))
+        hours = (F.col("t") - F.col("t_prev")) / (3_600.0 * 1e9) \
+            if prev is not None else F.lit(None).cast("double")
+        out.append(cur.agg(
+            F.lit(i + 1).cast("int").alias("step_num"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg(hours), 6).alias("avg_hours_from_prev")))
+        prev = cur
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("step_num")
+
+
+def sql_events_funnel() -> str:
+    w = FUNNEL_STEP_WINDOW_NS
+    steps_sql = []
+    prev_cte = None
+    for i, step in enumerate(FUNNEL_STEPS):
+        name = f"s{i + 1}"
+        if prev_cte is None:
+            steps_sql.append(
+                f"{name} AS (SELECT user_id, min(epoch_ns(ts)) AS t, "
+                f"CAST(NULL AS BIGINT) AS t_prev "
+                f"FROM events WHERE event_type = '{step}' GROUP BY user_id)")
+        else:
+            steps_sql.append(
+                f"""{name} AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS t, any_value(p.t) AS t_prev
+  FROM events e JOIN {prev_cte} p USING (user_id)
+  WHERE e.event_type = '{step}'
+    AND epoch_ns(e.ts) > p.t AND epoch_ns(e.ts) - p.t <= {w}
+  GROUP BY e.user_id)""")
+        prev_cte = name
+    selects = []
+    for i, step in enumerate(FUNNEL_STEPS):
+        hours = ("round(avg((t - t_prev) / (3600.0 * 1e9)), 6)"
+                 if i > 0 else "CAST(NULL AS DOUBLE)")
+        selects.append(
+            f"SELECT CAST({i + 1} AS INT) AS step_num, '{step}' AS step, "
+            f"count(*) AS n_users, {hours} AS avg_hours_from_prev "
+            f"FROM s{i + 1}")
+    return ("WITH " + ",\n".join(steps_sql) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY step_num")

@@ -996,3 +996,92 @@ SELECT c.doc_id, c.cluster_size, b.quality_band,
                   / c.cluster_size) AS BIGINT) AS weight_ppm
 FROM clusters c JOIN bands b ON c.doc_id = b.doc_id
 ORDER BY c.doc_id"""
+
+
+# --- Containment (asymmetric) near-dup ---------------------------------------
+# Jaccard misses doc-inside-doc duplication: a short document wholly
+# embedded in a long one has tiny union-normalized similarity but
+# containment |Sa ∩ Sb| / |Sa| ~ 1.  Broder's containment measure is the
+# standard detector for quote/boilerplate/wrapper duplication in web
+# corpora; the pair generation reuses the capped shingle inverted index
+# (never doc x doc), and the threshold test is exact integer arithmetic.
+
+CONTAIN_NUM, CONTAIN_DEN = 1, 2   # containment >= 1/2
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-dup pairs (small ⊂-ish big) by shingle containment.
+
+    Output: (doc_small, doc_big, containment) where the SMALLER shingle
+    set's containment in the larger is >= CONTAIN_NUM/CONTAIN_DEN
+    (size ties break to the lower doc_id as doc_small).  The filter
+    compares n_common * DEN >= NUM * n_small in int64 — no float decides
+    membership; the reported ratio is display-rounded only.
+
+    Scale shape: identical to the Jaccard query's — hot-shingle cap, one
+    inverted-index self-equi-join, map-side-combined pair counts; the
+    directionality is pure column arithmetic after the join.
+    """
+    sh = shingles_cached(spark, sf_dir)
+    hot = (sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") > MAX_SHINGLE_DF)
+             .select("sid"))
+    sh = sh.join(F.broadcast(hot), "sid", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"),
+                  F.col("sid").alias("sid_b"))
+    common = (a.join(b, (F.col("sid") == F.col("sid_b"))
+                     & (F.col("doc_id") < F.col("doc_id_b")))
+                .groupBy("doc_id", "doc_id_b")
+                .agg(F.count(F.lit(1)).alias("n_common")))
+    j = (common
+         .join(sizes.withColumnRenamed("n", "n_a"), "doc_id")
+         .join(sizes.select(F.col("doc_id").alias("doc_id_b"),
+                            F.col("n").alias("n_b")), "doc_id_b"))
+    small_is_a = (F.col("n_a") < F.col("n_b")) | \
+                 ((F.col("n_a") == F.col("n_b"))
+                  & (F.col("doc_id") < F.col("doc_id_b")))
+    n_small = F.when(small_is_a, F.col("n_a")).otherwise(F.col("n_b"))
+    return (j.filter(F.col("n_common") * CONTAIN_DEN
+                     >= CONTAIN_NUM * n_small)
+             .select(F.when(small_is_a, F.col("doc_id"))
+                      .otherwise(F.col("doc_id_b")).alias("doc_small"),
+                     F.when(small_is_a, F.col("doc_id_b"))
+                      .otherwise(F.col("doc_id")).alias("doc_big"),
+                     F.round(F.col("n_common").cast("double") / n_small, 6)
+                      .alias("containment"))
+             .orderBy("doc_small", "doc_big"))
+
+
+def sql_dedup_containment() -> str:
+    return f"""{_shingles_with()},
+hot AS (
+  SELECT sid FROM shingles GROUP BY sid HAVING count(*) > {MAX_SHINGLE_DF}
+),
+kept AS (
+  SELECT s.doc_id, s.sid FROM shingles s ANTI JOIN hot h ON s.sid = h.sid
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM kept a JOIN kept b
+    ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sized AS (
+  SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         (sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)) AS small_is_a
+  FROM common
+  JOIN sizes sa ON common.doc_a = sa.doc_id
+  JOIN sizes sb ON common.doc_b = sb.doc_id
+)
+SELECT CASE WHEN small_is_a THEN doc_a ELSE doc_b END AS doc_small,
+       CASE WHEN small_is_a THEN doc_b ELSE doc_a END AS doc_big,
+       round(CAST(n_common AS DOUBLE)
+             / (CASE WHEN small_is_a THEN n_a ELSE n_b END), 6)
+         AS containment
+FROM sized
+WHERE n_common * {CONTAIN_DEN}
+      >= {CONTAIN_NUM} * (CASE WHEN small_is_a THEN n_a ELSE n_b END)
+ORDER BY doc_small, doc_big"""

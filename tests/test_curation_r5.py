@@ -77,3 +77,58 @@ def test_knn_plan_broadcasts_probes_not_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan  # probe side broadcast
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- containment + funnel (r5 second batch) ----------------------------------
+
+def test_containment_finds_embedded_doc_jaccard_misses(spark, tmp_path_factory):
+    """A short doc fully embedded in a long one must surface as a
+    containment pair even when its Jaccard similarity sits far below the
+    Jaccard threshold."""
+    from safeascent_spark.operators import dedup as D
+    small = "granite slab pitch with delicate friction moves up high"
+    filler = " ".join(f"word{i} token{i} extra{i}" for i in range(40))
+    rows = [
+        {"doc_id": 1, "text": small, "lang": "en", "source": "syn",
+         "n_chars": len(small)},
+        {"doc_id": 2, "text": filler + " " + small, "lang": "en",
+         "source": "syn", "n_chars": 1},
+        {"doc_id": 3, "text": "completely different content about rivers",
+         "lang": "en", "source": "syn", "n_chars": 1},
+    ]
+    d = tmp_path_factory.mktemp("containcorpus")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    pairs = {(r["doc_small"], r["doc_big"], r["containment"])
+             for r in D.q_dedup_containment(spark, str(d)).collect()}
+    assert (1, 2, 1.0) in pairs
+    jacc = {(r["doc_a"], r["doc_b"]) for r in
+            D.q_dedup_jaccard(spark, str(d)).collect()
+            if r["jaccard"] >= 0.5}
+    assert (1, 2) not in jacc  # union-normalized similarity is diluted
+
+
+def test_funnel_is_strictly_ordered_and_windowed(spark, tmp_path_factory):
+    """click before any view must not count; a purchase outside the
+    7-day step window must not count."""
+    import pandas as pd_
+    from safeascent_spark.operators import analytics as A
+    ns = 1_000_000_000
+    day = 86_400 * ns
+    rows = [
+        # user 1: full ordered funnel inside windows
+        (1, "view", 10 * ns), (1, "click", 20 * ns),
+        (1, "purchase", 30 * ns),
+        # user 2: click BEFORE first view -> stops at view
+        (2, "click", 5 * ns), (2, "view", 10 * ns),
+        # user 3: purchase 8 days after click -> outside step window
+        (3, "view", 0), (3, "click", 1 * ns),
+        (3, "purchase", 1 * ns + 8 * day),
+    ]
+    df = pd_.DataFrame(
+        [{"event_id": i, "ts": t, "user_id": u, "event_type": s,
+          "value": 0.0, "props": "{}"} for i, (u, s, t) in enumerate(rows)])
+    d = tmp_path_factory.mktemp("funnelevents")
+    df.to_parquet(d / "events.parquet")
+    got = {r["step"]: r["n_users"]
+           for r in A.q_events_funnel(spark, str(d)).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
