@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": D.q_dedup_containment,
         # strictly-ordered conversion funnel with per-step windows (r5)
         "events_funnel": A.q_events_funnel,
+        # Misra-Gries candidate sketch + exact confirm: frequency > n/K
+        # words without shuffling the vocabulary long tail (r5)
+        "text_heavy_hitters": TX.q_text_heavy_hitters,
     }
 
 
@@ -320,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": A.sql_events_retention(),
         "dedup_containment": D.sql_dedup_containment(),
         "events_funnel": A.sql_events_funnel(),
+        "text_heavy_hitters": TX.sql_text_heavy_hitters(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),

@@ -1031,3 +1031,73 @@ SELECT doc_id, lang, fingerprint,
             ELSE 'test' END AS split
 FROM assigned
 ORDER BY doc_id"""
+
+
+# --- Heavy hitters: Misra-Gries sketch + exact confirm -----------------------
+# text_token_counts ranks by a full-vocabulary groupBy — correct, but the
+# exchange carries the entire long tail.  The heavy-hitter form answers
+# "every word above frequency n/K" while shuffling only CANDIDATES:
+# a per-Arrow-batch Misra-Gries sketch (capacity >> K) emits survivors,
+# whose union provably contains every global heavy hitter (an item with
+# global freq > n/K exceeds the local threshold in at least one batch by
+# pigeonhole, and MG's undercount bound keeps it alive there); an exact
+# count pass over just the candidate-matched tokens then makes the output
+# deterministic — independent of partitioning — and oracle-equal to the
+# brute-force SQL.  At 100 TB the wide exchange is O(batches x CAP), not
+# O(|vocabulary|).
+
+HH_K = 200        # report words with global frequency > n_tokens / HH_K
+HH_CAP = 512      # MG capacity per batch (guarantee needs HH_K <= CAP + 1)
+
+
+def _mg_candidates(tokens: DataFrame) -> DataFrame:
+    """Distinct candidate words from per-batch Misra-Gries sketches."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counters: dict[str, int] = {}
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < HH_CAP:
+                    counters[w] = 1
+                else:  # decrement-all step (lazy delete at zero)
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+            yield pd.DataFrame({"word": list(counters.keys())})
+
+    return tokens.mapInPandas(gen, "word string").distinct()
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens_df(spark, sf_dir)
+    n_total = t.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    cands = _mg_candidates(t)
+    exact = (t.join(F.broadcast(cands), "word")
+              .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    order = [F.col("n").desc(), F.col("word").asc()]
+    hot = exact.filter(F.col("n") * HH_K > n_total).orderBy(*order)
+    w = Window.partitionBy(F.length("word") % 1).orderBy(*order)
+    return (hot.withColumn("rank", F.row_number().over(w))
+               .select(F.col("rank").cast("int").alias("rank"), "word", "n")
+               .orderBy("rank"))
+
+
+def sql_text_heavy_hitters() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()},
+tot AS (SELECT count(*) AS n_total FROM tokens),
+counts AS (SELECT word, count(*) AS n FROM tokens GROUP BY word)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INT) AS rank,
+       word, n
+FROM counts, tot
+WHERE n * {HH_K} > tot.n_total
+ORDER BY rank"""

@@ -132,3 +132,26 @@ def test_funnel_is_strictly_ordered_and_windowed(spark, tmp_path_factory):
     got = {r["step"]: r["n_users"]
            for r in A.q_events_funnel(spark, str(d)).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_heavy_hitters_deterministic_under_any_partitioning(spark):
+    """The MG sketch's surviving set varies with batch boundaries, but the
+    exact-confirm stage must make the OUTPUT partitioning-invariant."""
+    from pyspark.sql import functions as F
+    from safeascent_spark.operators import text as T
+    t = T.tokens_df(spark, SF_ORACLE)
+    n_total = t.count()
+
+    def run(parts):
+        cands = T._mg_candidates(t.repartition(parts))
+        exact = (t.join(F.broadcast(cands), "word")
+                  .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+        return sorted((r["word"], r["n"]) for r in
+                      exact.filter(F.col("n") * T.HH_K > n_total).collect())
+
+    a, b = run(2), run(13)
+    assert a == b and len(a) > 0
+    # and the registered query agrees with the brute-force top list
+    hh = {r["word"]: r["n"]
+          for r in T.q_text_heavy_hitters(spark, SF_ORACLE).collect()}
+    assert dict(a) == hh
