@@ -415,3 +415,22 @@ def test_sample_mixture_is_single_broadcast_pass(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert n_ops(plan, "SortMergeJoin") == 0, plan
     assert n_ops(plan, "CartesianProduct") == 0, plan
+
+
+def test_containment_join_is_equi_not_cross(spark):
+    """Containment pair generation must ride the shingle inverted index
+    (equi-join on sid) — no doc x doc cartesian anywhere."""
+    plan = plan_of(D.q_dedup_containment(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_heavy_hitters_exchange_is_candidates_only(spark):
+    """The exact-confirm groupBy runs AFTER the broadcast candidate
+    semi-join, so the wide exchange never carries the vocabulary long
+    tail, and the pre-shuffle aggregate is map-side combined."""
+    from safeascent_spark.operators import text as T
+    plan = plan_of(T.q_text_heavy_hitters(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan       # candidate set broadcasts
+    assert "partial_count" in plan           # map-side combine
+    assert n_ops(plan, "CartesianProduct") == 0
