@@ -44,8 +44,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (a) the four queries new this round, then (b) every query whose most
     # recent driver row is r3 (they sat below the r4 boundary and would
     # otherwise go two rounds stale).  That set is 4 + 49 = 53 for a
-    # 50-slot window: at 103 registered queries the rotation has SATURATED
+    # 50-slot window: at 111 registered queries the rotation has SATURATED
     # (the ≤1-round-stale invariant is only achievable with ≤100 queries).
+    # The eight r5-new tail-registered queries (events_correlated,
+    # sample_softdedup, knn_classify, sample_split, events_retention,
+    # dedup_containment, events_funnel, text_heavy_hitters) carry their
+    # evidence in CORRECTNESS_LOCAL_r05.json (111/111) until the r6
+    # window rotates them in.
     # The three leave-outs are chosen so each is pinned by an IN-WINDOW
     # contract and all three are re-verified by tools/local_correctness.py
     # this round (CORRECTNESS_LOCAL_r05.json):
