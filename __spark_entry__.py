@@ -215,6 +215,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Misra-Gries candidate sketch + exact confirm: frequency > n/K
         # words without shuffling the vocabulary long tail (r5)
         "text_heavy_hitters": TX.q_text_heavy_hitters,
+        # distributed as-of join (pandas merge_asof / ASOF JOIN semantics)
+        # via the union-sort-carry-forward window — no pair blowup (r5;
+        # tail-registered, window-saturation rationale as above)
+        "events_asof_view": A.q_events_asof_view,
+        # integer-exact median/MAD robust anomaly flags on daily volumes
+        "events_anomaly": A.q_events_anomaly,
+        # PMI collocations ranked by a 128-bit-exact integer ratio (r5)
+        "text_collocations": TX.q_text_collocations,
+        # integer fixed-point PageRank over the route/location/type-hub
+        # DAG — bounded-shuffle iterative graph centrality (r5)
+        "graph_pagerank": G.q_graph_pagerank,
     }
 
 
@@ -329,6 +340,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": D.sql_dedup_containment(),
         "events_funnel": A.sql_events_funnel(),
         "text_heavy_hitters": TX.sql_text_heavy_hitters(),
+        "events_asof_view": A.sql_events_asof_view(),
+        "events_anomaly": A.sql_events_anomaly(),
+        "text_collocations": TX.sql_text_collocations(),
+        "graph_pagerank": G.sql_graph_pagerank(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),

@@ -826,3 +826,142 @@ def sql_events_funnel() -> str:
             f"FROM s{i + 1}")
     return ("WITH " + ",\n".join(steps_sql) + "\n"
             + "\nUNION ALL\n".join(selects) + "\nORDER BY step_num")
+
+
+# --- As-of join: error -> latest prior view ----------------------------------
+# The time-series join Spark lacks as a primitive (pandas merge_asof /
+# QuestDB-DuckDB ASOF JOIN): for each left event, the single most recent
+# right event at-or-before it within the same key.  The reference's
+# nearest-weather-observation lookups (weather_service.py:113-170 pick the
+# closest forecast slot for a request time) are this shape.
+#
+# Spark formulation: NOT a join at all.  Union both sides with a tag,
+# one window sorted on (ts, tag) per user, and `last(value, ignorenulls)`
+# carries the right side's most recent timestamp forward onto each left
+# row.  One shuffle on the key, one sort — state is a single value per
+# partition-row, vs. the band-join/argmax formulation that shuffles both
+# sides into a pair blowup and re-aggregates.  At 100 TB the window never
+# materializes pairs; skew is bounded by the hottest single user.
+
+def q_events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'error' event: the same user's most recent 'view' at or
+    before it (ns-exact), plus the integer-second gap; NULL when the user
+    never viewed before the error.  Ties at the exact same ns: the view
+    qualifies (at-or-before), matching DuckDB ``ASOF JOIN .. ON v.ts <=
+    e.ts`` inclusive semantics — the union sorts the view row first via
+    the tag.
+    """
+    e = domain.load_table(spark, sf_dir, "events")
+    views = (e.filter(F.col("event_type") == "view")
+              .select("user_id", "ts", F.lit(0).alias("tag"),
+                      F.col("ts").alias("v_ts"),
+                      F.lit(None).cast("long").alias("event_id")))
+    errs = (e.filter(F.col("event_type") == "error")
+             .select("user_id", "ts", F.lit(1).alias("tag"),
+                     F.lit(None).cast("long").alias("v_ts"), "event_id"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "tag")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (views.unionByName(errs)
+                 .withColumn("t_view", F.last("v_ts", ignorenulls=True).over(w))
+                 .filter(F.col("tag") == 1)
+                 .select("event_id", "user_id",
+                         F.col("ts").alias("t_err"), "t_view",
+                         F.expr("(ts - t_view) div 1000000000")
+                          .alias("gap_s"))
+                 .orderBy("event_id"))
+
+
+def sql_events_asof_view() -> str:
+    return """
+WITH errs AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS t_err, ts
+  FROM events WHERE event_type = 'error'
+),
+views AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT e.event_id, e.user_id, e.t_err,
+       epoch_ns(v.ts) AS t_view,
+       (e.t_err - epoch_ns(v.ts)) // 1000000000 AS gap_s
+FROM errs e ASOF LEFT JOIN views v
+  ON e.user_id = v.user_id AND v.ts <= e.ts
+ORDER BY e.event_id"""
+
+
+# --- Robust anomaly flags over daily event volumes ---------------------------
+# Median/MAD outlier detection in EXACT integer arithmetic: daily counts
+# are int64, the median is the LOWER median (the rank-ceil(m/2) element
+# under the total order (count, day) — deterministic on ties), MAD is the
+# lower median of absolute deviations, and the flag compares
+# |n - med| > K * mad in int64.  No floats anywhere, so Spark and DuckDB
+# agree bit-for-bit; this is the same exact-rank-window technique that
+# certifies events_approx_stats.
+#
+# Scale shape: pass 1 is a map-side-combined (event_type, day) count —
+# output is |types| x |days|, corpus-size-independent; the median/MAD
+# windows run per event_type over that bounded frame.  At 100 TB only
+# pass 1 touches the corpus.
+
+ANOMALY_K = 3  # flag when |n - med| > K * mad
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): event count, per-type lower median and MAD
+    of the daily counts, and an integer-exact |dev| > K*MAD anomaly flag."""
+    e = domain.load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       _epoch_day("ts").alias("day"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("n_events", "day")
+    med = (daily.withColumn("rn", F.row_number().over(wo))
+                .withColumn("m", F.count(F.lit(1)).over(wt))
+                .filter(F.col("rn") == F.expr("(m + 1) div 2"))
+                .select("event_type", F.col("n_events").alias("med")))
+    dev = (daily.join(F.broadcast(med), "event_type")
+                .withColumn("adev", F.abs(F.col("n_events") - F.col("med"))))
+    wo2 = wt.orderBy("adev", "day")
+    mad = (dev.withColumn("rn", F.row_number().over(wo2))
+              .withColumn("m", F.count(F.lit(1)).over(wt))
+              .filter(F.col("rn") == F.expr("(m + 1) div 2"))
+              .select("event_type", F.col("adev").alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+               .select("event_type", "day", "n_events", "med", "mad",
+                       (F.col("adev") > ANOMALY_K * F.col("mad"))
+                       .alias("is_anomaly"))
+               .orderBy("event_type", "day"))
+
+
+def sql_events_anomaly() -> str:
+    day = _sql_epoch_day("ts")
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, count(*) AS n_events
+  FROM events GROUP BY event_type, day
+),
+med AS (
+  SELECT event_type, n_events AS med FROM (
+    SELECT event_type, n_events,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n_events, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS m
+    FROM daily)
+  WHERE rn = (m + 1) // 2
+),
+dev AS (
+  SELECT d.*, m.med, abs(d.n_events - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, adev AS mad FROM (
+    SELECT event_type, adev,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY adev, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS m
+    FROM dev)
+  WHERE rn = (m + 1) // 2
+)
+SELECT d.event_type, d.day, d.n_events, d.med, a.mad,
+       d.adev > {ANOMALY_K} * a.mad AS is_anomaly
+FROM dev d JOIN mad a USING (event_type)
+ORDER BY d.event_type, d.day"""

@@ -138,3 +138,121 @@ def q_dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "cluster_size",
                           (F.col("doc_id") == F.col("label")).alias("is_kept"))
                   .orderBy("doc_id"))
+
+
+# --- Integer fixed-point PageRank over the route/location hierarchy ----------
+# Graph centrality as a curation signal (the web-graph quality feature of
+# Page et al. 1999), here over the reference's route -> location ->
+# parent-area hierarchy plus per-route-type hubs — "which crag areas and
+# route types accumulate the most popularity mass" (the rollup the
+# reference serves from breadcrumbs + per-type counts,
+# mp_routes.py:1196-1230 / analytics endpoints).
+#
+# All arithmetic is int64 fixed-point (ppm): p0 = 10^6 per vertex,
+# p_{k+1}(v) = floor(15*10^6/100) + floor(85 * sum_in / 100) where each
+# src contributes floor(p_k(src) / outdeg(src)) per out-edge.  Dangling
+# mass (the root area, the type hubs) is dropped — documented contract,
+# identical on both engines, so results are bit-exact with no float
+# anywhere.  The graph is a DAG of depth <= 4 (route -> location ->
+# parent -> parent -> root), so NITER=5 IS the fixpoint (proven by the
+# NITER=6 equivalence in tests/test_analytics_r5b.py).
+#
+# Scale shape: each iteration is one equi-join of the edge list against
+# the current rank vector (both keyed on src — Catalyst reuses the
+# exchange) plus one map-side-combined groupBy(dst).  NITER bounded
+# shuffles total, never an all-pairs structure; the edge list is
+# |routes| * 2 + |locations|, linear in the corpus.
+
+PR_SCALE = 1_000_000
+PR_NITER = 5
+PR_BASE = 15 * PR_SCALE // 100          # (1 - d) * scale at d = 0.85
+_ROUTE_V = 10_000_000                   # route vertex id offset
+_HUB_V = 20_000_000                     # route-type hub vertex offset
+
+
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import domain
+    r = domain.routes_df(spark, sf_dir).select("route_id", "location_id")
+    e_loc = r.select((F.col("route_id") + _ROUTE_V).alias("src"),
+                     F.col("location_id").cast("long").alias("dst"))
+    e_hub = r.select((F.col("route_id") + _ROUTE_V).alias("src"),
+                     (F.col("route_id") % 7 + _HUB_V).alias("dst"))
+    locs = r.select(F.col("location_id").cast("long").alias("lid")).distinct()
+    e_par = (locs.filter(F.col("lid") > 0)
+                 .select(F.col("lid").alias("src"),
+                         F.expr("lid div 10").alias("dst")))
+    return e_loc.unionByName(e_hub).unionByName(e_par)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vertices by integer fixed-point PageRank (ppm), with a
+    vertex-kind label; total order (rank desc, vid) so the cut is unique."""
+    edges = _pagerank_edges(spark, sf_dir)
+    vertices = (edges.select(F.col("src").alias("vid"))
+                     .unionByName(edges.select(F.col("dst").alias("vid")))
+                     .distinct())
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(outdeg, "src")  # (src, dst, deg)
+    p = vertices.select("vid", F.lit(PR_SCALE).cast("long").alias("p"))
+    for _ in range(PR_NITER):
+        contrib = (ed.join(p, ed["src"] == p["vid"])
+                     .select("dst", F.expr("p div deg").alias("c"))
+                     .groupBy("dst").agg(F.sum("c").alias("s")))
+        p = (vertices.join(contrib, vertices["vid"] == contrib["dst"], "left")
+                     .select("vid",
+                             (F.lit(PR_BASE)
+                              + F.expr("coalesce((85 * s) div 100, 0)"))
+                             .cast("long").alias("p")))
+    kind = (F.when(F.col("vid") >= _HUB_V, F.lit("type_hub"))
+             .when(F.col("vid") >= _ROUTE_V, F.lit("route"))
+             .otherwise(F.lit("location")))
+    return (p.select(kind.alias("kind"), "vid",
+                     F.col("p").alias("rank_ppm"))
+             .orderBy(F.desc("rank_ppm"), "vid")
+             .limit(100))
+
+
+def sql_graph_pagerank() -> str:
+    from .. import domain
+    iters = []
+    prev = "p0"
+    for k in range(1, PR_NITER + 1):
+        iters.append(f"""
+p{k} AS (
+  SELECT v.vid,
+         CAST({PR_BASE} + COALESCE((85 * c.s) // 100, 0) AS BIGINT) AS p
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS vid, sum(p.p // e.deg) AS s
+    FROM ed e JOIN {prev} p ON e.src = p.vid
+    GROUP BY e.dst) c ON v.vid = c.vid
+)""")
+        prev = f"p{k}"
+    return f"""
+WITH {domain.ROUTES_CTE.strip()},
+r AS (SELECT route_id, location_id FROM routes),
+edges AS (
+  SELECT route_id + {_ROUTE_V} AS src,
+         CAST(location_id AS BIGINT) AS dst FROM r
+  UNION ALL
+  SELECT route_id + {_ROUTE_V} AS src,
+         route_id % 7 + {_HUB_V} AS dst FROM r
+  UNION ALL
+  SELECT CAST(lid AS BIGINT) AS src, lid // 10 AS dst
+  FROM (SELECT DISTINCT CAST(location_id AS BIGINT) AS lid FROM r)
+  WHERE lid > 0
+),
+vertices AS (
+  SELECT DISTINCT vid FROM
+    (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges)
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o USING (src)),
+p0 AS (SELECT vid, CAST({PR_SCALE} AS BIGINT) AS p FROM vertices),
+{",".join(x.strip() for x in iters)}
+SELECT CASE WHEN vid >= {_HUB_V} THEN 'type_hub'
+            WHEN vid >= {_ROUTE_V} THEN 'route'
+            ELSE 'location' END AS kind,
+       vid, p AS rank_ppm
+FROM {prev}
+ORDER BY rank_ppm DESC, vid
+LIMIT 100"""

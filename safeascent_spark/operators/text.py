@@ -1101,3 +1101,89 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INT) AS rank,
 FROM counts, tot
 WHERE n * {HH_K} > tot.n_total
 ORDER BY rank"""
+
+
+# --- PMI collocations: statistically-bound bigrams ---------------------------
+# The classic corpus-linguistics signal (Church & Hanks 1990) used in
+# data curation to find boilerplate phrases and template fragments:
+# pointwise mutual information log(P(xy) / (P(x)P(y))) over consecutive
+# token pairs.  The log is monotone, so ranking needs only the RATIO
+# c_xy * N / (c_x * c_y) — computed here as an exact integer at ppm
+# scale in 128-bit arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT), so
+# both engines order identically with no float in sight even at
+# N ~ 10^12 tokens (int64 would overflow at c_xy * N * 10^6).
+#
+# Scale shape: bigrams come from a per-document transform (no
+# self-join on token position); both count aggregates are map-side
+# combined; the two unigram joins key on a vocabulary-bounded frame.
+# The min-count floor drops the hapax tail BEFORE the joins, so the
+# exchanged frame is the (tiny) candidate set, not the corpus.
+
+PMI_MIN_COUNT = 5      # bigram support floor
+PMI_TOP_K = 100        # result size
+PMI_SCALE = 1_000_000  # ppm ratio scale
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K bigram collocations by exact integer-scaled PMI ratio
+    ``c_xy * N * 10^6 div (c_x * c_y)`` (128-bit exact), support floor
+    PMI_MIN_COUNT, ties broken on (w1, w2)."""
+    d = domain.load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    bg = (d.withColumn("toks", toks)
+           .select(F.explode(F.expr(
+               "CASE WHEN size(toks) >= 2 THEN "
+               "  transform(sequence(0, size(toks) - 2), "
+               "            i -> named_struct('w1', toks[i], 'w2', toks[i + 1])) "
+               "ELSE array() END")).alias("b"))
+           .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    uni = (d.withColumn("toks", toks)
+            .select(F.explode("toks").alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    n_total = uni.agg(F.sum("c").alias("n_total"))
+    cand = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+              .filter(F.col("c_xy") >= PMI_MIN_COUNT))
+    dec = "decimal(38,0)"
+    scored = (cand
+              .join(uni.select(F.col("word").alias("w1"),
+                               F.col("c").alias("c_x")), "w1")
+              .join(uni.select(F.col("word").alias("w2"),
+                               F.col("c").alias("c_y")), "w2")
+              .crossJoin(F.broadcast(n_total))
+              .select("w1", "w2", "c_xy", "c_x", "c_y",
+                      F.expr(f"CAST((CAST(c_xy AS {dec}) * n_total "
+                             f"* {PMI_SCALE}) div (CAST(c_x AS {dec}) "
+                             f"* c_y) AS BIGINT)").alias("pmi_ppm")))
+    return (scored.orderBy(F.desc("pmi_ppm"), "w1", "w2")
+                  .limit(PMI_TOP_K))
+
+
+def sql_text_collocations() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, unnest(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2
+),
+uni AS (
+  SELECT word, count(*) AS c
+  FROM (SELECT unnest(ws) AS word FROM toks) GROUP BY word
+),
+tot AS (SELECT sum(c) AS n_total FROM uni),
+cand AS (
+  SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT c.w1, c.w2, c.c_xy, u1.c AS c_x, u2.c AS c_y,
+       CAST(CAST(c.c_xy AS HUGEINT) * tot.n_total * {PMI_SCALE}
+            // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_ppm
+FROM cand c
+JOIN uni u1 ON c.w1 = u1.word
+JOIN uni u2 ON c.w2 = u2.word
+CROSS JOIN tot
+ORDER BY pmi_ppm DESC, c.w1, c.w2
+LIMIT {PMI_TOP_K}"""
