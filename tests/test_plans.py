@@ -434,3 +434,50 @@ def test_heavy_hitters_exchange_is_candidates_only(spark):
     assert "BroadcastExchange" in plan       # candidate set broadcasts
     assert "partial_count" in plan           # map-side combine
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_asof_join_is_a_single_keyed_window_not_a_join(spark):
+    """The as-of operator must compile to union -> one hash exchange on
+    user_id -> sort -> window (carry-forward last), with NO join operator
+    anywhere: the band-join/argmax formulation would shuffle both sides
+    into a pair blowup.  The only other exchange is the presentation
+    orderBy's range partitioning."""
+    from safeascent_spark.operators import analytics as A
+    plan = plan_of(A.q_events_asof_view(spark, SF_SMOKE))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert n_ops(plan, op) == 0, (op, plan[:2000])
+    assert n_ops(plan, "Window") == 1
+    # exactly one hash exchange, keyed on user_id (the final orderBy's
+    # range exchange is presentation-only)
+    hash_ex = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert hash_ex == ["user_id"], plan[:2000]
+
+
+def test_anomaly_and_pagerank_plans_stay_bounded(spark):
+    """events_anomaly: corpus pass is a partial-aggregated (type, day)
+    count; the med/MAD joins ride broadcasts of the tiny per-type frames.
+    graph_pagerank: every iteration is equi-join + partial agg — no
+    cartesian anywhere despite 5 chained iterations."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark.operators import graph as G
+    plan = plan_of(A.q_events_anomaly(spark, SF_SMOKE))
+    assert "partial_count" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert n_ops(plan, "CartesianProduct") == 0
+    plan = plan_of(G.q_graph_pagerank(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "partial_sum" in plan
+
+
+def test_collocations_support_floor_precedes_the_vocab_joins(spark):
+    """The c_xy >= PMI_MIN_COUNT floor must sit BELOW the unigram joins
+    (candidates are filtered before any exchange-heavy join), and the only
+    nested-loop join is the bounded 1-row n_total broadcast."""
+    from safeascent_spark.operators import text as T
+    plan = plan_of(T.q_text_collocations(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "partial_count" in plan
+    # the min-count filter exists as a HAVING-style post-agg filter
+    assert re.search(r"c_xy#\d+L? >= 5", plan), plan[:3000]
