@@ -226,6 +226,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer fixed-point PageRank over the route/location/type-hub
         # DAG — bounded-shuffle iterative graph centrality (r5)
         "graph_pagerank": G.q_graph_pagerank,
+        # trailing-7-day RANGE-frame rolling volumes on the bounded daily
+        # frame; integer-milli sums for cross-engine frame exactness (r5)
+        "events_rolling_7d": A.q_events_rolling_7d,
+        # chi-squared lang x source contingency at ppm scale, 128-bit
+        # exact — the split-confounding check (r5)
+        "text_chi2_lang_source": TX.q_text_chi2_lang_source,
+        # equi-depth n_chars histogram via total-order ntile (r5)
+        "text_length_histogram": TX.q_text_length_histogram,
     }
 
 
@@ -344,6 +352,9 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": A.sql_events_anomaly(),
         "text_collocations": TX.sql_text_collocations(),
         "graph_pagerank": G.sql_graph_pagerank(),
+        "events_rolling_7d": A.sql_events_rolling_7d(),
+        "text_chi2_lang_source": TX.sql_text_chi2_lang_source(),
+        "text_length_histogram": TX.sql_text_length_histogram(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),

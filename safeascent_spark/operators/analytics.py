@@ -965,3 +965,49 @@ SELECT d.event_type, d.day, d.n_events, d.med, a.mad,
        d.adev > {ANOMALY_K} * a.mad AS is_anomaly
 FROM dev d JOIN mad a USING (event_type)
 ORDER BY d.event_type, d.day"""
+
+
+# --- Trailing 7-day rolling volumes (RANGE frame time-series) ----------------
+# The ops-dashboard rolling window (reference trend summaries, A8 family)
+# as a RANGE-frame window: per (event_type, day), the trailing-7-day
+# event count and value sum.  The metric sum is pre-floored to integer
+# thousandths BEFORE the frame aggregates it — float accumulation order
+# differs between Spark's running-frame evaluator and DuckDB's segment
+# tree, so only integer frame-sums are cross-engine exact.
+#
+# Scale shape: one map-side-combined (type, day) aggregate over the
+# corpus; the RANGE window then runs on the bounded daily frame
+# (|types| x |days| rows), so the frame scan never touches raw events.
+
+def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): daily count + trailing-7-day (RANGE -6..0)
+    count and integer-milli value sum."""
+    e = domain.load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", _epoch_day("ts").alias("day"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+                    .alias("v_milli")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rangeBetween(-6, 0))
+    return (daily.select(
+                "event_type", "day", "n_events",
+                F.sum("n_events").over(w).alias("n_7d"),
+                F.sum("v_milli").over(w).alias("v_milli_7d"))
+                 .orderBy("event_type", "day"))
+
+
+def sql_events_rolling_7d() -> str:
+    day = _sql_epoch_day("ts")
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, n_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(v_milli) OVER w AS BIGINT) AS v_milli_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day"""

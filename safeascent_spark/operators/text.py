@@ -1187,3 +1187,97 @@ JOIN uni u2 ON c.w2 = u2.word
 CROSS JOIN tot
 ORDER BY pmi_ppm DESC, c.w1, c.w2
 LIMIT {PMI_TOP_K}"""
+
+
+# --- Chi-squared contingency: lang x source independence -------------------
+# The feature-selection statistic (chi2 between a document label and its
+# provenance — the standard check that a corpus split is not confounded
+# by source).  Per-cell contribution (O*n - r*c)^2 / (r*c*n), held exact
+# as an integer at ppm scale in 128-bit arithmetic: O, r, c, n are
+# counts, so the numerator fits HUGEINT / DECIMAL(38,0) up to corpus
+# sizes far beyond 10^12 docs, and both engines floor-divide
+# identically — no float chi2 anywhere.
+#
+# Scale shape: one map-side-combined (lang, source) count; marginals are
+# re-aggregations of that bounded frame (|langs| x |sources| rows).
+
+def q_text_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source): observed count, expected count (ppm), and the
+    ppm-scaled chi-squared contribution, all integer-exact."""
+    d = domain.load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rmarg = cell.groupBy("lang").agg(F.sum("o").alias("r"))
+    cmarg = cell.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    dec = "decimal(38,0)"
+    return (cell.join(F.broadcast(rmarg), "lang")
+                .join(F.broadcast(cmarg), "source")
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "lang", "source", "o",
+                    F.expr(f"CAST((CAST(r AS {dec}) * c * 1000000) div n "
+                           "AS BIGINT)").alias("expected_ppm"),
+                    F.expr(
+                        f"CAST(((CAST(o AS {dec}) * n - CAST(r AS {dec}) * c) "
+                        f"* (CAST(o AS {dec}) * n - CAST(r AS {dec}) * c) "
+                        f"* 1000000) div (CAST(r AS {dec}) * c * n) "
+                        "AS BIGINT)").alias("chi2_ppm"))
+                .orderBy("lang", "source"))
+
+
+def sql_text_chi2_lang_source() -> str:
+    return """
+WITH cell AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+),
+rmarg AS (SELECT lang, sum(o) AS r FROM cell GROUP BY lang),
+cmarg AS (SELECT source, sum(o) AS c FROM cell GROUP BY source),
+tot AS (SELECT sum(o) AS n FROM cell)
+SELECT cell.lang, cell.source, cell.o,
+       CAST(CAST(r AS HUGEINT) * c * 1000000 // n AS BIGINT)
+         AS expected_ppm,
+       CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+            * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+            * 1000000
+            // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS chi2_ppm
+FROM cell
+JOIN rmarg USING (lang)
+JOIN cmarg USING (source)
+CROSS JOIN tot
+ORDER BY cell.lang, cell.source"""
+
+
+# --- Equi-depth document-length histogram ------------------------------------
+# The corpus profiling histogram (length-distribution sanity check before
+# filtering): 10 equal-population buckets over n_chars, deterministic via
+# ntile over the TOTAL order (n_chars, doc_id) — both engines define
+# ntile identically (first buckets take the remainder).
+#
+# Scale note: a global ntile is a single-partition sort at 100 TB; the
+# scale path for distribution profiling is events_approx_stats' certified
+# GK sketch.  This operator is the exact-grain companion for bounded
+# frames (per-source profiling, QA samples), documented trade-off.
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 equi-depth buckets over n_chars: count, min, max per bucket."""
+    d = domain.load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (d.select("doc_id", "n_chars",
+                     F.ntile(10).over(w).alias("bucket"))
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("n_chars").alias("min_chars"),
+                  F.max("n_chars").alias("max_chars"))
+             .orderBy("bucket"))
+
+
+def sql_text_length_histogram() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+)
+SELECT bucket, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM b GROUP BY bucket ORDER BY bucket"""

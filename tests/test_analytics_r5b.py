@@ -127,3 +127,52 @@ def test_pagerank_root_area_dominates(spark):
     assert rows[0]["kind"] == "location" and rows[0]["vid"] == 0
     # every rank carries at least the damped base mass
     assert all(r["rank_ppm"] >= G.PR_BASE for r in rows)
+
+
+def test_rolling_7d_window_sums_trailing_days_only(spark, tmp_path):
+    # counts on days [0, 3, 6, 10]: day 6's trailing window covers days
+    # 0..6 (all three), day 10's covers 4..10 (days 6 and 10 only).
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for day, n in [(0, 2), (3, 1), (6, 4), (10, 3)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=eid),
+                         1, "view", 1.5, "{}"))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    d = tmp_path / "rollev"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    from safeascent_spark.operators import analytics as A
+    out = {r["day"] - 19723: r for r in
+           A.q_events_rolling_7d(spark, str(d)).collect()}
+    assert out[0]["n_7d"] == 2
+    assert out[3]["n_7d"] == 3
+    assert out[6]["n_7d"] == 7
+    assert out[10]["n_7d"] == 7
+    # floor(1.5 * 1000) = 1500 per event, summed in exact int64
+    assert out[6]["v_milli_7d"] == 7 * 1500
+
+
+def test_chi2_contributions_sum_and_marginals(spark, duck):
+    from safeascent_spark.operators import text as T
+    rows = T.q_text_chi2_lang_source(spark, SF_ORACLE).collect()
+    n = sum(r["o"] for r in rows)
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert n == n_docs
+    # expected_ppm sums back to ~n per row-marginal (floor rounding only)
+    for r in rows:
+        assert r["chi2_ppm"] >= 0
+        assert r["expected_ppm"] > 0
+
+
+def test_length_histogram_is_equi_depth_and_ordered(spark):
+    from safeascent_spark.operators import text as T
+    rows = T.q_text_length_histogram(spark, SF_ORACLE).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) - min(counts) <= 1       # equal population +-1
+    for a, b in zip(rows, rows[1:]):            # buckets are ordered spans
+        assert a["max_chars"] <= b["min_chars"]
