@@ -46,11 +46,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # otherwise go two rounds stale).  That set is 4 + 49 = 53 for a
     # 50-slot window: at 111 registered queries the rotation has SATURATED
     # (the ≤1-round-stale invariant is only achievable with ≤100 queries).
-    # The eight r5-new tail-registered queries (events_correlated,
+    # The r5-new tail-registered queries (events_correlated,
     # sample_softdedup, knn_classify, sample_split, events_retention,
-    # dedup_containment, events_funnel, text_heavy_hitters) carry their
-    # evidence in CORRECTNESS_LOCAL_r05.json (111/111) until the r6
-    # window rotates them in.
+    # dedup_containment, events_funnel, text_heavy_hitters, and the
+    # second wave: events_asof_view, events_anomaly, text_collocations,
+    # graph_pagerank, events_rolling_7d, text_chi2_lang_source,
+    # text_length_histogram, text_search_and, text_search_phrase) carry
+    # their evidence in CORRECTNESS_LOCAL_r05.json until the r6 window
+    # rotates them in.
     # The three leave-outs are chosen so each is pinned by an IN-WINDOW
     # contract and all three are re-verified by tools/local_correctness.py
     # this round (CORRECTNESS_LOCAL_r05.json):
@@ -234,6 +237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chi2_lang_source": TX.q_text_chi2_lang_source,
         # equi-depth n_chars histogram via total-order ntile (r5)
         "text_length_histogram": TX.q_text_length_histogram,
+        # conjunctive keyword search: postings filtered to the term set
+        # BEFORE the per-doc shuffle (inverted-index cost model) (r5)
+        "text_search_and": TX.q_text_search_and,
+        # exact phrase search via per-document position-array scan (r5)
+        "text_search_phrase": TX.q_text_search_phrase,
     }
 
 
@@ -355,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_7d": A.sql_events_rolling_7d(),
         "text_chi2_lang_source": TX.sql_text_chi2_lang_source(),
         "text_length_histogram": TX.sql_text_length_histogram(),
+        "text_search_and": TX.sql_text_search_and(),
+        "text_search_phrase": TX.sql_text_search_phrase(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),

@@ -1281,3 +1281,100 @@ WITH b AS (
 SELECT bucket, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM b GROUP BY bucket ORDER BY bucket"""
+
+
+# --- Inverted-index keyword search (conjunctive + phrase) --------------------
+# The retrieval primitives of a corpus-exploration service: conjunctive
+# (AND) term search as conditional aggregation over the token stream, and
+# exact phrase search as position-aware array matching — both pure
+# integer counts.
+#
+# Scale shape (AND): tokens are filtered to the (constant, tiny) query
+# term set BEFORE the per-doc aggregation shuffle, so the exchange
+# carries only matching postings — the posting-list-intersection cost
+# model of a real inverted index, without materializing one.  Phrase
+# matching never shuffles at all until the final per-doc result: the
+# window check is a per-document array scan (no position self-join).
+
+SEARCH_TERMS = ["merge", "filter", "sort"]
+SEARCH_PHRASE = ["slow", "hash", "batch"]
+
+
+def q_text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing ALL of SEARCH_TERMS, with per-term frequencies."""
+    d = domain.load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    posting = (d.withColumn("toks", toks)
+                .select("doc_id", F.explode("toks").alias("word"))
+                .filter(F.col("word").isin(SEARCH_TERMS)))
+    aggs = [F.sum(F.when(F.col("word") == t, 1).otherwise(0))
+             .alias(f"tf_{t}") for t in SEARCH_TERMS]
+    res = posting.groupBy("doc_id").agg(*aggs)
+    cond = None
+    for t in SEARCH_TERMS:
+        c = F.col(f"tf_{t}") > 0
+        cond = c if cond is None else (cond & c)
+    return res.filter(cond).orderBy("doc_id")
+
+
+def sql_text_search_and() -> str:
+    tf = ", ".join(
+        f"CAST(sum(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}"
+        for t in SEARCH_TERMS)
+    having = " AND ".join(
+        f"sum(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) > 0"
+        for t in SEARCH_TERMS)
+    inlist = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+WITH posting AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS word
+  FROM documents
+)
+SELECT doc_id, {tf}
+FROM posting WHERE word IN ({inlist})
+GROUP BY doc_id HAVING {having}
+ORDER BY doc_id"""
+
+
+def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing the exact consecutive phrase SEARCH_PHRASE:
+    occurrence count + 0-based first token position, via a per-document
+    array scan (no position self-join)."""
+    d = domain.load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n = len(SEARCH_PHRASE)
+    match = " AND ".join(
+        f"toks[i + {j}] = '{w}'" for j, w in enumerate(SEARCH_PHRASE))
+    hits = (f"CASE WHEN size(toks) >= {n} THEN "
+            f"filter(sequence(0, size(toks) - {n}), i -> {match}) "
+            f"ELSE array() END")
+    return (d.withColumn("toks", toks)
+             .select("doc_id", F.expr(hits).alias("hits"))
+             .filter(F.size("hits") > 0)
+             .select("doc_id",
+                     F.size("hits").alias("n_hits"),
+                     F.expr("hits[0]").alias("first_pos"))
+             .orderBy("doc_id"))
+
+
+def sql_text_search_phrase() -> str:
+    n = len(SEARCH_PHRASE)
+    # DuckDB lists are 1-based; emit 0-based positions to match Spark
+    match = " AND ".join(
+        f"ws[i + {j}] = '{w}'" for j, w in enumerate(SEARCH_PHRASE))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         list_filter(range(1, len(ws) - {n} + 2), i -> {match}) AS hs
+  FROM toks WHERE len(ws) >= {n}
+)
+SELECT doc_id, CAST(len(hs) AS INT) AS n_hits,
+       CAST(hs[1] - 1 AS INT) AS first_pos
+FROM hits WHERE len(hs) > 0
+ORDER BY doc_id"""

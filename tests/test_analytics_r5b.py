@@ -176,3 +176,60 @@ def test_length_histogram_is_equi_depth_and_ordered(spark):
     assert max(counts) - min(counts) <= 1       # equal population +-1
     for a, b in zip(rows, rows[1:]):            # buckets are ordered spans
         assert a["max_chars"] <= b["min_chars"]
+
+
+@pytest.fixture(scope="module")
+def search_docs_dir(tmp_path_factory):
+    rows = [
+        # all three AND terms; phrase absent
+        (1, "merge the filter then sort the merge output", "en"),
+        # phrase at position 0 and again at 5
+        (2, "slow hash batch then a slow hash batch again", "en"),
+        # two of three terms only -> excluded from AND
+        (3, "merge and sort without the third term", "en"),
+        # phrase words present but never consecutive
+        (4, "slow then hash then batch", "en"),
+        (5, "", "en"),
+    ]
+    df = pd.DataFrame(
+        [{"doc_id": i, "text": t, "lang": l, "source": "syn",
+          "n_chars": len(t)} for i, t, l in rows])
+    d = tmp_path_factory.mktemp("searchdocs")
+    df.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_search_and_requires_every_term(spark, search_docs_dir):
+    from safeascent_spark.operators import text as T
+    out = {r["doc_id"]: r for r in
+           T.q_text_search_and(spark, search_docs_dir).collect()}
+    assert set(out) == {1}
+    assert out[1]["tf_merge"] == 2
+    assert out[1]["tf_filter"] == 1
+    assert out[1]["tf_sort"] == 1
+
+
+def test_search_phrase_is_position_exact(spark, search_docs_dir):
+    from safeascent_spark.operators import text as T
+    out = {r["doc_id"]: r for r in
+           T.q_text_search_phrase(spark, search_docs_dir).collect()}
+    # only doc 2 has the consecutive phrase; doc 4's scattered words don't
+    assert set(out) == {2}
+    assert out[2]["n_hits"] == 2
+    assert out[2]["first_pos"] == 0
+
+
+def test_search_and_plan_filters_postings_before_the_shuffle(spark):
+    import re
+    from safeascent_spark.operators import text as T
+    from tests.test_plans import plan_of
+    plan = plan_of(T.q_text_search_and(spark, SF_SMOKE))
+    # the literal term-set filter must exist (postings are cut to the
+    # query terms), and the per-doc aggregation must be map-side combined
+    # (partial_sum below the exchange) so the shuffle carries only
+    # matching postings' partial counts
+    assert re.search(r"word#\d+ IN \(", plan), plan[:3000]
+    assert "partial_sum" in plan
+    # exactly one hash exchange: the groupBy(doc_id) aggregation
+    hash_ex = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert hash_ex == ["doc_id"], plan[:2000]
