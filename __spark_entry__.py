@@ -242,6 +242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_and": TX.q_text_search_and,
         # exact phrase search via per-document position-array scan (r5)
         "text_search_phrase": TX.q_text_search_phrase,
+        # Markov transition matrix over user journeys: lead window +
+        # exact ppm shares (r5)
+        "events_transitions": A.q_events_transitions,
+        # 0.1-degree accident heatmap with 3x3 shift-and-sum smoothing,
+        # integer counts end-to-end (r5)
+        "accidents_density_grid": A.q_accidents_density_grid,
     }
 
 
@@ -365,6 +371,8 @@ def oracle_sql() -> dict[str, str]:
         "text_length_histogram": TX.sql_text_length_histogram(),
         "text_search_and": TX.sql_text_search_and(),
         "text_search_phrase": TX.sql_text_search_phrase(),
+        "events_transitions": A.sql_events_transitions(),
+        "accidents_density_grid": A.sql_accidents_density_grid(),
         "accidents_month_pivot": A.sql_accidents_month_pivot(),
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),

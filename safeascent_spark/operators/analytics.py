@@ -1011,3 +1011,110 @@ FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY event_type, day"""
+
+
+# --- User-journey transition matrix ------------------------------------------
+# The Markov-chain view of event streams (the per-user lag/lead pattern):
+# for every consecutive event pair within a user's timeline, count the
+# (prev_type, next_type) transition and its probability as an exact ppm
+# integer.  Ordering is the total order (ts, event_id), so the lead
+# window is deterministic under any partitioning.
+#
+# Scale shape: one shuffle on user_id for the lead window (same keyed
+# layout as sessionization/funnel — Catalyst reuses the exchange across
+# those queries in a shared job), then a map-side-combined pair count;
+# the matrix itself is |types|^2, corpus-size-independent.
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (prev_type, next_type): transition count + exact ppm share of
+    the prev_type's outgoing transitions."""
+    e = domain.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select("user_id", "ts", "event_id",
+                      F.col("event_type").alias("prev_type"),
+                      F.lead("event_type").over(w).alias("next_type"))
+              .filter(F.col("next_type").isNotNull())
+              .groupBy("prev_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    return (pairs.join(F.broadcast(tot), "prev_type")
+                 .select("prev_type", "next_type", "n",
+                         F.expr("(n * 1000000) div n_out").alias("p_ppm"))
+                 .orderBy("prev_type", "next_type"))
+
+
+def sql_events_transitions() -> str:
+    return """
+WITH pairs AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+tot AS (SELECT prev_type, sum(n) AS n_out FROM cnt GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n,
+       CAST(c.n * 1000000 // t.n_out AS BIGINT) AS p_ppm
+FROM cnt c JOIN tot t USING (prev_type)
+ORDER BY c.prev_type, c.next_type"""
+
+
+# --- Accident density grid with neighbor smoothing ---------------------------
+# The heatmap layer behind a map UI (the reference's radius scans and
+# seasonal maps aggregate the same spatial neighborhoods): accidents
+# binned to 0.1-degree cells, then a 3x3 box-kernel smoothing pass
+# computed by replicating each cell's count to its 9 neighbors and
+# re-aggregating — integer counts end-to-end, no KDE floats.
+#
+# Scale shape: the corpus pass is one map-side-combined cell count;
+# smoothing replicates the BOUNDED cell frame (9x) — never the raw
+# events — and re-aggregates on the cell key.  This is the standard
+# "shift-and-sum" stencil trick that keeps window-free neighborhoods in
+# pure groupBy form.
+
+def q_accidents_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per non-empty 0.1-degree cell: own accident count + 3x3
+    neighbor-smoothed count."""
+    a = domain.accidents_df(spark, sf_dir)
+    cells = (a.select(
+                F.expr("CAST(floor(latitude * 10) AS BIGINT)").alias("cx"),
+                F.expr("CAST(floor(longitude * 10) AS BIGINT)").alias("cy"))
+              .groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n")))
+    spread = (cells
+              .select("cx", "cy", "n",
+                      F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+                       .alias("dx"))
+              .select("cx", "cy", "n", "dx",
+                      F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+                       .alias("dy"))
+              .groupBy((F.col("cx") + F.col("dx")).alias("cx"),
+                       (F.col("cy") + F.col("dy")).alias("cy"))
+              .agg(F.sum("n").alias("n_smooth")))
+    return (cells.join(spread, ["cx", "cy"])
+                 .select("cx", "cy", "n", "n_smooth")
+                 .orderBy("cx", "cy"))
+
+
+def sql_accidents_density_grid() -> str:
+    return f"""{_DOMAIN_WITH},
+cells AS (
+  SELECT CAST(floor(latitude * 10) AS BIGINT) AS cx,
+         CAST(floor(longitude * 10) AS BIGINT) AS cy,
+         count(*) AS n
+  FROM accidents GROUP BY cx, cy
+),
+spread AS (
+  SELECT cells.cx + dx.dx AS cx, cells.cy + dy.dy AS cy,
+         CAST(sum(n) AS BIGINT) AS n_smooth
+  FROM cells,
+       (VALUES (-1), (0), (1)) dx(dx),
+       (VALUES (-1), (0), (1)) dy(dy)
+  GROUP BY 1, 2
+)
+SELECT c.cx, c.cy, c.n, s.n_smooth
+FROM cells c JOIN spread s USING (cx, cy)
+ORDER BY c.cx, c.cy"""

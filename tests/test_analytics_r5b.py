@@ -233,3 +233,37 @@ def test_search_and_plan_filters_postings_before_the_shuffle(spark):
     # exactly one hash exchange: the groupBy(doc_id) aggregation
     hash_ex = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
     assert hash_ex == ["doc_id"], plan[:2000]
+
+
+def test_transitions_probabilities_are_exact_row_shares(spark, tmp_path):
+    # user 1: a -> b -> b -> c ; user 2: a -> c.  Transitions:
+    # (a,b)=1 (a,c)=1 (b,b)=1 (b,c)=1 -> p_ppm(a,b) = 500000 exactly.
+    base = pd.Timestamp("2024-01-01")
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "b"), (1, 3, "c"),
+            (2, 0, "a"), (2, 1, "c")]
+    df = pd.DataFrame(
+        [{"event_id": i, "ts": base + pd.Timedelta(seconds=s),
+          "user_id": u, "event_type": t, "value": 0.0, "props": "{}"}
+         for i, (u, s, t) in enumerate(rows)])
+    d = tmp_path / "trev"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    from safeascent_spark.operators import analytics as A
+    out = {(r["prev_type"], r["next_type"]): r for r in
+           A.q_events_transitions(spark, str(d)).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "b"), ("b", "c")}
+    assert out[("a", "b")]["p_ppm"] == 500_000
+    assert out[("b", "c")]["p_ppm"] == 500_000
+    # transitions never cross users: (c, a) would require user1 -> user2
+    assert ("c", "a") not in out
+
+
+def test_density_grid_smoothing_sums_neighbors(spark):
+    from safeascent_spark.operators import analytics as A
+    rows = A.q_accidents_density_grid(spark, SF_SMOKE).collect()
+    cells = {(r["cx"], r["cy"]): r["n"] for r in rows}
+    for r in rows:
+        want = sum(cells.get((r["cx"] + dx, r["cy"] + dy), 0)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        assert r["n_smooth"] == want
+        assert r["n_smooth"] >= r["n"] > 0
