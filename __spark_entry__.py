@@ -248,6 +248,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 0.1-degree accident heatmap with 3x3 shift-and-sum smoothing,
         # integer counts end-to-end (r5)
         "accidents_density_grid": A.q_accidents_density_grid,
+        # Okapi BM25 ranked retrieval: posting list cut to the query's
+        # terms at the explode, TakeOrderedAndProject top-k (r5 wave 4)
+        "text_bm25_topk": TX.q_text_bm25_topk,
+        # reciprocal-rank fusion of the BM25 + dense-cosine legs — the
+        # hybrid-search stack; fusion joins two k-row frames (r5 wave 4)
+        "search_hybrid_rrf": SIM.q_search_hybrid_rrf,
     }
 
 
@@ -377,4 +383,6 @@ def oracle_sql() -> dict[str, str]:
         "risk_cube": A.sql_risk_cube(),
         "text_decontamination": D.sql_text_decontamination(),
         "text_pii_scan": TX.sql_pii_scan(),
+        "text_bm25_topk": TX.sql_text_bm25_topk(),
+        "search_hybrid_rrf": SIM.sql_search_hybrid_rrf(),
     }

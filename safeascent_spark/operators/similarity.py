@@ -813,3 +813,80 @@ FROM (
 )
 WHERE vrank = 1
 ORDER BY query_id"""
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine ---------
+# The production retrieval stack for LLM data work is hybrid: a sparse
+# lexical leg (BM25) and a dense embedding leg, fused by reciprocal-rank
+# fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+#   RRF(d) = sum_legs 1 / (C + rank_leg(d)),  C = 60.
+# Ranks come from the two ALREADY-verified legs — q_text_bm25_topk (sparse)
+# and cosine_topk_df (dense, query_id 0, vec_id == doc_id by corpus
+# construction) — so fusion determinism reduces to leg determinism: both
+# 1/(C+r) terms are exact IEEE divisions of small ints added in a fixed
+# order, identical in both engines.
+
+RRF_C = 60
+RRF_TOP_K = 10
+RRF_DENSE_QUERY = 0  # the dense leg's query vector (vec_id)
+
+
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str,
+                        k: int = RRF_TOP_K) -> DataFrame:
+    """RRF fusion of the BM25 top-20 and the cosine top-10 for query 0.
+
+    Scale shape: each leg is its own top-k-bounded distributed pipeline
+    (posting-list cut + TakeOrderedAndProject for BM25; broadcast-query
+    corpus scan + per-query WindowGroupLimit for cosine).  The fusion
+    itself joins two <= k-row frames — cost independent of corpus size, so
+    the 100 TB story is exactly the legs' story.  The rank window over the
+    20-row sparse leg rides a constant-but-non-foldable partition key (the
+    vocab_df device) to stay off the unpartitioned-window path.
+    """
+    from . import text as _text
+
+    sparse = _text.q_text_bm25_topk(spark, sf_dir)
+    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc())
+    sparse_r = (sparse.withColumn("sparse_rank",
+                                  F.row_number().over(w).cast("int"))
+                      .select("doc_id", "sparse_rank"))
+    dense_r = (cosine_topk_df(spark, sf_dir)
+               .filter(F.col("query_id") == RRF_DENSE_QUERY)
+               .select(F.col("neighbor_id").alias("doc_id"),
+                       F.col("rank").alias("dense_rank")))
+    fused = sparse_r.join(dense_r, "doc_id", "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(float(RRF_C))
+                                    + F.col("sparse_rank")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(float(RRF_C))
+                                      + F.col("dense_rank")), F.lit(0.0)))
+    return (fused.select("doc_id", "sparse_rank", "dense_rank",
+                         F.round(rrf, 9).alias("rrf"))
+                 .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+                 .limit(k))
+
+
+def sql_search_hybrid_rrf(k: int = RRF_TOP_K) -> str:
+    from . import text as _text
+
+    bm25 = _text.sql_text_bm25_topk().strip()
+    dense = sql_cosine_topk().strip()
+    return f"""
+WITH sparse AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+           AS sparse_rank
+  FROM ({bm25})
+),
+dense AS (
+  SELECT neighbor_id AS doc_id, rank AS dense_rank
+  FROM ({dense}) WHERE query_id = {RRF_DENSE_QUERY}
+)
+SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+       s.sparse_rank, d.dense_rank,
+       round(coalesce(1.0 / ({float(RRF_C)!r} + s.sparse_rank), 0.0)
+             + coalesce(1.0 / ({float(RRF_C)!r} + d.dense_rank), 0.0), 9)
+         AS rrf
+FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+ORDER BY rrf DESC, coalesce(s.doc_id, d.doc_id)
+LIMIT {k}"""

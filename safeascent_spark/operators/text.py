@@ -1249,26 +1249,57 @@ ORDER BY cell.lang, cell.source"""
 
 # --- Equi-depth document-length histogram ------------------------------------
 # The corpus profiling histogram (length-distribution sanity check before
-# filtering): 10 equal-population buckets over n_chars, deterministic via
+# filtering): 10 equal-population buckets over n_chars, deterministic as
 # ntile over the TOTAL order (n_chars, doc_id) — both engines define
 # ntile identically (first buckets take the remainder).
 #
-# Scale note: a global ntile is a single-partition sort at 100 TB; the
-# scale path for distribution profiling is events_approx_stats' certified
-# GK sketch.  This operator is the exact-grain companion for bounded
-# frames (per-source profiling, QA samples), documented trade-off.
+# Scale shape: Spark does NOT run a global ntile window (that is a
+# single-partition sort).  The global rank is reconstructed with the
+# vocab_df device — rows are banded by n_chars // 64 (zero-padded string
+# so lexical band order is a prefix of the total order), ranked within
+# band by a distributed partitioned window, and offset by the running sum
+# of the tiny band-count table; ntile's bucket is then pure integer
+# arithmetic on (rank, total).  The DuckDB oracle keeps the plain global
+# ntile because the assignment is mathematically identical.
 
 def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10 equi-depth buckets over n_chars: count, min, max per bucket."""
-    d = domain.load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    return (d.select("doc_id", "n_chars",
-                     F.ntile(10).over(w).alias("bucket"))
-             .groupBy("bucket")
-             .agg(F.count(F.lit(1)).alias("n_docs"),
-                  F.min("n_chars").alias("min_chars"),
-                  F.max("n_chars").alias("max_chars"))
-             .orderBy("bucket"))
+    d = (domain.load_table(spark, sf_dir, "documents")
+               .select("doc_id", "n_chars")
+               .withColumn("bkt", F.lpad(F.expr("n_chars div 64")
+                                          .cast("string"), 10, "0")))
+    in_band = Window.partitionBy("bkt").orderBy("n_chars", "doc_id")
+    ranked = d.withColumn("r_in", F.row_number().over(in_band))
+    counts = d.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    # running offset over the band-count table (bounded: one row per 64-char
+    # length band, O(max doc length / 64) regardless of corpus size) — the
+    # same constant-key device as vocab_df, same boundedness argument
+    off_w = (Window.partitionBy(F.length("bkt") % 1).orderBy("bkt")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (counts.withColumn("off", F.coalesce(F.sum("n").over(off_w),
+                                                   F.lit(0)))
+                     .withColumn("total", F.sum("n").over(
+                         Window.partitionBy(F.length("bkt") % 1)))
+                     .select("bkt", "off", "total"))
+    # ntile(10) from (global rank, total) in exact BIGINT arithmetic:
+    # q = total div 10, rem = total % 10; the first rem buckets take q+1
+    # rows, the rest q.  `div` keeps everything integral (no double
+    # rounding at any corpus size).
+    bucket = F.expr("""
+        CASE WHEN off + r_in <= (total % 10) * (total div 10 + 1)
+             THEN (off + r_in - 1) div (total div 10 + 1) + 1
+             ELSE total % 10
+                  + (off + r_in - (total % 10) * (total div 10 + 1) - 1)
+                    div greatest(total div 10, 1L) + 1
+        END""")
+    return (ranked.join(F.broadcast(offsets), "bkt")
+                  .select("doc_id", "n_chars",
+                          bucket.cast("int").alias("bucket"))
+                  .groupBy("bucket")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.min("n_chars").alias("min_chars"),
+                       F.max("n_chars").alias("max_chars"))
+                  .orderBy("bucket"))
 
 
 def sql_text_length_histogram() -> str:
@@ -1378,3 +1409,117 @@ SELECT doc_id, CAST(len(hs) AS INT) AS n_hits,
        CAST(hs[1] - 1 AS INT) AS first_pos
 FROM hits WHERE len(hs) > 0
 ORDER BY doc_id"""
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+# Okapi BM25 (Robertson et al., TREC-3) over the same single-space token
+# stream as the boolean/phrase search operators: score(d) =
+# sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)) with the
+# Lucene-style non-negative idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+# This fills the ranked-retrieval gap between q_text_search_and (boolean)
+# and the ANN family (dense): the sparse leg of a hybrid search stack.
+
+BM25_TERMS = ["merge", "filter", "sort"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _bm25_corpus_stats(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
+    """(N docs, avg doc length) — one map-side-combined corpus aggregate.
+
+    Bounded driver scalar (2 numbers), same convention as
+    q_text_unigram_lm's corpus token count.  avgdl is the exact IEEE
+    quotient of two BIGINTs; the oracle inlines the identical literal.
+    """
+    d = docs_df(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    row = (d.select(F.size(toks).alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("dl").alias("n_tokens"))
+            .collect()[0])
+    return int(row["n_docs"]), int(row["n_tokens"]) / int(row["n_docs"])
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str,
+                     k: int = BM25_TOP_K) -> DataFrame:
+    """Top-k documents by BM25 for the fixed BM25_TERMS query.
+
+    Scale shape: the posting list is cut to the query's terms at the
+    explode (the filter rides the same stage as the scan — no full-corpus
+    token shuffle), so the grouped state is O(matching docs x |query|).
+    df(t) is a |query|-row aggregate broadcast back onto the postings; the
+    final top-k is TakeOrderedAndProject (per-partition heads, then one
+    driver-side merge of k rows per partition) — no global sort.  Floats:
+    every input to the formula is an exact integer (tf, df, dl, N) or the
+    shared avgdl literal, both engines evaluate the textually identical
+    expression tree, and the score is rounded to 6 before the hash — the
+    q_text_unigram_lm convention.
+    """
+    n_docs, avgdl = _bm25_corpus_stats(spark, sf_dir)
+    d = docs_df(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    posting = (d.select("doc_id", F.size(toks).alias("dl"),
+                        F.explode(toks).alias("word"))
+                .filter(F.col("word").isin(BM25_TERMS))
+                .groupBy("doc_id", "dl", "word")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    dfreq = posting.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfn = (F.col("tf") * F.lit(BM25_K1 + 1.0)
+           / (F.col("tf")
+              + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
+                                  + F.lit(BM25_B) * F.col("dl")
+                                  / F.lit(avgdl))))
+    scored = (posting.join(F.broadcast(dfreq), "word")
+                     .groupBy("doc_id")
+                     .agg(F.round(F.sum(idf * tfn), 6).alias("bm25"),
+                          F.count(F.lit(1)).cast("int").alias("n_terms")))
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(k)
+
+
+def sql_text_bm25_topk(k: int = BM25_TOP_K) -> str:
+    inlist = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    # The stats CTE recomputes the two driver scalars the Spark side
+    # collects; avgdl is the identical IEEE quotient of the same BIGINTs,
+    # and every other literal is inlined with full repr so both engines
+    # evaluate the same doubles in the same association order.
+    return f"""
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM lens
+),
+posting AS (
+  SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  )
+  WHERE word IN ({inlist})
+  GROUP BY doc_id, dl, word
+),
+dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+          FROM posting GROUP BY word)
+SELECT p.doc_id,
+       round(sum(
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * {BM25_K1 + 1.0!r}
+            / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                                     + {BM25_B!r} * p.dl / s.avgdl)))
+       ), 6) AS bm25,
+       CAST(count(*) AS INT) AS n_terms
+FROM posting p JOIN dfreq f USING (word) CROSS JOIN stats s
+GROUP BY p.doc_id
+ORDER BY bm25 DESC, p.doc_id
+LIMIT {k}"""

@@ -187,6 +187,9 @@ CONSTANT_KEY_WINDOW_ALLOWLIST = {
     ("safeascent_spark/operators/text.py", 'F.length("bkt") % 1'),
     ("safeascent_spark/operators/text.py", 'F.length("word") % 1'),
     ("safeascent_spark/operators/scoring.py", 'F.col("route_id") % 1'),
+    # RRF sparse-leg rank: input is the <= BM25_TOP_K-row TakeOrdered
+    # result of q_text_bm25_topk (bounded by construction)
+    ("safeascent_spark/operators/similarity.py", 'F.col("doc_id") % 1'),
 }
 
 
@@ -481,3 +484,28 @@ def test_collocations_support_floor_precedes_the_vocab_joins(spark):
     assert "partial_count" in plan
     # the min-count filter exists as a HAVING-style post-agg filter
     assert re.search(r"c_xy#\d+L? >= 5", plan), plan[:3000]
+
+
+def test_bm25_truncates_and_broadcasts_df(spark):
+    """BM25's top-k must be a distributed TakeOrderedAndProject (no global
+    sort), the |query|-row df table must come in as a BroadcastExchange,
+    the per-doc aggregation must map-side combine, and the term cut must
+    ride the same stage as the explode (no full-token shuffle)."""
+    from safeascent_spark.operators import text as T
+    plan = plan_of(T.q_text_bm25_topk(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0, plan[:3000]
+
+
+def test_hybrid_rrf_fusion_is_bounded(spark):
+    """Both RRF legs end in a top-k truncation (TakeOrdered for BM25,
+    WindowGroupLimit for the dense leg), so the fusion join touches only
+    <= k-row inputs; no cartesian anywhere."""
+    from safeascent_spark.operators import similarity as S
+    plan = plan_of(S.q_search_hybrid_rrf(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan
+    assert n_ops(plan, "CartesianProduct") == 0

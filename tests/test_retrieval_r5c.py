@@ -1,0 +1,113 @@
+"""Round-5 wave-4 retrieval operators: BM25, hybrid RRF fusion, and the
+distributed-exact equi-depth histogram's remainder path.
+
+The sf0.01 oracle-parity sweep (test_oracle_parity) covers hash equality;
+these tests pin the SEMANTIC contracts parity alone cannot see — known
+hand-checked outcomes, the ntile remainder arithmetic on a count that does
+not divide evenly, and cross-operator consistency between the fused result
+and its two legs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from safeascent_spark.operators import similarity as S
+from safeascent_spark.operators import text as T
+from tests.conftest import SF_ORACLE
+
+
+def test_bm25_idf_orders_rarer_terms_higher(spark, tmp_path):
+    """Hand-checkable corpus: with equal tf and equal dl, a doc matching a
+    RARE term must outrank a doc matching a COMMON one, and a doc matching
+    both must outrank either."""
+    common, rare = T.BM25_TERMS[0], T.BM25_TERMS[1]  # merge, filter
+    filler = "aaa bbb ccc ddd eee fff"
+    rows = [
+        {"doc_id": 1, "text": f"{common} {rare} {filler}",
+         "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": f"{rare} xxx {filler}",
+         "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": f"{common} xxx {filler}",
+         "lang": "en", "source": "s", "n_chars": 1},
+        # three more docs containing the common term -> df(common) = 5,
+        # df(rare) = 2, so idf(rare) > idf(common)
+        {"doc_id": 4, "text": f"{common} yyy {filler}",
+         "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 5, "text": f"{common} zzz {filler}",
+         "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 6, "text": f"{common} www {filler}",
+         "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    d = tmp_path / "bm25"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    got = T.q_text_bm25_topk(spark, str(d)).collect()
+    order = [r.doc_id for r in got]
+    assert order[0] == 1, got                 # both terms wins
+    assert order.index(2) < order.index(3), got  # rare beats common
+    assert all(r.bm25 > 0 for r in got)
+
+
+def test_bm25_length_normalization(spark, tmp_path):
+    """Same tf, same df: the SHORTER document must score higher (b > 0)."""
+    term = T.BM25_TERMS[0]
+    rows = [
+        {"doc_id": 1, "text": f"{term} one two",
+         "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": f"{term} one two three four five six seven",
+         "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    d = tmp_path / "bm25len"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    got = {r.doc_id: r.bm25 for r in T.q_text_bm25_topk(spark, str(d)).collect()}
+    assert got[1] > got[2], got
+
+
+def test_hybrid_rrf_consistent_with_its_legs(spark):
+    """Every fused row's ranks must equal the standalone legs' ranks, and
+    the RRF score must be exactly the two reciprocal terms."""
+    fused = S.q_search_hybrid_rrf(spark, SF_ORACLE).collect()
+    sparse = {r.doc_id: i + 1
+              for i, r in enumerate(T.q_text_bm25_topk(spark, SF_ORACLE)
+                                     .collect())}
+    dense = {r.neighbor_id: r.rank
+             for r in S.cosine_topk_df(spark, SF_ORACLE).collect()
+             if r.query_id == S.RRF_DENSE_QUERY}
+    assert len(fused) == S.RRF_TOP_K
+    for row in fused:
+        assert row.sparse_rank == sparse.get(row.doc_id), row
+        assert row.dense_rank == dense.get(row.doc_id), row
+        expect = ((1.0 / (S.RRF_C + row.sparse_rank) if row.sparse_rank else 0)
+                  + (1.0 / (S.RRF_C + row.dense_rank) if row.dense_rank else 0))
+        assert abs(row.rrf - expect) < 1e-9, row
+    # a doc present in BOTH legs must outrank any single-leg doc whose
+    # best rank is no better than both of its ranks (RRF's fusion property
+    # on this fixed corpus: doc 388 carries two terms)
+    both = [r for r in fused if r.sparse_rank and r.dense_rank]
+    if both:
+        assert fused[0].sparse_rank and fused[0].dense_rank
+
+
+def test_length_histogram_remainder_path(spark, tmp_path):
+    """47 docs: ntile(10) gives 7 buckets of 5 and 3 of 4 (first rem
+    buckets take the extra row).  The distributed rank+arithmetic form
+    must reproduce DuckDB's native ntile exactly — this is the path the
+    sf0.01 parity sweep (500 docs, rem = 0) never exercises."""
+    rows = [{"doc_id": i, "text": "x", "lang": "en", "source": "s",
+             # duplicate lengths across band boundaries on purpose
+             "n_chars": (i * 37) % 300}
+            for i in range(47)]
+    d = tmp_path / "hist47"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    got = [(r.bucket, r.n_docs, r.min_chars, r.max_chars)
+           for r in T.q_text_length_histogram(spark, str(d)).collect()]
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    want = [tuple(r) for r in con.sql(T.sql_text_length_histogram()).fetchall()]
+    assert got == want, (got, want)
+    assert [n for _, n, _, _ in got] == [5] * 7 + [4] * 3
