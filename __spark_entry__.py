@@ -254,6 +254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reciprocal-rank fusion of the BM25 + dense-cosine legs — the
         # hybrid-search stack; fusion joins two k-row frames (r5 wave 4)
         "search_hybrid_rrf": SIM.q_search_hybrid_rrf,
+        # 64-bit average-hash over REAL decoded pixels (Arrow decode
+        # stage), integer-exact vs the generative-rule oracle (r5 wave 4)
+        "multimodal_phash": MM.q_multimodal_phash,
+        # image near-dup: any-of-4-band LSH candidates + full 64-bit
+        # Hamming verify — the image analog of dedup_simhash_pairs
+        "multimodal_phash_pairs": MM.q_multimodal_phash_pairs,
     }
 
 
@@ -385,4 +391,6 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scan": TX.sql_pii_scan(),
         "text_bm25_topk": TX.sql_text_bm25_topk(),
         "search_hybrid_rrf": SIM.sql_search_hybrid_rrf(),
+        "multimodal_phash": MM.sql_multimodal_phash(),
+        "multimodal_phash_pairs": MM.sql_multimodal_phash_pairs(),
     }

@@ -502,3 +502,228 @@ SELECT media_id,
 FROM rows_
 GROUP BY media_id
 ORDER BY media_id"""
+
+
+# --- Perceptual hash (aHash) + image near-dup --------------------------------
+# Image-grain deduplication: a 64-bit average hash over an 8x8 block grid
+# of the decoded image, then banded-LSH candidate pairs (any of the four
+# 16-bit bands equal) verified by full 64-bit Hamming distance — the image
+# analog of q_dedup_simhash_pairs, with the hash computed from REAL pixel
+# data inside the Arrow decode stage, not from metadata.
+#
+# These images use a per-document gradient pattern
+#   pixel(r, c) = (gray + a*r + b*c) % 256,
+#   a = 1 + doc_id % 13,  b = 1 + (doc_id div 13) % 11
+# — unlike the scanline-constant pattern of png_media_df, both axes vary
+# and the wrap FREQUENCIES differ per document, so the 8x8 grid hash is
+# diverse (a plain ramp makes aHash nearly constant corpus-wide: probed at
+# sf0.01, r+3c gave 35,668 "near-dup" pairs vs 647 for this pattern, with
+# 482/500 distinct hashes and 23 exact twins).  Dimensions stay
+# (16 + doc_id%32, 16 + n_chars%32), letting the DuckDB oracle rebuild
+# every pixel arithmetically.
+#
+# Exactness: a bit is set iff cell_mean > image_mean, compared as
+# cell_sum * n_pixels > image_sum * cell_n — cross-multiplied BIGINTs, no
+# division anywhere, so numpy and SQL agree bitwise at any size.
+
+PHASH_GRID = 8
+PHASH_BANDS = 4                      # 4 x 16-bit bands over the 64 bits
+PHASH_HAMMING_MAX = 4
+
+
+def encode_png_grad(width: int, height: int, gray: int,
+                    fr: int, fc: int) -> bytes:
+    """Valid 8-bit grayscale PNG with pixel (r, c) = (gray+fr*r+fc*c) % 256."""
+    ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, 0, 0, 0, 0]))
+    raw = b"".join(
+        bytes([0]) + bytes((gray + fr * r + fc * c) % 256
+                           for c in range(width))
+        for r in range(height))
+    return (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+
+
+def png_media_grad_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> gradient-pattern PNG payloads (mapInPandas stage 1)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "payload": [
+                    encode_png_grad(16 + int(did) % 32, 16 + int(nc) % 32,
+                                    int(nc) % 256,
+                                    1 + int(did) % 13,
+                                    1 + (int(did) // 13) % 11)
+                    for did, nc in zip(pdf["doc_id"], pdf["n_chars"])],
+            })
+
+    d = domain.load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", "n_chars")
+             .mapInPandas(run, "media_id long, payload binary"))
+
+
+def ahash_bands(pixels: list[bytes]) -> list[int]:
+    """64-bit average hash of a decoded grayscale image as 4 16-bit bands.
+
+    Cell (i, j) collects pixels whose (r*8) div h == i and (c*8) div w == j
+    (a contiguous 8x8 partition for any w, h >= 8); bit k = i*8+j is set
+    iff cell_sum * (w*h) > image_sum * cell_n.  Integer-only."""
+    import numpy as np
+
+    img = np.frombuffer(b"".join(pixels), dtype=np.uint8) \
+            .reshape(len(pixels), len(pixels[0])).astype(np.int64)
+    h, w = img.shape
+    ri = (np.arange(h) * PHASH_GRID) // h
+    ci = (np.arange(w) * PHASH_GRID) // w
+    # cell sums/counts via indicator matmuls (exact int64)
+    R = (ri[None, :] == np.arange(PHASH_GRID)[:, None]).astype(np.int64)
+    C = (ci[:, None] == np.arange(PHASH_GRID)[None, :]).astype(np.int64)
+    cell_sum = R @ img @ C
+    cell_n = R @ np.ones((h, w), dtype=np.int64) @ C
+    tot_sum = int(img.sum())
+    bits = (cell_sum * (w * h)) > (tot_sum * cell_n)
+    flat = bits.reshape(-1)
+    out = []
+    for b in range(PHASH_BANDS):
+        val = 0
+        for j in range(16):
+            if flat[b * 16 + j]:
+                val |= 1 << j
+        out.append(val)
+    return out
+
+
+PHASH_SCHEMA = "media_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def extract_png_ahash(media: DataFrame) -> DataFrame:
+    """mapInPandas: real decode -> integer aHash bands."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands = [ahash_bands(decode_png_pixels(p))
+                     for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "b0": [b[0] for b in bands], "b1": [b[1] for b in bands],
+                "b2": [b[2] for b in bands], "b3": [b[3] for b in bands],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: encode -> decode -> 64-bit aHash as 4 bands."""
+    return (extract_png_ahash(png_media_grad_df(spark, sf_dir))
+            .orderBy("media_id"))
+
+
+def _sql_phash_cte() -> str:
+    """CTE stack ending in `hashes(media_id, b0..b3)` — the generative-rule
+    mirror of decode + ahash_bands."""
+    g = PHASH_GRID
+    return f"""
+dims AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 32 AS w,
+         16 + n_chars % 32 AS h,
+         n_chars % 256 AS gray,
+         1 + doc_id % 13 AS fr,
+         1 + (doc_id // 13) % 11 AS fc
+  FROM documents
+),
+rows_ AS (
+  SELECT media_id, w, h, gray, fr, fc,
+         unnest(generate_series(0, h - 1)) AS r
+  FROM dims
+),
+pix AS (
+  SELECT media_id, w, h, gray, fr, fc, r,
+         unnest(generate_series(0, w - 1)) AS c
+  FROM rows_
+),
+cells AS (
+  SELECT media_id, w, h,
+         (r * {g}) // h AS cr, (c * {g}) // w AS cc,
+         sum((gray + fr * r + fc * c) % 256) AS cell_sum,
+         count(*) AS cell_n
+  FROM pix
+  GROUP BY media_id, w, h, (r * {g}) // h, (c * {g}) // w
+),
+tots AS (
+  SELECT media_id, sum(cell_sum) AS tot_sum
+  FROM cells GROUP BY media_id
+),
+bits AS (
+  SELECT c.media_id,
+         (c.cr * {g} + c.cc) // 16 AS band,
+         (c.cr * {g} + c.cc) % 16 AS pos,
+         CASE WHEN c.cell_sum * (c.w * c.h) > t.tot_sum * c.cell_n
+              THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tots t USING (media_id)
+),
+hashes AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN band = 0 THEN bit << pos ELSE 0 END) AS INT) AS b0,
+         CAST(sum(CASE WHEN band = 1 THEN bit << pos ELSE 0 END) AS INT) AS b1,
+         CAST(sum(CASE WHEN band = 2 THEN bit << pos ELSE 0 END) AS INT) AS b2,
+         CAST(sum(CASE WHEN band = 3 THEN bit << pos ELSE 0 END) AS INT) AS b3
+  FROM bits GROUP BY media_id
+)"""
+
+
+def sql_multimodal_phash() -> str:
+    return f"""
+WITH {_sql_phash_cte().strip()}
+SELECT media_id, b0, b1, b2, b3 FROM hashes ORDER BY media_id"""
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: ANY 16-bit band equal (banded LSH) AND full
+    64-bit Hamming distance <= PHASH_HAMMING_MAX.
+
+    Scale shape: candidates come from PHASH_BANDS equi-joins on
+    (band index, band value) — the hash table is exploded to 4 rows per
+    image carrying the full band tuple, so the verify step needs NO join
+    back to the corpus; a distinct collapses pairs matching on several
+    bands.  Identical (w, h, gray) generator triples make exact twins
+    (hamming 0); near-twins come from close gray values."""
+    hashes = extract_png_ahash(png_media_grad_df(spark, sf_dir))
+    bands = hashes.select(
+        "media_id", "b0", "b1", "b2", "b3",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.col(f"b{i}").alias("val"))
+            for i in range(PHASH_BANDS)])).alias("bv")) \
+        .select("media_id", "b0", "b1", "b2", "b3",
+                F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(*[F.col(c).alias(f"a_{c}") for c in bands.columns])
+    b = bands.select(*[F.col(c).alias(f"b_{c}") for c in bands.columns])
+    cand = (a.join(b, (F.col("a_band") == F.col("b_band"))
+                   & (F.col("a_val") == F.col("b_val"))
+                   & (F.col("a_media_id") < F.col("b_media_id")))
+             .select(F.col("a_media_id").alias("media_a"),
+                     F.col("b_media_id").alias("media_b"),
+                     *[F.col(f"a_b{i}") for i in range(PHASH_BANDS)],
+                     *[F.col(f"b_b{i}") for i in range(PHASH_BANDS)])
+             .distinct())
+    ham = sum(F.bit_count(F.col(f"a_b{i}").bitwiseXOR(F.col(f"b_b{i}")))
+              for i in range(PHASH_BANDS))
+    return (cand.select("media_a", "media_b",
+                        ham.cast("int").alias("hamming"))
+                .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+                .orderBy("media_a", "media_b"))
+
+
+def sql_multimodal_phash_pairs() -> str:
+    anyband = " OR ".join(f"a.b{i} = b.b{i}" for i in range(PHASH_BANDS))
+    ham = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))"
+                     for i in range(PHASH_BANDS))
+    return f"""
+WITH {_sql_phash_cte().strip()}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST({ham} AS INT) AS hamming
+FROM hashes a JOIN hashes b
+  ON a.media_id < b.media_id AND ({anyband})
+WHERE {ham} <= {PHASH_HAMMING_MAX}
+ORDER BY media_a, media_b"""

@@ -509,3 +509,14 @@ def test_hybrid_rrf_fusion_is_bounded(spark):
     assert "TakeOrderedAndProject" in plan
     assert "WindowGroupLimit" in plan
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_phash_pairs_is_banded_equi_join(spark):
+    """Image near-dup candidates must come from the (band, value) equi-join
+    over the exploded band table — never a cross join — and both the
+    encode and decode/hash stages must be Arrow mapInPandas."""
+    from safeascent_spark.operators import multimodal as M
+    plan = plan_of(M.q_multimodal_phash_pairs(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    assert plan.count("MapInPandas") >= 2

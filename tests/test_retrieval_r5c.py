@@ -111,3 +111,59 @@ def test_length_histogram_remainder_path(spark, tmp_path):
     want = [tuple(r) for r in con.sql(T.sql_text_length_histogram()).fetchall()]
     assert got == want, (got, want)
     assert [n for _, n, _, _ in got] == [5] * 7 + [4] * 3
+
+
+def test_phash_twins_and_discrimination(spark, tmp_path):
+    """Two docs with identical generator params (doc_id ≡ mod 32/13/143 and
+    same n_chars) must hash identically and surface as a hamming-0 pair;
+    a doc with different frequencies must NOT pair with them at the
+    threshold."""
+    from safeascent_spark.operators import multimodal as M
+    # doc_ids 7 and 7 + 4576 (lcm(32,13,143)*? -> 4576 = 32*143) share
+    # w (id%32), fr (id%13), fc ((id//13)%11); same n_chars -> same image
+    a, b = 7, 7 + 4576
+    assert a % 32 == b % 32 and a % 13 == b % 13 \
+        and (a // 13) % 11 == (b // 13) % 11
+    rows = [
+        {"doc_id": a, "text": "x", "lang": "en", "source": "s", "n_chars": 40},
+        {"doc_id": b, "text": "x", "lang": "en", "source": "s", "n_chars": 40},
+        {"doc_id": 9, "text": "x", "lang": "en", "source": "s", "n_chars": 171},
+    ]
+    d = tmp_path / "phash"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    hashes = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+              for r in M.q_multimodal_phash(spark, str(d)).collect()}
+    assert hashes[a] == hashes[b]
+    assert hashes[a] != hashes[9]
+    pairs = [(r.media_a, r.media_b, r.hamming)
+             for r in M.q_multimodal_phash_pairs(spark, str(d)).collect()]
+    assert (a, b, 0) in pairs
+
+
+def test_phash_matches_real_decode(spark):
+    """The Spark-side hash must come from REAL pixel decode, not the
+    generative shortcut: recompute one image's bands from decode_png_pixels
+    directly and compare."""
+    from safeascent_spark.operators import multimodal as M
+    payload = M.encode_png_grad(20, 25, 77, 3, 5)
+    bands = M.ahash_bands(M.decode_png_pixels(payload))
+    assert len(bands) == 4 and all(0 <= v < 65536 for v in bands)
+    # independent recomputation from the generator formula
+    import numpy as np
+    img = np.array([[(77 + 3 * r + 5 * c) % 256 for c in range(20)]
+                    for r in range(25)], dtype=np.int64)
+    ri = (np.arange(25) * 8) // 25
+    ci = (np.arange(20) * 8) // 20
+    want = []
+    cell_sum = np.zeros((8, 8), dtype=np.int64)
+    cell_n = np.zeros((8, 8), dtype=np.int64)
+    for r in range(25):
+        for c in range(20):
+            cell_sum[ri[r], ci[c]] += img[r, c]
+            cell_n[ri[r], ci[c]] += 1
+    tot = int(img.sum())
+    bits = (cell_sum * (20 * 25) > tot * cell_n).reshape(-1)
+    for bnd in range(4):
+        want.append(sum(1 << j for j in range(16) if bits[bnd * 16 + j]))
+    assert bands == want
