@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image near-dup: any-of-4-band LSH candidates + full 64-bit
         # Hamming verify — the image analog of dedup_simhash_pairs
         "multimodal_phash_pairs": MM.q_multimodal_phash_pairs,
+        # BPE tokenizer training: per-round vocabulary-grain pair counts +
+        # 1-row argmax; corpus touched once for word counts (r5 wave 4)
+        "bpe_train": TX.q_bpe_train,
     }
 
 
@@ -393,4 +396,5 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid_rrf": SIM.sql_search_hybrid_rrf(),
         "multimodal_phash": MM.sql_multimodal_phash(),
         "multimodal_phash_pairs": MM.sql_multimodal_phash_pairs(),
+        "bpe_train": TX.sql_bpe_train(),
     }

@@ -1523,3 +1523,117 @@ FROM posting p JOIN dfreq f USING (word) CROSS JOIN stats s
 GROUP BY p.doc_id
 ORDER BY bm25 DESC, p.doc_id
 LIMIT {k}"""
+
+
+# --- BPE merge-rule training -------------------------------------------------
+# Byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch, ACL
+# 2016): start from character sequences (+ end-of-word marker), repeatedly
+# merge the globally most frequent adjacent symbol pair.  The output is
+# the ordered merge table — the artifact a tokenizer ships.
+#
+# Distributed shape: the corpus is touched ONCE (the word-count groupBy);
+# every round after that runs at VOCABULARY grain — adjacent-pair
+# counting over distinct words weighted by their counts (map-side
+# combined; output bounded by |vocab| * max word length), then a 1-row
+# TakeOrdered argmax collected to the driver (a bounded scalar per round,
+# the KMeans-centroid convention).  Merges apply as string literals in a
+# projection — no joins, no growth in plan width.
+#
+# Cross-engine exactness: the symbol-sequence state is a double-space-
+# joined string ("  a  b  c  _  ").  Applying a merge = replace(state,
+# " a  b ", " ab ") — one boundary space from each side rides the
+# pattern, so back-to-back occurrences still match and both engines'
+# replace() (leftmost, non-overlapping, replace-all) reproduce the exact
+# BPE greedy semantics.  Ties break by (count DESC, left ASC, right ASC).
+
+BPE_MERGES = 6
+BPE_EOW = "_"           # end-of-word marker symbol
+
+
+def _bpe_state0_col():
+    """word -> initial state string '  c1  c2  ...  _  ' (Column expr)."""
+    return F.concat(F.lit("  "),
+                    F.regexp_replace(F.col("word"), "(.)", "$1  "),
+                    F.lit(BPE_EOW), F.lit("  "))
+
+
+def _bpe_syms(col):
+    return F.filter(F.split(col, "  "), lambda x: x != F.lit(""))
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str,
+                n_merges: int = BPE_MERGES) -> DataFrame:
+    """The first n_merges BPE merges over the corpus: (step, left, right,
+    merged, pair_count)."""
+    t = tokens_df(spark, sf_dir)
+    wc = (t.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+           .select(_bpe_state0_col().alias("state"), "n"))
+    merges = []
+    state = F.col("state")
+    for step in range(1, n_merges + 1):
+        syms = _bpe_syms(state)
+        # guard fully-merged words: Spark's sequence(1, 0) runs DESCENDING
+        # ([1, 0]), so a 1-symbol word would index element_at(syms, 0)
+        pairs = F.expr(
+            "CASE WHEN size(syms) > 1 THEN "
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(element_at(syms, i) AS l, "
+            "element_at(syms, i + 1) AS r)) "
+            "ELSE CAST(array() AS array<struct<l: string, r: string>>) END")
+        best = (wc.select(F.col("n"), syms.alias("syms"))
+                  .select("n", F.explode(pairs).alias("p"))
+                  .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                  .agg(F.sum("n").alias("c"))
+                  .orderBy(F.col("c").desc(), "l", "r")
+                  .limit(1)
+                  .collect())[0]
+        merges.append((step, best["l"], best["r"],
+                       best["l"] + best["r"], int(best["c"])))
+        state = F.replace(
+            state,
+            F.lit(f" {best['l']}  {best['r']} "),
+            F.lit(f" {best['l'] + best['r']} "))
+        wc = wc.select(state.alias("state"), "n")
+        state = F.col("state")
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, "
+                "pair_count bigint").orderBy("step")
+
+
+def sql_bpe_train(n_merges: int = BPE_MERGES) -> str:
+    """Chained-CTE mirror: state_k -> pair counts -> argmax -> state_{k+1}."""
+    parts = [f"""{TOKENS_CTE.strip()},
+state0 AS (
+  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+         || '{BPE_EOW}' || '  ' AS state,
+         count(*) AS n
+  FROM tokens GROUP BY word
+)"""]
+    for k in range(1, n_merges + 1):
+        prev = f"state{k - 1}"
+        parts.append(f"""
+syms{k} AS (
+  SELECT list_filter(string_split(state, '  '), x -> x <> '') AS s, n
+  FROM {prev}
+),
+pc{k} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, sum(n) AS c
+  FROM (SELECT s, n, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM syms{k})
+  GROUP BY s[i], s[i + 1]
+),
+m{k} AS (
+  SELECT l, r, l || r AS merged, c
+  FROM pc{k} ORDER BY c DESC, l, r LIMIT 1
+),
+state{k} AS (
+  SELECT replace(st.state, ' ' || m.l || '  ' || m.r || ' ',
+                 ' ' || m.merged || ' ') AS state, st.n
+  FROM {prev} st CROSS JOIN m{k} m
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, l AS lhs, r AS rhs, merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1))
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT * FROM ({selects}) ORDER BY step")

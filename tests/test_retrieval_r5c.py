@@ -167,3 +167,61 @@ def test_phash_matches_real_decode(spark):
     for bnd in range(4):
         want.append(sum(1 << j for j in range(16) if bits[bnd * 16 + j]))
     assert bands == want
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Straight-line reference BPE (Sennrich alg.) over a word-count dict."""
+    state = {tuple(w) + (T.BPE_EOW,): n for w, n in word_counts.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, n in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + n
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, l, r, l + r, c))
+        new_state: dict[tuple, int] = {}
+        for syms, n in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_state[key] = new_state.get(key, 0) + n
+        state = new_state
+    return out
+
+
+def test_bpe_matches_reference_on_overlap_heavy_corpus(spark, tmp_path):
+    """Words with back-to-back repeats ('aaaa', 'ababab') are where the
+    string-replace device could diverge from true BPE (overlap handling,
+    re-merge of freshly created symbols).  Pin against a straight-line
+    reference implementation."""
+    docs = {
+        1: "aaaa aaaa aaaa abab",
+        2: "ababab ababab aaaa",
+        3: "baaab abba aaaa abab",
+    }
+    rows = [{"doc_id": k, "text": v, "lang": "en", "source": "s",
+             "n_chars": len(v)} for k, v in docs.items()]
+    d = tmp_path / "bpeov"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    wc: dict[str, int] = {}
+    for v in docs.values():
+        for w in v.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _reference_bpe(wc, 6)
+    got = [tuple(r) for r in T.q_bpe_train(spark, str(d)).collect()]
+    assert got == want, (got, want)
+    # and the oracle agrees on the same corpus
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    assert [tuple(r) for r in con.sql(T.sql_bpe_train()).fetchall()] == want
