@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE tokenizer training: per-round vocabulary-grain pair counts +
         # 1-row argmax; corpus touched once for word counts (r5 wave 4)
         "bpe_train": TX.q_bpe_train,
+        # tokenizer APPLICATION: per-word segmentations broadcast onto the
+        # token stream — encode cost rides the vocabulary, not the corpus
+        "bpe_encode": TX.q_bpe_encode,
     }
 
 
@@ -397,4 +400,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash": MM.sql_multimodal_phash(),
         "multimodal_phash_pairs": MM.sql_multimodal_phash_pairs(),
         "bpe_train": TX.sql_bpe_train(),
+        "bpe_encode": TX.sql_bpe_encode(),
     }

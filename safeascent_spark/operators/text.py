@@ -1561,13 +1561,16 @@ def _bpe_syms(col):
     return F.filter(F.split(col, "  "), lambda x: x != F.lit(""))
 
 
-def q_bpe_train(spark: SparkSession, sf_dir: str,
-                n_merges: int = BPE_MERGES) -> DataFrame:
-    """The first n_merges BPE merges over the corpus: (step, left, right,
-    merged, pair_count)."""
+def _bpe_train_states(spark: SparkSession, sf_dir: str,
+                      n_merges: int = BPE_MERGES):
+    """Run the training loop; return (merge list, final per-word states).
+
+    The states DataFrame is (word, state, n) — the trained tokenizer's
+    segmentation of every distinct corpus word, reused by the encode pass.
+    """
     t = tokens_df(spark, sf_dir)
     wc = (t.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-           .select(_bpe_state0_col().alias("state"), "n"))
+           .select("word", _bpe_state0_col().alias("state"), "n"))
     merges = []
     state = F.col("state")
     for step in range(1, n_merges + 1):
@@ -1593,18 +1596,53 @@ def q_bpe_train(spark: SparkSession, sf_dir: str,
             state,
             F.lit(f" {best['l']}  {best['r']} "),
             F.lit(f" {best['l'] + best['r']} "))
-        wc = wc.select(state.alias("state"), "n")
+        wc = wc.select("word", state.alias("state"), "n")
         state = F.col("state")
+    return merges, wc
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str,
+                n_merges: int = BPE_MERGES) -> DataFrame:
+    """The first n_merges BPE merges over the corpus: (step, lhs, rhs,
+    merged, pair_count)."""
+    merges, _ = _bpe_train_states(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, "
                 "pair_count bigint").orderBy("step")
 
 
-def sql_bpe_train(n_merges: int = BPE_MERGES) -> str:
-    """Chained-CTE mirror: state_k -> pair counts -> argmax -> state_{k+1}."""
+def q_bpe_encode(spark: SparkSession, sf_dir: str,
+                 n_merges: int = BPE_MERGES) -> DataFrame:
+    """Apply the trained tokenizer corpus-wide: per-document BPE token
+    count, chars-per-token in exact ppm.
+
+    Scale shape: encoding happens ONCE PER DISTINCT WORD (the trained
+    per-word segmentations are a vocabulary-grain table broadcast onto the
+    token stream) — the corpus pass is a broadcast join + one map-side-
+    combined per-doc aggregation, never a per-token Python call.  This is
+    how tokenizer application actually scales: the vocabulary is the unit
+    of work, the corpus is the unit of data.
+    """
+    _, states = _bpe_train_states(spark, sf_dir, n_merges)
+    seg = states.select(
+        "word", F.size(_bpe_syms(F.col("state"))).alias("n_syms"))
+    t = tokens_df(spark, sf_dir)
+    return (t.join(F.broadcast(seg), "word")
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                  F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+                  F.expr("(sum(length(word) + 1) * 1000000) "
+                         "div sum(n_syms)").alias("chars_per_tok_ppm"))
+             .orderBy("doc_id"))
+
+
+def _sql_bpe_ctes(n_merges: int = BPE_MERGES) -> str:
+    """Chained-CTE training mirror: state_k -> pair counts -> argmax ->
+    state_{k+1}; states carry the word for the encode pass."""
     parts = [f"""{TOKENS_CTE.strip()},
 state0 AS (
-  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+  SELECT word,
+         '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
          || '{BPE_EOW}' || '  ' AS state,
          count(*) AS n
   FROM tokens GROUP BY word
@@ -1627,13 +1665,36 @@ m{k} AS (
   FROM pc{k} ORDER BY c DESC, l, r LIMIT 1
 ),
 state{k} AS (
-  SELECT replace(st.state, ' ' || m.l || '  ' || m.r || ' ',
+  SELECT st.word,
+         replace(st.state, ' ' || m.l || '  ' || m.r || ' ',
                  ' ' || m.merged || ' ') AS state, st.n
   FROM {prev} st CROSS JOIN m{k} m
 )""")
+    return "WITH " + ",".join(parts)
+
+
+def sql_bpe_train(n_merges: int = BPE_MERGES) -> str:
     selects = " UNION ALL ".join(
         f"SELECT {k} AS step, l AS lhs, r AS rhs, merged, "
         f"CAST(c AS BIGINT) AS pair_count FROM m{k}"
         for k in range(1, n_merges + 1))
-    return ("WITH " + ",".join(parts)
+    return (_sql_bpe_ctes(n_merges)
             + f"\nSELECT * FROM ({selects}) ORDER BY step")
+
+
+def sql_bpe_encode(n_merges: int = BPE_MERGES) -> str:
+    last = f"state{n_merges}"
+    return f"""{_sql_bpe_ctes(n_merges)},
+seg AS (
+  SELECT word,
+         len(list_filter(string_split(state, '  '), x -> x <> '')) AS n_syms
+  FROM {last}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(g.n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(len(t.word) + 1) * 1000000 // sum(g.n_syms) AS BIGINT)
+         AS chars_per_tok_ppm
+FROM tokens t JOIN seg g USING (word)
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""

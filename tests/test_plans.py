@@ -520,3 +520,14 @@ def test_phash_pairs_is_banded_equi_join(spark):
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
     assert plan.count("MapInPandas") >= 2
+
+
+def test_bpe_encode_broadcasts_vocabulary(spark):
+    """Tokenizer application must broadcast the per-word segmentation table
+    onto the token stream (vocabulary-grain unit of work) — no sort-merge
+    join of the corpus against the vocabulary."""
+    from safeascent_spark.operators import text as T
+    plan = plan_of(T.q_bpe_encode(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert n_ops(plan, "SortMergeJoin") == 0, plan[:3000]
+    assert "partial_count" in plan or "partial_sum" in plan
