@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer APPLICATION: per-word segmentations broadcast onto the
         # token stream — encode cost rides the vocabulary, not the corpus
         "bpe_encode": TX.q_bpe_encode,
+        # exact dyadic EWMA (Horner fold over a bounded ROWS frame) — the
+        # oracle-checkable batch sibling of the streaming EMA state op
+        "events_ema": A.q_events_ema,
     }
 
 
@@ -401,4 +404,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_pairs": MM.sql_multimodal_phash_pairs(),
         "bpe_train": TX.sql_bpe_train(),
         "bpe_encode": TX.sql_bpe_encode(),
+        "events_ema": A.sql_events_ema(),
     }

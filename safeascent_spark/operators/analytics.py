@@ -1118,3 +1118,73 @@ spread AS (
 SELECT c.cx, c.cy, c.n, s.n_smooth
 FROM cells c JOIN spread s USING (cx, cy)
 ORDER BY c.cx, c.cy"""
+
+
+# --- Exact dyadic EWMA over per-user event windows ---------------------------
+# The batch, oracle-exact sibling of the streaming EMA state operator
+# (streaming/stateful.py): per user, an exponentially weighted moving
+# average of the last EMA_WINDOW event values with dyadic weights
+# 2^(len-1-i) (most recent heaviest), normalized by 2^len - 1.  Dyadic
+# weights make the whole computation BIGINT-exact — no float recursion,
+# so Spark and DuckDB agree bitwise (the alpha=0.2 float recursion of the
+# streaming form cannot be oracle-checked; this form can).
+#
+# Scale shape: one shuffle on user_id; the ordered window carries a
+# bounded ROWS frame (16), and the weighted sum is a Horner fold
+# (acc*2 + x) over the frame's collected list — JVM-side higher-order
+# function, no UDF, no per-row Python.  Emitting only each user's final
+# row keeps the result |users|-grain.
+
+EMA_WINDOW = 16
+
+
+def q_events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    milli = F.expr("CAST(floor(value * 1000) AS BIGINT)")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-(EMA_WINDOW - 1), 0))
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    rows = (e.select("user_id", "ts", "event_id", milli.alias("v"))
+             .withColumn("arr", F.collect_list("v").over(w))
+             .withColumn("rn", F.row_number().over(wlast))
+             .filter(F.col("rn") == 1))
+    # Horner fold over the frame reversed (most recent first): the i-th
+    # most recent value gets weight 2^(len-1-i); denominator 2^len - 1
+    num = F.expr("aggregate(reverse(arr), 0L, (acc, x) -> acc * 2 + x)")
+    return (rows.select(
+                "user_id",
+                F.size("arr").cast("int").alias("ema_len"),
+                num.alias("ema_num"),
+                F.expr("aggregate(reverse(arr), 0L, (acc, x) -> acc * 2 + x) "
+                       "* 1000000 div (shiftleft(1L, size(arr)) - 1)")
+                 .alias("ema_ppm"))
+                .orderBy("user_id"))
+
+
+def sql_events_ema() -> str:
+    return f"""
+WITH vals AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+framed AS (
+  SELECT user_id,
+         list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {EMA_WINDOW - 1} PRECEDING
+                       AND CURRENT ROW) AS arr,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM vals
+)
+SELECT user_id,
+       CAST(len(arr) AS INT) AS ema_len,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(arr)),
+                        (acc, x) -> acc * 2 + x) AS BIGINT) AS ema_num,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(arr)),
+                        (acc, x) -> acc * 2 + x)
+            * 1000000 // ((CAST(1 AS BIGINT) << len(arr)) - 1) AS BIGINT)
+         AS ema_ppm
+FROM framed WHERE rn = 1
+ORDER BY user_id"""

@@ -225,3 +225,30 @@ def test_bpe_matches_reference_on_overlap_heavy_corpus(spark, tmp_path):
     con.sql("CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{d}/documents.parquet')")
     assert [tuple(r) for r in con.sql(T.sql_bpe_train()).fetchall()] == want
+
+
+def test_events_ema_dyadic_weights(spark, tmp_path):
+    """Hand-checked Horner weighting: values [10, 20, 30] (chronological)
+    -> num = 4*30 + 2*20 + 10 = 170 milli*? ... with milli scaling:
+    v = [10000, 20000, 30000], num = 4*30000 + 2*20000 + 10000 = 170000,
+    denom = 2^3 - 1 = 7, ema_ppm = 170000 * 1e6 // 7."""
+    from safeascent_spark.operators import analytics as A
+    rows = [
+        {"event_id": 1, "ts": 1_000, "user_id": 5, "event_type": "view",
+         "value": 10.0, "props": "{}"},
+        {"event_id": 2, "ts": 2_000, "user_id": 5, "event_type": "view",
+         "value": 20.0, "props": "{}"},
+        {"event_id": 3, "ts": 3_000, "user_id": 5, "event_type": "view",
+         "value": 30.0, "props": "{}"},
+        {"event_id": 4, "ts": 1_500, "user_id": 6, "event_type": "view",
+         "value": 7.0, "props": "{}"},
+    ]
+    d = tmp_path / "ema"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "events.parquet")
+    got = {r.user_id: (r.ema_len, r.ema_num, r.ema_ppm)
+           for r in A.q_events_ema(spark, str(d)).collect()}
+    assert got[5] == (3, 4 * 30000 + 2 * 20000 + 10000,
+                      (170000 * 1_000_000) // 7)
+    # single event: ema == the value exactly
+    assert got[6] == (1, 7000, 7000 * 1_000_000)
