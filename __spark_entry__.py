@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact dyadic EWMA (Horner fold over a bounded ROWS frame) — the
         # oracle-checkable batch sibling of the streaming EMA state op
         "events_ema": A.q_events_ema,
+        # contrastive pair mining: ANN positives + reproducible hash-drawn
+        # negatives (no similarity math on the negative path)
+        "sample_contrastive_pairs": SIM.q_sample_contrastive_pairs,
     }
 
 
@@ -405,4 +408,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": TX.sql_bpe_train(),
         "bpe_encode": TX.sql_bpe_encode(),
         "events_ema": A.sql_events_ema(),
+        "sample_contrastive_pairs": SIM.sql_sample_contrastive_pairs(),
     }

@@ -890,3 +890,80 @@ SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
 FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
 ORDER BY rrf DESC, coalesce(s.doc_id, d.doc_id)
 LIMIT {k}"""
+
+
+# --- Contrastive training-pair mining ----------------------------------------
+# Embedding-model training data: for each query vector, POSITIVES are its
+# exact cosine top-k (hard positives from the already-verified dense leg)
+# and NEGATIVES are a deterministic pseudo-random draw from the rest of
+# the corpus (Knuth multiplicative hash keyed by (query, candidate), so
+# the "random" negatives are reproducible and oracle-checkable — the
+# q_sample_stratified device applied to pair construction).
+
+PAIR_POS_K = 5
+PAIR_NEG_K = 10
+PAIR_KNUTH = 2_654_435_761
+PAIR_QMIX = 1_000_003     # decorrelates the draw across queries
+
+
+def q_sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, is_pos, rnk): top-PAIR_POS_K positives + the
+    PAIR_NEG_K hash-smallest negatives per query.
+
+    Scale shape: positives ride the existing top-k pipeline; negatives
+    need NO similarity computation at all — one corpus projection computes
+    the pair hash, a broadcast anti-join removes the bounded positive set,
+    and a per-query WindowGroupLimit keeps the k hash-smallest.  The
+    exchange carries O(queries x k), not the corpus.
+    """
+    pos = (cosine_topk_df(spark, sf_dir, k=PAIR_POS_K)
+           .select("query_id", F.col("neighbor_id").alias("cand_id"),
+                   F.lit(True).alias("is_pos"),
+                   F.col("rank").alias("rnk")))
+    e = embeddings_df(spark, sf_dir).select("vec_id")
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id")))
+    h = F.expr(f"pmod((cand_id + query_id * {PAIR_QMIX}) * {PAIR_KNUTH}, "
+               f"4294967296)")
+    cand = (e.select(F.col("vec_id").alias("cand_id"))
+             .crossJoin(F.broadcast(q))
+             .filter(F.col("cand_id") != F.col("query_id"))
+             .join(F.broadcast(pos.select("query_id", "cand_id")),
+                   ["query_id", "cand_id"], "left_anti")
+             .withColumn("h", h))
+    wneg = Window.partitionBy("query_id").orderBy("h", "cand_id")
+    neg = (cand.withColumn("rnk", F.row_number().over(wneg))
+               .filter(F.col("rnk") <= PAIR_NEG_K)
+               .select("query_id", "cand_id", F.lit(False).alias("is_pos"),
+                       F.col("rnk").cast("int").alias("rnk")))
+    return (pos.unionByName(neg)
+               .orderBy("query_id", F.col("is_pos").desc(), "rnk"))
+
+
+def sql_sample_contrastive_pairs() -> str:
+    dense = sql_cosine_topk(k=PAIR_POS_K).strip()
+    return f"""
+WITH pos AS (
+  SELECT query_id, neighbor_id AS cand_id, TRUE AS is_pos, rank AS rnk
+  FROM ({dense})
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ((c.vec_id + q.vec_id * {PAIR_QMIX}) * {PAIR_KNUTH})
+           % 4294967296 AS h
+  FROM embeddings c CROSS JOIN (SELECT vec_id FROM embeddings
+                                WHERE vec_id < {N_QUERIES}) q
+  WHERE c.vec_id <> q.vec_id
+    AND NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.query_id = q.vec_id AND p.cand_id = c.vec_id)
+),
+neg AS (
+  SELECT query_id, cand_id, FALSE AS is_pos, CAST(rnk AS INT) AS rnk
+  FROM (SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY h, cand_id) AS rnk
+        FROM cand)
+  WHERE rnk <= {PAIR_NEG_K}
+)
+SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+ORDER BY query_id, is_pos DESC, rnk"""

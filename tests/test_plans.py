@@ -531,3 +531,14 @@ def test_bpe_encode_broadcasts_vocabulary(spark):
     assert "BroadcastHashJoin" in plan
     assert n_ops(plan, "SortMergeJoin") == 0, plan[:3000]
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_contrastive_negatives_need_no_similarity_math(spark):
+    """The negative path must be hash + anti-join + WindowGroupLimit — the
+    positive set comes in as a broadcast, and the only per-element array
+    math in the plan belongs to the positive (cosine) leg."""
+    from safeascent_spark.operators import similarity as S
+    plan = plan_of(S.q_sample_contrastive_pairs(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert n_ops(plan, "SortMergeJoin") == 0, plan[:3000]
