@@ -274,6 +274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contrastive pair mining: ANN positives + reproducible hash-drawn
         # negatives (no similarity math on the negative path)
         "sample_contrastive_pairs": SIM.q_sample_contrastive_pairs,
+        # MOSS winnowing fingerprints: guaranteed detection of shared
+        # substrings >= W+K-1 tokens at ~n/W stored hashes per doc
+        "text_winnowing": D.q_text_winnowing,
+        # winnowing overlap pairs via the fingerprint inverted index,
+        # hot-fingerprint df cap (the Jaccard anti-join cure)
+        "winnowing_pairs": D.q_winnowing_pairs,
     }
 
 
@@ -411,4 +417,6 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": TX.sql_bpe_encode(),
         "events_ema": A.sql_events_ema(),
         "sample_contrastive_pairs": SIM.sql_sample_contrastive_pairs(),
+        "text_winnowing": D.sql_text_winnowing(),
+        "winnowing_pairs": D.sql_winnowing_pairs(),
     }

@@ -1085,3 +1085,139 @@ FROM sized
 WHERE n_common * {CONTAIN_DEN}
       >= {CONTAIN_NUM} * (CASE WHEN small_is_a THEN n_a ELSE n_b END)
 ORDER BY doc_small, doc_big"""
+
+
+# --- Winnowing fingerprints (MOSS; Schleimer, Wilkerson & Aiken 2003) --------
+# Robust local fingerprinting: hash every k-gram, slide a window of
+# WINNOW_W hashes over each document, keep the window minimum (rightmost
+# on ties).  The guarantee the shingle/minhash family lacks: any shared
+# substring of length >= WINNOW_W + WINNOW_K - 1 tokens is DETECTED (some
+# fingerprint of it is selected in both documents), while the stored set
+# is ~n/W per document.  Pairs sharing >= WINNOW_MIN_SHARED fingerprints
+# are overlap candidates.
+#
+# Scale shape: everything per-document is higher-order array work inside
+# one projection (no self-joins on positions); the pair stage is the
+# inverted-index equi-join on fingerprint value with the MAX_SHINGLE_DF
+# hot-value cap (a fingerprint shared by k docs emits C(k,2) rows — same
+# quadratic-blowup argument, same anti-join cure, as n-gram Jaccard).
+# The O(n*W) slide (vs O(n) monotone deque) is the documented trade-off
+# for staying in JVM Column expressions; W is a small constant.
+
+WINNOW_K = 3            # k-gram width (tokens)
+WINNOW_W = 4            # winnowing window (hashes)
+WINNOW_B = 1009         # polynomial base over word ids
+WINNOW_P = 1_000_003    # modulus
+WINNOW_MIN_SHARED = 2   # pair threshold
+
+
+def _winnow_fp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, fp): the selected winnowing fingerprints per doc."""
+    d = T.docs_df(spark, sf_dir)
+    v = T.vocab_df(spark, sf_dir)
+    words = (d.select("doc_id", F.posexplode(F.split(F.col("text"), " ")))
+               .withColumnRenamed("col", "word")
+               .filter(F.col("word") != ""))
+    arrs = (words.join(F.broadcast(v), "word")
+                 .groupBy("doc_id")
+                 .agg(F.expr("transform(sort_array(collect_list("
+                             "struct(pos, wid))), s -> CAST(s.wid AS BIGINT))")
+                       .alias("w")))
+    k, W, B, P = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_P
+    kh = (f"CASE WHEN size(w) >= {k} THEN "
+          f"transform(sequence(1, size(w) - {k - 1}), p -> "
+          f"(element_at(w, p) * {B * B} + element_at(w, p + 1) * {B} "
+          f"+ element_at(w, p + 2)) % {P}) "
+          f"ELSE CAST(array() AS array<bigint>) END")
+    # window starts: 1..m-W+1 (or the single whole-array window when m < W)
+    sel = (f"CASE WHEN size(kh) = 0 THEN "
+           f"CAST(array() AS array<struct<pos: int, fp: bigint>>) ELSE "
+           f"transform(sequence(1, greatest(size(kh) - {W - 1}, 1)), s -> "
+           f"named_struct("
+           f"'pos', CAST(array_max(filter(sequence(s, "
+           f"least(s + {W - 1}, size(kh))), p -> element_at(kh, p) = "
+           f"array_min(slice(kh, s, {W})))) AS INT), "
+           f"'fp', array_min(slice(kh, s, {W})))) END")
+    return (arrs.withColumn("kh", F.expr(kh))
+                .select("doc_id", F.explode_outer(F.expr(sel)).alias("s"))
+                .filter(F.col("s").isNotNull())
+                .select("doc_id", F.col("s.pos").alias("pos"),
+                        F.col("s.fp").alias("fp"))
+                .distinct())
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the fingerprint rows (doc_id, pos, fp)."""
+    return _winnow_fp_df(spark, sf_dir).orderBy("doc_id", "pos")
+
+
+def _sql_winnow_cte() -> str:
+    k, W, B, P = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_P
+    return f"""{T.TOKENS_CTE.strip()},
+{T.VOCAB_CTE.strip()},
+warr AS (
+  SELECT t.doc_id, list(CAST(v.wid AS BIGINT) ORDER BY t.pos) AS w
+  FROM (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, 100000)) AS u(i)
+        WHERE i <= len(ws) AND ws[i] <> '') t
+  JOIN vocab v ON t.word = v.word
+  GROUP BY t.doc_id
+),
+kharr AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {k} THEN
+           list_transform(range(1, len(w) - {k - 1} + 1), p ->
+             (w[p] * {B * B} + w[p + 1] * {B} + w[p + 2]) % {P})
+         ELSE CAST([] AS BIGINT[]) END AS kh
+  FROM warr
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         CAST(list_max(list_filter(range(s, least(s + {W - 1}, len(kh)) + 1),
+                p -> kh[p] = list_min(kh[s:least(s + {W - 1}, len(kh))])))
+              AS INT) AS pos,
+         list_min(kh[s:least(s + {W - 1}, len(kh))]) AS fp
+  FROM (SELECT doc_id, kh,
+               unnest(generate_series(1, greatest(len(kh) - {W - 1}, 1))) AS s
+        FROM kharr WHERE len(kh) > 0)
+)"""
+
+
+def sql_text_winnowing() -> str:
+    return f"""
+WITH {_sql_winnow_cte().strip()}
+SELECT doc_id, pos, fp FROM fps ORDER BY doc_id, pos"""
+
+
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-candidate pairs sharing >= WINNOW_MIN_SHARED fingerprint
+    VALUES, with the hot-fingerprint df cap (anti-join) applied first."""
+    fp = _winnow_fp_df(spark, sf_dir).select("doc_id", "fp").distinct()
+    hot = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") > MAX_SHINGLE_DF)
+             .select("fp"))
+    cold = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+             .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+             .orderBy("doc_a", "doc_b"))
+
+
+def sql_winnowing_pairs() -> str:
+    return f"""
+WITH {_sql_winnow_cte().strip()},
+vals AS (SELECT DISTINCT doc_id, fp FROM fps),
+hot AS (SELECT fp FROM vals GROUP BY fp
+        HAVING count(*) > {MAX_SHINGLE_DF}),
+cold AS (SELECT * FROM vals WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS INT) AS n_shared
+FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b"""

@@ -542,3 +542,14 @@ def test_contrastive_negatives_need_no_similarity_math(spark):
     assert "WindowGroupLimit" in plan
     assert plan.count("BroadcastExchange") >= 2
     assert n_ops(plan, "SortMergeJoin") == 0, plan[:3000]
+
+
+def test_winnowing_pairs_is_capped_equi_join(spark):
+    """Pair candidates must ride the fingerprint equi-join with the
+    hot-value broadcast anti-join applied first; no cartesian, no
+    position self-joins."""
+    from safeascent_spark.operators import dedup as D
+    plan = plan_of(D.q_winnowing_pairs(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "partial_count" in plan

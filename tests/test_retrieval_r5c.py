@@ -252,3 +252,33 @@ def test_events_ema_dyadic_weights(spark, tmp_path):
                       (170000 * 1_000_000) // 7)
     # single event: ema == the value exactly
     assert got[6] == (1, 7000, 7000 * 1_000_000)
+
+
+def test_winnowing_detection_guarantee(spark, tmp_path):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a token run of length >= W + K - 1 (= 6 here) MUST share at
+    least one selected fingerprint.  Documents with no common k-gram must
+    share none."""
+    from safeascent_spark.operators import dedup as D
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 tokens = W+K-1
+    rows = [
+        {"doc_id": 1, "text": f"one two {shared} three four",
+         "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": f"five six seven {shared} eight",
+         "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": "nine ten eleven twelve thirteen fourteen",
+         "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    d = tmp_path / "winnow"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    fps = {}
+    for r in D.q_text_winnowing(spark, str(d)).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+    # storage bound: selected fingerprints <= k-gram count
+    for did, s in fps.items():
+        n_toks = len(rows[did - 1]["text"].split())
+        assert len(s) <= n_toks - D.WINNOW_K + 1
