@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnowing overlap pairs via the fingerprint inverted index,
         # hot-fingerprint df cap (the Jaccard anti-join cure)
         "winnowing_pairs": D.q_winnowing_pairs,
+        # audio frame-energy features from REAL decoded PCM (Arrow stage
+        # emits frame-grain rows); exact-integer energies vs the oracle
+        "multimodal_wav_energy": MM.q_multimodal_wav_energy,
     }
 
 
@@ -419,4 +422,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_contrastive_pairs": SIM.sql_sample_contrastive_pairs(),
         "text_winnowing": D.sql_text_winnowing(),
         "winnowing_pairs": D.sql_winnowing_pairs(),
+        "multimodal_wav_energy": MM.sql_multimodal_wav_energy(),
     }

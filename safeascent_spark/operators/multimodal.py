@@ -727,3 +727,96 @@ FROM hashes a JOIN hashes b
   ON a.media_id < b.media_id AND ({anyband})
 WHERE {ham} <= {PHASH_HAMMING_MAX}
 ORDER BY media_a, media_b"""
+
+
+# --- Audio frame-energy features ---------------------------------------------
+# The audio-pipeline feature pass (VAD/silence-gating precursor): frame
+# the decoded PCM stream and emit per-frame energy statistics.  Like the
+# image aHash, the features come from REAL decoded samples inside the
+# Arrow stage (struct.unpack + numpy framing), while the oracle rebuilds
+# them from the generative rule sample_i = ((seed + 7i) % 2048) - 1024.
+# Energy = sum of squared samples per frame — exact BIGINTs end to end.
+
+WAV_FRAME = 64
+
+
+def decode_wav_samples(payload: bytes) -> list[int]:
+    """Like decode_wav but returning the PCM samples themselves."""
+    import struct as _struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos:pos + 4]
+        ln = _struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if typ == b"data":
+            data = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    if data is None:
+        raise ValueError("missing data chunk")
+    n = len(data) // 2
+    return list(_struct.unpack(f"<{n}h", data))
+
+
+WAV_ENERGY_SCHEMA = ("media_id long, frame_idx int, n_in_frame int, "
+                     "energy long, peak_abs int")
+
+
+def extract_wav_energy(media: DataFrame, frame: int = WAV_FRAME) -> DataFrame:
+    """mapInPandas: real decode -> frame-grain energy rows (the Python
+    stage emits the exploded frame rows directly — no second explode)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, fidx, nin, eng, peak = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                s = np.asarray(decode_wav_samples(p), dtype=np.int64)
+                for f in range(0, len(s), frame):
+                    seg = s[f:f + frame]
+                    mids.append(mid)
+                    fidx.append(f // frame)
+                    nin.append(len(seg))
+                    eng.append(int((seg * seg).sum()))
+                    peak.append(int(np.abs(seg).max()))
+            yield pd.DataFrame({
+                "media_id": mids, "frame_idx": fidx, "n_in_frame": nin,
+                "energy": eng, "peak_abs": peak,
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, WAV_ENERGY_SCHEMA)
+
+
+def q_multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (extract_wav_energy(wav_media_df(spark, sf_dir))
+            .orderBy("media_id", "frame_idx"))
+
+
+def sql_multimodal_wav_energy() -> str:
+    f = WAV_FRAME
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         200 + n_chars % 300 AS n_samples,
+         doc_id AS seed
+  FROM documents
+),
+samp AS (
+  SELECT media_id,
+         unnest(generate_series(0, n_samples - 1)) AS i,
+         seed
+  FROM dims
+),
+vals AS (
+  SELECT media_id, i // {f} AS frame_idx,
+         ((seed + 7 * i) % 2048) - 1024 AS v
+  FROM samp
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(count(*) AS INT) AS n_in_frame,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(max(abs(v)) AS INT) AS peak_abs
+FROM vals
+GROUP BY media_id, frame_idx
+ORDER BY media_id, frame_idx"""

