@@ -283,6 +283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio frame-energy features from REAL decoded PCM (Arrow stage
         # emits frame-grain rows); exact-integer energies vs the oracle
         "multimodal_wav_energy": MM.q_multimodal_wav_energy,
+        # retrieval eval harness: LSH-ANN vs exact ground truth —
+        # recall@k / MRR as exact ppm ints, eval cost corpus-independent
+        "search_eval_metrics": SIM.q_search_eval_metrics,
     }
 
 
@@ -423,4 +426,5 @@ def oracle_sql() -> dict[str, str]:
         "text_winnowing": D.sql_text_winnowing(),
         "winnowing_pairs": D.sql_winnowing_pairs(),
         "multimodal_wav_energy": MM.sql_multimodal_wav_energy(),
+        "search_eval_metrics": SIM.sql_search_eval_metrics(),
     }

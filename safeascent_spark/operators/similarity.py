@@ -967,3 +967,75 @@ neg AS (
 )
 SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
 ORDER BY query_id, is_pos DESC, rnk"""
+
+
+# --- Retrieval evaluation metrics --------------------------------------------
+# The eval harness every ANN variant needs: per query, compare an
+# APPROXIMATE top-k list (here the LSH-bucketed variant) against the
+# exact cosine ground truth — recall@k, MRR and first-hit rank as exact
+# ppm integers (no float metric math, so the oracle is bitwise).
+#   recall_ppm = |approx ∩ exact| * 1e6 div k
+#   mrr_ppm    = 1e6 div (rank in APPROX list of the best exact hit), 0 if none
+
+def q_search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query: recall@k and MRR of q_ann_lsh against cosine_topk_df.
+
+    Scale shape: both inputs are k-row-per-query bounded frames (their
+    own pipelines carry the scale story); the metric join is
+    O(queries x k) with a per-query aggregate — evaluation cost is
+    independent of corpus size.
+    """
+    exact = (cosine_topk_df(spark, sf_dir)
+             .select("query_id", F.col("neighbor_id").alias("nid"),
+                     F.col("rank").alias("exact_rank")))
+    approx = (q_ann_lsh(spark, sf_dir)
+              .select("query_id", F.col("neighbor_id").alias("nid"),
+                      F.col("rank").alias("approx_rank")))
+    hits = exact.join(approx, ["query_id", "nid"])
+    per_q = (hits.groupBy("query_id")
+                 .agg(F.count(F.lit(1)).alias("n_hits"),
+                      F.min(F.when(F.col("exact_rank") == 1,
+                                   F.col("approx_rank"))).alias("first_rank")))
+    qids = (embeddings_df(spark, sf_dir)
+            .filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id")))
+    return (qids.join(per_q, "query_id", "left")
+                .select(
+                    "query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+                    F.expr(f"coalesce(n_hits, 0) * 1000000 div {TOP_K}")
+                     .alias("recall_ppm"),
+                    F.expr("CASE WHEN first_rank IS NULL THEN 0 "
+                           "ELSE 1000000 div first_rank END")
+                     .cast("bigint").alias("mrr_ppm"))
+                .orderBy("query_id"))
+
+
+def sql_search_eval_metrics() -> str:
+    exact = sql_cosine_topk().strip()
+    approx = sql_ann_lsh().strip()
+    return f"""
+WITH exact_l AS (
+  SELECT query_id, neighbor_id AS nid, rank AS exact_rank FROM ({exact})
+),
+approx_l AS (
+  SELECT query_id, neighbor_id AS nid, rank AS approx_rank FROM ({approx})
+),
+hits AS (
+  SELECT e.query_id, e.nid, e.exact_rank, a.approx_rank
+  FROM exact_l e JOIN approx_l a USING (query_id, nid)
+),
+per_q AS (
+  SELECT query_id, count(*) AS n_hits,
+         min(CASE WHEN exact_rank = 1 THEN approx_rank END) AS first_rank
+  FROM hits GROUP BY query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(p.n_hits, 0) AS INT) AS n_hits,
+       CAST(coalesce(p.n_hits, 0) * 1000000 // {TOP_K} AS BIGINT)
+         AS recall_ppm,
+       CAST(CASE WHEN p.first_rank IS NULL THEN 0
+                 ELSE 1000000 // p.first_rank END AS BIGINT) AS mrr_ppm
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) q
+LEFT JOIN per_q p ON p.query_id = q.vec_id
+ORDER BY query_id"""

@@ -301,3 +301,26 @@ def test_wav_energy_matches_stdlib_wave_reader(spark):
     # frame 0 energy from stdlib samples == our extractor's arithmetic
     seg = samples[:M.WAV_FRAME]
     assert sum(v * v for v in seg) == sum(v * v for v in ours[:M.WAV_FRAME])
+
+
+def test_search_eval_metrics_consistency(spark):
+    """Recall/MRR must be consistent with a direct recomputation from the
+    two top-k lists."""
+    from safeascent_spark.operators import similarity as S2
+    exact = {}
+    for r in S2.cosine_topk_df(spark, SF_ORACLE).collect():
+        exact.setdefault(r.query_id, {})[r.neighbor_id] = r.rank
+    approx = {}
+    for r in S2.q_ann_lsh(spark, SF_ORACLE).collect():
+        approx.setdefault(r.query_id, {})[r.neighbor_id] = r.rank
+    for row in S2.q_search_eval_metrics(spark, SF_ORACLE).collect():
+        ex = exact.get(row.query_id, {})
+        ap = approx.get(row.query_id, {})
+        inter = set(ex) & set(ap)
+        assert row.n_hits == len(inter)
+        assert row.recall_ppm == len(inter) * 1_000_000 // S2.TOP_K
+        best = [n for n, rk in ex.items() if rk == 1]
+        if best and best[0] in ap:
+            assert row.mrr_ppm == 1_000_000 // ap[best[0]]
+        else:
+            assert row.mrr_ppm == 0
