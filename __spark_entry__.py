@@ -286,6 +286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval eval harness: LSH-ANN vs exact ground truth —
         # recall@k / MRR as exact ppm ints, eval cost corpus-independent
         "search_eval_metrics": SIM.q_search_eval_metrics,
+        # multinomial NB lang classifier: integer micro-nat model weights
+        # -> exact BIGINT score sums -> deterministic argmax + confusion
+        "text_nb_confusion": TX.q_text_nb_confusion,
     }
 
 
@@ -427,4 +430,5 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_pairs": D.sql_winnowing_pairs(),
         "multimodal_wav_energy": MM.sql_multimodal_wav_energy(),
         "search_eval_metrics": SIM.sql_search_eval_metrics(),
+        "text_nb_confusion": TX.sql_text_nb_confusion(),
     }

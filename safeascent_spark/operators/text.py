@@ -1698,3 +1698,114 @@ SELECT t.doc_id,
 FROM tokens t JOIN seg g USING (word)
 GROUP BY t.doc_id
 ORDER BY t.doc_id"""
+
+
+# --- Naive Bayes language classifier (train + predict + confusion) -----------
+# A trainable bag-of-words classifier over the corpus's own labels: Laplace-
+# smoothed multinomial NB, P(w|lang) = (c_lw + 1)/(tok_l + V).  The
+# determinism trick: log-weights are floored to INTEGER micro-nats ONCE per
+# (word, lang) model cell — floor(1e6 * ln(exact rational)) — and every
+# aggregation after that is exact BIGINT arithmetic, so the per-document
+# score sums are order-independent and bitwise identical across engines
+# (a stronger contract than the round-after-summing convention of
+# unigram/TF-IDF/BM25: float noise is confined to |vocab| x |langs|
+# bounded model cells, never to data-sized sums).
+#
+# Scale shape: the model is two aggregates (lang x word counts, lang
+# totals) joined on a vocab x langs grid — vocabulary-bounded, broadcast
+# back; scoring is tf-table x model broadcast join + one exact-integer
+# groupBy per (doc, lang); argmax is a per-doc WindowGroupLimit.
+
+def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample NB lang prediction confusion matrix:
+    (lang_actual, lang_pred, n_docs)."""
+    d = docs_df(spark, sf_dir)
+    t = tokens_df(spark, sf_dir)
+    vsize = t.select("word").distinct().count()     # bounded driver scalar
+    langs = (d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs_l")))
+    total_docs = d.count()
+    tok_l = (t.join(d.select("doc_id", "lang"), "doc_id")
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("tok_l")))
+    c_lw = (t.join(d.select("doc_id", "lang"), "doc_id")
+             .groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c")))
+    vocab = t.select("word").distinct()
+    grid = vocab.crossJoin(F.broadcast(
+        langs.join(tok_l, "lang").select("lang", "tok_l")))
+    model = (grid.join(c_lw, ["lang", "word"], "left")
+                 .select("lang", "word",
+                         F.floor(F.lit(1e6) * F.log(
+                             (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                             / (F.col("tok_l") + F.lit(float(vsize)))))
+                          .cast("bigint").alias("w_int")))
+    prior = langs.select(
+        "lang",
+        F.floor(F.lit(1e6) * F.log(F.col("n_docs_l")
+                                   / F.lit(float(total_docs))))
+         .cast("bigint").alias("prior_int"))
+    tf = t.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    scores = (tf.join(F.broadcast(model), "word")
+                .groupBy("doc_id", "lang")
+                .agg(F.sum(F.col("tf") * F.col("w_int")).alias("ll"))
+                .join(F.broadcast(prior), "lang")
+                .select("doc_id", "lang",
+                        (F.col("ll") + F.col("prior_int")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang"))
+    pred = (scores.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("doc_id", F.col("lang").alias("lang_pred")))
+    return (d.select("doc_id", F.col("lang").alias("lang_actual"))
+             .join(pred, "doc_id")
+             .groupBy("lang_actual", "lang_pred")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+             .orderBy("lang_actual", "lang_pred"))
+
+
+def sql_text_nb_confusion() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()},
+labeled AS (
+  SELECT t.doc_id, t.word, d.lang
+  FROM tokens t JOIN documents d USING (doc_id)
+),
+vstat AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM tokens),
+dstat AS (SELECT CAST(count(*) AS DOUBLE) AS total_docs FROM documents),
+langs AS (SELECT lang, count(*) AS n_docs_l FROM documents GROUP BY lang),
+tokl AS (SELECT lang, count(*) AS tok_l FROM labeled GROUP BY lang),
+clw AS (SELECT lang, word, count(*) AS c FROM labeled GROUP BY lang, word),
+vocab AS (SELECT DISTINCT word FROM tokens),
+model AS (
+  SELECT g.lang, g.word,
+         CAST(floor(1000000.0 * ln((coalesce(c.c, 0) + 1.0)
+                                   / (g.tok_l + s.v))) AS BIGINT) AS w_int
+  FROM (SELECT v.word, l.lang, tl.tok_l
+        FROM vocab v CROSS JOIN langs l JOIN tokl tl ON l.lang = tl.lang) g
+  LEFT JOIN clw c ON c.lang = g.lang AND c.word = g.word
+  CROSS JOIN vstat s
+),
+prior AS (
+  SELECT l.lang,
+         CAST(floor(1000000.0 * ln(l.n_docs_l / d.total_docs)) AS BIGINT)
+           AS prior_int
+  FROM langs l CROSS JOIN dstat d
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY doc_id, word),
+scores AS (
+  SELECT t.doc_id, m.lang, sum(t.tf * m.w_int) + any_value(p.prior_int)
+           AS score
+  FROM tf t JOIN model m USING (word) JOIN prior p ON p.lang = m.lang
+  GROUP BY t.doc_id, m.lang
+),
+pred AS (
+  SELECT doc_id, lang AS lang_pred
+  FROM (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM scores)
+  WHERE rn = 1
+)
+SELECT d.lang AS lang_actual, p.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+ORDER BY lang_actual, lang_pred"""

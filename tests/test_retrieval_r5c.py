@@ -324,3 +324,24 @@ def test_search_eval_metrics_consistency(spark):
             assert row.mrr_ppm == 1_000_000 // ap[best[0]]
         else:
             assert row.mrr_ppm == 0
+
+
+def test_nb_classifier_learns_separable_corpus(spark, tmp_path):
+    """On a corpus where each language has its own dominant vocabulary the
+    NB prediction must be a perfect diagonal."""
+    mk = lambda i, txt, lang: {"doc_id": i, "text": txt, "lang": lang,
+                               "source": "s", "n_chars": len(txt)}
+    rows = [
+        mk(1, "hund katze maus hund katze", "de"),
+        mk(2, "katze hund maus maus hund", "de"),
+        mk(3, "dog cat mouse dog cat", "en"),
+        mk(4, "cat dog mouse mouse dog", "en"),
+        mk(5, "perro gato raton perro gato", "es"),
+        mk(6, "gato perro raton raton perro", "es"),
+    ]
+    d = tmp_path / "nb"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    got = [(r.lang_actual, r.lang_pred, r.n_docs)
+           for r in T.q_text_nb_confusion(spark, str(d)).collect()]
+    assert got == [("de", "de", 2), ("en", "en", 2), ("es", "es", 2)], got
