@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multinomial NB lang classifier: integer micro-nat model weights
         # -> exact BIGINT score sums -> deterministic argmax + confusion
         "text_nb_confusion": TX.q_text_nb_confusion,
+        # Laplace bigram LM: integer micro-bit model cells -> exact
+        # BIGINT per-doc sums (same determinism convention as NB)
+        "text_bigram_lm": TX.q_text_bigram_lm,
     }
 
 
@@ -431,4 +434,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_wav_energy": MM.sql_multimodal_wav_energy(),
         "search_eval_metrics": SIM.sql_search_eval_metrics(),
         "text_nb_confusion": TX.sql_text_nb_confusion(),
+        "text_bigram_lm": TX.sql_text_bigram_lm(),
     }

@@ -1809,3 +1809,84 @@ SELECT d.lang AS lang_actual, p.lang_pred,
 FROM documents d JOIN pred p USING (doc_id)
 GROUP BY d.lang, p.lang_pred
 ORDER BY lang_actual, lang_pred"""
+
+
+# --- Bigram language model (Laplace-smoothed conditional bits) ---------------
+# The bigram upgrade of q_text_unigram_lm: score each document by the mean
+# -log2 P(w2 | w1) under the corpus's own Laplace-smoothed bigram model,
+# P(w2|w1) = (c12 + 1) / (c1 + V).  Uses the NB-classifier determinism
+# convention: bits floor to integer MICRO-BITS once per model cell (bounded
+# |bigram vocab| float sites), then every per-document aggregate is exact
+# BIGINT — order-independent across engines.
+#
+# Scale shape: the bigram model is a (w1, w2)-grain aggregate (bounded by
+# observed bigram vocabulary, far smaller than the corpus) broadcast onto
+# the per-doc bigram stream; two map-side-combined shuffles total.
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_df(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    pairs = F.expr(
+        "CASE WHEN size(toks) > 1 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS w1, "
+        "element_at(toks, i + 1) AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END")
+    return (d.select("doc_id", toks.alias("toks"))
+             .select("doc_id", F.explode(pairs).alias("p"))
+             .select("doc_id", F.col("p.w1").alias("w1"),
+                     F.col("p.w2").alias("w2")))
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens_df(spark, sf_dir)
+    vsize = t.select("word").distinct().count()     # bounded driver scalar
+    bg = _doc_bigrams(spark, sf_dir)
+    c1 = t.groupBy(F.col("word").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    model = (c12.join(F.broadcast(c1), "w1")
+                .select("w1", "w2",
+                        F.floor(F.lit(-1e6) * F.log2(
+                            (F.col("c12") + F.lit(1.0))
+                            / (F.col("c1") + F.lit(float(vsize)))))
+                         .cast("bigint").alias("bits_micro")))
+    return (bg.join(F.broadcast(model), ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                   F.sum("bits_micro").alias("bits_sum_micro"))
+              .select("doc_id", "n_bigrams", "bits_sum_micro",
+                      F.expr("bits_sum_micro div n_bigrams")
+                       .alias("bits_per_bigram_micro"))
+              .orderBy("doc_id"))
+
+
+def sql_text_bigram_lm() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()},
+vstat AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM tokens),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) > 1)
+),
+c1 AS (SELECT word AS w1, count(*) AS c1 FROM tokens GROUP BY word),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+model AS (
+  SELECT m.w1, m.w2,
+         CAST(floor(-1000000.0 * log2((m.c12 + 1.0) / (u.c1 + s.v)))
+              AS BIGINT) AS bits_micro
+  FROM c12 m JOIN c1 u USING (w1) CROSS JOIN vstat s
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(m.bits_micro) AS BIGINT) AS bits_sum_micro,
+       CAST(sum(m.bits_micro) // count(*) AS BIGINT)
+         AS bits_per_bigram_micro
+FROM bg b JOIN model m USING (w1, w2)
+GROUP BY b.doc_id
+ORDER BY b.doc_id"""
