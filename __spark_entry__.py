@@ -292,6 +292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Laplace bigram LM: integer micro-bit model cells -> exact
         # BIGINT per-doc sums (same determinism convention as NB)
         "text_bigram_lm": TX.q_text_bigram_lm,
+        # c-TF-IDF distinctive terms per source (BERTopic-style), integer
+        # micro-nat idf -> exact BIGINT ranking
+        "text_ctfidf_topk": TX.q_text_ctfidf_topk,
+        # duplicate-provenance flow: near-dup pair mass by source pair
+        "dedup_source_flow": D.q_dedup_source_flow,
     }
 
 
@@ -435,4 +440,6 @@ def oracle_sql() -> dict[str, str]:
         "search_eval_metrics": SIM.sql_search_eval_metrics(),
         "text_nb_confusion": TX.sql_text_nb_confusion(),
         "text_bigram_lm": TX.sql_text_bigram_lm(),
+        "text_ctfidf_topk": TX.sql_text_ctfidf_topk(),
+        "dedup_source_flow": D.sql_dedup_source_flow(),
     }

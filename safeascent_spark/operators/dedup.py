@@ -1221,3 +1221,48 @@ FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= {WINNOW_MIN_SHARED}
 ORDER BY doc_a, doc_b"""
+
+
+# --- Duplicate-provenance flow matrix ----------------------------------------
+# "Which sources duplicate into which": over the MinHash-LSH near-dup
+# pairs, count pair endpoints by (lower-doc source -> higher-doc source,
+# normalized so the pair key is orderless source-pair).  The provenance
+# view a curation run reports alongside raw dedup counts — mirror-heavy
+# source pairs jump out as off-diagonal mass.  (Exact md5 groups are empty
+# on this corpus — near-dup pairs are the populated grain.)
+#
+# Scale shape: rides the existing LSH pair pipeline (band equi-joins);
+# the flow itself is one broadcast source-lookup join per side + a tiny
+# |sources|^2 aggregate.
+
+def q_dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    src = T.docs_df(spark, sf_dir).select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("source_b"))
+    flowed = (pairs.join(F.broadcast(sa), "doc_a")
+                   .join(F.broadcast(sb), "doc_b")
+                   .select(F.least("source_a", "source_b").alias("source_lo"),
+                           F.greatest("source_a", "source_b")
+                            .alias("source_hi")))
+    return (flowed.groupBy("source_lo", "source_hi")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+                  .orderBy("source_lo", "source_hi"))
+
+
+def sql_dedup_source_flow() -> str:
+    pairs = sql_dedup_minhash_lsh().strip()
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs})
+)
+SELECT least(sa.source, sb.source) AS source_lo,
+       greatest(sa.source, sb.source) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents sa ON sa.doc_id = p.doc_a
+JOIN documents sb ON sb.doc_id = p.doc_b
+GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+ORDER BY source_lo, source_hi"""

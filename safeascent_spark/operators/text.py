@@ -1890,3 +1890,68 @@ SELECT b.doc_id,
 FROM bg b JOIN model m USING (w1, w2)
 GROUP BY b.doc_id
 ORDER BY b.doc_id"""
+
+
+# --- Class-based TF-IDF: distinctive terms per source ------------------------
+# BERTopic-style c-TF-IDF: score(w, class) = tf_{w,class} * idf_w with
+# idf_w = ln(1 + N_docs / df_w) — surfaces each source's characteristic
+# vocabulary.  Integer determinism convention: idf floors once per word
+# to micro-nats; scores are then exact BIGINT products ranked per class
+# by WindowGroupLimit.
+
+CTFIDF_TOP_K = 5
+
+
+def q_text_ctfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_df(spark, sf_dir)
+    t = tokens_df(spark, sf_dir)
+    n_docs = d.count()                                 # bounded scalar
+    df_w = (t.select("doc_id", "word").distinct()
+             .groupBy("word").agg(F.count(F.lit(1)).alias("df")))
+    idf = df_w.select(
+        "word",
+        F.floor(F.lit(1e6) * F.log(F.lit(1.0)
+                                   + F.lit(float(n_docs)) / F.col("df")))
+         .cast("bigint").alias("idf_micro"))
+    tf_sc = (t.join(d.select("doc_id", "source"), "doc_id")
+              .groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf")))
+    scored = (tf_sc.join(F.broadcast(idf), "word")
+                   .select("source", "word",
+                           (F.col("tf") * F.col("idf_micro"))
+                            .alias("score_micro")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_micro").desc(), F.col("word"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= CTFIDF_TOP_K)
+                  .select("source", F.col("rnk").cast("int").alias("rnk"),
+                          "word", "score_micro")
+                  .orderBy("source", "rnk"))
+
+
+def sql_text_ctfidf_topk() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()},
+nstat AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfw AS (
+  SELECT word, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM tokens) GROUP BY word
+),
+idf AS (
+  SELECT word, CAST(floor(1000000.0 * ln(1.0 + s.n_docs / df)) AS BIGINT)
+           AS idf_micro
+  FROM dfw CROSS JOIN nstat s
+),
+tfsc AS (
+  SELECT d.source, t.word, count(*) AS tf
+  FROM tokens t JOIN documents d USING (doc_id)
+  GROUP BY d.source, t.word
+)
+SELECT source, CAST(rnk AS INT) AS rnk, word, score_micro
+FROM (
+  SELECT f.source, f.word, f.tf * i.idf_micro AS score_micro,
+         row_number() OVER (PARTITION BY f.source
+                            ORDER BY f.tf * i.idf_micro DESC, f.word) AS rnk
+  FROM tfsc f JOIN idf i USING (word)
+)
+WHERE rnk <= {CTFIDF_TOP_K}
+ORDER BY source, rnk"""
