@@ -1569,8 +1569,12 @@ def _bpe_train_states(spark: SparkSession, sf_dir: str,
     segmentation of every distinct corpus word, reused by the encode pass.
     """
     t = tokens_df(spark, sf_dir)
+    # cache the vocabulary-grain seed: without it every round's action
+    # replays the CORPUS scan + groupBy through the growing replace
+    # lineage (6 corpus passes instead of 1 at sf1)
     wc = (t.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-           .select("word", _bpe_state0_col().alias("state"), "n"))
+           .select("word", _bpe_state0_col().alias("state"), "n")
+           .cache())
     merges = []
     state = F.col("state")
     for step in range(1, n_merges + 1):
