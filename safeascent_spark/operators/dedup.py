@@ -1242,8 +1242,12 @@ def q_dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("source").alias("source_a"))
     sb = src.select(F.col("doc_id").alias("doc_b"),
                     F.col("source").alias("source_b"))
-    flowed = (pairs.join(F.broadcast(sa), "doc_a")
-                   .join(F.broadcast(sb), "doc_b")
+    # NO broadcast hint on the source lookups: the docs projection is
+    # corpus-sized, so at scale these are shuffle equi-joins keyed by the
+    # (bounded) pair side; AQE still broadcasts when the projection is
+    # actually small (it is at test SFs).
+    flowed = (pairs.join(sa, "doc_a")
+                   .join(sb, "doc_b")
                    .select(F.least("source_a", "source_b").alias("source_lo"),
                            F.greatest("source_a", "source_b")
                             .alias("source_hi")))
