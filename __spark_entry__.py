@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ctfidf_topk": TX.q_text_ctfidf_topk,
         # duplicate-provenance flow: near-dup pair mass by source pair
         "dedup_source_flow": D.q_dedup_source_flow,
+        # F8 geofencing: integer-exact ray-casting polygon containment —
+        # one codegen'd projection, no joins, division-free
+        "f8_polygon_filter": R.q_polygon_filter,
     }
 
 
@@ -442,4 +445,5 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_lm": TX.sql_text_bigram_lm(),
         "text_ctfidf_topk": TX.sql_text_ctfidf_topk(),
         "dedup_source_flow": D.sql_dedup_source_flow(),
+        "f8_polygon_filter": R.sql_polygon_filter(),
     }

@@ -430,3 +430,85 @@ crumbs AS (
 )
 SELECT location_id, path, CAST(depth AS INT) AS depth
 FROM crumbs ORDER BY location_id"""
+
+
+# --- F8: polygon containment (integer-exact ray casting) ---------------------
+# The geofencing primitive Spark lacks: which accidents fall inside an
+# arbitrary (non-convex-capable) polygon boundary.  Coordinates quantize
+# once to integer micro-degrees (floor(x * 1e6) — floor of the same
+# double is deterministic in both engines), after which the even-odd
+# crossing test is pure BIGINT arithmetic: edge (p1, p2) crosses the
+# rightward ray from the point iff the edge spans the point's latitude
+# half-open ([y1, y2) upward or [y2, y1) downward) AND the point sits
+# strictly on the interior side of the edge line — the sign of the cross
+# product, no division anywhere.  Inside = odd crossing count.
+#
+# Scale shape: a pure per-row Column fold over the fixed vertex list —
+# one codegen'd projection + filter, no joins, no shuffle beyond the
+# final sort.  The polygon is a broadcast-free literal.
+
+# A pentagon over the accident domain's western region (micro-degrees).
+POLYGON_UDEG = [
+    (30_000_000, -124_000_000),
+    (43_000_000, -121_500_000),
+    (41_000_000, -112_000_000),
+    (33_500_000, -109_000_000),
+    (27_000_000, -117_000_000),
+]
+
+
+def _poly_crossings(yp, xp):
+    """Column: number of polygon edges crossed by the rightward ray."""
+    terms = None
+    n = len(POLYGON_UDEG)
+    for i in range(n):
+        y1, x1 = POLYGON_UDEG[i]
+        y2, x2 = POLYGON_UDEG[(i + 1) % n]
+        # cross = (x2-x1)*(yp-y1) - (y2-y1)*(xp-x1); for an upward edge
+        # the point is left of the edge iff cross > 0, downward iff < 0
+        cross = (F.lit(x2 - x1) * (yp - F.lit(y1))
+                 - F.lit(y2 - y1) * (xp - F.lit(x1)))
+        up = (F.lit(y1) <= yp) & (yp < F.lit(y2)) & (cross > 0)
+        down = (F.lit(y2) <= yp) & (yp < F.lit(y1)) & (cross < 0)
+        t = F.when(up | down, 1).otherwise(0)
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def q_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = domain.accidents_df(spark, sf_dir)
+    yp = F.floor(F.col("latitude") * 1000000).cast("bigint")
+    xp = F.floor(F.col("longitude") * 1000000).cast("bigint")
+    inside = (_poly_crossings(yp, xp) % 2) == 1
+    return (a.select("accident_id", "latitude", "longitude",
+                     inside.alias("inside"))
+             .filter(F.col("inside"))
+             .select("accident_id",
+                     F.round("latitude", 6).alias("latitude"),
+                     F.round("longitude", 6).alias("longitude"))
+             .orderBy("accident_id"))
+
+
+def sql_polygon_filter() -> str:
+    n = len(POLYGON_UDEG)
+    terms = []
+    for i in range(n):
+        y1, x1 = POLYGON_UDEG[i]
+        y2, x2 = POLYGON_UDEG[(i + 1) % n]
+        cross = (f"({x2 - x1} * (yp - {y1}) - {y2 - y1} * (xp - {x1}))")
+        up = f"({y1} <= yp AND yp < {y2} AND {cross} > 0)"
+        down = f"({y2} <= yp AND yp < {y1} AND {cross} < 0)"
+        terms.append(f"CASE WHEN {up} OR {down} THEN 1 ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""{_DOMAIN_WITH},
+pts AS (
+  SELECT accident_id, latitude, longitude,
+         CAST(floor(latitude * 1000000) AS BIGINT) AS yp,
+         CAST(floor(longitude * 1000000) AS BIGINT) AS xp
+  FROM accidents
+)
+SELECT accident_id, round(latitude, 6) AS latitude,
+       round(longitude, 6) AS longitude
+FROM pts
+WHERE ({total}) % 2 = 1
+ORDER BY accident_id"""

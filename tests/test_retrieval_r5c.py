@@ -345,3 +345,33 @@ def test_nb_classifier_learns_separable_corpus(spark, tmp_path):
     got = [(r.lang_actual, r.lang_pred, r.n_docs)
            for r in T.q_text_nb_confusion(spark, str(d)).collect()]
     assert got == [("de", "de", 2), ("en", "en", 2), ("es", "es", 2)], got
+
+
+def test_polygon_crossing_matches_reference_raycast(spark):
+    """The Column-fold even-odd test must agree with a straight-line
+    Python ray caster on a deterministic point grid (including points
+    near edges and vertices)."""
+    from safeascent_spark.operators import relational as R
+
+    def ref_inside(yp, xp):
+        n, cnt = len(R.POLYGON_UDEG), 0
+        for i in range(n):
+            y1, x1 = R.POLYGON_UDEG[i]
+            y2, x2 = R.POLYGON_UDEG[(i + 1) % n]
+            cross = (x2 - x1) * (yp - y1) - (y2 - y1) * (xp - x1)
+            if (y1 <= yp < y2 and cross > 0) or (y2 <= yp < y1 and cross < 0):
+                cnt += 1
+        return cnt % 2 == 1
+
+    pts = [(25_000_000 + i * 997_003, -125_000_000 + j * 1_003_007)
+           for i in range(20) for j in range(20)]
+    df = spark.createDataFrame(pts, "yp bigint, xp bigint")
+    from pyspark.sql import functions as F2
+    got = {(r.yp, r.xp): r.inside
+           for r in df.select("yp", "xp",
+                              ((R._poly_crossings(F2.col("yp"),
+                                                  F2.col("xp")) % 2) == 1)
+                              .alias("inside")).collect()}
+    want = {(y, x): ref_inside(y, x) for y, x in pts}
+    assert got == want
+    assert sum(want.values()) > 0 and sum(want.values()) < len(pts)
