@@ -300,6 +300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # F8 geofencing: integer-exact ray-casting polygon containment —
         # one codegen'd projection, no joins, division-free
         "f8_polygon_filter": R.q_polygon_filter,
+        # batch multi-query BM25: one corpus pass for ALL queries (query
+        # dim broadcast; per-query WindowGroupLimit) — the service shape
+        "text_bm25_multi": TX.q_text_bm25_multi,
     }
 
 
@@ -446,4 +449,5 @@ def oracle_sql() -> dict[str, str]:
         "text_ctfidf_topk": TX.sql_text_ctfidf_topk(),
         "dedup_source_flow": D.sql_dedup_source_flow(),
         "f8_polygon_filter": R.sql_polygon_filter(),
+        "text_bm25_multi": TX.sql_text_bm25_multi(),
     }

@@ -1464,8 +1464,13 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str,
                 .filter(F.col("word").isin(BM25_TERMS))
                 .groupBy("doc_id", "dl", "word")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
-    dfreq = posting.groupBy("word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"))
+    # df(t) as a window over the posting table, NOT a re-aggregated join:
+    # the corpus is scanned ONCE (the join form re-derived posting from a
+    # second scan); the window's exchange carries only the term-filtered
+    # posting rows
+    wdf = Window.partitionBy("word")
+    posting = posting.withColumn(
+        "df", F.count(F.lit(1)).over(wdf).cast("bigint"))
     idf = F.log(F.lit(1.0)
                 + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
@@ -1474,8 +1479,7 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str,
               + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
                                   + F.lit(BM25_B) * F.col("dl")
                                   / F.lit(avgdl))))
-    scored = (posting.join(F.broadcast(dfreq), "word")
-                     .groupBy("doc_id")
+    scored = (posting.groupBy("doc_id")
                      .agg(F.round(F.sum(idf * tfn), 6).alias("bm25"),
                           F.count(F.lit(1)).cast("int").alias("n_terms")))
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(k)
@@ -1959,3 +1963,108 @@ FROM (
 )
 WHERE rnk <= {CTFIDF_TOP_K}
 ORDER BY source, rnk"""
+
+
+# --- BM25 multi-query batch (the search-service shape) -----------------------
+# q_text_bm25_topk serves ONE query; the production shape scores a BATCH
+# of queries in a single pass: the query set is a tiny (query_id, word)
+# dim broadcast onto the postings, so the corpus is scanned once for ALL
+# queries and the per-query top-k is a WindowGroupLimit — cost
+# O(corpus + queries x k), not O(queries x corpus).
+
+BM25_QUERIES = {
+    0: ["merge", "filter", "sort"],
+    1: ["hash", "row", "batch"],
+    2: ["scan", "column", "join"],
+}
+BM25_MULTI_TOP_K = 10
+
+
+def q_text_bm25_multi(spark: SparkSession, sf_dir: str,
+                      k: int = BM25_MULTI_TOP_K) -> DataFrame:
+    n_docs, avgdl = _bm25_corpus_stats(spark, sf_dir)
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    qrows = [(qid, t) for qid, ts in sorted(BM25_QUERIES.items())
+             for t in ts]
+    qdim = spark.createDataFrame(qrows, "query_id int, word string")
+    d = docs_df(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    posting = (d.select("doc_id", F.size(toks).alias("dl"),
+                        F.explode(toks).alias("word"))
+                .filter(F.col("word").isin(all_terms))
+                .groupBy("doc_id", "dl", "word")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    wdf = Window.partitionBy("word")
+    posting = posting.withColumn(
+        "df", F.count(F.lit(1)).over(wdf).cast("bigint"))
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfn = (F.col("tf") * F.lit(BM25_K1 + 1.0)
+           / (F.col("tf")
+              + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
+                                  + F.lit(BM25_B) * F.col("dl")
+                                  / F.lit(avgdl))))
+    scored = (posting.join(F.broadcast(qdim), "word")
+                     .groupBy("query_id", "doc_id")
+                     .agg(F.round(F.sum(idf * tfn), 6).alias("bm25"),
+                          F.count(F.lit(1)).cast("int").alias("n_terms")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k)
+                  .select("query_id", F.col("rnk").cast("int").alias("rnk"),
+                          "doc_id", "bm25", "n_terms")
+                  .orderBy("query_id", "rnk"))
+
+
+def sql_text_bm25_multi(k: int = BM25_MULTI_TOP_K) -> str:
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    inlist = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(f"({qid}, '{t}')"
+                      for qid, ts in sorted(BM25_QUERIES.items())
+                      for t in ts)
+    return f"""
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM lens
+),
+qdim(query_id, word) AS (VALUES {qvals}),
+posting AS (
+  SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  )
+  WHERE word IN ({inlist})
+  GROUP BY doc_id, dl, word
+),
+dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+          FROM posting GROUP BY word),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * {BM25_K1 + 1.0!r}
+              / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                                       + {BM25_B!r} * p.dl / s.avgdl)))
+         ), 6) AS bm25,
+         CAST(count(*) AS INT) AS n_terms
+  FROM posting p JOIN dfreq f USING (word) JOIN qdim q USING (word)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, bm25, n_terms
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
+ORDER BY query_id, rnk"""

@@ -486,15 +486,15 @@ def test_collocations_support_floor_precedes_the_vocab_joins(spark):
     assert re.search(r"c_xy#\d+L? >= 5", plan), plan[:3000]
 
 
-def test_bm25_truncates_and_broadcasts_df(spark):
-    """BM25's top-k must be a distributed TakeOrderedAndProject (no global
-    sort), the |query|-row df table must come in as a BroadcastExchange,
-    the per-doc aggregation must map-side combine, and the term cut must
-    ride the same stage as the explode (no full-token shuffle)."""
+def test_bm25_single_scan_and_truncation(spark):
+    """BM25 must scan the corpus ONCE (df(t) is a window over the
+    term-filtered posting table, not a re-aggregated join over a second
+    scan), end in a distributed TakeOrderedAndProject, map-side combine
+    the posting aggregation, and contain no joins at all."""
     from safeascent_spark.operators import text as T
     plan = plan_of(T.q_text_bm25_topk(spark, SF_SMOKE))
+    assert n_ops(plan, "Scan parquet") == 1, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
-    assert "BroadcastExchange" in plan
     assert "partial_count" in plan
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "SortMergeJoin") == 0, plan[:3000]
@@ -553,3 +553,14 @@ def test_winnowing_pairs_is_capped_equi_join(spark):
     assert n_ops(plan, "CartesianProduct") == 0
     assert "LeftAnti" in plan, plan[:3000]
     assert "partial_count" in plan
+
+
+def test_bm25_multi_scans_corpus_once(spark):
+    """The multi-query form must read the documents scan ONCE for all
+    queries (query dim broadcast onto a shared posting list) and truncate
+    per query below the exchange."""
+    from safeascent_spark.operators import text as T
+    plan = plan_of(T.q_text_bm25_multi(spark, SF_SMOKE))
+    assert n_ops(plan, "Scan parquet") == 1, plan[:2000]
+    assert "WindowGroupLimit" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
