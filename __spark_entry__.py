@@ -303,6 +303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch multi-query BM25: one corpus pass for ALL queries (query
         # dim broadcast; per-query WindowGroupLimit) — the service shape
         "text_bm25_multi": TX.q_text_bm25_multi,
+        # A/B readout: pooled two-proportion z-test per event type; the
+        # arbitrary split means NO type should reach significance
+        "events_ab_test": A.q_events_ab_test,
     }
 
 
@@ -450,4 +453,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_source_flow": D.sql_dedup_source_flow(),
         "f8_polygon_filter": R.sql_polygon_filter(),
         "text_bm25_multi": TX.sql_text_bm25_multi(),
+        "events_ab_test": A.sql_events_ab_test(),
     }

@@ -1188,3 +1188,96 @@ SELECT user_id,
          AS ema_ppm
 FROM framed WHERE rn = 1
 ORDER BY user_id"""
+
+
+# --- A/B experiment readout: two-proportion z-test per event type ------------
+# The experimentation-analysis primitive: users split into cohorts by a
+# deterministic hash (user_id % 2 — the assignment a real experiment
+# framework would persist), per event type compare the HEAVY-USER rate
+# (fraction of cohort users with >= AB_HEAVY_N events of the type; plain
+# reach saturates at 100% on this corpus) with the pooled two-proportion
+# z-test  z = (pA - pB) / sqrt(p(1-p)(1/nA + 1/nB)).
+# Counts are exact; the float z evaluates once per event type (bounded
+# cells) from identical expression text in both engines and floors to
+# integer micro-units, the NB-classifier determinism convention.  A
+# degenerate pool rate (0 or 1) yields NULL z / significant = false in
+# both engines instead of a divide-by-zero.
+#
+# Scale shape: two map-side-combined aggregates (cohort sizes, per-
+# (type, cohort) heavy-user counts) — the z arithmetic runs on a
+# |event types| frame.
+
+AB_Z_CRIT_MICRO = 1_960_000   # 1.96 in micro-units (95% two-sided)
+AB_HEAVY_N = 15               # "heavy user" threshold per event type
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct().withColumn(
+        "cohort", (F.col("user_id") % 2).cast("int"))
+    sizes = users.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
+    size_row = sizes.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n_b"))
+    heavy = (e.groupBy("event_type", "user_id")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .filter(F.col("cnt") >= AB_HEAVY_N)
+              .withColumn("cohort", (F.col("user_id") % 2).cast("int"))
+              .groupBy("event_type")
+              .agg(F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+                    .cast("bigint").alias("conv_a"),
+                   F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+                    .cast("bigint").alias("conv_b")))
+    j = heavy.crossJoin(F.broadcast(size_row))
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (pa - pb) / F.sqrt(pool * (F.lit(1.0) - pool)
+                           * (F.lit(1.0) / F.col("n_a")
+                              + F.lit(1.0) / F.col("n_b")))
+    z_micro = F.when((pool > 0) & (pool < 1),
+                     F.floor(F.lit(1e6) * z).cast("bigint"))
+    return (j.select(
+                "event_type", "conv_a", "n_a", "conv_b", "n_b",
+                F.expr("conv_a * 1000000 div n_a").alias("rate_a_ppm"),
+                F.expr("conv_b * 1000000 div n_b").alias("rate_b_ppm"),
+                z_micro.alias("z_micro"),
+                F.coalesce(F.abs(z_micro) > AB_Z_CRIT_MICRO,
+                           F.lit(False)).alias("significant"))
+             .orderBy("event_type"))
+
+
+def sql_events_ab_test() -> str:
+    zexpr = """floor(1000000.0 * ((conv_a / n_a - conv_b / n_b)
+         / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b))))"""
+    guard = ("(conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)")
+    return f"""
+WITH users AS (
+  SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS cohort FROM events
+),
+sizes AS (
+  SELECT max(CASE WHEN cohort = 0 THEN n END) AS n_a,
+         max(CASE WHEN cohort = 1 THEN n END) AS n_b
+  FROM (SELECT cohort, count(*) AS n FROM users GROUP BY cohort)
+),
+heavy AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM (SELECT event_type, user_id, CAST(user_id % 2 AS INT) AS cohort
+        FROM events GROUP BY event_type, user_id
+        HAVING count(*) >= {AB_HEAVY_N})
+  GROUP BY event_type
+)
+SELECT event_type, conv_a, n_a, conv_b, n_b,
+       CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+       CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+       CAST(CASE WHEN {guard} THEN {zexpr} END AS BIGINT) AS z_micro,
+       coalesce(abs(CAST(CASE WHEN {guard} THEN {zexpr} END AS BIGINT))
+                > {AB_Z_CRIT_MICRO}, false) AS significant
+FROM heavy CROSS JOIN sizes
+ORDER BY event_type"""

@@ -375,3 +375,30 @@ def test_polygon_crossing_matches_reference_raycast(spark):
     want = {(y, x): ref_inside(y, x) for y, x in pts}
     assert got == want
     assert sum(want.values()) > 0 and sum(want.values()) < len(pts)
+
+
+def test_ab_test_detects_a_planted_effect(spark, tmp_path):
+    """Plant a real effect: cohort 0 users (even ids) emit 20 'buy'
+    events each, cohort 1 users emit 5 — the z-test must flag 'buy' as
+    significant and leave the balanced 'view' type insignificant."""
+    from safeascent_spark.operators import analytics as A
+    rows = []
+    eid = 0
+    for uid in range(40):
+        n_buy = 20 if uid % 2 == 0 else 5
+        for i in range(n_buy):
+            rows.append({"event_id": eid, "ts": 1000 + eid, "user_id": uid,
+                         "event_type": "buy", "value": 1.0, "props": "{}"})
+            eid += 1
+        for i in range(16):  # balanced heavy usage for both cohorts
+            rows.append({"event_id": eid, "ts": 1000 + eid, "user_id": uid,
+                         "event_type": "view", "value": 1.0, "props": "{}"})
+            eid += 1
+    d = tmp_path / "ab"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "events.parquet")
+    got = {r.event_type: r for r in A.q_events_ab_test(spark, str(d)).collect()}
+    assert got["buy"].significant, got["buy"]
+    assert got["buy"].rate_a_ppm == 1_000_000 and got["buy"].rate_b_ppm == 0
+    assert not got["view"].significant
+    assert got["view"].z_micro is None  # degenerate pool (all heavy) -> NULL
