@@ -306,6 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A/B readout: pooled two-proportion z-test per event type; the
         # arbitrary split means NO type should reach significance
         "events_ab_test": A.q_events_ab_test,
+        # image dup clusters: star-contraction CC over the Hamming graph,
+        # survivor = min media_id (the image twin of dedup_clusters)
+        "multimodal_phash_clusters": MM.q_multimodal_phash_clusters,
     }
 
 
@@ -454,4 +457,5 @@ def oracle_sql() -> dict[str, str]:
         "f8_polygon_filter": R.sql_polygon_filter(),
         "text_bm25_multi": TX.sql_text_bm25_multi(),
         "events_ab_test": A.sql_events_ab_test(),
+        "multimodal_phash_clusters": MM.sql_multimodal_phash_clusters(),
     }

@@ -820,3 +820,58 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
 FROM vals
 GROUP BY media_id, frame_idx
 ORDER BY media_id, frame_idx"""
+
+
+# --- Image duplicate clusters ------------------------------------------------
+# The decision layer over the perceptual-hash pairs: connected components
+# of the Hamming<=threshold graph (star-contraction CC from graph.py —
+# O(log n) rounds), with survivor = min media_id per cluster.  This is
+# the image-side twin of dedup_clusters: pairs find candidates, clusters
+# decide keeps/drops.
+
+def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import connected_components
+    from .. import domain as _domain
+
+    docs = _domain.load_table(spark, sf_dir, "documents") \
+                  .select(F.col("doc_id").alias("media_id"))
+    pairs = q_multimodal_phash_pairs(spark, sf_dir).select(
+        F.col("media_a").alias("u"), F.col("media_b").alias("v"))
+    comp = connected_components(pairs)
+    labels = (docs.join(comp, docs["media_id"] == comp["node"], "left")
+                  .select("media_id",
+                          F.coalesce("component", "media_id").alias("label")))
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+                  .select("media_id",
+                          F.col("label").alias("cluster_rep"),
+                          "cluster_size",
+                          (F.col("media_id") == F.col("label"))
+                           .alias("is_kept"))
+                  .orderBy("media_id"))
+
+
+def sql_multimodal_phash_clusters() -> str:
+    pairs = sql_multimodal_phash_pairs().strip()
+    return f"""
+WITH ph_pairs AS ({pairs}),
+edges AS (
+  SELECT media_a AS src, media_b AS dst FROM ph_pairs
+  UNION ALL
+  SELECT media_b AS src, media_a AS dst FROM ph_pairs
+),
+walk AS (
+  WITH RECURSIVE reach(media_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON r.media_id = e.src
+  )
+  SELECT media_id, min(label) AS label FROM reach GROUP BY media_id
+),
+sizes AS (SELECT label, count(*) AS cluster_size FROM walk GROUP BY label)
+SELECT w.media_id, w.label AS cluster_rep, s.cluster_size,
+       w.media_id = w.label AS is_kept
+FROM walk w JOIN sizes s USING (label)
+ORDER BY w.media_id"""
