@@ -309,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image dup clusters: star-contraction CC over the Hamming graph,
         # survivor = min media_id (the image twin of dedup_clusters)
         "multimodal_phash_clusters": MM.q_multimodal_phash_clusters,
+        # dedup-quality eval: LSH candidates vs exact Jaccard truth —
+        # confusion counts + exact ppm recall/precision on-engine
+        "dedup_eval": D.q_dedup_eval,
     }
 
 
@@ -458,4 +461,5 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25_multi": TX.sql_text_bm25_multi(),
         "events_ab_test": A.sql_events_ab_test(),
         "multimodal_phash_clusters": MM.sql_multimodal_phash_clusters(),
+        "dedup_eval": D.sql_dedup_eval(),
     }

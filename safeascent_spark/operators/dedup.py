@@ -1270,3 +1270,71 @@ JOIN documents sa ON sa.doc_id = p.doc_a
 JOIN documents sb ON sb.doc_id = p.doc_b
 GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
 ORDER BY source_lo, source_hi"""
+
+
+# --- Dedup-quality evaluation: LSH recall/precision vs exact Jaccard ---------
+# The dedup twin of search_eval_metrics: MinHash-LSH candidate pairs are
+# an approximation of the exact Jaccard >= threshold pair set; this
+# operator reports the confusion counts and exact ppm recall/precision.
+# The number every banding-parameter decision (bands x rows trade-off)
+# is made from — computed ON the engine, not in a notebook.
+#
+# Scale shape: both pair sets come from their own inverted-index
+# pipelines; the comparison is a full-outer equi-join on the pair key
+# plus a 1-row aggregate.
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (q_dedup_jaccard(spark, sf_dir)
+             .select("doc_a", "doc_b", F.lit(1).alias("in_exact")))
+    approx = (q_dedup_minhash_lsh(spark, sf_dir)
+              .select("doc_a", "doc_b", F.lit(1).alias("in_approx")))
+    j = exact.join(approx, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("in_exact").isNotNull()
+                     & F.col("in_approx").isNotNull(), 1).otherwise(0))
+         .cast("bigint").alias("true_pos"),
+        F.sum(F.when(F.col("in_exact").isNotNull()
+                     & F.col("in_approx").isNull(), 1).otherwise(0))
+         .cast("bigint").alias("false_neg"),
+        F.sum(F.when(F.col("in_exact").isNull()
+                     & F.col("in_approx").isNotNull(), 1).otherwise(0))
+         .cast("bigint").alias("false_pos"))
+    return agg.select(
+        "true_pos", "false_neg", "false_pos",
+        F.expr("CASE WHEN true_pos + false_neg > 0 THEN "
+               "true_pos * 1000000 div (true_pos + false_neg) "
+               "ELSE 1000000 END").alias("recall_ppm"),
+        F.expr("CASE WHEN true_pos + false_pos > 0 THEN "
+               "true_pos * 1000000 div (true_pos + false_pos) "
+               "ELSE 1000000 END").alias("precision_ppm"))
+
+
+def sql_dedup_eval() -> str:
+    exact = sql_dedup_jaccard().strip()
+    approx = sql_dedup_minhash_lsh().strip()
+    return f"""
+WITH exact_p AS (SELECT doc_a, doc_b FROM ({exact})),
+approx_p AS (SELECT doc_a, doc_b FROM ({approx})),
+j AS (
+  SELECT coalesce(e.doc_a, a.doc_a) AS doc_a,
+         e.doc_a IS NOT NULL AS in_exact,
+         a.doc_a IS NOT NULL AS in_approx
+  FROM exact_p e FULL OUTER JOIN approx_p a
+    ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b
+)
+SELECT
+  CAST(sum(CASE WHEN in_exact AND in_approx THEN 1 ELSE 0 END) AS BIGINT)
+    AS true_pos,
+  CAST(sum(CASE WHEN in_exact AND NOT in_approx THEN 1 ELSE 0 END) AS BIGINT)
+    AS false_neg,
+  CAST(sum(CASE WHEN NOT in_exact AND in_approx THEN 1 ELSE 0 END) AS BIGINT)
+    AS false_pos,
+  CAST(CASE WHEN sum(CASE WHEN in_exact THEN 1 ELSE 0 END) > 0 THEN
+    sum(CASE WHEN in_exact AND in_approx THEN 1 ELSE 0 END) * 1000000
+      // sum(CASE WHEN in_exact THEN 1 ELSE 0 END)
+    ELSE 1000000 END AS BIGINT) AS recall_ppm,
+  CAST(CASE WHEN sum(CASE WHEN in_approx THEN 1 ELSE 0 END) > 0 THEN
+    sum(CASE WHEN in_exact AND in_approx THEN 1 ELSE 0 END) * 1000000
+      // sum(CASE WHEN in_approx THEN 1 ELSE 0 END)
+    ELSE 1000000 END AS BIGINT) AS precision_ppm
+FROM j"""
