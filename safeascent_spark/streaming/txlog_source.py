@@ -71,9 +71,16 @@ def run_table_stream(spark: SparkSession, root: str, checkpoint: str,
     restart test exercises.
     """
     processed: list[int] = []
-    head = txlog.current_version(root)
-    for v in range(read_cursor(checkpoint) + 1, head + 1):
-        delta = txlog.table_changes(spark, root, v - 1, v, key=key,
+    # Walk MAIN-lineage versions only: with named refs, side-branch
+    # commits interleave in the global version sequence and must not leak
+    # into the main change stream; deltas diff consecutive MAIN versions,
+    # not consecutive version numbers.  On a table without refs this is
+    # exactly range(1, head + 1).
+    lineage = txlog.main_lineage_versions(root)
+    cursor = read_cursor(checkpoint)
+    prev = max((v for v in lineage if v <= cursor), default=0)
+    for v in (v for v in lineage if v > cursor):
+        delta = txlog.table_changes(spark, root, prev, v, key=key,
                                     include_preimages=include_preimages) \
                      .withColumn("_commit_version", F.lit(v))
         if not delta.isEmpty():
@@ -84,6 +91,7 @@ def run_table_stream(spark: SparkSession, root: str, checkpoint: str,
                     f"injected crash after version {v} sink call, "
                     "before cursor commit")
         commit_cursor(checkpoint, v)
+        prev = v
     return processed
 
 

@@ -60,11 +60,23 @@ def current_version(root: str) -> int:
     return max(vs, default=0)
 
 
-def read_manifest(root: str, version: int | None = None) -> dict:
-    v = current_version(root) if version is None else version
-    if v == 0:
+def read_manifest(root: str, version: int | None = None,
+                  ref: str | None = None) -> dict:
+    """Manifest for ``version``, a named ``ref``, or the default head.
+
+    Default head = the ``main`` branch when refs exist (branch commits
+    must not change what default readers see), else the max version —
+    bit-identical to the pre-refs behavior for tables without refs."""
+    if ref is not None:
+        version = resolve_ref(root, ref)
+    if version is None:
+        if _has_refs(root):
+            version = resolve_ref(root, MAIN)
+        else:
+            version = current_version(root)
+    if version == 0:
         return {"version": 0, "partitions": {}}
-    with open(_manifest_path(root, v)) as f:
+    with open(_manifest_path(root, version)) as f:
         return json.load(f)
 
 
@@ -185,7 +197,8 @@ def read_snapshot(spark: SparkSession, root: str,
                   key_between: tuple | None = None,
                   key: str = "route_id",
                   cols_between: dict | None = None,
-                  key_eq=None) -> DataFrame:
+                  key_eq=None,
+                  ref: str | None = None) -> DataFrame:
     """Read a committed snapshot (optionally one partition / an old
     version).  Loads exactly the manifest's file list — no directory
     listing, no exposure to in-flight writers.
@@ -214,7 +227,7 @@ def read_snapshot(spark: SparkSession, root: str,
     hash-distributed across files.  False positives only cost an extra
     file read; the exact ``key == value`` filter is always re-applied.
     Files committed without a bloom are conservatively kept."""
-    m = read_manifest(root, version)
+    m = read_manifest(root, version, ref=ref)
     parts = m["partitions"]
     if partition is not None:
         parts = {partition: parts.get(partition, [])}
@@ -284,7 +297,14 @@ def read_snapshot(spark: SparkSession, root: str,
 def _retrying_commit(root: str, build, max_retries: int = 10):
     """Optimistic-commit loop: ``build(base_manifest)`` returns the changed
     partition->files mapping; on a lost race the commit rebases on the new
-    head and retries.  Partition-disjoint writers therefore both land."""
+    head and retries.  Partition-disjoint writers therefore both land.
+
+    Once refs exist, legacy commits ARE main-branch commits (base = main
+    head, pointer advances) — the version-number CAS alone would otherwise
+    stop detecting same-branch conflicts, because the global allocator
+    hands concurrent writers different numbers."""
+    if _has_refs(root):
+        return branch_commit(root, MAIN, build, max_retries)
     for _ in range(max_retries):
         base = read_manifest(root)
         changed = build(base)
@@ -297,13 +317,18 @@ def _retrying_commit(root: str, build, max_retries: int = 10):
 
 def commit_overwrite_partition(df: DataFrame, root: str,
                                partition: str,
-                               bloom_key: bool = False) -> int:
+                               bloom_key: bool = False,
+                               branch: str | None = None) -> int:
     """Replace one partition's contents atomically (the nightly re-score
     unit).  Returns the committed version.  ``bloom_key=True`` additionally
     commits a per-file Bloom filter on the key column for ``read_snapshot``
-    point-lookup skipping (one extra single-column read per file)."""
+    point-lookup skipping (one extra single-column read per file).
+    ``branch`` commits onto that branch instead of the default head."""
     files = _write_data_files(df, root, bloom_key=bloom_key)
-    return _retrying_commit(root, lambda base: {partition: files})
+    build = lambda base: {partition: files}
+    if branch is not None:
+        return branch_commit(root, branch, build)
+    return _retrying_commit(root, build)
 
 
 def merge_scores(df: DataFrame, root: str, partition: str,
@@ -410,10 +435,14 @@ def vacuum(root: str, keep_versions: int = 1,
     cutoff = time.time() - grace_seconds
     head = current_version(root)
     keep = range(max(1, head - keep_versions + 1), head + 1)
+    # named refs pin their versions (and those files) unconditionally: a
+    # tag or a parked branch must stay readable through any vacuum
+    ref_pins = {meta["version"] for meta in list_refs(root).values()}
     referenced: set[str] = set()
-    for v in keep:
-        for files in read_manifest(root, v)["partitions"].values():
-            referenced.update(e["path"] for e in files)
+    for v in set(keep) | ref_pins:
+        if v >= 1 and _manifest_path(root, v).exists():
+            for files in read_manifest(root, v)["partitions"].values():
+                referenced.update(e["path"] for e in files)
     removed, grace_kept = [], set()
     data = Path(root) / "data"
     if data.exists():
@@ -432,6 +461,8 @@ def vacuum(root: str, keep_versions: int = 1,
             if not any(sub.iterdir()):
                 sub.rmdir()
     for v in range(1, keep.start):
+        if v in ref_pins:
+            continue  # a ref points here — manifest must survive
         mp = _manifest_path(root, v)
         if not mp.exists():
             continue
@@ -634,3 +665,174 @@ def restore_table(root: str, version: int) -> int:
                 set(base["partitions"]) | set(target)}
 
     return _retrying_commit(root, build)
+
+
+# --- Named refs: branches and tags (Iceberg-style) ----------------------------
+# A ref is a named pointer into the version log: TAGS are immutable (pin a
+# snapshot for audits/releases), BRANCHES move under commits (staging /
+# experiment isolation: writers on a branch never change what default
+# readers see until a fast-forward).  All snapshots share ONE global
+# version allocator; branch history is a DAG recorded by each manifest's
+# ``parent`` field.  Ref updates reuse the hard-link CAS primitive of
+# ``_publish`` (a per-ref entry log), so concurrent same-branch commits
+# conflict-and-retry exactly like version commits — no locks anywhere.
+#
+# Backward compatibility: a table with NO refs behaves exactly as before
+# (default read = max version).  Creating the first ref materializes
+# ``main`` at the current head; from then on default reads resolve
+# ``main`` and legacy writers advance it.
+
+MAIN = "main"
+
+
+def _refs_dir(root: str) -> Path:
+    return _log_dir(root) / "refs"
+
+
+def _has_refs(root: str) -> bool:
+    d = _refs_dir(root)
+    return d.exists() and any(d.iterdir())
+
+
+def list_refs(root: str) -> dict[str, dict]:
+    """{name: {'version': v, 'type': 'branch'|'tag'}} for every ref."""
+    out: dict[str, dict] = {}
+    d = _refs_dir(root)
+    if not d.exists():
+        return out
+    for sub in sorted(d.iterdir()):
+        if sub.is_dir():
+            _, meta = _ref_head_meta(root, sub.name)
+            out[sub.name] = meta
+    return out
+
+
+def _ref_head_meta(root: str, name: str) -> tuple[int, dict]:
+    d = _refs_dir(root) / name
+    ks = [int(p.stem[1:]) for p in d.glob("v*.json")] if d.exists() else []
+    if not ks:
+        raise KeyError(f"no such ref: {name!r}")
+    k = max(ks)
+    return k, json.loads((d / f"v{k}.json").read_text())
+
+
+def resolve_ref(root: str, name: str) -> int:
+    """Version a ref currently points at."""
+    return _ref_head_meta(root, name)[1]["version"]
+
+
+def _ref_publish(root: str, name: str, entry: int, version: int,
+                 ref_type: str) -> bool:
+    d = _refs_dir(root) / name
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(json.dumps({"version": version, "type": ref_type}))
+    try:
+        os.link(tmp, d / f"v{entry}.json")
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        tmp.unlink()
+
+
+def _ensure_main(root: str) -> None:
+    """Materialize ``main`` at the current head on first ref creation."""
+    try:
+        _ref_head_meta(root, MAIN)
+    except KeyError:
+        _ref_publish(root, MAIN, 1, current_version(root), "branch")
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> int:
+    """Immutable named snapshot pointer; errors if the name exists."""
+    _ensure_main(root)
+    v = current_version(root) if version is None else version
+    if (_refs_dir(root) / name).exists():
+        raise ValueError(f"ref exists: {name!r}")
+    _ref_publish(root, name, 1, v, "tag")
+    return v
+
+
+def create_branch(root: str, name: str, version: int | None = None) -> int:
+    """Movable branch pointer starting at ``version`` (default: head)."""
+    _ensure_main(root)
+    v = (resolve_ref(root, MAIN) if version is None else version)
+    if (_refs_dir(root) / name).exists():
+        raise ValueError(f"ref exists: {name!r}")
+    _ref_publish(root, name, 1, v, "branch")
+    return v
+
+
+def branch_commit(root: str, name: str, build,
+                  max_retries: int = 10) -> int:
+    """Optimistic commit ON A BRANCH: base = the branch head's manifest,
+    the new manifest records ``parent``/``branch``, and the branch pointer
+    advances via the ref CAS.  A lost pointer race orphans the published
+    manifest (vacuum collects it) and rebases."""
+    for _ in range(max_retries):
+        entry, meta = _ref_head_meta(root, name)
+        if meta.get("type") == "tag":
+            raise ValueError(f"cannot commit to tag {name!r}")
+        base = read_manifest(root, meta["version"])
+        changed = build(base)
+        published = None
+        for _ in range(max_retries):
+            v = current_version(root) + 1
+            nxt = {"version": v, "parent": meta["version"], "branch": name,
+                   "partitions": {**base["partitions"], **changed}}
+            if _publish(root, nxt):
+                published = v
+                break
+        if published is None:
+            break
+        if _ref_publish(root, name, entry + 1, published, "branch"):
+            return published
+        # branch pointer lost to a concurrent same-branch writer: the
+        # published manifest is unreachable; rebase on the winner
+    raise CommitConflict(f"lost {max_retries} branch races on {name!r}")
+
+
+def fast_forward(root: str, name: str = MAIN, to_ref: str | None = None,
+                 to_version: int | None = None) -> int:
+    """Publish another ref's state onto branch ``name`` (the publish step
+    of a branch workflow).  This creates a NEW commit on ``name`` whose
+    partition mapping equals the source snapshot (no data movement —
+    manifests are pointers), rather than moving the pointer backwards in
+    version-number space: the merge is therefore auditable, and the
+    commit-grain streaming source's monotone version cursor surfaces it
+    like any other main commit."""
+    v = resolve_ref(root, to_ref) if to_ref else to_version
+    if v is None:
+        raise ValueError("need to_ref or to_version")
+    target = read_manifest(root, v)["partitions"]
+
+    def build(base: dict) -> dict:
+        # full replacement (partitions absent in the source revert to [])
+        return {p: target.get(p, []) for p in
+                set(base["partitions"]) | set(target)}
+
+    return branch_commit(root, name, build)
+
+
+def main_lineage_versions(root: str) -> list[int]:
+    """Ascending versions that belong to main: manifests with no branch
+    field (pre-ref history) or branch == 'main', plus any version main
+    was fast-forwarded to."""
+    head = current_version(root)
+    keep = []
+    # every version main has EVER pointed at (the ref entry log) counts:
+    # a historical fast-forward target carries a foreign branch label but
+    # was main's head at the time
+    ff = set()
+    d = _refs_dir(root) / MAIN
+    if d.exists():
+        for p in d.glob("v*.json"):
+            ff.add(json.loads(p.read_text())["version"])
+    for v in range(1, head + 1):
+        if not _manifest_path(root, v).exists():
+            continue
+        m = read_manifest(root, v)
+        if m.get("branch", MAIN) == MAIN or v in ff:
+            keep.append(v)
+    return keep
