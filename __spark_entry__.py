@@ -312,6 +312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup-quality eval: LSH candidates vs exact Jaccard truth —
         # confusion counts + exact ppm recall/precision on-engine
         "dedup_eval": D.q_dedup_eval,
+        # real video-container codec (SAV1: length-prefixed PNG frames):
+        # chunk walk + every-Nth frame sampled and PNG-decoded in Arrow
+        "multimodal_video_frames": MM.q_multimodal_video_frames,
     }
 
 
@@ -462,4 +465,5 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_test": A.sql_events_ab_test(),
         "multimodal_phash_clusters": MM.sql_multimodal_phash_clusters(),
         "dedup_eval": D.sql_dedup_eval(),
+        "multimodal_video_frames": MM.sql_multimodal_video_frames(),
     }

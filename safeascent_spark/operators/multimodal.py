@@ -16,11 +16,17 @@ Two tiers:
   two-stage shape and its decoded statistics (duration, |sample| sums,
   peak) are oracle-recomputed arithmetically.  Cross-validated against the
   stdlib ``wave`` reader in tests.
-* **Stubbed decode — video / compressed audio.**  The container has no
-  media codecs, so ``decode_image_stub`` / ``frame_sample`` produce
-  deterministic fake features (clearly marked); the Spark-side contract —
-  binary column schema, typed metadata struct, batch iteration — is real
-  and tested.  Swapping a stub for PIL/ffmpeg is a one-function change.
+* **Real decode — video container.**  ``encode_video`` /
+  ``decode_video_frames`` are a complete parser pair for the "SAV1"
+  container (magic + length-prefixed PNG frames — the MJPEG/AVI chunk-walk
+  shape, with bounds/trailing-bytes validation); ``multimodal_video_frames``
+  samples every Nth frame and decodes it with the real PNG codec.
+* **Stubbed decode — compressed formats.**  JPEG/H.264-class entropy
+  codecs aren't in this container, so ``decode_image_stub`` /
+  ``frame_sample`` keep deterministic fake features (clearly marked); the
+  Spark-side contract — binary column schema, typed metadata struct, batch
+  iteration — is real and tested.  Swapping a stub for PIL/ffmpeg is a
+  one-function change.
 """
 
 from __future__ import annotations
@@ -875,3 +881,142 @@ SELECT w.media_id, w.label AS cluster_rep, s.cluster_size,
        w.media_id = w.label AS is_kept
 FROM walk w JOIN sizes s USING (label)
 ORDER BY w.media_id"""
+
+
+# --- Video container: real framing + frame-sampled decode --------------------
+# Upgrades the stubbed video tier to a REAL container codec: the "SAV1"
+# container is magic + u32 frame count, then length-prefixed PNG frames
+# (the moral shape of MJPEG/AVI: a chunk walk over embedded stills).
+# encode_video/decode_video_frames are a complete parser pair — bounds
+# checks, frame-count validation — and frame sampling decodes every
+# VIDEO_SAMPLE_N-th frame with the real PNG codec.  Frame f of a doc's
+# video is the gradient pattern with gray advanced by 7 per frame, so the
+# DuckDB oracle rebuilds each SAMPLED frame's pixel sum arithmetically.
+
+VIDEO_MAGIC = b"SAV1"
+VIDEO_SAMPLE_N = 2      # decode every 2nd frame
+
+
+def encode_video(width: int, height: int, gray0: int, fr: int, fc: int,
+                 n_frames: int) -> bytes:
+    frames = [encode_png_grad(width, height, (gray0 + 7 * f) % 256, fr, fc)
+              for f in range(n_frames)]
+    out = [VIDEO_MAGIC, n_frames.to_bytes(4, "big")]
+    for p in frames:
+        out.append(len(p).to_bytes(4, "big"))
+        out.append(p)
+    return b"".join(out)
+
+
+def decode_video_frames(payload: bytes) -> list[bytes]:
+    """Real container parse: magic, frame count, length-prefixed walk with
+    bounds validation.  Returns the raw PNG payload per frame."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a SAV1 container: bad magic")
+    n = int.from_bytes(payload[4:8], "big")
+    pos, frames = 8, []
+    for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated frame header")
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        if pos + 4 + ln > len(payload):
+            raise ValueError("frame length overruns payload")
+        frames.append(payload[pos + 4:pos + 4 + ln])
+        pos += 4 + ln
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    return frames
+
+
+def video_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> SAV1 payloads: dims/frequencies as the phash images,
+    gray0 = n_chars % 256, n_frames = 3 + doc_id % 5."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "payload": [
+                    encode_video(16 + int(did) % 32, 16 + int(nc) % 32,
+                                 int(nc) % 256,
+                                 1 + int(did) % 13,
+                                 1 + (int(did) // 13) % 11,
+                                 3 + int(did) % 5)
+                    for did, nc in zip(pdf["doc_id"], pdf["n_chars"])],
+            })
+
+    d = domain.load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", "n_chars")
+             .mapInPandas(run, "media_id long, payload binary"))
+
+
+VIDEO_FRAME_SCHEMA = ("media_id long, frame_idx int, width int, height int, "
+                      "pixel_sum long")
+
+
+def extract_video_frames(media: DataFrame,
+                         every_n: int = VIDEO_SAMPLE_N) -> DataFrame:
+    """mapInPandas: container walk -> sample every_n-th frame -> real PNG
+    decode -> per-frame pixel statistics (frame rows emitted directly)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, fidx, ws, hs, sums = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for f, png in enumerate(decode_video_frames(p)):
+                    if f % every_n != 0:
+                        continue
+                    w, h, _, _, psum = decode_png(png)
+                    mids.append(mid)
+                    fidx.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(psum)
+            yield pd.DataFrame({
+                "media_id": mids, "frame_idx": fidx,
+                "width": ws, "height": hs, "pixel_sum": sums,
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, VIDEO_FRAME_SCHEMA)
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (extract_video_frames(video_media_df(spark, sf_dir))
+            .orderBy("media_id", "frame_idx"))
+
+
+def sql_multimodal_video_frames() -> str:
+    n = VIDEO_SAMPLE_N
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 32 AS w,
+         16 + n_chars % 32 AS h,
+         n_chars % 256 AS gray0,
+         1 + doc_id % 13 AS fr,
+         1 + (doc_id // 13) % 11 AS fc,
+         3 + doc_id % 5 AS n_frames
+  FROM documents
+),
+sampled AS (
+  SELECT media_id, w, h, gray0, fr, fc,
+         unnest(generate_series(0, n_frames - 1)) AS f
+  FROM dims
+),
+keep AS (SELECT * FROM sampled WHERE f % {n} = 0),
+rows_ AS (
+  SELECT media_id, w, h, gray0, fr, fc, f,
+         unnest(generate_series(0, h - 1)) AS r
+  FROM keep
+),
+pix AS (
+  SELECT media_id, w, h, gray0, fr, fc, f, r,
+         unnest(generate_series(0, w - 1)) AS c
+  FROM rows_
+)
+SELECT media_id, CAST(f AS INT) AS frame_idx,
+       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+       CAST(sum(((gray0 + 7 * f) % 256 + fr * r + fc * c) % 256) AS BIGINT)
+         AS pixel_sum
+FROM pix
+GROUP BY media_id, f
+ORDER BY media_id, frame_idx"""

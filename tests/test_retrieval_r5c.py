@@ -402,3 +402,27 @@ def test_ab_test_detects_a_planted_effect(spark, tmp_path):
     assert got["buy"].rate_a_ppm == 1_000_000 and got["buy"].rate_b_ppm == 0
     assert not got["view"].significant
     assert got["view"].z_micro is None  # degenerate pool (all heavy) -> NULL
+
+
+def test_video_container_corruption_contract():
+    """Corrupt containers must fail with ValueError (the WAV-codec
+    contract): bad magic, truncated header, overrunning frame, trailing
+    garbage — never an opaque slice/unpack error."""
+    import pytest
+    from safeascent_spark.operators import multimodal as M
+    good = M.encode_video(16, 16, 10, 3, 5, 4)
+    assert len(M.decode_video_frames(good)) == 4
+    with pytest.raises(ValueError):
+        M.decode_video_frames(b"XXXX" + good[4:])
+    with pytest.raises(ValueError):
+        M.decode_video_frames(good[:-3])       # truncated final frame
+    with pytest.raises(ValueError):
+        M.decode_video_frames(good + b"\x00")  # trailing bytes
+    # round-trip: every frame decodes with the real PNG codec and matches
+    # the per-frame gray advance
+    for f, png in enumerate(M.decode_video_frames(good)):
+        w, h, _, _, psum = M.decode_png(png)
+        assert (w, h) == (16, 16)
+        expect = sum(((10 + 7 * f) % 256 + 3 * r + 5 * c) % 256
+                     for r in range(16) for c in range(16))
+        assert psum == expect
