@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real video-container codec (SAV1: length-prefixed PNG frames):
         # chunk walk + every-Nth frame sampled and PNG-decoded in Arrow
         "multimodal_video_frames": MM.q_multimodal_video_frames,
+        # cross-modal curation gate: text LM band x image dup-cluster
+        # canonicality x audio silence floor -> one keep verdict per doc
+        "multimodal_curation": MM.q_multimodal_curation,
     }
 
 
@@ -466,4 +469,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_clusters": MM.sql_multimodal_phash_clusters(),
         "dedup_eval": D.sql_dedup_eval(),
         "multimodal_video_frames": MM.sql_multimodal_video_frames(),
+        "multimodal_curation": MM.sql_multimodal_curation(),
     }

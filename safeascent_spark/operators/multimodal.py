@@ -1020,3 +1020,71 @@ SELECT media_id, CAST(f AS INT) AS frame_idx,
 FROM pix
 GROUP BY media_id, f
 ORDER BY media_id, frame_idx"""
+
+
+# --- Cross-modal curation gate -----------------------------------------------
+# The decision layer of a MULTIMODAL pipeline: one verdict per document
+# joining three modality signals —
+#   text_ok:    enough tokens and unigram bits/token below the gibberish
+#               band (from q_text_unigram_lm's corpus LM);
+#   image_kept: the doc's image is its perceptual-hash cluster's canonical
+#               member (non-canonical members are dups to drop);
+#   audio_ok:   mean per-sample frame energy above the silence floor.
+# keep = all three.  Each signal rides its own already-verified pipeline;
+# the gate is two joins on doc grain.  Thresholds are corpus-calibrated
+# literals (probed at sf0.01: bits in [4.88, 5.34], energy/sample median
+# ~328k) so every band is exercised on the test corpus.
+
+CURATION_MIN_TOKENS = 20
+CURATION_MAX_BITS = 5.05        # drop the "surprising"/gibberish tail
+CURATION_MIN_ENERGY = 250_000   # per-sample silence floor
+
+
+def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import text as _text
+
+    lm = _text.q_text_unigram_lm(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("n_tokens") >= CURATION_MIN_TOKENS)
+         & (F.col("bits_per_token") <= CURATION_MAX_BITS)).alias("text_ok"))
+    img = q_multimodal_phash_clusters(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("is_kept").alias("image_kept"))
+    aud = (extract_wav_energy(wav_media_df(spark, sf_dir))
+           .groupBy("media_id")
+           .agg(F.expr("sum(energy) div sum(n_in_frame)").alias("eps"))
+           .select(F.col("media_id").alias("doc_id"),
+                   (F.col("eps") >= CURATION_MIN_ENERGY).alias("audio_ok")))
+    return (lm.join(img, "doc_id").join(aud, "doc_id")
+              .select("doc_id", "text_ok", "image_kept", "audio_ok",
+                      (F.col("text_ok") & F.col("image_kept")
+                       & F.col("audio_ok")).alias("keep"))
+              .orderBy("doc_id"))
+
+
+def sql_multimodal_curation() -> str:
+    from . import text as _text
+
+    lm = _text.sql_text_unigram_lm().strip()
+    clusters = sql_multimodal_phash_clusters().strip()
+    energy = sql_multimodal_wav_energy().strip()
+    return f"""
+WITH lm AS (
+  SELECT doc_id,
+         n_tokens >= {CURATION_MIN_TOKENS}
+           AND bits_per_token <= {CURATION_MAX_BITS} AS text_ok
+  FROM ({lm})
+),
+img AS (
+  SELECT media_id AS doc_id, is_kept AS image_kept FROM ({clusters})
+),
+aud AS (
+  SELECT media_id AS doc_id,
+         (sum(energy) // sum(n_in_frame)) >= {CURATION_MIN_ENERGY}
+           AS audio_ok
+  FROM ({energy}) GROUP BY media_id
+)
+SELECT l.doc_id, l.text_ok, i.image_kept, a.audio_ok,
+       l.text_ok AND i.image_kept AND a.audio_ok AS keep
+FROM lm l JOIN img i USING (doc_id) JOIN aud a USING (doc_id)
+ORDER BY l.doc_id"""
