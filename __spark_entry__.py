@@ -318,6 +318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-modal curation gate: text LM band x image dup-cluster
         # canonicality x audio silence floor -> one keep verdict per doc
         "multimodal_curation": MM.q_multimodal_curation,
+        # quality-aware mixing: DoReMi domain budgets spent best-LM-band
+        # first; greedy allocation on the 9-row aggregate, never a
+        # per-domain corpus sort
+        "sample_mixture_quality": TX.q_sample_mixture_quality,
     }
 
 
@@ -470,4 +474,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval": D.sql_dedup_eval(),
         "multimodal_video_frames": MM.sql_multimodal_video_frames(),
         "multimodal_curation": MM.sql_multimodal_curation(),
+        "sample_mixture_quality": TX.sql_sample_mixture_quality(),
     }

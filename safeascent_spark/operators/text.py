@@ -2068,3 +2068,107 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rnk <= {k}
 ORDER BY query_id, rnk"""
+
+
+# --- Quality-aware data mixing (curriculum x DoReMi) -------------------------
+# q_sample_mixture plans PER-DOMAIN token budgets; this operator spends
+# each budget QUALITY-FIRST: documents band by their unigram-LM
+# bits/token (band 2 = fluent, 1 = mid, 0 = surprising tail), and each
+# domain's take fills greedily from the best band down, with the marginal
+# band realized by an exact per-mille keep rate.
+#
+# Scale shape: banding rides the (already two-shuffle) LM scoring pass;
+# the allocation itself runs on the |domains| x |bands| AGGREGATE (9
+# rows) — the greedy "sort" is a window over <= |bands| rows per domain,
+# NOT a per-domain sort of the corpus, which would serialize a 100 TB
+# domain through one task.  All arithmetic int64.
+
+MIX_BAND_EDGES = (4.90, 5.00)   # bits/token: <= e0 -> band 2, <= e1 -> 1
+
+
+def q_sample_mixture_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lm = q_text_unigram_lm(spark, sf_dir)
+    d = docs_df(spark, sf_dir).select(
+        "doc_id", _mix_domain_col().alias("domain"))
+    band = (F.when(F.col("bits_per_token") <= MIX_BAND_EDGES[0], 2)
+             .when(F.col("bits_per_token") <= MIX_BAND_EDGES[1], 1)
+             .otherwise(0).cast("int"))
+    docs = (lm.join(d, "doc_id")
+              .select("domain", band.alias("band"),
+                      F.col("n_tokens").cast("bigint").alias("n_tokens")))
+    inv_db = docs.groupBy("domain", "band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok_avail"))
+    w = F.when(F.col("domain") == "web", MIX_TARGETS[0][1]) \
+         .when(F.col("domain") == "books", MIX_TARGETS[1][1]) \
+         .otherwise(MIX_TARGETS[2][1]).cast("bigint")
+    inv_d = (inv_db.groupBy("domain").agg(F.sum("tok_avail").alias("tok"))
+                   .withColumn("w", w)
+                   .withColumn("cap", F.expr("(tok * 1000) div w")))
+    budget = inv_d.agg(F.min("cap").alias("B"))
+    takes = (inv_d.crossJoin(F.broadcast(budget))
+                  .withColumn("take_d", F.expr("(w * B) div 1000"))
+                  .select("domain", "take_d"))
+    # greedy fill best-band-first: prior = tokens available in BETTER
+    # bands; this band takes min(tok_avail, max(0, take_d - prior))
+    wprior = (Window.partitionBy("domain").orderBy(F.col("band").desc())
+                    .rowsBetween(Window.unboundedPreceding, -1))
+    alloc = (inv_db.join(F.broadcast(takes), "domain")
+                   .withColumn("prior", F.coalesce(
+                       F.sum("tok_avail").over(wprior), F.lit(0)))
+                   .withColumn("tok_taken", F.greatest(
+                       F.lit(0), F.least(F.col("tok_avail"),
+                                         F.col("take_d") - F.col("prior"))))
+                   .withColumn("keep_rate_pm", F.expr(
+                       "(tok_taken * 1000) div tok_avail")))
+    return (alloc.select("domain", "band", "n_docs", "tok_avail",
+                         "tok_taken", "keep_rate_pm")
+                 .orderBy("domain", F.col("band").desc()))
+
+
+def sql_sample_mixture_quality() -> str:
+    lm = sql_text_unigram_lm().strip()
+    e0, e1 = MIX_BAND_EDGES
+    tgt = " ".join(f"WHEN '{d}' THEN {w}" for d, w in MIX_TARGETS)
+    return f"""
+WITH lm AS ({lm}),
+docs AS (
+  SELECT CASE d.src_n % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+              ELSE 'code' END AS domain,
+         CASE WHEN l.bits_per_token <= {e0!r} THEN 2
+              WHEN l.bits_per_token <= {e1!r} THEN 1 ELSE 0 END AS band,
+         l.n_tokens
+  FROM lm l JOIN (SELECT doc_id,
+                         CAST(substring(source, 4, 10) AS INT) AS src_n
+                  FROM documents) d USING (doc_id)
+),
+inv_db AS (
+  SELECT domain, band, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tok_avail
+  FROM docs GROUP BY domain, band
+),
+inv_d AS (
+  SELECT domain, sum(tok_avail) AS tok,
+         CAST(CASE domain {tgt} END AS BIGINT) AS w
+  FROM inv_db GROUP BY domain
+),
+budget AS (SELECT min((tok * 1000) // w) AS B FROM inv_d),
+takes AS (
+  SELECT domain, (w * B) // 1000 AS take_d
+  FROM inv_d CROSS JOIN budget
+),
+alloc AS (
+  SELECT i.domain, i.band, i.n_docs, i.tok_avail,
+         coalesce(sum(i.tok_avail) OVER (
+           PARTITION BY i.domain ORDER BY i.band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
+         t.take_d
+  FROM inv_db i JOIN takes t USING (domain)
+)
+SELECT domain, band, n_docs, tok_avail,
+       CAST(greatest(0, least(tok_avail, take_d - prior)) AS BIGINT)
+         AS tok_taken,
+       CAST(greatest(0, least(tok_avail, take_d - prior)) * 1000
+            // tok_avail AS BIGINT) AS keep_rate_pm
+FROM alloc
+ORDER BY domain, band DESC"""

@@ -426,3 +426,25 @@ def test_video_container_corruption_contract():
         expect = sum(((10 + 7 * f) % 256 + 3 * r + 5 * c) % 256
                      for r in range(16) for c in range(16))
         assert psum == expect
+
+
+def test_mixture_quality_allocation_invariants(spark):
+    """Greedy quality-first allocation: per domain, taken tokens sum to
+    min(take_d, available); a band is partially taken only if every
+    better band is fully taken; keep rates are consistent."""
+    from safeascent_spark.operators import text as T2
+    rows = T2.q_sample_mixture_quality(spark, SF_ORACLE).collect()
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(r)
+    for dom, rs in by_dom.items():
+        rs = sorted(rs, key=lambda r: -r.band)
+        partial_seen = False
+        for r in rs:
+            assert 0 <= r.tok_taken <= r.tok_avail
+            assert r.keep_rate_pm == r.tok_taken * 1000 // r.tok_avail
+            if partial_seen:
+                assert r.tok_taken == 0, (dom, r)
+            if r.tok_taken < r.tok_avail:
+                partial_seen = True
+        assert sum(r.tok_taken for r in rs) <= sum(r.tok_avail for r in rs)
