@@ -44,7 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (a) the four queries new this round, then (b) every query whose most
     # recent driver row is r3 (they sat below the r4 boundary and would
     # otherwise go two rounds stale).  That set is 4 + 49 = 53 for a
-    # 50-slot window: at 130 registered queries the rotation has SATURATED
+    # 50-slot window: at 146 registered queries the rotation has SATURATED
     # (the ≤1-round-stale invariant is only achievable with ≤100 queries).
     # The r5-new tail-registered queries (events_correlated,
     # sample_softdedup, knn_classify, sample_split, events_retention,
@@ -52,9 +52,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # second wave: events_asof_view, events_anomaly, text_collocations,
     # graph_pagerank, events_rolling_7d, text_chi2_lang_source,
     # text_length_histogram, text_search_and, text_search_phrase; and the
-    # fourth wave: text_bm25_topk, search_hybrid_rrf, multimodal_phash,
-    # multimodal_phash_pairs, bpe_train, bpe_encode, events_ema,
-    # sample_contrastive_pairs) carry their evidence in
+    # fourth/fifth waves: text_bm25_topk, search_hybrid_rrf,
+    # multimodal_phash(+_pairs/_clusters), bpe_train/encode, events_ema,
+    # sample_contrastive_pairs, text_winnowing(+pairs),
+    # multimodal_wav_energy, search_eval_metrics, text_nb_confusion,
+    # text_bigram_lm, text_ctfidf_topk, dedup_source_flow,
+    # f8_polygon_filter, text_bm25_multi, events_ab_test, dedup_eval,
+    # multimodal_video_frames, multimodal_curation,
+    # sample_mixture_quality) carry their evidence in
     # CORRECTNESS_LOCAL_r05.json until the r6 window rotates them in.
     # The three leave-outs are chosen so each is pinned by an IN-WINDOW
     # contract and all three are re-verified by tools/local_correctness.py
