@@ -327,6 +327,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first; greedy allocation on the 9-row aggregate, never a
         # per-domain corpus sort
         "sample_mixture_quality": TX.q_sample_mixture_quality,
+        # --- round-5 sixth wave ---
+        # IVF + PQ composed (FAISS IVFADC): coarse cell probe, ADC
+        # lookup-table scoring (16 bytes/candidate, no O(DIM) math),
+        # exact re-rank; certified-recall driver contract
+        "ann_ivf_pq_topk": ML.q_ann_ivf_pq_certified,
+        # CCNet-style perplexity quality filter: per-source head/middle/
+        # tail terciles of unigram bits/token, exact end-to-end
+        "text_perplexity_filter": TX.q_text_perplexity_filter,
     }
 
 
@@ -480,4 +488,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_frames": MM.sql_multimodal_video_frames(),
         "multimodal_curation": MM.sql_multimodal_curation(),
         "sample_mixture_quality": TX.sql_sample_mixture_quality(),
+        "ann_ivf_pq_topk": ML.sql_ann_ivf_pq_certified(),
+        "text_perplexity_filter": TX.sql_text_perplexity_filter(),
     }

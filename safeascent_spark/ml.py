@@ -709,3 +709,166 @@ SELECT e.vec_id AS query_id,
 FROM embeddings e JOIN cls USING (label)
 WHERE e.vec_id < {N_QUERIES}
 ORDER BY query_id"""
+
+
+# --- IVF + PQ composed (the billion-scale layout: coarse cells + ADC) --------
+#
+# The production design for web-scale vector search (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+# IVFADC index): a coarse quantizer (the IVF KMeans cells) restricts the
+# search to N_PROBE cells, and within the probed cells candidates are
+# scored by ASYMMETRIC DISTANCE COMPUTATION — per query, the dot product
+# of each of the PQ_M query sub-vectors against each of the 16 sub-
+# centroids is precomputed ONCE into a (PQ_M x 16)-entry lookup table, so
+# scoring a candidate costs PQ_M integer lookups + adds, never an O(DIM)
+# multiply.  A shortlist then re-ranks exactly against raw vectors.
+#
+# Spark shape (100 TB story):
+# * the ADC tables are |queries| x PQ_M x 16 rows — a broadcast dim
+#   regardless of corpus size;
+# * the corpus sweep touches only (cell, code_0..code_15) — 16 bytes/row
+#   with the raw vectors never read outside the shortlist join — and only
+#   within probed cells (a cell equi-join, prunable to a partition scan
+#   when the corpus is laid out clustered-by-cell, e.g. txlog Z-order);
+# * per-candidate scoring is posexplode(16) + broadcast-hash-join +
+#   map-side-combined sum — no shuffle keyed on the corpus.
+#
+# Reference analog: the serving-path neighbor retrieval the reference does
+# with a full NumPy sweep (safety_algorithm_vectorized.py:314-376 is an
+# exhaustive scan per prediction); this is what it must become at scale.
+
+IVFPQ_SHORTLIST = 8   # exact-rerank shortlist = IVFPQ_SHORTLIST * topk
+# Floors vs brute force at sf0.001/sf0.01 (near-uniform embeddings, the
+# IVF-adversarial case; compounding IVF cell loss x PQ code loss).
+# Measured: see test_ml.py::test_ivfpq_recall_floor.
+IVFPQ_RECALL_MIN = 0.4
+IVFPQ_RECALL_MEAN = 0.6
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str,
+                 topk: int = TOP_K) -> DataFrame:
+    """IVF cell probe + PQ ADC scoring + exact re-rank, with per-query
+    recall@k vs the oracle-green brute force."""
+    from .operators.similarity import DIM, cosine_topk_df
+    sub = DIM // PQ_M
+    model, cells = ivf_assignments(spark, sf_dir)
+    book_df, coded = pq_codebooks(spark, sf_dir)
+    # corpus: (vec_id, cell, code_0..code_15) — the 16-byte scan image
+    corpus = coded.select(
+        "vec_id", *[f"code_{m}" for m in range(PQ_M)]).join(
+        cells.select("vec_id", "cell"), "vec_id")
+
+    centroids = [(ci, [float(x) for x in c])
+                 for ci, c in enumerate(model.clusterCenters())]
+    cent_df = F.broadcast(spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"))
+    q = (embeddings_df(spark, sf_dir)
+         .filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("vec").alias("qvec")))
+    # coarse probe: N_PROBE nearest cells per query (identical to q_ann_ivf)
+    qc = q.crossJoin(cent_df)
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("centroid"),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(dist2.asc(), F.col("cell").asc())
+    probed = (qc.withColumn("cell_rank", F.row_number().over(w))
+                .filter(F.col("cell_rank") <= N_PROBE)
+                .select("query_id", "cell"))
+
+    # ADC tables: dot(q_sub_m, centroid_{m,code}) per (query, m, code) —
+    # N_QUERIES x PQ_M x 16 rows, broadcast.  Sub-centroid norms ride the
+    # same dim so ||recon||^2 = sum_m ||centroid_{m,code_m}||^2 needs no
+    # vector math at candidate grain (subspaces are concatenated, hence
+    # orthogonal in the full space).
+    qsub = q.select(
+        "query_id", "qvec",
+        F.posexplode(F.array(*[
+            F.slice(F.col("qvec"), m * sub + 1, sub) for m in range(PQ_M)
+        ])).alias("m", "qsub"))
+    adc = (qsub.join(book_df, "m")
+               .select("query_id", "m", "code",
+                       _dot(F.col("qsub"), F.col("sub")).alias("d"),
+                       _dot(F.col("sub"), F.col("sub")).alias("c2")))
+
+    # candidate sweep: probed-cell equi-join, explode the 16 codes, ADC
+    # lookup join, one map-side-combined sum per (query, candidate)
+    cand = (corpus.join(F.broadcast(probed), "cell")
+                  .filter(F.col("vec_id") != F.col("query_id"))
+                  .select("query_id", "vec_id", F.posexplode(F.array(
+                      *[F.col(f"code_{m}") for m in range(PQ_M)]))
+                      .alias("m", "code")))
+    scored = (cand.join(F.broadcast(adc), ["query_id", "m", "code"])
+                  .groupBy("query_id", "vec_id")
+                  .agg(F.sum("d").alias("adot"),
+                       F.sum("c2").alias("rnorm2")))
+    qn = q.select("query_id", _norm(F.col("qvec")).alias("qnorm"))
+    approx = (scored.join(F.broadcast(qn), "query_id")
+                    .select("query_id", "vec_id",
+                            (F.col("adot") / (F.sqrt("rnorm2")
+                                              * F.col("qnorm")))
+                            .alias("approx_cosine")))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("vec_id").asc())
+    short = (approx.withColumn("arank", F.row_number().over(ws))
+                   .filter(F.col("arank") <= topk * IVFPQ_SHORTLIST)
+                   .select("query_id", "vec_id"))
+    # exact re-rank: raw vectors fetched for shortlist rows only
+    raw = embeddings_df(spark, sf_dir)
+    exact = (short.join(raw, "vec_id")
+                  .join(F.broadcast(q), "query_id")
+                  .select("query_id", "vec_id",
+                          (_dot(F.col("vec"), F.col("qvec"))
+                           / (_norm(F.col("vec")) * _norm(F.col("qvec"))))
+                          .alias("cosine")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    res = (exact.withColumn("rank", F.row_number().over(w2))
+                .filter(F.col("rank") <= topk)
+                .select("query_id", F.col("rank").cast("int").alias("rank"),
+                        F.col("vec_id").alias("neighbor_id"),
+                        F.round("cosine", 6).alias("cosine")))
+    brute = cosine_topk_df(spark, sf_dir, topk).select(
+        "query_id", "neighbor_id")
+    overlap = (res.select("query_id", "neighbor_id")
+                  .intersect(brute)
+                  .groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n_hit")))
+    return (res.join(F.broadcast(overlap), "query_id", "left")
+               .withColumn("recall_at_k",
+                           F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                                   / F.lit(float(topk)), 2))
+               .drop("n_hit")
+               .orderBy("query_id", "rank"))
+
+
+def q_ann_ivf_pq_certified(spark: SparkSession, sf_dir: str,
+                           topk: int = TOP_K) -> DataFrame:
+    """Driver form: deterministic result counts + recall-floor booleans
+    the oracle pins to true (the q_ann_ivf_certified contract)."""
+    res = q_ann_ivf_pq(spark, sf_dir, topk)
+    per_q = res.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.count_distinct("neighbor_id").alias("n_distinct"),
+        F.min("recall_at_k").alias("recall"))
+    mean_ok = per_q.agg(
+        (F.avg("recall") >= F.lit(IVFPQ_RECALL_MEAN)).alias("mean_recall_ok"))
+    return (per_q.crossJoin(F.broadcast(mean_ok))
+                 .select("query_id", "n_results",
+                         (F.col("n_distinct") == F.col("n_results"))
+                         .alias("results_distinct_ok"),
+                         (F.col("recall") >= F.lit(IVFPQ_RECALL_MIN))
+                         .alias("recall_floor_ok"),
+                         "mean_recall_ok")
+                 .orderBy("query_id"))
+
+
+def sql_ann_ivf_pq_certified(topk: int = TOP_K) -> str:
+    return f"""
+SELECT vec_id AS query_id,
+       CAST({topk} AS BIGINT) AS n_results,
+       true AS results_distinct_ok,
+       true AS recall_floor_ok,
+       true AS mean_recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id"""

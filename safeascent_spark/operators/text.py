@@ -2172,3 +2172,69 @@ SELECT domain, band, n_docs, tok_avail,
             // tok_avail AS BIGINT) AS keep_rate_pm
 FROM alloc
 ORDER BY domain, band DESC"""
+
+
+# --- Perplexity-based quality filtering (CCNet-style head/middle/tail) -------
+# CCNet (Wenzek et al. 2020) buckets each document by its LM perplexity
+# INTO PER-SOURCE TERCILES — "head" (most fluent third), "middle", "tail"
+# — and pretraining pipelines keep head+middle.  Here the LM is the
+# corpus's own unigram model (q_text_unigram_lm, oracle-green), so the
+# whole filter stays exact: bits/token is derived from BIGINT count
+# ratios, rounded once to 6 places, and the tercile is ntile(3) over
+# (rounded bits, doc_id) within each source — a total order both engines
+# reproduce bit-for-bit.
+#
+# Scale shape: the LM is a vocabulary-bounded map-side-combined groupBy
+# broadcast onto the token stream (two shuffles total, same budget as
+# TF-IDF); the tercile window partitions by SOURCE — thousands of
+# independent partitions at corpus scale, no global sort.  This is the
+# standard shape of a 100 TB CCNet pass: score in one sweep, bucket
+# within shards, drop the tail third.
+
+def q_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_df(spark, sf_dir)
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    total = toks.count()  # scalar: one aggregate over the token stream
+    bits = -F.log2(F.col("n_word").cast("double") / F.lit(float(total)))
+    scored = (toks.join(F.broadcast(freq), "word")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                       F.round(F.avg(bits), 6).alias("bits_per_token")))
+    d = docs_df(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("bits_per_token", "doc_id")
+    res = (scored.join(d, "doc_id")
+                 .withColumn("tercile", F.ntile(3).over(w)))
+    bucket = (F.when(F.col("tercile") == 1, "head")
+               .when(F.col("tercile") == 2, "middle")
+               .otherwise("tail"))
+    return (res.select("doc_id", "source", "n_tokens", "bits_per_token",
+                       bucket.alias("ppl_bucket"),
+                       (F.col("tercile") <= 2).alias("keep"))
+               .orderBy("doc_id"))
+
+
+def sql_text_perplexity_filter() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()},
+freq AS (SELECT word, count(*) AS n_word FROM tokens GROUP BY word),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tokens),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(-log2(CAST(f.n_word AS DOUBLE) / total.n_total)), 6)
+           AS bits_per_token
+  FROM tokens t JOIN freq f ON t.word = f.word CROSS JOIN total
+  GROUP BY t.doc_id
+),
+bucketed AS (
+  SELECT s.doc_id, d.source, s.n_tokens, s.bits_per_token,
+         ntile(3) OVER (PARTITION BY d.source
+                        ORDER BY s.bits_per_token, s.doc_id) AS tercile
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, source, n_tokens, bits_per_token,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       tercile <= 2 AS keep
+FROM bucketed
+ORDER BY doc_id"""
