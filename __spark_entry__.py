@@ -335,6 +335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style perplexity quality filter: per-source head/middle/
         # tail terciles of unigram bits/token, exact end-to-end
         "text_perplexity_filter": TX.q_text_perplexity_filter,
+        # TPC-H Q5-shape star join: fact exchange carries one pushed-down
+        # year; tiny dims broadcast; integer-micro revenue
+        "star_revenue": A.q_star_revenue,
+        # SCD2 dimension build (lead-window intervals) + point-in-time
+        # fact enrichment on user equi-key + interval predicate
+        "events_scd2": A.q_events_scd2,
     }
 
 
@@ -490,4 +496,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_mixture_quality": TX.sql_sample_mixture_quality(),
         "ann_ivf_pq_topk": ML.sql_ann_ivf_pq_certified(),
         "text_perplexity_filter": TX.sql_text_perplexity_filter(),
+        "star_revenue": A.sql_star_revenue(),
+        "events_scd2": A.sql_events_scd2(),
     }

@@ -1281,3 +1281,134 @@ SELECT event_type, conv_a, n_a, conv_b, n_b,
                 > {AB_Z_CRIT_MICRO}, false) AS significant
 FROM heavy CROSS JOIN sizes
 ORDER BY event_type"""
+
+
+# --- Star-schema revenue rollup (the TPC-H Q5 plan shape) --------------------
+# The canonical warehouse star join the engine must plan well at 100 TB:
+# fact lineitem ⋈ orders (both large — shuffle hash/sort-merge on the
+# order key, the one unavoidable fact-side exchange) ⋈ customer
+# (dimension; AQE picks broadcast vs shuffle from its real size) ⋈
+# nation ⋈ region (tiny dims, explicit broadcast).  The date predicate
+# sits on orders BEFORE the fact join so Catalyst pushes it into the
+# orders scan and the fact exchange carries one year, not seven.
+#
+# Revenue is summed in integer micro-units — cents x (1000 - discount
+# per-mille) — because a float SUM's accumulation order differs between
+# engines; floor() of identical IEEE doubles is bitwise-reproducible.
+
+STAR_YEAR_LO, STAR_YEAR_HI = "1996-01-01", "1997-01-01"
+
+
+def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = domain.load_table(spark, sf_dir, "lineitem")
+    o = domain.load_table(spark, sf_dir, "orders")
+    c = domain.load_table(spark, sf_dir, "customer")
+    n = domain.load_table(spark, sf_dir, "nation")
+    r = domain.load_table(spark, sf_dir, "region")
+    od = F.col("o_orderdate").cast("date")
+    orders_yr = (o.filter((od >= F.lit(STAR_YEAR_LO).cast("date"))
+                          & (od < F.lit(STAR_YEAR_HI).cast("date")))
+                  .select("o_orderkey", "o_custkey"))
+    rev = (F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+           * (F.lit(1000).cast("long")
+              - F.expr("CAST(floor(l_discount * 1000) AS BIGINT)")))
+    return (li.select("l_orderkey", rev.alias("rev_micro"))
+              .join(orders_yr, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c.select("c_custkey", "c_nationkey"),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n.select("n_nationkey", "n_name",
+                                         "n_regionkey")),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(r.select("r_regionkey", "r_name")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .groupBy("r_name", "n_name")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                   F.sum("rev_micro").alias("revenue_micro"))
+              .orderBy(F.col("revenue_micro").desc(), F.col("n_name")))
+
+
+def sql_star_revenue() -> str:
+    return f"""
+SELECT r.r_name, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)))
+            AS BIGINT) AS revenue_micro
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '{STAR_YEAR_LO}'
+  AND CAST(o.o_orderdate AS DATE) <  DATE '{STAR_YEAR_HI}'
+GROUP BY r.r_name, n.n_name
+ORDER BY revenue_micro DESC, n.n_name"""
+
+
+# --- SCD Type-2 dimension build + point-in-time enrichment -------------------
+# The warehouse pattern the reference's historical_predictions table
+# gestures at (a per-day score history, S9): track a mutable attribute as
+# validity intervals and join facts AGAINST THE STATE IN EFFECT AT FACT
+# TIME.  Dimension: each user's 'signup' events carry the changing
+# attribute (the value tier, floored to integer milli-units); SCD2
+# intervals come from one lead() window per user — [ts, next_ts), the
+# last interval open-ended.  Facts: 'purchase' events, enriched via a
+# point-in-time join (user equi-key + interval predicate; purchases
+# before the first signup keep NULL state — the left-join contract).
+#
+# Scale shape: the interval build is one partitioned window over the
+# CHANGE stream (dimension-sized, not fact-sized); the PIT join is an
+# equi-join on user_id with a residual range predicate — hash-partitioned
+# by user, no broadcast of the fact side, no interval explosion.  Because
+# intervals partition each user's timeline, every fact matches at most
+# one dimension row in both engines (no dedup pass needed).
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (e.filter(F.col("event_type") == "signup")
+            .select("user_id", F.col("ts").alias("valid_from"),
+                    "event_id",
+                    F.expr("CAST(floor(value * 1000) AS BIGINT)")
+                     .alias("tier_milli"))
+            .withColumn(
+                "valid_to",
+                F.lead("valid_from").over(
+                    Window.partitionBy("user_id")
+                          .orderBy("valid_from", "event_id")))
+            .drop("event_id"))
+    fact = (e.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("f_user"),
+                     F.col("ts").alias("t_purchase")))
+    cond = ((F.col("f_user") == F.col("user_id"))
+            & (F.col("t_purchase") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull()
+               | (F.col("t_purchase") < F.col("valid_to"))))
+    return (fact.join(dim, cond, "left")
+                .select("purchase_id", F.col("f_user").alias("user_id"),
+                        "t_purchase", "tier_milli", "valid_from", "valid_to")
+                .orderBy("purchase_id"))
+
+
+def sql_events_scd2() -> str:
+    return """
+WITH dim AS (
+  SELECT user_id,
+         epoch_ns(ts) AS valid_from,
+         lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to,
+         CAST(floor(value * 1000) AS BIGINT) AS tier_milli
+  FROM events WHERE event_type = 'signup'
+),
+fact AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS t_purchase
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.purchase_id, f.user_id, f.t_purchase,
+       d.tier_milli, d.valid_from, d.valid_to
+FROM fact f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.t_purchase >= d.valid_from
+ AND (d.valid_to IS NULL OR f.t_purchase < d.valid_to)
+ORDER BY f.purchase_id"""

@@ -37,3 +37,52 @@ def test_perplexity_covers_every_tokenized_doc(spark):
               .filter(F.trim(F.col("text")) != "").count())
     n_scored = TX.q_text_perplexity_filter(spark, SF_ORACLE).count()
     assert n_scored == n_docs
+
+
+def test_star_revenue_plan_pushes_date_and_broadcasts_dims(spark):
+    """The Q5-shape star join: the one-year predicate must reach the
+    orders parquet scan (PushedFilters), nation/region ride broadcast
+    hash joins, and no cartesian/nested-loop join appears anywhere."""
+    from safeascent_spark.operators import analytics as A
+    from tests.test_plans import n_ops, plan_of
+    plan = plan_of(A.q_star_revenue(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    # date predicate pushed into the orders scan
+    scan = plan[plan.find("orders"):]
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in scan
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark):
+    """SCD2 contract: every purchase matches AT MOST one interval (the
+    join cannot duplicate facts), intervals are disjoint and adjacent
+    per user, and the matched tier equals the most recent signup at or
+    before the purchase."""
+    from safeascent_spark.operators import analytics as A
+    rows = A.q_events_scd2(spark, SF_ORACLE).collect()
+    ids = [r.purchase_id for r in rows]
+    assert len(ids) == len(set(ids))  # no fact duplication
+    # reference check on raw events
+    from safeascent_spark import domain
+    ev = domain.load_table(spark, SF_ORACLE, "events").collect()
+    signups: dict[int, list] = {}
+    for r in ev:
+        if r.event_type == "signup":
+            signups.setdefault(r.user_id, []).append(
+                (r.ts, r.event_id, int(r.value * 1000 // 1)))
+    for s in signups.values():
+        s.sort()
+    import math
+    for r in rows:
+        cands = [s for s in signups.get(r.user_id, []) if s[0] <= r.t_purchase]
+        if not cands:
+            assert r.tier_milli is None
+        else:
+            # recompute tier from the chosen signup's value floor
+            t_last, eid, _ = cands[-1]
+            raw = next(x.value for x in ev
+                       if x.event_id == eid)
+            assert r.tier_milli == math.floor(raw * 1000), r
+            assert r.valid_from == t_last
