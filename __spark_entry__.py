@@ -341,6 +341,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SCD2 dimension build (lead-window intervals) + point-in-time
         # fact enrichment on user equi-key + interval predicate
         "events_scd2": A.q_events_scd2,
+        # blocked record linkage: noisy listings -> route master via
+        # block equi-join + in-block Levenshtein + argmin assignment
+        "entity_resolution": R.q_entity_resolution,
+        # Pareto skyline via banded distributed prefix-min (declarative
+        # NOT EXISTS oracle) — no global sort, no pair join
+        "orders_skyline": A.q_orders_skyline,
     }
 
 
@@ -498,4 +504,6 @@ def oracle_sql() -> dict[str, str]:
         "text_perplexity_filter": TX.sql_text_perplexity_filter(),
         "star_revenue": A.sql_star_revenue(),
         "events_scd2": A.sql_events_scd2(),
+        "entity_resolution": R.sql_entity_resolution(),
+        "orders_skyline": A.sql_orders_skyline(),
     }

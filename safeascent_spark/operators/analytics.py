@@ -1412,3 +1412,81 @@ FROM fact f LEFT JOIN dim d
  AND f.t_purchase >= d.valid_from
  AND (d.valid_to IS NULL OR f.t_purchase < d.valid_to)
 ORDER BY f.purchase_id"""
+
+
+# --- Pareto skyline (banded distributed prefix-min) --------------------------
+# The classic multi-criteria operator the reference's "best climbing
+# window = min avg risk" (W3) generalizes to: the set of orders no other
+# order dominates on (price LOW, recency HIGH).  Domination is strict
+# integer comparison — price in cents, recency in epoch days — so both
+# engines agree bitwise.
+#
+# Algorithm (no global sort, no quadratic pair join):
+#   1. collapse to per-price min(negday) — a map-side-combined groupBy
+#      (same-price rows: only the most recent can survive);
+#   2. band by price div BAND_W (value-range bands, constant count);
+#      per-band running min over price order = a PARTITIONED window;
+#   3. cross-band offsets = running min over the bounded band-minima
+#      frame (|bands| rows — the only single-partition step, constant-
+#      sized like the equi-depth histogram's rank reconstruction);
+#   4. survivor iff its negday beats every strictly-lower price's min;
+#      ties re-join all orders carrying a surviving (price, day) pair.
+# The oracle states the same set declaratively via NOT EXISTS.
+
+SKYLINE_BAND_CENTS = 5_000_000  # 50k-dollar price bands (bounded count)
+
+
+def q_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = domain.load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date")).cast("long")
+    base = o.select("o_orderkey", cents.alias("price_cents"),
+                    day.alias("order_day"))
+    # (1) per-price champion: only the most recent order at a price point
+    # can be undominated
+    pts = (base.groupBy("price_cents")
+               .agg(F.max("order_day").alias("best_day")))
+    banded = pts.withColumn(
+        "band", F.expr(f"price_cents div {SKYLINE_BAND_CENTS}"))
+    # (2) within-band running max of best_day over STRICTLY lower prices
+    wb = (Window.partitionBy("band").orderBy("price_cents")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    # (3) cross-band offsets on the bounded band frame
+    bmax = banded.groupBy("band").agg(F.max("best_day").alias("band_max"))
+    wo = (Window.orderBy("band")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bmax.withColumn("prev_band_max", F.max("band_max").over(wo)) \
+               .select("band", "prev_band_max")
+    sky = (banded.withColumn("in_band_max", F.max("best_day").over(wb))
+                 .join(F.broadcast(offs), "band")
+                 .withColumn("prev_max",
+                             F.greatest(F.coalesce("in_band_max",
+                                                   F.lit(-1).cast("long")),
+                                        F.coalesce("prev_band_max",
+                                                   F.lit(-1).cast("long"))))
+                 .filter(F.col("best_day") > F.col("prev_max"))
+                 .select("price_cents", F.col("best_day").alias("order_day")))
+    # (4) all orders carrying a surviving (price, day) point
+    return (base.join(sky, ["price_cents", "order_day"])
+                .select("o_orderkey", "price_cents", "order_day")
+                .orderBy("o_orderkey"))
+
+
+def sql_orders_skyline() -> str:
+    return """
+WITH o2 AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS order_day
+  FROM orders
+)
+SELECT a.o_orderkey, a.price_cents, a.order_day
+FROM o2 a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o2 b
+  WHERE b.price_cents <= a.price_cents AND b.order_day >= a.order_day
+    AND (b.price_cents < a.price_cents OR b.order_day > a.order_day)
+)
+ORDER BY a.o_orderkey"""

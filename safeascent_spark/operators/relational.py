@@ -512,3 +512,108 @@ SELECT accident_id, round(latitude, 6) AS latitude,
 FROM pts
 WHERE ({total}) % 2 = 1
 ORDER BY accident_id"""
+
+
+# --- Record linkage: blocked fuzzy entity resolution -------------------------
+# The production form of the reference's same-route fuzzy match
+# (mp_routes.py:876-886, J7): link NOISY LISTINGS back to the canonical
+# route master via blocking + edit distance + best-match assignment —
+# never an all-pairs compare.  Listings are derived deterministically
+# from the master (four reproducible corruption modes: lowercasing,
+# '#'->' ', trailing whitespace, dropped first char), so both engines
+# generate the identical input and the whole operator stays oracle-exact.
+#
+# * Blocking key: last 3 digits of the name's digit string — all of an
+#   entity's variants share it, and DIFFERENT entities collide (custkey
+#   k and k+1000 share a block), so the in-block Levenshtein genuinely
+#   disambiguates: a variant is distance 1 from its own master but >= 2
+#   from any same-block impostor.
+# * Assignment: per listing, argmin (edit distance, route_id) over block
+#   candidates within MAX_EDIT — one row_number window per listing.
+#
+# Scale shape: candidate pairs = |listings| x block-occupancy (bounded by
+# the key design), via one equi-join on the block key; Levenshtein runs
+# only inside blocks; the argmin window partitions by listing.  No
+# cross join, no driver-side loop — the standard ER layout at corpus
+# scale (Fellegi-Sunter blocking discipline).
+
+ER_MAX_EDIT = 2
+
+
+def _er_digits(col):
+    return F.regexp_replace(col, "[^0-9]", "")
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routes = domain.routes_df(spark, sf_dir)
+    master = routes.select("route_id", "route_name")
+    # deterministic noisy listings: 4 variants per route, listing_id
+    # encodes (route_id, variant) so truth is checkable
+    v = master.select(
+        "route_id", "route_name",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("variant"),
+                     F.lower("route_name").alias("lname")),
+            F.struct(F.lit(1).alias("variant"),
+                     F.regexp_replace("route_name", "#", " ").alias("lname")),
+            F.struct(F.lit(2).alias("variant"),
+                     F.concat(F.col("route_name"), F.lit(" ")).alias("lname")),
+            F.struct(F.lit(3).alias("variant"),
+                     F.substring(F.col("route_name"), 2, 100).alias("lname")),
+        )).alias("x"))
+    listings = v.select(
+        (F.col("route_id") * 4 + F.col("x.variant")).alias("listing_id"),
+        F.col("x.lname").alias("listing_name"),
+        _er_digits(F.col("x.lname")).substr(F.lit(-3), F.lit(3))
+         .alias("block"))
+    m = master.select(F.col("route_id").alias("cand_id"),
+                      F.col("route_name").alias("cand_name"),
+                      _er_digits(F.col("route_name"))
+                      .substr(F.lit(-3), F.lit(3)).alias("block"))
+    pairs = (listings.join(m, "block")
+                     .withColumn("dist", F.levenshtein("listing_name",
+                                                       "cand_name"))
+                     .filter(F.col("dist") <= ER_MAX_EDIT))
+    w = Window.partitionBy("listing_id").orderBy("dist", "cand_id")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select("listing_id", "listing_name",
+                         F.col("cand_id").alias("matched_route_id"),
+                         F.col("dist").cast("int").alias("edit_distance"))
+                 .orderBy("listing_id"))
+
+
+def sql_entity_resolution() -> str:
+    return f"""{_DOMAIN_WITH},
+master AS (SELECT route_id, route_name FROM routes),
+listings AS (
+  SELECT route_id * 4 + variant AS listing_id, lname AS listing_name,
+         right(regexp_replace(lname, '[^0-9]', '', 'g'), 3) AS block
+  FROM (
+    SELECT route_id, 0 AS variant, lower(route_name) AS lname FROM master
+    UNION ALL
+    SELECT route_id, 1, replace(route_name, '#', ' ') FROM master
+    UNION ALL
+    SELECT route_id, 2, route_name || ' ' FROM master
+    UNION ALL
+    SELECT route_id, 3, substring(route_name, 2) FROM master
+  )
+),
+cands AS (
+  SELECT route_id AS cand_id, route_name AS cand_name,
+         right(regexp_replace(route_name, '[^0-9]', '', 'g'), 3) AS block
+  FROM master
+),
+pairs AS (
+  SELECT l.listing_id, l.listing_name, c.cand_id,
+         levenshtein(l.listing_name, c.cand_name) AS dist
+  FROM listings l JOIN cands c USING (block)
+  WHERE levenshtein(l.listing_name, c.cand_name) <= {ER_MAX_EDIT}
+)
+SELECT listing_id, listing_name, cand_id AS matched_route_id,
+       CAST(dist AS INT) AS edit_distance
+FROM (SELECT *, row_number() OVER (PARTITION BY listing_id
+                                   ORDER BY dist, cand_id) AS rn
+      FROM pairs)
+WHERE rn = 1
+ORDER BY listing_id"""

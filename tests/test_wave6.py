@@ -86,3 +86,49 @@ def test_scd2_intervals_partition_each_user_timeline(spark):
                        if x.event_id == eid)
             assert r.tier_milli == math.floor(raw * 1000), r
             assert r.valid_from == t_last
+
+
+def test_entity_resolution_recovers_ground_truth(spark):
+    """Every noisy listing must link back to the route that generated it
+    (truth = listing_id div 4), and the blocking genuinely collides
+    distinct entities (some listing sees >1 in-block candidate), so the
+    Levenshtein argmin is doing real disambiguation work."""
+    from safeascent_spark.operators import relational as R
+    from safeascent_spark import domain
+    rows = R.q_entity_resolution(spark, SF_ORACLE).collect()
+    n_routes = domain.routes_df(spark, SF_ORACLE).count()
+    assert len(rows) == 4 * n_routes  # every variant resolved
+    for r in rows:
+        assert r.matched_route_id == r.listing_id // 4, r
+        assert 1 <= r.edit_distance <= 2
+    # collision proof: blocks keyed on last-3 digits collide at >= 1000
+    # routes (custkey k vs k+1000), so the argmin had impostors to reject
+    assert n_routes > 1000
+
+
+def test_skyline_matches_brute_force(spark):
+    """Banded prefix-min skyline == the quadratic domination definition."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    import math
+    got = {r.o_orderkey for r in
+           A.q_orders_skyline(spark, "/root/testdata/sf0.001").collect()}
+    o = domain.load_table(spark, "/root/testdata/sf0.001", "orders").collect()
+    pts = [(r.o_orderkey, math.floor(r.o_totalprice * 100),
+            r.o_orderdate) for r in o]
+    want = set()
+    for k, p, d in pts:
+        dominated = any(
+            (p2 <= p and d2 >= d and (p2 < p or d2 > d))
+            for _, p2, d2 in pts)
+        if not dominated:
+            want.add(k)
+    assert got == want
+
+
+def test_skyline_plan_has_no_pair_join(spark):
+    from safeascent_spark.operators import analytics as A
+    from tests.test_plans import n_ops, plan_of
+    plan = plan_of(A.q_orders_skyline(spark, SF_ORACLE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
