@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Pareto skyline via banded distributed prefix-min (declarative
         # NOT EXISTS oracle) — no global sort, no pair join
         "orders_skyline": A.q_orders_skyline,
+        # multi-touch linear attribution: integer-exact equal split with
+        # remainder-to-earliest; per-channel rollup
+        "events_attribution": A.q_events_attribution,
     }
 
 
@@ -506,4 +509,5 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2": A.sql_events_scd2(),
         "entity_resolution": R.sql_entity_resolution(),
         "orders_skyline": A.sql_orders_skyline(),
+        "events_attribution": A.sql_events_attribution(),
     }

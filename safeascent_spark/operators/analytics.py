@@ -1490,3 +1490,98 @@ WHERE NOT EXISTS (
     AND (b.price_cents < a.price_cents OR b.order_day > a.order_day)
 )
 ORDER BY a.o_orderkey"""
+
+
+# --- Multi-touch linear attribution -----------------------------------------
+# The marketing-analytics workhorse the asof view (single-touch) cannot
+# express: each purchase's value splits EQUALLY across every view/click
+# touch by the same user in the trailing attribution window, and the
+# readout sums attributed value per channel.  Exactness contract: the
+# purchase value floors to integer micro-units once, each touch gets
+# value div n, and the remainder goes to the EARLIEST (value mod n)
+# touches — integer arithmetic end-to-end, total attributed value per
+# purchase telescopes back to exactly floor(value * 1e6).
+#
+# Scale shape: the touch join is a user_id equi-join with a residual
+# time-band predicate (bounded per-user touch lists — never a cross
+# join); the per-purchase split is one row_number window at (purchase,
+# touch) grain; the channel rollup is map-side combined.  At 100 TB this
+# is the standard sessionized-attribution layout: shuffle by user once,
+# window within, aggregate small.
+
+ATTR_WINDOW_DAYS = 7
+_ATTR_WINDOW_NS = ATTR_WINDOW_DAYS * 86_400 * 1_000_000_000
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    buys = (e.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("b_user"),
+                     F.col("ts").alias("b_ts"),
+                     F.expr("CAST(floor(value * 1000000) AS BIGINT)")
+                      .alias("value_micro")))
+    touches = (e.filter(F.col("event_type").isin("view", "click"))
+                .select(F.col("user_id").alias("t_user"),
+                        F.col("event_type").alias("channel"),
+                        F.col("ts").alias("t_ts"),
+                        F.col("event_id").alias("touch_id")))
+    cond = ((F.col("b_user") == F.col("t_user"))
+            & (F.col("t_ts") <= F.col("b_ts"))
+            & (F.col("t_ts") > F.col("b_ts") - F.lit(_ATTR_WINDOW_NS)))
+    pairs = buys.join(touches, cond)
+    w = Window.partitionBy("purchase_id").orderBy("t_ts", "touch_id")
+    wn = Window.partitionBy("purchase_id")
+    attributed = (pairs
+                  .withColumn("i", F.row_number().over(w))
+                  .withColumn("n", F.count(F.lit(1)).over(wn))
+                  .withColumn(
+                      "attr_micro",
+                      F.expr("value_micro div n")
+                      + F.when(F.col("i") <= F.expr("value_micro % n"),
+                               F.lit(1).cast("long")).otherwise(F.lit(0))))
+    return (attributed.groupBy("channel")
+                      .agg(F.count(F.lit(1)).cast("bigint")
+                            .alias("n_touches"),
+                           F.count_distinct("purchase_id")
+                            .cast("bigint").alias("n_purchases"),
+                           F.sum("attr_micro").alias("attributed_micro"))
+                      .orderBy("channel"))
+
+
+def sql_events_attribution() -> str:
+    return f"""
+WITH buys AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS b_ts,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_micro
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_type AS channel, epoch_ns(ts) AS t_ts,
+         event_id AS touch_id
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT b.purchase_id, b.value_micro, t.channel, t.t_ts, t.touch_id
+  FROM buys b JOIN touches t
+    ON b.user_id = t.user_id
+   AND t.t_ts <= b.b_ts
+   AND t.t_ts > b.b_ts - {_ATTR_WINDOW_NS}
+),
+split AS (
+  SELECT channel, purchase_id,
+         value_micro // n
+         + CASE WHEN i <= value_micro % n THEN 1 ELSE 0 END AS attr_micro
+  FROM (SELECT *,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY t_ts, touch_id) AS i,
+               count(*) OVER (PARTITION BY purchase_id) AS n
+        FROM pairs)
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(sum(attr_micro) AS BIGINT) AS attributed_micro
+FROM split
+GROUP BY channel
+ORDER BY channel"""

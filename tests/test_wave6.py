@@ -132,3 +132,30 @@ def test_skyline_plan_has_no_pair_join(spark):
     plan = plan_of(A.q_orders_skyline(spark, SF_ORACLE))
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_attribution_telescopes_to_purchase_values(spark):
+    """Conservation law: summed attributed micro-value over all channels
+    equals the summed floor(value*1e6) of every purchase that HAS at
+    least one in-window touch — the equal split with remainder-to-
+    earliest loses nothing and invents nothing."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    import math
+    sf = "/root/testdata/sf0.001"
+    out = A.q_events_attribution(spark, sf).collect()
+    got_total = sum(r.attributed_micro for r in out)
+    ev = domain.load_table(spark, sf, "events").collect()
+    touches = [(r.user_id, r.ts) for r in ev
+               if r.event_type in ("view", "click")]
+    want_total = 0
+    win = A._ATTR_WINDOW_NS
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        n = sum(1 for u, t in touches
+                if u == r.user_id and r.ts - win < t <= r.ts)
+        if n:
+            want_total += math.floor(r.value * 1_000_000)
+    assert got_total == want_total
+    assert {r.channel for r in out} == {"view", "click"}
