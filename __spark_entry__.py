@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from safeascent_spark.operators import analytics as A
 from safeascent_spark.operators import assembly as ASM
+from safeascent_spark.operators import association as ASSOC
 from safeascent_spark.operators import batch as B
 from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import graph as G
@@ -353,6 +354,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-touch linear attribution: integer-exact equal split with
         # remainder-to-earliest; per-channel rollup
         "events_attribution": A.q_events_attribution,
+        # --- round-5 seventh wave ---
+        # 2-itemset association rules: per-basket pair join + exact-ppm
+        # lift from BIGINT counts
+        "basket_pairs_lift": ASSOC.q_basket_pairs,
+        # triangle enumeration on the thresholded co-purchase graph via
+        # the ordered two-path + closure equi-joins
+        "graph_triangles": ASSOC.q_graph_triangles,
+        # growth accounting: DAU/new/returning/churned per calendar day,
+        # one corpus-sized distinct then bounded frames
+        "events_growth": A.q_events_growth,
+        # dbt/Deequ-style constraint suite as one query: PK, FKs, domain
+        # ranges, schema invariants, freshness
+        "dq_assertions": R.q_dq_assertions,
     }
 
 
@@ -513,4 +527,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_resolution": R.sql_entity_resolution(),
         "orders_skyline": A.sql_orders_skyline(),
         "events_attribution": A.sql_events_attribution(),
+        "basket_pairs_lift": ASSOC.sql_basket_pairs(),
+        "graph_triangles": ASSOC.sql_graph_triangles(),
+        "events_growth": A.sql_events_growth(),
+        "dq_assertions": R.sql_dq_assertions(),
     }

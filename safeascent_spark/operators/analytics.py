@@ -1585,3 +1585,68 @@ SELECT channel,
 FROM split
 GROUP BY channel
 ORDER BY channel"""
+
+
+# --- Growth accounting (DAU / new / returning / churned) ---------------------
+# The standard product-analytics daily ledger: per day, distinct active
+# users, first-time users, returning users, and the users active the
+# previous day who did not come back.  All counts are exact BIGINTs from
+# one (user, day) distinct pass; "new" rides a broadcast first-seen dim;
+# "churned" is prev-day DAU minus the (user, day)x(user, day+1) retained
+# join — calendar day arithmetic, not lag(), so a silent day gap yields
+# NULL churn instead of mis-attributing it to the next active day.
+#
+# Scale shape: the only corpus-sized shuffle is the (user, day) distinct;
+# every later frame is |days| or |users| sized.
+
+def q_events_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    du = (e.select(_epoch_day("ts").alias("day"), "user_id").distinct())
+    first = du.groupBy("user_id").agg(F.min("day").alias("fday"))
+    daily = (du.join(F.broadcast(first), "user_id")
+               .groupBy("day")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("dau"),
+                    F.sum(F.when(F.col("fday") == F.col("day"), 1)
+                           .otherwise(0)).cast("bigint").alias("new_users")))
+    retained = (du.alias("a")
+                  .join(du.alias("b"),
+                        (F.col("a.user_id") == F.col("b.user_id"))
+                        & (F.col("b.day") == F.col("a.day") + 1))
+                  .groupBy(F.col("b.day").alias("day"))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("retained")))
+    prev = daily.select((F.col("day") + 1).alias("day"),
+                        F.col("dau").alias("prev_dau"))
+    return (daily
+            .join(F.broadcast(prev), "day", "left")
+            .join(F.broadcast(retained), "day", "left")
+            .select("day", "dau", "new_users",
+                    (F.col("dau") - F.col("new_users")).alias("returning"),
+                    (F.col("prev_dau")
+                     - F.coalesce(F.col("retained"), F.lit(0)))
+                    .alias("churned"))
+            .orderBy("day"))
+
+
+def sql_events_growth() -> str:
+    day = _sql_epoch_day("ts")
+    return f"""
+WITH du AS (SELECT DISTINCT {day} AS day, user_id FROM events),
+first AS (SELECT user_id, min(day) AS fday FROM du GROUP BY user_id),
+daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau,
+         CAST(sum(CASE WHEN f.fday = du.day THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users
+  FROM du JOIN first f USING (user_id) GROUP BY day
+),
+retained AS (
+  SELECT b.day AS day, CAST(count(*) AS BIGINT) AS retained
+  FROM du a JOIN du b ON a.user_id = b.user_id AND b.day = a.day + 1
+  GROUP BY b.day
+)
+SELECT d.day, d.dau, d.new_users,
+       d.dau - d.new_users AS returning,
+       p.dau - coalesce(r.retained, 0) AS churned
+FROM daily d
+LEFT JOIN daily p ON p.day = d.day - 1
+LEFT JOIN retained r ON r.day = d.day
+ORDER BY d.day"""

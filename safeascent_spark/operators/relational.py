@@ -617,3 +617,109 @@ FROM (SELECT *, row_number() OVER (PARTITION BY listing_id
       FROM pairs)
 WHERE rn = 1
 ORDER BY listing_id"""
+
+
+# --- Data-quality assertion report ------------------------------------------
+# Every production pipeline fronts its tables with constraint checks
+# (dbt tests / Deequ / Delta constraints).  This operator runs the
+# engine's assertion suite as ONE query: primary-key uniqueness,
+# referential integrity (anti-join counts), domain ranges, schema
+# invariants, and freshness — each a (check, n_violations, pass) row.
+#
+# Scale shape: each check is a single aggregate or a left-join null
+# count over its table (referential checks build the key dim once);
+# the union is |checks| rows.  Nothing collects driver-side — the
+# report itself is the query result.
+
+_DQ_TS_LO = "2024-01-01"
+_DQ_TS_HI = "2025-01-01"
+_DQ_EMB_DIM = 64
+
+
+def q_dq_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = domain.load_table(spark, sf_dir, "customer")
+    o = domain.load_table(spark, sf_dir, "orders")
+    li = domain.load_table(spark, sf_dir, "lineitem")
+    e = domain.load_table(spark, sf_dir, "events")
+    d = domain.load_table(spark, sf_dir, "documents")
+    emb = domain.load_table(spark, sf_dir, "embeddings")
+
+    def report(name: str, viol_df: DataFrame) -> DataFrame:
+        return viol_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+            (F.col("n") == 0).alias("passed"))
+
+    pk = c.agg((F.count(F.lit(1))
+                - F.count_distinct("c_custkey")).alias("n"))
+    fk_oc = (o.join(c.select("c_custkey"),
+                    F.col("o_custkey") == F.col("c_custkey"), "left")
+              .agg(F.sum(F.when(F.col("c_custkey").isNull(), 1)
+                          .otherwise(0)).alias("n")))
+    fk_lo = (li.select("l_orderkey").distinct()
+               .join(o.select("o_orderkey"),
+                     F.col("l_orderkey") == F.col("o_orderkey"), "left")
+               .agg(F.sum(F.when(F.col("o_orderkey").isNull(), 1)
+                           .otherwise(0)).alias("n")))
+    val = e.agg(F.sum(F.when(F.col("value").isNull()
+                             | (F.col("value") < 0), 1)
+                       .otherwise(0)).alias("n"))
+    lo_ns = F.lit(1704067200000000000)  # 2024-01-01 UTC in ns
+    hi_ns = F.lit(1735689600000000000)  # 2025-01-01 UTC in ns
+    fresh = e.agg(F.sum(F.when((F.col("ts") < lo_ns)
+                               | (F.col("ts") >= hi_ns), 1)
+                         .otherwise(0)).alias("n"))
+    docs = d.agg(F.sum(F.when(F.col("text").isNull()
+                              | (F.length("text") != F.col("n_chars")), 1)
+                        .otherwise(0)).alias("n"))
+    dim = emb.agg(F.sum(F.when(F.size("embedding") != _DQ_EMB_DIM, 1)
+                         .otherwise(0)).alias("n"))
+    out = (report("customer_pk_unique", pk)
+           .unionByName(report("orders_fk_customer", fk_oc))
+           .unionByName(report("lineitem_fk_orders", fk_lo))
+           .unionByName(report("events_value_nonnegative", val))
+           .unionByName(report("events_ts_fresh_2024", fresh))
+           .unionByName(report("documents_nchars_consistent", docs))
+           .unionByName(report("embeddings_dim_64", dim)))
+    return out.orderBy("check_name")
+
+
+def sql_dq_assertions() -> str:
+    return f"""
+WITH checks AS (
+  SELECT 'customer_pk_unique' AS check_name,
+         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations
+  FROM customer
+  UNION ALL
+  SELECT 'orders_fk_customer',
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem_fk_orders',
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'events_value_nonnegative',
+         CAST(sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events_ts_fresh_2024',
+         CAST(sum(CASE WHEN epoch_ns(ts) < 1704067200000000000
+                         OR epoch_ns(ts) >= 1735689600000000000
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'documents_nchars_consistent',
+         CAST(sum(CASE WHEN text IS NULL OR length(text) <> n_chars
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'embeddings_dim_64',
+         CAST(sum(CASE WHEN len(embedding) <> {_DQ_EMB_DIM}
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM embeddings
+)
+SELECT check_name, n_violations, n_violations = 0 AS passed
+FROM checks ORDER BY check_name"""

@@ -159,3 +159,84 @@ def test_attribution_telescopes_to_purchase_values(spark):
             want_total += math.floor(r.value * 1_000_000)
     assert got_total == want_total
     assert {r.channel for r in out} == {"view", "click"}
+
+
+def test_growth_accounting_conserves_users(spark):
+    """sum(new) == |distinct users|; dau == new + returning; churned(d)
+    == dau(d-1) - |active both d-1 and d| recomputed from raw events."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    sf = "/root/testdata/sf0.001"
+    rows = A.q_events_growth(spark, sf).collect()
+    ev = domain.load_table(spark, sf, "events").collect()
+    day_ns = 86_400 * 1_000_000_000
+    active: dict[int, set] = {}
+    for r in ev:
+        active.setdefault(r.ts // day_ns, set()).add(r.user_id)
+    all_users = set().union(*active.values())
+    assert sum(r.new_users for r in rows) == len(all_users)
+    for r in rows:
+        assert r.dau == r.new_users + r.returning
+        assert r.dau == len(active[r.day])
+        if (r.day - 1) in active:
+            retained = len(active[r.day - 1] & active[r.day])
+            assert r.churned == len(active[r.day - 1]) - retained, r
+        else:
+            assert r.churned is None
+
+
+def test_triangles_close_and_order(spark):
+    """Every emitted triangle is strictly ordered a<b<c and all three
+    edges exist in the thresholded edge set (closure is real)."""
+    from safeascent_spark.operators import association as ASSOC
+    from pyspark.sql import functions as F
+    edges = {(r.p1, r.p2) for r in
+             ASSOC._pair_support(spark, SF_ORACLE)
+             .filter(F.col("support") >= ASSOC.MIN_SUPPORT).collect()}
+    tris = ASSOC.q_graph_triangles(spark, SF_ORACLE).collect()
+    assert len(tris) > 0
+    seen = set()
+    for t in tris:
+        assert t.a < t.b < t.c
+        assert (t.a, t.b) in edges and (t.b, t.c) in edges \
+            and (t.a, t.c) in edges
+        assert (t.a, t.b, t.c) not in seen
+        seen.add((t.a, t.b, t.c))
+
+
+def test_dq_assertions_detect_seeded_violations(spark, tmp_path):
+    """All checks pass on the pristine testdata; seeding a dangling FK,
+    a duplicate PK, and a negative event value flips exactly those
+    checks — the assertions detect, not just tautologically pass."""
+    import shutil
+    from safeascent_spark.operators import relational as R
+    sf = "/root/testdata/sf0.001"
+    clean = {r.check_name: r for r in R.q_dq_assertions(spark, sf).collect()}
+    assert all(r.passed for r in clean.values()), clean
+    assert len(clean) == 7
+    # corrupted copy: orders gains a dangling o_custkey, customer a dup
+    # PK, events a negative value
+    bad = str(tmp_path / "bad")
+    import os
+    os.makedirs(bad)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        shutil.copy(f"{sf}/{t}.parquet", f"{bad}/{t}.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    o.union(o.limit(1).withColumn(
+        "o_custkey", o.o_custkey * 0 - 999999)) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{bad}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c.union(c.limit(1)).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{bad}/customer.parquet")
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    e.union(e.limit(1).withColumn("value", e.value * 0 - 1.0)) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{bad}/events.parquet")
+    got = {r.check_name: r for r in R.q_dq_assertions(spark, bad).collect()}
+    assert not got["orders_fk_customer"].passed
+    assert got["orders_fk_customer"].n_violations == 1
+    assert not got["customer_pk_unique"].passed
+    assert not got["events_value_nonnegative"].passed
+    # untouched tables still pass
+    assert got["lineitem_fk_orders"].passed
+    assert got["embeddings_dim_64"].passed
