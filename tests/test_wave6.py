@@ -240,3 +240,26 @@ def test_dq_assertions_detect_seeded_violations(spark, tmp_path):
     # untouched tables still pass
     assert got["lineitem_fk_orders"].passed
     assert got["embeddings_dim_64"].passed
+
+
+def test_streaming_attribution_equals_batch(spark, tmp_path):
+    """The stateful streaming attribution, aggregated per channel, must
+    reproduce the batch operator's per-channel rollup exactly (same
+    integer split, touches carried in keyed state)."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark.streaming import attribution as SA
+    from pyspark.sql import functions as F
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "attr")
+    n = SA.run_attribution(spark, sf, out)
+    assert n > 0
+    got = {r.channel: (r.n_touches, r.attributed_micro) for r in
+           (spark.read.parquet(out)
+                 .groupBy("channel")
+                 .agg(F.sum("n_touches").cast("bigint").alias("n_touches"),
+                      F.sum("attr_micro").cast("bigint")
+                       .alias("attributed_micro"))
+                 .collect())}
+    want = {r.channel: (r.n_touches, r.attributed_micro)
+            for r in A.q_events_attribution(spark, sf).collect()}
+    assert got == want
