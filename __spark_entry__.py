@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dbt/Deequ-style constraint suite as one query: PK, FKs, domain
         # ranges, schema invariants, freshness
         "dq_assertions": R.q_dq_assertions,
+        # k-fold CV of the closed-form ridge via sufficient statistics:
+        # train stats = total - fold on exact BIGINT moments, one pass
+        "ml_risk_model_cv": ML.q_ml_risk_model_cv,
     }
 
 
@@ -531,4 +534,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": ASSOC.sql_graph_triangles(),
         "events_growth": A.sql_events_growth(),
         "dq_assertions": R.sql_dq_assertions(),
+        "ml_risk_model_cv": ML.sql_ml_risk_model_cv(),
     }

@@ -872,3 +872,192 @@ SELECT vec_id AS query_id,
        true AS recall_floor_ok,
        true AS mean_recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id"""
+
+
+# --- Distributed k-fold cross-validation via sufficient statistics -----------
+# The evaluation layer the surrogate model needs: k-fold CV WITHOUT
+# iteration or data movement.  Because the grouped ridge is closed-form
+# in its sufficient statistics, fold-f training stats are just
+# (total - fold_f) on the EXACT integer moment sums — one groupBy at
+# (route_type, fold) grain, one broadcast join against the per-type
+# totals, and the same determinant algebra as q_ml_risk_model per
+# (type, fold).  Held-out RMSE evaluates from the fold's own integer
+# moments (no second data pass).  Folds are route_id % K — deterministic,
+# hash-free, identical in both engines.
+#
+# Scale shape: ONE pass over the corpus (the (type, fold) aggregate);
+# everything after runs on a 7 x K frame.  This is how CV actually
+# scales: never K training passes.
+
+CV_FOLDS = 5
+
+
+def q_ml_risk_model_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _route_features(spark, sf_dir)
+    labels = scoring.risk_scores_df(spark, sf_dir).select(
+        "route_id", "risk_score")
+    data = feats.join(labels, "route_id").select(
+        "route_type",
+        (F.col("route_id") % CV_FOLDS).cast("int").alias("fold"),
+        F.col("elevation_m").cast("long").alias("ei"),
+        F.round(F.col("popularity") * POP_SCALE, 0).cast("long").alias("pi"),
+        F.round(F.col("risk_score") * LABEL_SCALE, 0).cast("long").alias("yi"),
+    )
+    ei, pi, yi = F.col("ei"), F.col("pi"), F.col("yi")
+    fstats = data.groupBy("route_type", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ei").alias("s1"), F.sum("pi").alias("s2"),
+        F.sum(ei * ei).alias("s11"), F.sum(pi * pi).alias("s22"),
+        F.sum(ei * pi).alias("s12"),
+        F.sum("yi").alias("sy0"),
+        F.sum(ei * yi).alias("s1y"), F.sum(pi * yi).alias("s2y"),
+        F.sum(yi * yi).alias("syy0"),
+    )
+    moment_cols = ["n", "s1", "s2", "s11", "s22", "s12",
+                   "sy0", "s1y", "s2y", "syy0"]
+    totals = fstats.groupBy("route_type").agg(
+        *[F.sum(m).alias(f"t_{m}") for m in moment_cols])
+    # train = total - heldout fold, still exact BIGINTs
+    tr = fstats.join(F.broadcast(totals), "route_type").select(
+        "route_type", "fold",
+        *[(F.col(f"t_{m}") - F.col(m)).alias(f"tr_{m}")
+          for m in moment_cols],
+        *[F.col(m).alias(f"te_{m}") for m in moment_cols])
+
+    def unscale(px: str):
+        return {
+            "nd": F.col(f"{px}_n").cast("double"),
+            "se": F.col(f"{px}_s1").cast("double"),
+            "sp": F.col(f"{px}_s2").cast("double") / 100.0,
+            "see": F.col(f"{px}_s11").cast("double"),
+            "spp": F.col(f"{px}_s22").cast("double") / 10000.0,
+            "sep": F.col(f"{px}_s12").cast("double") / 100.0,
+            "sy": F.col(f"{px}_sy0").cast("double") / 1000000.0,
+            "sey": F.col(f"{px}_s1y").cast("double") / 1000000.0,
+            "spy": F.col(f"{px}_s2y").cast("double") / 100000000.0,
+            "syy": F.col(f"{px}_syy0").cast("double") / 1000000000000.0,
+        }
+
+    c = unscale("tr")
+    lam = F.lit(RIDGE_LAMBDA)
+    a11, a12, a13 = c["see"] + lam, c["sep"], c["se"]
+    a21, a22, a23 = c["sep"], c["spp"] + lam, c["sp"]
+    a31, a32, a33 = c["se"], c["sp"], c["nd"]
+    det = _det3(a11, a12, a13, a21, a22, a23, a31, a32, a33)
+    we = _det3(c["sey"], a12, a13, c["spy"], a22, a23,
+               c["sy"], a32, a33) / det
+    wp = _det3(a11, c["sey"], a13, a21, c["spy"], a23,
+               a31, c["sy"], a33) / det
+    b0 = _det3(a11, a12, c["sey"], a21, a22, c["spy"],
+               a31, a32, c["sy"]) / det
+    t = unscale("te")
+    sse_te = (t["syy"]
+              - 2 * (we * t["sey"] + wp * t["spy"] + b0 * t["sy"])
+              + (we * we * t["see"] + wp * wp * t["spp"]
+                 + b0 * b0 * t["nd"]
+                 + 2 * (we * wp * t["sep"] + we * b0 * t["se"]
+                        + wp * b0 * t["sp"])))
+    return (tr.select(
+                "route_type", "fold",
+                F.col("tr_n").cast("bigint").alias("n_train"),
+                F.col("te_n").cast("bigint").alias("n_test"),
+                F.round(F.sqrt(sse_te / t["nd"]), 4).alias("rmse_cv"))
+              .orderBy("route_type", "fold"))
+
+
+def sql_ml_risk_model_cv() -> str:
+    from .operators.scoring import risk_scores_sql
+    lam = repr(RIDGE_LAMBDA)
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (f"{a} * ({e} * {i} - {f} * {h}) "
+                f"- {b} * ({d} * {i} - {f} * {g}) "
+                f"+ {c} * ({d} * {h} - {e} * {g})")
+
+    a11, a12, a13 = f"(see + {lam})", "sep", "se"
+    a21, a22, a23 = "sep", f"(spp + {lam})", "sp"
+    a31, a32, a33 = "se", "sp", "nd"
+    det = det3(a11, a12, a13, a21, a22, a23, a31, a32, a33)
+    we = (f"({det3('sey', a12, a13, 'spy', a22, a23, 'sy', a32, a33)})"
+          f" / ({det})")
+    wp = (f"({det3(a11, 'sey', a13, a21, 'spy', a23, a31, 'sy', a33)})"
+          f" / ({det})")
+    b0 = (f"({det3(a11, a12, 'sey', a21, a22, 'spy', a31, a32, 'sy')})"
+          f" / ({det})")
+    return f"""
+WITH {domain.ROUTES_CTE.strip()},
+{domain.LOCATIONS_CTE.strip()},
+scores AS (
+  SELECT route_id, risk_score FROM ({risk_scores_sql()})
+),
+data AS (
+  SELECT r.route_type, CAST(r.route_id % {CV_FOLDS} AS INT) AS fold,
+         CAST(COALESCE(l.elevation_m, 0.0) AS BIGINT) AS ei,
+         CAST(round(COALESCE(r.popularity, 0.0) * {POP_SCALE}) AS BIGINT) AS pi,
+         CAST(round(s.risk_score * {LABEL_SCALE}) AS BIGINT) AS yi
+  FROM routes r
+  JOIN locations l ON r.location_id = l.location_id
+  JOIN scores s ON s.route_id = r.route_id
+),
+fstats AS (
+  SELECT route_type, fold, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ei) AS BIGINT) AS s1, CAST(sum(pi) AS BIGINT) AS s2,
+         CAST(sum(ei * ei) AS BIGINT) AS s11,
+         CAST(sum(pi * pi) AS BIGINT) AS s22,
+         CAST(sum(ei * pi) AS BIGINT) AS s12,
+         CAST(sum(yi) AS BIGINT) AS sy0,
+         CAST(sum(ei * yi) AS BIGINT) AS s1y,
+         CAST(sum(pi * yi) AS BIGINT) AS s2y,
+         CAST(sum(yi * yi) AS BIGINT) AS syy0
+  FROM data GROUP BY route_type, fold
+),
+totals AS (
+  SELECT route_type,
+         sum(n) AS t_n, sum(s1) AS t_s1, sum(s2) AS t_s2,
+         sum(s11) AS t_s11, sum(s22) AS t_s22, sum(s12) AS t_s12,
+         sum(sy0) AS t_sy0, sum(s1y) AS t_s1y, sum(s2y) AS t_s2y,
+         sum(syy0) AS t_syy0
+  FROM fstats GROUP BY route_type
+),
+tr AS (
+  SELECT f.route_type, f.fold,
+         CAST(t.t_n - f.n AS DOUBLE) AS nd,
+         CAST(t.t_s1 - f.s1 AS DOUBLE) AS se,
+         CAST(t.t_s2 - f.s2 AS DOUBLE) / 100.0 AS sp,
+         CAST(t.t_s11 - f.s11 AS DOUBLE) AS see,
+         CAST(t.t_s22 - f.s22 AS DOUBLE) / 10000.0 AS spp,
+         CAST(t.t_s12 - f.s12 AS DOUBLE) / 100.0 AS sep,
+         CAST(t.t_sy0 - f.sy0 AS DOUBLE) / 1000000.0 AS sy,
+         CAST(t.t_s1y - f.s1y AS DOUBLE) / 1000000.0 AS sey,
+         CAST(t.t_s2y - f.s2y AS DOUBLE) / 100000000.0 AS spy,
+         CAST(t.t_syy0 - f.syy0 AS DOUBLE) / 1000000000000.0 AS syy,
+         CAST(t.t_n - f.n AS BIGINT) AS n_train,
+         CAST(f.n AS BIGINT) AS n_test,
+         CAST(f.n AS DOUBLE) AS te_nd,
+         CAST(f.s1 AS DOUBLE) AS te_se,
+         CAST(f.s2 AS DOUBLE) / 100.0 AS te_sp,
+         CAST(f.s11 AS DOUBLE) AS te_see,
+         CAST(f.s22 AS DOUBLE) / 10000.0 AS te_spp,
+         CAST(f.s12 AS DOUBLE) / 100.0 AS te_sep,
+         CAST(f.sy0 AS DOUBLE) / 1000000.0 AS te_sy,
+         CAST(f.s1y AS DOUBLE) / 1000000.0 AS te_sey,
+         CAST(f.s2y AS DOUBLE) / 100000000.0 AS te_spy,
+         CAST(f.syy0 AS DOUBLE) / 1000000000000.0 AS te_syy
+  FROM fstats f JOIN totals t USING (route_type)
+),
+coefs AS (
+  SELECT route_type, fold, n_train, n_test,
+         te_nd, te_se, te_sp, te_see, te_spp, te_sep,
+         te_sy, te_sey, te_spy, te_syy,
+         {we} AS we, {wp} AS wp, {b0} AS b0
+  FROM tr
+)
+SELECT route_type, fold, n_train, n_test,
+       round(sqrt((te_syy
+                   - 2 * (we * te_sey + wp * te_spy + b0 * te_sy)
+                   + (we * we * te_see + wp * wp * te_spp
+                      + b0 * b0 * te_nd
+                      + 2 * (we * wp * te_sep + we * b0 * te_se
+                             + wp * b0 * te_sp))) / te_nd), 4) AS rmse_cv
+FROM coefs
+ORDER BY route_type, fold"""

@@ -263,3 +263,22 @@ def test_streaming_attribution_equals_batch(spark, tmp_path):
     want = {r.channel: (r.n_touches, r.attributed_micro)
             for r in A.q_events_attribution(spark, sf).collect()}
     assert got == want
+
+
+def test_cv_folds_partition_and_rmse_sane(spark):
+    """CV bookkeeping: per (type, fold) n_train + n_test equals the type
+    total; held-out RMSE is finite, nonnegative, and within a sane band
+    of the in-sample fit (no fold catastrophically off)."""
+    from safeascent_spark import ml as ML
+    cv = ML.q_ml_risk_model_cv(spark, SF_ORACLE).collect()
+    assert len(cv) == 7 * ML.CV_FOLDS
+    ins = {r.route_type: r.rmse_g for r in
+           ML.q_ml_risk_model(spark, SF_ORACLE)
+           .select("route_type", "rmse_g").distinct().collect()}
+    totals: dict[str, int] = {}
+    for r in cv:
+        totals.setdefault(r.route_type, r.n_train + r.n_test)
+        assert r.n_train + r.n_test == totals[r.route_type]
+        assert r.rmse_cv is not None and r.rmse_cv >= 0.0
+        # held-out error can exceed in-sample but not explode
+        assert r.rmse_cv <= max(ins[r.route_type] * 5.0, 5.0), r
