@@ -60,11 +60,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_bigram_lm, text_ctfidf_topk, dedup_source_flow,
     # f8_polygon_filter, text_bm25_multi, events_ab_test, dedup_eval,
     # multimodal_video_frames, multimodal_curation,
-    # sample_mixture_quality; and the sixth wave: ann_ivf_pq_topk,
+    # sample_mixture_quality; the sixth wave: ann_ivf_pq_topk,
     # text_perplexity_filter, star_revenue, events_scd2,
-    # entity_resolution, orders_skyline, events_attribution) carry their
-    # evidence in CORRECTNESS_LOCAL_r05.json until the r6 window rotates
-    # them in.
+    # entity_resolution, orders_skyline, events_attribution; and the
+    # seventh wave: basket_pairs_lift, graph_triangles, events_growth,
+    # dq_assertions, ml_risk_model_cv) carry their evidence in
+    # CORRECTNESS_LOCAL_r05.json until the r6 window rotates them in.
     # The three leave-outs are chosen so each is pinned by an IN-WINDOW
     # contract and all three are re-verified by tools/local_correctness.py
     # this round (CORRECTNESS_LOCAL_r05.json):
