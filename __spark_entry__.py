@@ -371,6 +371,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-fold CV of the closed-form ridge via sufficient statistics:
         # train stats = total - fold on exact BIGINT moments, one pass
         "ml_risk_model_cv": ML.q_ml_risk_model_cv,
+        # --- round-5 eighth wave ---
+        # trailing-7d distinct users: exact 7-way-spread count_distinct
+        # + mergeable per-day HLL union certified within 5%
+        "events_rolling_distinct": A.q_events_rolling_distinct,
+        # item-item CF: top-k cosine neighbors over the pair-support
+        # table, floor-ppm of bitwise-identical doubles
+        "cf_item_neighbors": ASSOC.q_cf_item_neighbors,
+        # DBSCAN-lite hotspots: dense 1-degree cells, 8-neighbor
+        # adjacency equi-join, star-contraction CC cluster labels
+        "geo_hotspots": ASSOC.q_geo_hotspots,
     }
 
 
@@ -536,4 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "events_growth": A.sql_events_growth(),
         "dq_assertions": R.sql_dq_assertions(),
         "ml_risk_model_cv": ML.sql_ml_risk_model_cv(),
+        "events_rolling_distinct": A.sql_events_rolling_distinct(),
+        "cf_item_neighbors": ASSOC.sql_cf_item_neighbors(),
+        "geo_hotspots": ASSOC.sql_geo_hotspots(),
     }

@@ -1650,3 +1650,76 @@ FROM daily d
 LEFT JOIN daily p ON p.day = d.day - 1
 LEFT JOIN retained r ON r.day = d.day
 ORDER BY d.day"""
+
+
+# --- Trailing 7-day distinct users: exact + mergeable-sketch certification ---
+# Rolling DISTINCT is the canonical "hard at scale" window metric:
+# distinct does not decompose over sliding frames, so production systems
+# keep per-day HLL sketches and UNION them per window (sketches merge;
+# exact sets do not).  Here both run side by side:
+# * exact: each (user, day) contributes to days [day, day+6] via a
+#   7-way explode, then one count_distinct per target day — linear
+#   blowup bounded by the window length, the exact-certification path;
+# * sketch: per-day HLL sketches (datasketches, mergeable) replicated
+#   the same way and hll_union_agg'd per window — the O(|days| x 7)
+#   merge a 100 TB deployment would run on PRE-AGGREGATED daily state
+#   instead of raw events.
+# The HLL estimate is engine-specific, so (events_approx_stats
+# convention) the registered result carries the exact counts plus a
+# pinned boolean asserting the sketch landed within 5% — a sketch
+# regression breaks the driver hash gate without putting a
+# non-reproducible float in the hash.
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+def q_events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    du = e.select(_epoch_day("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    spread = du.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + (ROLLING_DISTINCT_DAYS - 1))).alias("tday"))
+    exact = (spread.join(days.withColumnRenamed("day", "tday"), "tday")
+                   .groupBy("tday")
+                   .agg(F.count_distinct("user_id").cast("bigint")
+                         .alias("n_distinct_7d")))
+    # mergeable-sketch leg: per-day sketches, unioned per window
+    daily_sk = (e.select(_epoch_day("ts").alias("day"), "user_id")
+                 .groupBy("day")
+                 .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    sk_spread = daily_sk.select(
+        "sk",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + (ROLLING_DISTINCT_DAYS - 1))).alias("tday"))
+    est = (sk_spread.join(days.withColumnRenamed("day", "tday"), "tday")
+                    .groupBy("tday")
+                    .agg(F.hll_sketch_estimate(
+                        F.hll_union_agg("sk")).alias("hll_est")))
+    return (exact.join(est, "tday")
+                 .select(F.col("tday").alias("day"), "n_distinct_7d",
+                         (F.abs(F.col("hll_est")
+                                - F.col("n_distinct_7d")) * 100
+                          <= F.col("n_distinct_7d") * 5)
+                         .alias("hll_within_5pct"))
+                 .orderBy("day"))
+
+
+def sql_events_rolling_distinct() -> str:
+    day = _sql_epoch_day("ts")
+    return f"""
+WITH du AS (SELECT DISTINCT {day} AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+spread AS (
+  SELECT du.user_id, du.day + off.off AS tday
+  FROM du, (SELECT unnest(range({ROLLING_DISTINCT_DAYS})) AS off) off
+)
+SELECT s.tday AS day,
+       CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_distinct_7d,
+       true AS hll_within_5pct
+FROM spread s JOIN days d ON s.tday = d.day
+GROUP BY s.tday
+ORDER BY day"""

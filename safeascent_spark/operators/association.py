@@ -130,3 +130,176 @@ FROM e e1
 JOIN e e2 ON e1.p2 = e2.p1
 JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
 ORDER BY a, b, c"""
+
+
+# --- Item-item collaborative filtering (top-k cosine neighbors) --------------
+# The recommender primitive on top of the pair-support table: item-item
+# cosine = sup / sqrt(n1 * n2), computed as floor-ppm of bitwise-
+# identical IEEE doubles (sqrt is correctly rounded in both engines, the
+# inputs are exact BIGINTs).  Pairs symmetrize and a per-item
+# row_number window keeps the top CF_TOP_K — the WindowGroupLimit
+# pre-truncating shape, so the exchange carries O(items x k).
+
+CF_TOP_K = 3
+
+
+def q_cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    it = _basket_items(spark, sf_dir)
+    item_n = it.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    pairs = _pair_support(spark, sf_dir).filter(
+        F.col("support") >= MIN_SUPPORT)
+    sym = (pairs.select(F.col("p1").alias("item"),
+                        F.col("p2").alias("neighbor"), "support")
+                .unionByName(
+                    pairs.select(F.col("p2").alias("item"),
+                                 F.col("p1").alias("neighbor"), "support")))
+    scored = (sym.join(item_n.select(F.col("l_partkey").alias("item"),
+                                     F.col("n_item").alias("ni")), "item")
+                 .join(item_n.select(F.col("l_partkey").alias("neighbor"),
+                                     F.col("n_item").alias("nn")), "neighbor")
+                 .select("item", "neighbor", "support",
+                         F.expr(f"CAST(floor(support * {LIFT_SCALE} "
+                                "/ sqrt(CAST(ni * nn AS DOUBLE))) AS BIGINT)")
+                          .alias("cosine_ppm")))
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine_ppm").desc(), F.col("neighbor").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= CF_TOP_K)
+                  .select("item", F.col("rank").cast("int").alias("rank"),
+                          "neighbor", "support", "cosine_ppm")
+                  .orderBy("item", "rank"))
+
+
+def sql_cf_item_neighbors() -> str:
+    return f"""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item_n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+           FROM it GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS support
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SUPPORT}
+),
+sym AS (
+  SELECT p1 AS item, p2 AS neighbor, support FROM pairs
+  UNION ALL
+  SELECT p2, p1, support FROM pairs
+),
+scored AS (
+  SELECT s.item, s.neighbor, s.support,
+         CAST(floor(s.support * {LIFT_SCALE}
+              / sqrt(CAST(i1.n_item * i2.n_item AS DOUBLE))) AS BIGINT)
+           AS cosine_ppm
+  FROM sym s
+  JOIN item_n i1 ON s.item = i1.l_partkey
+  JOIN item_n i2 ON s.neighbor = i2.l_partkey
+)
+SELECT item, CAST(rank AS INT) AS rank, neighbor, support, cosine_ppm
+FROM (SELECT *, row_number() OVER (PARTITION BY item
+                                   ORDER BY cosine_ppm DESC, neighbor) AS rank
+      FROM scored)
+WHERE rank <= {CF_TOP_K}
+ORDER BY item, rank"""
+
+
+# --- Grid-density hotspot clustering (DBSCAN-lite over cells) ----------------
+# Spatial hotspot detection the way it scales: points collapse to
+# 1-degree grid cells (one map-side-combined groupBy), cells at or above
+# the density threshold become nodes, 8-neighbor adjacency between dense
+# cells becomes the edge list (an equi-join against exploded neighbor
+# offsets — never a theta join), and connected components (the O(log n)
+# star-contraction from operators/graph.py) labels contiguous regions.
+# Cluster grain output: min-cell id as the label, cell count, total
+# points, and the bounding extent.  The oracle walks the same adjacency
+# with WITH RECURSIVE min-label propagation.
+
+HOT_CELL_DEG = 1      # 1-degree cells
+HOT_MIN_POINTS = 1    # density threshold per cell
+_HOT_KEY = 10_000     # cell id = (cx + 500) * _HOT_KEY + (cy + 500)
+
+
+def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import connected_components
+    a = domain.accidents_df(spark, sf_dir)
+    cells = (a.select(
+                F.expr(f"CAST(floor(latitude * {HOT_CELL_DEG}) AS BIGINT)")
+                 .alias("cx"),
+                F.expr(f"CAST(floor(longitude * {HOT_CELL_DEG}) AS BIGINT)")
+                 .alias("cy"))
+              .groupBy("cx", "cy")
+              .agg(F.count(F.lit(1)).alias("n_points"))
+              .filter(F.col("n_points") >= HOT_MIN_POINTS))
+    cid = ((F.col("cx") + 500) * _HOT_KEY + (F.col("cy") + 500))
+    nodes = cells.select(cid.alias("cell_id"), "cx", "cy", "n_points")
+    # 8-neighbor adjacency via exploded offsets + equi-join on (cx, cy)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    nbr = (nodes.select(
+               "cell_id",
+               F.explode(F.array(*[
+                   F.struct((F.col("cx") + dx).alias("cx"),
+                            (F.col("cy") + dy).alias("cy"))
+                   for dx, dy in offs])).alias("o"))
+                .select("cell_id", F.col("o.cx").alias("cx"),
+                        F.col("o.cy").alias("cy")))
+    edges = (nbr.join(nodes.select(F.col("cell_id").alias("nbr_id"),
+                                   "cx", "cy"), ["cx", "cy"])
+                .filter(F.col("cell_id") < F.col("nbr_id"))
+                .select(F.col("cell_id").alias("u"),
+                        F.col("nbr_id").alias("v")))
+    cc = connected_components(edges)
+    labeled = (nodes.join(cc, nodes.cell_id == cc.node, "left")
+                    .select("cell_id", "cx", "cy", "n_points",
+                            F.coalesce("component", "cell_id")
+                             .alias("cluster_id")))
+    return (labeled.groupBy("cluster_id")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                        F.sum("n_points").cast("bigint").alias("n_points"),
+                        F.min("cx").alias("cx_min"), F.max("cx").alias("cx_max"),
+                        F.min("cy").alias("cy_min"), F.max("cy").alias("cy_max"))
+                   .orderBy("cluster_id"))
+
+
+def sql_geo_hotspots() -> str:
+    from .. import domain as dm
+    domain_with = ("WITH " + dm.ACCIDENTS_CTE.strip())
+    return f"""{domain_with},
+cells AS (
+  SELECT CAST(floor(latitude * {HOT_CELL_DEG}) AS BIGINT) AS cx,
+         CAST(floor(longitude * {HOT_CELL_DEG}) AS BIGINT) AS cy,
+         count(*) AS n_points
+  FROM accidents GROUP BY cx, cy
+  HAVING count(*) >= {HOT_MIN_POINTS}
+),
+nodes AS (
+  SELECT (cx + 500) * {_HOT_KEY} + (cy + 500) AS cell_id, cx, cy, n_points
+  FROM cells
+),
+edges AS (
+  SELECT a.cell_id AS src, b.cell_id AS dst
+  FROM nodes a JOIN nodes b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cell_id <> b.cell_id
+),
+walk AS (
+  WITH RECURSIVE reach(cell_id, label) AS (
+    SELECT cell_id, cell_id FROM nodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON r.cell_id = e.src
+  )
+  SELECT cell_id, min(label) AS cluster_id FROM reach GROUP BY cell_id
+)
+SELECT w.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n.n_points) AS BIGINT) AS n_points,
+       min(n.cx) AS cx_min, max(n.cx) AS cx_max,
+       min(n.cy) AS cy_min, max(n.cy) AS cy_max
+FROM nodes n JOIN walk w USING (cell_id)
+GROUP BY w.cluster_id
+ORDER BY w.cluster_id"""

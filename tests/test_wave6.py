@@ -282,3 +282,54 @@ def test_cv_folds_partition_and_rmse_sane(spark):
         assert r.rmse_cv is not None and r.rmse_cv >= 0.0
         # held-out error can exceed in-sample but not explode
         assert r.rmse_cv <= max(ins[r.route_type] * 5.0, 5.0), r
+
+
+def test_rolling_distinct_matches_brute_force(spark):
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    sf = "/root/testdata/sf0.001"
+    rows = A.q_events_rolling_distinct(spark, sf).collect()
+    ev = domain.load_table(spark, sf, "events").collect()
+    day_ns = 86_400 * 1_000_000_000
+    by_day: dict[int, set] = {}
+    for r in ev:
+        by_day.setdefault(r.ts // day_ns, set()).add(r.user_id)
+    for r in rows:
+        want = set()
+        for d in range(r.day - A.ROLLING_DISTINCT_DAYS + 1, r.day + 1):
+            want |= by_day.get(d, set())
+        assert r.n_distinct_7d == len(want), r
+        assert r.hll_within_5pct
+    assert {r.day for r in rows} == set(by_day)
+
+
+def test_cf_neighbors_bounded_and_ranked(spark):
+    from safeascent_spark.operators import association as ASSOC
+    rows = ASSOC.q_cf_item_neighbors(spark, SF_ORACLE).collect()
+    by_item: dict[int, list] = {}
+    for r in rows:
+        assert 0 < r.cosine_ppm <= 1_000_000
+        by_item.setdefault(r.item, []).append(r)
+    for item, rs in by_item.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= ASSOC.CF_TOP_K
+        for a, b in zip(rs, rs[1:]):
+            assert (a.cosine_ppm, -a.neighbor) >= (b.cosine_ppm, -b.neighbor)
+
+
+def test_hotspot_clusters_partition_dense_cells(spark):
+    from safeascent_spark.operators import association as ASSOC
+    from safeascent_spark import domain
+    from pyspark.sql import functions as F
+    clusters = ASSOC.q_geo_hotspots(spark, SF_ORACLE).collect()
+    a = domain.accidents_df(spark, SF_ORACLE)
+    n_dense = (a.select(
+        F.expr("CAST(floor(latitude) AS BIGINT)").alias("cx"),
+        F.expr("CAST(floor(longitude) AS BIGINT)").alias("cy"))
+        .groupBy("cx", "cy").count()
+        .filter(F.col("count") >= ASSOC.HOT_MIN_POINTS).count())
+    assert sum(c.n_cells for c in clusters) == n_dense
+    n_accidents = a.count()
+    assert sum(c.n_points for c in clusters) == n_accidents
+    for c in clusters:
+        assert c.cx_min <= c.cx_max and c.cy_min <= c.cy_max
