@@ -381,6 +381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DBSCAN-lite hotspots: dense 1-degree cells, 8-neighbor
         # adjacency equi-join, star-contraction CC cluster labels
         "geo_hotspots": ASSOC.q_geo_hotspots,
+        # Kaplan-Meier time-to-churn: exact life table + sorted-array
+        # float fold (identical multiply order in both engines)
+        "events_survival": A.q_events_survival,
+        # uncertainty sampling: bottom-M docs by exact NB margin — the
+        # labeling-budget selector of a curation loop
+        "sample_active_learning": TX.q_sample_active_learning,
     }
 
 
@@ -549,4 +555,6 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_distinct": A.sql_events_rolling_distinct(),
         "cf_item_neighbors": ASSOC.sql_cf_item_neighbors(),
         "geo_hotspots": ASSOC.sql_geo_hotspots(),
+        "events_survival": A.sql_events_survival(),
+        "sample_active_learning": TX.sql_sample_active_learning(),
     }

@@ -1723,3 +1723,105 @@ SELECT s.tday AS day,
 FROM spread s JOIN days d ON s.tday = d.day
 GROUP BY s.tday
 ORDER BY day"""
+
+
+# --- Kaplan-Meier survival curve (time to churn) -----------------------------
+# The censoring-aware retention statistic: each user's duration is
+# last_active_day - first_active_day; users still active on the corpus's
+# final day are CENSORED (their churn was never observed), everyone else
+# is an event.  KM: S(t) = prod_{t_i <= t} (1 - d_i / n_i) over event
+# times, with n_i = users whose duration >= t_i (at risk).
+#
+# Exactness: d, n, and the censor split are exact BIGINTs.  S(t) is a
+# product of rationals whose numerators/denominators overflow int64, so
+# the float fold runs over a SORTED ARRAY with an explicit left fold —
+# both engines multiply the identical doubles in the identical ascending
+# order (the dyadic-EWMA fold convention), then round once to 6 places.
+# This sidesteps the running-window float trap (Spark's running-frame
+# evaluator vs DuckDB's segment tree accumulate in different orders).
+#
+# Scale shape: one groupBy(user) for durations, one groupBy(duration)
+# for the life table (<= |days| rows), and the fold runs per row over a
+# broadcast sorted array of the bounded life table.
+
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    du = e.select(_epoch_day("ts").alias("day"), "user_id").distinct()
+    maxd = du.agg(F.max("day").alias("m"))
+    spans = (du.groupBy("user_id")
+               .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+               .crossJoin(F.broadcast(maxd))
+               .select("user_id",
+                       (F.col("d1") - F.col("d0")).alias("duration"),
+                       (F.col("d1") < F.col("m")).cast("int")
+                       .alias("event")))
+    n_users = spans.count()
+    life = (spans.groupBy("duration")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+                      F.sum("event").cast("bigint").alias("n_churned")))
+    # at risk at t = users with duration >= t: total - cumsum(earlier) —
+    # integer running sum on the bounded life-table frame (exact)
+    wo = (Window.orderBy("duration")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    lt = (life.withColumn(
+              "n_at_risk",
+              F.lit(n_users).cast("bigint")
+              - F.coalesce(F.sum("n_ending").over(wo),
+                           F.lit(0).cast("bigint"))))
+    # sorted-array fold: S(t) = foldl over {(t_i, d_i, n_i) : t_i <= t}
+    steps = lt.agg(F.array_sort(F.collect_list(
+        F.struct("duration", "n_churned", "n_at_risk"))).alias("steps"))
+    km = F.expr(
+        "round(aggregate(filter(steps, x -> x.duration <= duration), "
+        "CAST(1.0 AS DOUBLE), "
+        "(acc, x) -> acc * (1.0 - CAST(x.n_churned AS DOUBLE) "
+        "/ CAST(x.n_at_risk AS DOUBLE))), 6)")
+    return (lt.crossJoin(F.broadcast(steps))
+              .select("duration", "n_at_risk", "n_churned",
+                      (F.col("n_ending") - F.col("n_churned"))
+                      .alias("n_censored"),
+                      km.alias("km_survival"))
+              .orderBy("duration"))
+
+
+def sql_events_survival() -> str:
+    day = _sql_epoch_day("ts")
+    return f"""
+WITH du AS (SELECT DISTINCT {day} AS day, user_id FROM events),
+maxd AS (SELECT max(day) AS m FROM du),
+spans AS (
+  SELECT user_id, max(day) - min(day) AS duration,
+         CASE WHEN max(day) < (SELECT m FROM maxd) THEN 1 ELSE 0 END AS event
+  FROM du GROUP BY user_id
+),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM spans),
+life AS (
+  SELECT duration, CAST(count(*) AS BIGINT) AS n_ending,
+         CAST(sum(event) AS BIGINT) AS n_churned
+  FROM spans GROUP BY duration
+),
+lt AS (
+  SELECT duration, n_ending, n_churned,
+         (SELECT n_users FROM nu)
+         - coalesce(sum(n_ending) OVER (ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS n_at_risk
+  FROM life
+),
+steps AS (
+  SELECT list_sort(list(struct_pack(duration := duration,
+                                    n_churned := n_churned,
+                                    n_at_risk := n_at_risk))) AS s
+  FROM lt
+)
+SELECT lt.duration, lt.n_at_risk, lt.n_churned,
+       lt.n_ending - lt.n_churned AS n_censored,
+       round(list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(
+             list_filter(steps.s, x -> x.duration <= lt.duration),
+             x -> 1.0 - CAST(x.n_churned AS DOUBLE)
+                  / CAST(x.n_at_risk AS DOUBLE))),
+         (acc, x) -> acc * x), 6) AS km_survival
+FROM lt CROSS JOIN steps
+ORDER BY lt.duration"""

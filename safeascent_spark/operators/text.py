@@ -1724,9 +1724,9 @@ ORDER BY t.doc_id"""
 # back; scoring is tf-table x model broadcast join + one exact-integer
 # groupBy per (doc, lang); argmax is a per-doc WindowGroupLimit.
 
-def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """In-sample NB lang prediction confusion matrix:
-    (lang_actual, lang_pred, n_docs)."""
+def nb_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, score) — the exact-BIGINT NB log-posterior table
+    shared by the confusion matrix and the active-learning sampler."""
     d = docs_df(spark, sf_dir)
     t = tokens_df(spark, sf_dir)
     vsize = t.select("word").distinct().count()     # bounded driver scalar
@@ -1751,12 +1751,19 @@ def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    / F.lit(float(total_docs))))
          .cast("bigint").alias("prior_int"))
     tf = t.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    scores = (tf.join(F.broadcast(model), "word")
-                .groupBy("doc_id", "lang")
-                .agg(F.sum(F.col("tf") * F.col("w_int")).alias("ll"))
-                .join(F.broadcast(prior), "lang")
-                .select("doc_id", "lang",
-                        (F.col("ll") + F.col("prior_int")).alias("score")))
+    return (tf.join(F.broadcast(model), "word")
+              .groupBy("doc_id", "lang")
+              .agg(F.sum(F.col("tf") * F.col("w_int")).alias("ll"))
+              .join(F.broadcast(prior), "lang")
+              .select("doc_id", "lang",
+                      (F.col("ll") + F.col("prior_int")).alias("score")))
+
+
+def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample NB lang prediction confusion matrix:
+    (lang_actual, lang_pred, n_docs)."""
+    d = docs_df(spark, sf_dir)
+    scores = nb_doc_scores(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("lang"))
     pred = (scores.withColumn("rn", F.row_number().over(w))
@@ -2238,3 +2245,53 @@ SELECT doc_id, source, n_tokens, bits_per_token,
        tercile <= 2 AS keep
 FROM bucketed
 ORDER BY doc_id"""
+
+
+# --- Active-learning batch selection (NB margin / uncertainty sampling) ------
+# The labeling-budget primitive of a data-curation loop: pick the docs
+# the classifier is LEAST sure about — smallest margin between best and
+# second-best class log-posterior — and send exactly those for human
+# labels.  Margins are differences of the NB layer's exact-BIGINT
+# micro-nat scores, so selection is deterministic and oracle-exact; the
+# batch is the global bottom-M by (margin, doc_id).
+#
+# Scale shape: scores reuse the NB broadcast-model pass; the margin is
+# one per-doc window over |langs| rows; the global bottom-M is a
+# TakeOrderedAndProject (no full sort materialization).
+
+AL_BATCH = 40
+
+
+def q_sample_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = nb_doc_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang"))
+    ranked = scores.withColumn("rn", F.row_number().over(w))
+    best = (ranked.filter(F.col("rn") == 1)
+                  .select("doc_id", F.col("lang").alias("lang_pred"),
+                          F.col("score").alias("s1")))
+    second = (ranked.filter(F.col("rn") == 2)
+                    .select("doc_id", F.col("score").alias("s2")))
+    return (best.join(second, "doc_id")
+                .select("doc_id", "lang_pred",
+                        (F.col("s1") - F.col("s2")).alias("margin_micro"))
+                .orderBy(F.col("margin_micro").asc(), F.col("doc_id").asc())
+                .limit(AL_BATCH))
+
+
+def sql_sample_active_learning() -> str:
+    base = sql_text_nb_confusion()
+    # reuse the NB CTE chain up to `scores`, swap the readout
+    head = base[:base.index("pred AS (")]
+    return f"""{head}ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM scores
+)
+SELECT b.doc_id, b.lang AS lang_pred,
+       CAST(b.score - s.score AS BIGINT) AS margin_micro
+FROM (SELECT * FROM ranked WHERE rn = 1) b
+JOIN (SELECT * FROM ranked WHERE rn = 2) s USING (doc_id)
+ORDER BY margin_micro ASC, b.doc_id ASC
+LIMIT {AL_BATCH}"""

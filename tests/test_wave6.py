@@ -333,3 +333,58 @@ def test_hotspot_clusters_partition_dense_cells(spark):
     assert sum(c.n_points for c in clusters) == n_accidents
     for c in clusters:
         assert c.cx_min <= c.cx_max and c.cy_min <= c.cy_max
+
+
+def test_survival_curve_is_a_valid_km_estimate(spark):
+    """Life-table bookkeeping and KM shape: at-risk counts telescope,
+    ending users partition into churned + censored, and S(t) is
+    nonincreasing in (0, 1]."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    sf = "/root/testdata/sf0.001"
+    rows = A.q_events_survival(spark, sf).collect()
+    n_users = (domain.load_table(spark, sf, "events")
+               .select("user_id").distinct().count())
+    rows.sort(key=lambda r: r.duration)
+    at_risk = n_users
+    prev_s = 1.0
+    for r in rows:
+        assert r.n_at_risk == at_risk
+        ending = r.n_churned + r.n_censored
+        assert ending >= 1
+        at_risk -= ending
+        assert 0.0 < r.km_survival <= 1.0
+        assert r.km_survival <= prev_s + 1e-9
+        prev_s = r.km_survival
+    assert at_risk == 0
+
+
+def test_active_learning_picks_smallest_margins(spark):
+    """The selected batch is exactly the bottom-M margins: every selected
+    margin <= every unselected margin (ties broken by doc_id), margins
+    nonnegative."""
+    from safeascent_spark.operators import text as TXm
+    from pyspark.sql import Window, functions as F
+    sel = TXm.q_sample_active_learning(spark, SF_ORACLE).collect()
+    assert len(sel) == TXm.AL_BATCH
+    assert all(r.margin_micro >= 0 for r in sel)
+    scores = TXm.nb_doc_scores(spark, SF_ORACLE)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang"))
+    ranked = scores.withColumn("rn", F.row_number().over(w))
+    margins = {r.doc_id: r.margin for r in
+               (ranked.filter(F.col("rn") == 1)
+                      .select("doc_id", F.col("score").alias("s1"))
+                      .join(ranked.filter(F.col("rn") == 2)
+                                  .select("doc_id",
+                                          F.col("score").alias("s2")),
+                            "doc_id")
+                      .select("doc_id",
+                              (F.col("s1") - F.col("s2")).alias("margin"))
+                      .collect())}
+    chosen = {r.doc_id for r in sel}
+    worst_chosen = max((margins[d], d) for d in chosen)
+    best_left = min(((m, d) for d, m in margins.items()
+                     if d not in chosen), default=None)
+    if best_left is not None:
+        assert worst_chosen <= best_left
