@@ -64,7 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_perplexity_filter, star_revenue, events_scd2,
     # entity_resolution, orders_skyline, events_attribution; and the
     # seventh wave: basket_pairs_lift, graph_triangles, events_growth,
-    # dq_assertions, ml_risk_model_cv) carry their evidence in
+    # dq_assertions, ml_risk_model_cv; and the eighth/ninth waves:
+    # events_rolling_distinct, cf_item_neighbors, geo_hotspots,
+    # events_survival, sample_active_learning) carry their evidence in
     # CORRECTNESS_LOCAL_r05.json until the r6 window rotates them in.
     # The three leave-outs are chosen so each is pinned by an IN-WINDOW
     # contract and all three are re-verified by tools/local_correctness.py
