@@ -1452,9 +1452,13 @@ def q_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2) within-band running max of best_day over STRICTLY lower prices
     wb = (Window.partitionBy("band").orderBy("price_cents")
                 .rowsBetween(Window.unboundedPreceding, -1))
-    # (3) cross-band offsets on the bounded band frame
+    # (3) cross-band offsets on the bounded band frame.  Constant-key
+    # (`% 1`) window: bmax is <= price_range / SKYLINE_BAND_CENTS rows
+    # (a few hundred at any corpus size — value-range bands, not data-
+    # dependent), so the single task is bounded by construction
+    # (CONSTANT_KEY_WINDOW_ALLOWLIST, tests/test_plans.py).
     bmax = banded.groupBy("band").agg(F.max("best_day").alias("band_max"))
-    wo = (Window.orderBy("band")
+    wo = (Window.partitionBy(F.col("band") % 1).orderBy("band")
                 .rowsBetween(Window.unboundedPreceding, -1))
     offs = bmax.withColumn("prev_band_max", F.max("band_max").over(wo)) \
                .select("band", "prev_band_max")
@@ -1760,8 +1764,11 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_ending"),
                       F.sum("event").cast("bigint").alias("n_churned")))
     # at risk at t = users with duration >= t: total - cumsum(earlier) —
-    # integer running sum on the bounded life-table frame (exact)
-    wo = (Window.orderBy("duration")
+    # integer running sum on the life table.  Constant-key (`% 1`)
+    # window: the life table has <= |observed days| rows (duration is a
+    # day count), bounded by the calendar span, not the corpus
+    # (CONSTANT_KEY_WINDOW_ALLOWLIST, tests/test_plans.py).
+    wo = (Window.partitionBy(F.col("duration") % 1).orderBy("duration")
                 .rowsBetween(Window.unboundedPreceding, -1))
     lt = (life.withColumn(
               "n_at_risk",
@@ -1802,10 +1809,10 @@ life AS (
 ),
 lt AS (
   SELECT duration, n_ending, n_churned,
-         (SELECT n_users FROM nu)
-         - coalesce(sum(n_ending) OVER (ORDER BY duration
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS n_at_risk
+         CAST((SELECT n_users FROM nu)
+              - coalesce(sum(n_ending) OVER (ORDER BY duration
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS n_at_risk
   FROM life
 ),
 steps AS (

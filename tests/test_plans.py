@@ -190,6 +190,11 @@ CONSTANT_KEY_WINDOW_ALLOWLIST = {
     # RRF sparse-leg rank: input is the <= BM25_TOP_K-row TakeOrdered
     # result of q_text_bm25_topk (bounded by construction)
     ("safeascent_spark/operators/similarity.py", 'F.col("doc_id") % 1'),
+    # skyline cross-band offsets: <= price_range / SKYLINE_BAND_CENTS
+    # rows (value-range bands, corpus-size-independent); KM life table:
+    # <= |observed days| rows (durations are day counts)
+    ("safeascent_spark/operators/analytics.py", 'F.col("band") % 1'),
+    ("safeascent_spark/operators/analytics.py", 'F.col("duration") % 1'),
 }
 
 
