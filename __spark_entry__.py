@@ -389,6 +389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # uncertainty sampling: bottom-M docs by exact NB margin — the
         # labeling-budget selector of a curation loop
         "sample_active_learning": TX.q_sample_active_learning,
+        # hierarchical subtree rollup: dimension-only transitive closure
+        # + flatten-then-aggregate (facts touched once)
+        "location_subtree_rollup": R.q_location_subtree_rollup,
+        # LTV cohort triangle: integer-cents spend cumulated per
+        # acquisition cohort, per-cohort windows only
+        "orders_ltv_cohorts": A.q_orders_ltv_cohorts,
     }
 
 
@@ -559,4 +565,6 @@ def oracle_sql() -> dict[str, str]:
         "geo_hotspots": ASSOC.sql_geo_hotspots(),
         "events_survival": A.sql_events_survival(),
         "sample_active_learning": TX.sql_sample_active_learning(),
+        "location_subtree_rollup": R.sql_location_subtree_rollup(),
+        "orders_ltv_cohorts": A.sql_orders_ltv_cohorts(),
     }

@@ -1832,3 +1832,76 @@ SELECT lt.duration, lt.n_at_risk, lt.n_churned,
          (acc, x) -> acc * x), 6) AS km_survival
 FROM lt CROSS JOIN steps
 ORDER BY lt.duration"""
+
+
+# --- LTV cohort triangle (cumulative spend per acquisition cohort) -----------
+# The SaaS-finance companion of events_growth: customers cohort by their
+# FIRST order month, and each (cohort, age) cell carries that cohort's
+# order count, spend, cumulative spend, and cumulative LTV per user —
+# the classic lower-triangular LTV table.  All money is integer cents;
+# the cumulative sum is an integer running frame PARTITIONED BY COHORT
+# (many independent partitions, no global window); LTV divides with
+# integer floor so both engines agree bitwise.
+#
+# Scale shape: one groupBy(customer) for cohorts (broadcast back), one
+# (cohort, age) aggregate, then windows over the bounded triangle
+# (|months|^2 / 2 rows).
+
+def q_orders_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = domain.load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    midx = (F.year(od) - 1995) * 12 + F.month(od) - 1
+    base = o.select("o_custkey", midx.alias("m"),
+                    F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                     .alias("cents"))
+    cohort = base.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = cohort.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users"))
+    cells = (base.join(F.broadcast(cohort), "o_custkey")
+                 .groupBy("cohort_m", (F.col("m") - F.col("cohort_m"))
+                          .alias("age_m"))
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                      F.sum("cents").alias("spend_cents")))
+    wc = (Window.partitionBy("cohort_m").orderBy("age_m")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    return (cells.withColumn("cum_spend_cents",
+                             F.sum("spend_cents").over(wc))
+                 .join(F.broadcast(sizes), "cohort_m")
+                 .select("cohort_m", "age_m", "n_orders", "spend_cents",
+                         "cum_spend_cents", "cohort_users",
+                         F.expr("cum_spend_cents div cohort_users")
+                          .alias("ltv_cents_per_user"))
+                 .orderBy("cohort_m", "age_m"))
+
+
+def sql_orders_ltv_cohorts() -> str:
+    return """
+WITH base AS (
+  SELECT o_custkey,
+         (year(CAST(o_orderdate AS DATE)) - 1995) * 12
+         + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cohort AS (SELECT o_custkey, min(m) AS cohort_m FROM base GROUP BY o_custkey),
+sizes AS (SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_users
+          FROM cohort GROUP BY cohort_m),
+cells AS (
+  SELECT c.cohort_m, b.m - c.cohort_m AS age_m,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(b.cents) AS BIGINT) AS spend_cents
+  FROM base b JOIN cohort c USING (o_custkey)
+  GROUP BY c.cohort_m, b.m - c.cohort_m
+),
+cum AS (
+  SELECT cohort_m, age_m, n_orders, spend_cents,
+         CAST(sum(spend_cents) OVER (PARTITION BY cohort_m ORDER BY age_m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_spend_cents
+  FROM cells
+)
+SELECT c.cohort_m, c.age_m, c.n_orders, c.spend_cents, c.cum_spend_cents,
+       s.cohort_users,
+       c.cum_spend_cents // s.cohort_users AS ltv_cents_per_user
+FROM cum c JOIN sizes s USING (cohort_m)
+ORDER BY c.cohort_m, c.age_m"""

@@ -723,3 +723,101 @@ WITH checks AS (
 )
 SELECT check_name, n_violations, n_violations = 0 AS passed
 FROM checks ORDER BY check_name"""
+
+
+# --- Hierarchical subtree rollup (aggregate over the location tree) ----------
+# The OLAP companion of the J5 breadcrumb: per location, route counts
+# and popularity summed over the location's ENTIRE SUBTREE.  The
+# scalable layout is flatten-then-aggregate: materialize the (node,
+# ancestor) transitive closure of the shallow hierarchy (<= 15 bounded
+# broadcast-join hops over the dimension — never recursion over facts),
+# then one equi-join from the route-grain aggregate onto the closure and
+# one groupBy(ancestor).  Facts are touched exactly once; the recursion
+# only ever walks the small dimension.  The oracle states the closure
+# with WITH RECURSIVE.
+
+def _location_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(location_id, ancestor_id) pairs including self-pairs."""
+    base = breadcrumb_base_df(spark, sf_dir)
+    parents = base.select(F.col("location_id").alias("p_loc"),
+                          F.col("parent_id").alias("p_parent"))
+    closure = base.select("location_id",
+                          F.col("location_id").alias("ancestor_id"))
+    frontier = base.select("location_id",
+                           F.col("parent_id").alias("ancestor_id")) \
+                   .filter(F.col("ancestor_id").isNotNull())
+    for _ in range(15):
+        if frontier.isEmpty():
+            break
+        closure = closure.unionByName(frontier)
+        frontier = (frontier.join(
+                        F.broadcast(parents),
+                        frontier["ancestor_id"] == parents["p_loc"])
+                    .select("location_id",
+                            F.col("p_parent").alias("ancestor_id"))
+                    .filter(F.col("ancestor_id").isNotNull()))
+    return closure
+
+
+def q_location_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routes = domain.routes_df(spark, sf_dir)
+    direct = (routes.groupBy("location_id")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_direct"),
+                         F.sum(F.expr(
+                             "CAST(round(popularity * 100) AS BIGINT)"))
+                          .alias("pop_cents")))
+    closure = _location_closure(spark, sf_dir)
+    subtree = (direct.join(closure, "location_id")
+                     .groupBy(F.col("ancestor_id").alias("location_id"))
+                     .agg(F.sum("n_direct").cast("bigint")
+                           .alias("n_routes_subtree"),
+                          F.sum("pop_cents").cast("bigint")
+                           .alias("pop_cents_subtree")))
+    return (subtree.join(direct.select(
+                "location_id", F.col("n_direct").alias("n_routes_direct")),
+                "location_id", "left")
+                   .select("location_id",
+                           F.coalesce("n_routes_direct",
+                                      F.lit(0).cast("bigint"))
+                            .alias("n_routes_direct"),
+                           "n_routes_subtree", "pop_cents_subtree")
+                   .orderBy("location_id"))
+
+
+def sql_location_subtree_rollup() -> str:
+    return f"""{_DOMAIN_WITH},
+hier AS (
+  SELECT location_id,
+         CASE WHEN location_id = 0 THEN NULL
+              ELSE location_id // 10 END AS parent_id
+  FROM locations
+),
+closure AS (
+  WITH RECURSIVE walk(location_id, ancestor_id) AS (
+    SELECT location_id, location_id FROM hier
+    UNION
+    SELECT w.location_id, h.parent_id
+    FROM walk w JOIN hier h ON w.ancestor_id = h.location_id
+    WHERE h.parent_id IS NOT NULL
+  )
+  SELECT location_id, ancestor_id FROM walk
+),
+direct AS (
+  SELECT location_id,
+         CAST(count(*) AS BIGINT) AS n_direct,
+         CAST(sum(CAST(round(popularity * 100) AS BIGINT)) AS BIGINT)
+           AS pop_cents
+  FROM routes GROUP BY location_id
+),
+subtree AS (
+  SELECT c.ancestor_id AS location_id,
+         CAST(sum(d.n_direct) AS BIGINT) AS n_routes_subtree,
+         CAST(sum(d.pop_cents) AS BIGINT) AS pop_cents_subtree
+  FROM direct d JOIN closure c USING (location_id)
+  GROUP BY c.ancestor_id
+)
+SELECT s.location_id,
+       coalesce(d.n_direct, 0) AS n_routes_direct,
+       s.n_routes_subtree, s.pop_cents_subtree
+FROM subtree s LEFT JOIN direct d USING (location_id)
+ORDER BY s.location_id"""

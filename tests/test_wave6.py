@@ -388,3 +388,46 @@ def test_active_learning_picks_smallest_margins(spark):
                      if d not in chosen), default=None)
     if best_left is not None:
         assert worst_chosen <= best_left
+
+
+def test_subtree_rollup_conserves_and_dominates(spark):
+    """Root subtree == all routes; every node's subtree >= its direct
+    count; parent subtree >= child subtree (containment monotonicity)."""
+    from safeascent_spark.operators import relational as R
+    from safeascent_spark import domain
+    rows = {r.location_id: r for r in
+            R.q_location_subtree_rollup(spark, SF_ORACLE).collect()}
+    n_routes = domain.routes_df(spark, SF_ORACLE).count()
+    assert rows[0].n_routes_subtree == n_routes
+    for lid, r in rows.items():
+        assert r.n_routes_subtree >= r.n_routes_direct
+        parent = lid // 10
+        if lid != 0 and parent in rows:
+            assert rows[parent].n_routes_subtree >= r.n_routes_subtree
+
+
+def test_ltv_triangle_is_cumulative_and_conserves(spark):
+    """Within a cohort, cumulative spend is nondecreasing and the final
+    cumulative equals the cohort's total spend; the full-table spend sum
+    equals all orders' floored cents."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    from pyspark.sql import functions as F
+    import math
+    rows = A.q_orders_ltv_cohorts(spark, "/root/testdata/sf0.001").collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_m, []).append(r)
+    total = 0
+    for c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_m)
+        cum = 0
+        for r in rs:
+            cum += r.spend_cents
+            assert r.cum_spend_cents == cum
+            assert r.ltv_cents_per_user == cum // r.cohort_users
+        total += cum
+    o = domain.load_table(spark, "/root/testdata/sf0.001", "orders")
+    want = o.agg(F.sum(F.expr(
+        "CAST(floor(o_totalprice * 100) AS BIGINT)"))).collect()[0][0]
+    assert total == want
