@@ -395,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LTV cohort triangle: integer-cents spend cumulated per
         # acquisition cohort, per-cohort windows only
         "orders_ltv_cohorts": A.q_orders_ltv_cohorts,
+        # brand revenue share: lineitem x part dim join + ppm
+        # percent-of-total via 1-row broadcast (no global window)
+        "part_brand_share": ASSOC.q_part_brand_share,
     }
 
 
@@ -567,4 +570,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_active_learning": TX.sql_sample_active_learning(),
         "location_subtree_rollup": R.sql_location_subtree_rollup(),
         "orders_ltv_cohorts": A.sql_orders_ltv_cohorts(),
+        "part_brand_share": ASSOC.sql_part_brand_share(),
     }

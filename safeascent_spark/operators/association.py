@@ -303,3 +303,48 @@ SELECT w.cluster_id,
 FROM nodes n JOIN walk w USING (cell_id)
 GROUP BY w.cluster_id
 ORDER BY w.cluster_id"""
+
+
+# --- Brand revenue share (the TPC-H Q14-family part-dimension rollup) --------
+# Closes the schema: `part` is the one base table no other query reads.
+# lineitem ⋈ part on the part key (fact-side shuffle join; the part dim
+# broadcasts under AQE at test scale), revenue in exact micro-units,
+# share-of-total as ppm against a 1-row broadcast total (percent-of-
+# total WITHOUT a global window).
+
+def q_part_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = domain.load_table(spark, sf_dir, "lineitem")
+    p = domain.load_table(spark, sf_dir, "part")
+    rev = (F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+           * (F.lit(1000).cast("long")
+              - F.expr("CAST(floor(l_discount * 1000) AS BIGINT)")))
+    brand = (li.select("l_partkey", rev.alias("rev_micro"))
+               .join(p.select("p_partkey", "p_brand"),
+                     F.col("l_partkey") == F.col("p_partkey"))
+               .groupBy("p_brand")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                    F.sum("rev_micro").alias("revenue_micro")))
+    total = brand.agg(F.sum("revenue_micro").alias("t"))
+    return (brand.crossJoin(F.broadcast(total))
+                 .select("p_brand", "n_items", "revenue_micro",
+                         F.expr(f"revenue_micro * {LIFT_SCALE}L div t")
+                          .alias("share_ppm"))
+                 .orderBy(F.col("revenue_micro").desc(), "p_brand"))
+
+
+def sql_part_brand_share() -> str:
+    return f"""
+WITH brand AS (
+  SELECT p.p_brand,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                  * (1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)))
+              AS BIGINT) AS revenue_micro
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+total AS (SELECT CAST(sum(revenue_micro) AS BIGINT) AS t FROM brand)
+SELECT b.p_brand, b.n_items, b.revenue_micro,
+       b.revenue_micro * {LIFT_SCALE} // total.t AS share_ppm
+FROM brand CROSS JOIN total
+ORDER BY b.revenue_micro DESC, b.p_brand"""
