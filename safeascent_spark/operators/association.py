@@ -325,9 +325,13 @@ def q_part_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
                     F.sum("rev_micro").alias("revenue_micro")))
     total = brand.agg(F.sum("revenue_micro").alias("t"))
+    # share as rev div (total/1e6): division-only, so the corpus-sized
+    # totals never multiply (rev * 1e6 overflows int64 beyond ~9e12
+    # micro-revenue; both engines would fault identically but loudly)
     return (brand.crossJoin(F.broadcast(total))
                  .select("p_brand", "n_items", "revenue_micro",
-                         F.expr(f"revenue_micro * {LIFT_SCALE}L div t")
+                         F.expr(f"revenue_micro div "
+                                f"greatest(t div {LIFT_SCALE}L, 1L)")
                           .alias("share_ppm"))
                  .orderBy(F.col("revenue_micro").desc(), "p_brand"))
 
@@ -345,6 +349,7 @@ WITH brand AS (
 ),
 total AS (SELECT CAST(sum(revenue_micro) AS BIGINT) AS t FROM brand)
 SELECT b.p_brand, b.n_items, b.revenue_micro,
-       b.revenue_micro * {LIFT_SCALE} // total.t AS share_ppm
-FROM brand CROSS JOIN total
+       CAST(b.revenue_micro
+            // greatest(t.t // {LIFT_SCALE}, 1) AS BIGINT) AS share_ppm
+FROM brand b CROSS JOIN total t
 ORDER BY b.revenue_micro DESC, b.p_brand"""
