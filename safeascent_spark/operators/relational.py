@@ -523,19 +523,25 @@ ORDER BY accident_id"""
 # '#'->' ', trailing whitespace, dropped first char), so both engines
 # generate the identical input and the whole operator stays oracle-exact.
 #
-# * Blocking key: last 3 digits of the name's digit string — all of an
-#   entity's variants share it, and DIFFERENT entities collide (custkey
-#   k and k+1000 share a block), so the in-block Levenshtein genuinely
-#   disambiguates: a variant is distance 1 from its own master but >= 2
-#   from any same-block impostor.
+# * Blocking key: last 4 digits of the name's digit string — all of an
+#   entity's variants share it, and once the corpus passes 10k entities
+#   DIFFERENT entities collide (custkey k and k+10000 share a block), so
+#   the in-block Levenshtein genuinely disambiguates: a variant is
+#   distance 1 from its own master but >= 2 from any same-block
+#   impostor (verified at sf0.1+ where collisions exist).
 # * Assignment: per listing, argmin (edit distance, route_id) over block
-#   candidates within MAX_EDIT — one row_number window per listing.
+#   candidates within MAX_EDIT — one row_number window per listing;
+#   the Levenshtein runs in its BOUNDED-distance form (threshold
+#   ER_MAX_EDIT), an O(d x len) band instead of O(len^2) per pair.
 #
-# Scale shape: candidate pairs = |listings| x block-occupancy (bounded by
-# the key design), via one equi-join on the block key; Levenshtein runs
-# only inside blocks; the argmin window partitions by listing.  No
-# cross join, no driver-side loop — the standard ER layout at corpus
-# scale (Fellegi-Sunter blocking discipline).
+# Scale shape: in-block pair count is |listings| x block-occupancy.
+# BLOCK-KEY CARDINALITY MUST GROW WITH THE CORPUS or occupancy grows
+# linearly and pairs quadratically — exactly what the first cut of this
+# operator got wrong (a fixed 1000-block key measured 25x cost at 10x
+# data; the 10k-block key brought the 10x ratio back to ~2x, see
+# BENCH_sf1.json round5_wave6_curves).  Production ER sizes the key (or
+# composes several) so occupancy stays bounded; the sf1 scaling row is
+# the regression guard here.
 
 ER_MAX_EDIT = 2
 
@@ -544,9 +550,27 @@ def _er_digits(col):
     return F.regexp_replace(col, "[^0-9]", "")
 
 
+def _er_key_len(n_masters: int) -> int:
+    """Adaptive block-key length: enough digit-suffix characters that
+    10^k >= n/10, i.e. expected occupancy <= ~10 masters per block.  A
+    FIXED key length makes occupancy (and the in-block pair count) grow
+    linearly with the corpus — the quadratic trap this operator's first
+    two cuts measured at sf1 (25x then 12x cost at 10x data; adaptive
+    keys bring it to ~linear).  Same formula inline in the oracle SQL."""
+    return max(3, len(str(max(n_masters, 1))) - 1)
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     routes = domain.routes_df(spark, sf_dir)
-    master = routes.select("route_id", "route_name")
+    # Master names derive from route_id (not c_name): the sf1 stress set
+    # key-shifts ids but keeps name strings, so c_name-based masters
+    # would duplicate 10x there and measure a fake quadratic.  The id-
+    # derived name keeps one unique master per entity at every scale.
+    master = routes.select(
+        "route_id",
+        F.format_string("Route#%09d", F.col("route_id"))
+         .alias("route_name"))
+    klen = _er_key_len(master.count())  # 1 count on the dim, driver scalar
     # deterministic noisy listings: 4 variants per route, listing_id
     # encodes (route_id, variant) so truth is checkable
     v = master.select(
@@ -564,16 +588,18 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     listings = v.select(
         (F.col("route_id") * 4 + F.col("x.variant")).alias("listing_id"),
         F.col("x.lname").alias("listing_name"),
-        _er_digits(F.col("x.lname")).substr(F.lit(-3), F.lit(3))
+        _er_digits(F.col("x.lname")).substr(F.lit(-klen), F.lit(klen))
          .alias("block"))
     m = master.select(F.col("route_id").alias("cand_id"),
                       F.col("route_name").alias("cand_name"),
                       _er_digits(F.col("route_name"))
-                      .substr(F.lit(-3), F.lit(3)).alias("block"))
+                      .substr(F.lit(-klen), F.lit(klen)).alias("block"))
     pairs = (listings.join(m, "block")
-                     .withColumn("dist", F.levenshtein("listing_name",
-                                                       "cand_name"))
-                     .filter(F.col("dist") <= ER_MAX_EDIT))
+                     .withColumn("dist",
+                                 F.levenshtein("listing_name", "cand_name",
+                                               ER_MAX_EDIT))
+                     .filter((F.col("dist") >= 0)
+                             & (F.col("dist") <= ER_MAX_EDIT)))
     w = Window.partitionBy("listing_id").orderBy("dist", "cand_id")
     return (pairs.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") == 1)
@@ -585,10 +611,20 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_entity_resolution() -> str:
     return f"""{_DOMAIN_WITH},
-master AS (SELECT route_id, route_name FROM routes),
+master AS (
+  SELECT route_id,
+         'Route#' || lpad(CAST(route_id AS VARCHAR), 9, '0') AS route_name
+  FROM routes
+),
+-- adaptive block-key length: 10^k blocks >= n/10 (see _er_key_len)
+klen AS (
+  SELECT greatest(3, length(CAST(count(*) AS VARCHAR)) - 1) AS k
+  FROM master
+),
 listings AS (
   SELECT route_id * 4 + variant AS listing_id, lname AS listing_name,
-         right(regexp_replace(lname, '[^0-9]', '', 'g'), 3) AS block
+         right(regexp_replace(lname, '[^0-9]', '', 'g'),
+               (SELECT k FROM klen)) AS block
   FROM (
     SELECT route_id, 0 AS variant, lower(route_name) AS lname FROM master
     UNION ALL
@@ -601,7 +637,8 @@ listings AS (
 ),
 cands AS (
   SELECT route_id AS cand_id, route_name AS cand_name,
-         right(regexp_replace(route_name, '[^0-9]', '', 'g'), 3) AS block
+         right(regexp_replace(route_name, '[^0-9]', '', 'g'),
+               (SELECT k FROM klen)) AS block
   FROM master
 ),
 pairs AS (

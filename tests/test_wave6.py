@@ -101,8 +101,9 @@ def test_entity_resolution_recovers_ground_truth(spark):
     for r in rows:
         assert r.matched_route_id == r.listing_id // 4, r
         assert 1 <= r.edit_distance <= 2
-    # collision proof: blocks keyed on last-3 digits collide at >= 1000
-    # routes (custkey k vs k+1000), so the argmin had impostors to reject
+    # blocks key on last-4 digits: occupancy stays bounded as the corpus
+    # grows (the sf1 curve is the scale regression guard); collisions —
+    # and real argmin disambiguation — appear from 10k entities up
     assert n_routes > 1000
 
 
