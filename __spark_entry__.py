@@ -400,6 +400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brand revenue share: lineitem x part dim join + ppm
         # percent-of-total via 1-row broadcast (no global window)
         "part_brand_share": ASSOC.q_part_brand_share,
+        # sequential pattern mining: top event-type trigrams via two
+        # lead() steps, TakeOrdered over the bounded path frame
+        "events_paths": A.q_events_paths,
+        # MoM/YoY revenue growth in ppm on the bounded monthly frame
+        "orders_growth": A.q_orders_growth,
     }
 
 
@@ -573,4 +578,6 @@ def oracle_sql() -> dict[str, str]:
         "location_subtree_rollup": R.sql_location_subtree_rollup(),
         "orders_ltv_cohorts": A.sql_orders_ltv_cohorts(),
         "part_brand_share": ASSOC.sql_part_brand_share(),
+        "events_paths": A.sql_events_paths(),
+        "orders_growth": A.sql_orders_growth(),
     }

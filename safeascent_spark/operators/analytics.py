@@ -1905,3 +1905,116 @@ SELECT c.cohort_m, c.age_m, c.n_orders, c.spend_cents, c.cum_spend_cents,
        c.cum_spend_cents // s.cohort_users AS ltv_cents_per_user
 FROM cum c JOIN sizes s USING (cohort_m)
 ORDER BY c.cohort_m, c.age_m"""
+
+
+# --- Sequential pattern mining: top event-type trigrams ----------------------
+# The path-analysis primitive ("what do users do right before an
+# error?"): per user, consecutive event-type triples in time order, the
+# corpus-wide trigram counts, and the global top-k paths.  Triples come
+# from two lead() steps on the per-user ordered window (no self-joins);
+# the top-k is a TakeOrderedAndProject over the bounded
+# |event_types|^3 frame.
+
+PATH_TOP_K = 20
+
+
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (e.select("user_id", "ts", "event_id", "event_type")
+            .withColumn("e2", F.lead("event_type", 1).over(w))
+            .withColumn("e3", F.lead("event_type", 2).over(w))
+            .filter(F.col("e3").isNotNull()))
+    return (tri.groupBy(F.col("event_type").alias("step1"),
+                        F.col("e2").alias("step2"),
+                        F.col("e3").alias("step3"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+                    F.count_distinct("user_id").cast("bigint")
+                     .alias("n_users"))
+               .orderBy(F.col("n_paths").desc(), "step1", "step2", "step3")
+               .limit(PATH_TOP_K))
+
+
+def sql_events_paths() -> str:
+    return f"""
+WITH tri AS (
+  SELECT user_id, event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step1, step2, step3,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT {PATH_TOP_K}"""
+
+
+# --- Period-over-period growth (MoM / YoY) -----------------------------------
+# The finance-dashboard staple: monthly revenue with month-over-month
+# and year-over-year growth in ppm.  Revenue is exact integer cents;
+# growth divides by (prev div 1e6) so corpus-sized totals never
+# multiply (the brand-share overflow convention).  The lag window runs
+# on the bounded monthly frame under a constant `% 1` partition key —
+# |months| is bounded by the calendar span, not the corpus
+# (CONSTANT_KEY_WINDOW_ALLOWLIST, tests/test_plans.py).
+
+def q_orders_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = domain.load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    monthly = (o.select(((F.year(od) - 1995) * 12 + F.month(od) - 1)
+                        .alias("m"),
+                        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                         .alias("cents"))
+                .groupBy("m")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                     F.sum("cents").alias("rev_cents")))
+    w = Window.partitionBy(F.col("m") % 1).orderBy("m")
+    grow = (monthly
+            .withColumn("prev_m", F.lag("m", 1).over(w))
+            .withColumn("prev_rev", F.lag("rev_cents", 1).over(w))
+            .withColumn("yoy_m", F.lag("m", 12).over(w))
+            .withColumn("yoy_rev", F.lag("rev_cents", 12).over(w)))
+    mom = F.when(F.col("prev_m") == F.col("m") - 1,
+                 (F.col("rev_cents") - F.col("prev_rev"))
+                 / F.greatest(F.expr("prev_rev div 1000000"), F.lit(1)))
+    yoy = F.when(F.col("yoy_m") == F.col("m") - 12,
+                 (F.col("rev_cents") - F.col("yoy_rev"))
+                 / F.greatest(F.expr("yoy_rev div 1000000"), F.lit(1)))
+    return (grow.select("m", "n_orders", "rev_cents",
+                        F.floor(mom).cast("bigint").alias("mom_ppm"),
+                        F.floor(yoy).cast("bigint").alias("yoy_ppm"))
+                .orderBy("m"))
+
+
+def sql_orders_growth() -> str:
+    return """
+WITH monthly AS (
+  SELECT (year(CAST(o_orderdate AS DATE)) - 1995) * 12
+         + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+),
+grow AS (
+  SELECT m, n_orders, rev_cents,
+         lag(m, 1) OVER w AS prev_m,
+         lag(rev_cents, 1) OVER w AS prev_rev,
+         lag(m, 12) OVER w AS yoy_m,
+         lag(rev_cents, 12) OVER w AS yoy_rev
+  FROM monthly
+  WINDOW w AS (ORDER BY m)
+)
+SELECT m, n_orders, rev_cents,
+       CAST(floor(CASE WHEN prev_m = m - 1 THEN
+              CAST(rev_cents - prev_rev AS DOUBLE)
+              / greatest(prev_rev // 1000000, 1) END) AS BIGINT) AS mom_ppm,
+       CAST(floor(CASE WHEN yoy_m = m - 12 THEN
+              CAST(rev_cents - yoy_rev AS DOUBLE)
+              / greatest(yoy_rev // 1000000, 1) END) AS BIGINT) AS yoy_ppm
+FROM grow
+ORDER BY m"""

@@ -195,6 +195,8 @@ CONSTANT_KEY_WINDOW_ALLOWLIST = {
     # <= |observed days| rows (durations are day counts)
     ("safeascent_spark/operators/analytics.py", 'F.col("band") % 1'),
     ("safeascent_spark/operators/analytics.py", 'F.col("duration") % 1'),
+    # monthly PoP-growth frame: <= |calendar months| rows
+    ("safeascent_spark/operators/analytics.py", 'F.col("m") % 1'),
 }
 
 

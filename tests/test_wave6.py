@@ -432,3 +432,49 @@ def test_ltv_triangle_is_cumulative_and_conserves(spark):
     want = o.agg(F.sum(F.expr(
         "CAST(floor(o_totalprice * 100) AS BIGINT)"))).collect()[0][0]
     assert total == want
+
+
+def test_paths_trigram_counts_match_brute_force(spark):
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    sf = "/root/testdata/sf0.001"
+    got = {(r.step1, r.step2, r.step3): (r.n_paths, r.n_users)
+           for r in A.q_events_paths(spark, sf).collect()}
+    ev = sorted(domain.load_table(spark, sf, "events").collect(),
+                key=lambda r: (r.user_id, r.ts, r.event_id))
+    from collections import defaultdict
+    counts = defaultdict(int)
+    users = defaultdict(set)
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r.event_type)
+    for u, seq in by_user.items():
+        for i in range(len(seq) - 2):
+            t = (seq[i], seq[i + 1], seq[i + 2])
+            counts[t] += 1
+            users[t].add(u)
+    want = sorted(((v, k) for k, v in counts.items()),
+                  key=lambda x: (-x[0], x[1]))[:A.PATH_TOP_K]
+    assert got == {k: (v, len(users[k])) for v, k in want}
+
+
+def test_growth_ppm_matches_definition(spark):
+    from safeascent_spark.operators import analytics as A
+    import math
+    rows = {r.m: r for r in
+            A.q_orders_growth(spark, SF_ORACLE).collect()}
+    for m, r in rows.items():
+        prev = rows.get(m - 1)
+        if prev is None:
+            assert r.mom_ppm is None
+        else:
+            want = math.floor((r.rev_cents - prev.rev_cents)
+                              / max(prev.rev_cents // 1_000_000, 1))
+            assert r.mom_ppm == want, (m, r.mom_ppm, want)
+        yoy = rows.get(m - 12)
+        if yoy is None:
+            assert r.yoy_ppm is None
+        else:
+            want = math.floor((r.rev_cents - yoy.rev_cents)
+                              / max(yoy.rev_cents // 1_000_000, 1))
+            assert r.yoy_ppm == want
