@@ -1,4 +1,6 @@
-"""Semantics of the round-5 sixth-wave operators (beyond oracle parity)."""
+"""Semantics of the round-5 sixth-through-eleventh-wave operators
+(beyond oracle parity): plan shapes, conservation laws, brute-force
+parity, ground-truth recovery, and seeded-violation detection."""
 
 from __future__ import annotations
 
