@@ -406,6 +406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_paths": A.q_events_paths,
         # MoM/YoY revenue growth in ppm on the bounded monthly frame
         "orders_growth": A.q_orders_growth,
+        # native unpivot/melt: the wide month matrix back to long form
+        "accidents_month_unpivot": A.q_accidents_month_unpivot,
+        # peer-relative risk: exact-ppm percent rank within route_type
+        "risk_peer_rank": A.q_risk_peer_rank,
     }
 
 
@@ -581,4 +585,6 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_share": ASSOC.sql_part_brand_share(),
         "events_paths": A.sql_events_paths(),
         "orders_growth": A.sql_orders_growth(),
+        "accidents_month_unpivot": A.sql_accidents_month_unpivot(),
+        "risk_peer_rank": A.sql_risk_peer_rank(),
     }

@@ -2018,3 +2018,98 @@ SELECT m, n_orders, rev_cents,
               / greatest(yoy_rev // 1000000, 1) END) AS BIGINT) AS yoy_ppm
 FROM grow
 ORDER BY m"""
+
+
+# --- Unpivot (melt): the wide month matrix back to long form -----------------
+# The inverse of q_accidents_month_pivot, via the native DataFrame
+# unpivot API (SPARK-39876): the wide route_type x m01..m12 matrix melts
+# to (route_type, month, n_accidents) long form — the ELT normalization
+# step for wide third-party feeds.  Zero cells are kept (the melt is
+# schema-driven, not data-driven), so the output is always
+# |types| x 12 rows with a static schema.
+
+def q_accidents_month_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_accidents_month_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["route_type"],
+        values=[f"m{m:02d}" for m in MONTHS],
+        variableColumnName="month_col",
+        valueColumnName="n_accidents")
+    return (long.select(
+                "route_type",
+                F.substring("month_col", 2, 2).cast("int").alias("month"),
+                F.col("n_accidents").cast("bigint").alias("n_accidents"))
+                .orderBy("route_type", "month"))
+
+
+def sql_accidents_month_unpivot() -> str:
+    return f"""{_DOMAIN_WITH},
+grid AS (
+  SELECT t.route_type, m.m AS month
+  FROM (SELECT DISTINCT route_type FROM accidents) t,
+       (SELECT unnest(range(1, 13)) AS m) m
+)
+SELECT g.route_type, CAST(g.month AS INT) AS month,
+       CAST(count(a.accident_id) AS BIGINT) AS n_accidents
+FROM grid g
+LEFT JOIN accidents a
+  ON a.route_type = g.route_type AND month(a.accident_date) = g.month
+GROUP BY g.route_type, g.month
+ORDER BY g.route_type, g.month"""
+
+
+# --- Peer-relative risk ranking (percent rank within route type) -------------
+# The serving-layer framing every score needs ("this route is riskier
+# than 87% of sport routes"): rank within the route-type peer group and
+# normalize to exact ppm — (rank - 1) * 1e6 div (n - 1), BIGINT
+# end-to-end, ties broken by route_id so the rank (and therefore the
+# ppm) is deterministic in both engines.  Windows partition by
+# route_type: thousands of independent peer groups at corpus scale, no
+# global sort.
+
+def q_risk_peer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import scoring
+    types = domain.routes_df(spark, sf_dir).select("route_id", "route_type")
+    scores = (scoring.risk_scores_df(spark, sf_dir)
+              .select("route_id", "risk_score")
+              .join(types, "route_id"))
+    w = Window.partitionBy("route_type").orderBy(
+        F.col("risk_score").desc(), F.col("route_id"))
+    wn = Window.partitionBy("route_type")
+    return (scores
+            .withColumn("peer_rank", F.row_number().over(w))
+            .withColumn("n_peers", F.count(F.lit(1)).over(wn))
+            .select("route_id", "route_type", "risk_score",
+                    F.col("peer_rank").cast("bigint").alias("peer_rank"),
+                    F.col("n_peers").cast("bigint").alias("n_peers"),
+                    F.expr("CASE WHEN n_peers > 1 THEN "
+                           "(peer_rank - 1) * 1000000 div (n_peers - 1) "
+                           "ELSE 0 END").cast("bigint")
+                     .alias("riskier_than_ppm"))
+            .orderBy("route_id"))
+
+
+def sql_risk_peer_rank() -> str:
+    from .scoring import risk_scores_sql
+    return f"""
+WITH scores AS (
+  SELECT s.route_id, r.route_type, s.risk_score
+  FROM ({risk_scores_sql()}) s
+  JOIN ({_DOMAIN_WITH}
+        SELECT route_id, route_type FROM routes) r USING (route_id)
+),
+ranked AS (
+  SELECT route_id, route_type, risk_score,
+         row_number() OVER (PARTITION BY route_type
+                            ORDER BY risk_score DESC, route_id) AS peer_rank,
+         count(*) OVER (PARTITION BY route_type) AS n_peers
+  FROM scores
+)
+SELECT route_id, route_type, risk_score,
+       CAST(peer_rank AS BIGINT) AS peer_rank,
+       CAST(n_peers AS BIGINT) AS n_peers,
+       CAST(CASE WHEN n_peers > 1 THEN
+              (peer_rank - 1) * 1000000 // (n_peers - 1)
+            ELSE 0 END AS BIGINT) AS riskier_than_ppm
+FROM ranked
+ORDER BY route_id"""

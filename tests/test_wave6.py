@@ -480,3 +480,38 @@ def test_growth_ppm_matches_definition(spark):
             want = math.floor((r.rev_cents - yoy.rev_cents)
                               / max(yoy.rev_cents // 1_000_000, 1))
             assert r.yoy_ppm == want
+
+
+def test_unpivot_roundtrips_the_pivot(spark):
+    """melt(pivot(x)) == the long-form counts, zero cells included."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    long = A.q_accidents_month_unpivot(spark, SF_ORACLE).collect()
+    assert len(long) == 7 * 12
+    a = domain.accidents_df(spark, SF_ORACLE).collect()
+    from collections import Counter
+    want = Counter((r.route_type, r.accident_date.month) for r in a)
+    for r in long:
+        assert r.n_accidents == want.get((r.route_type, r.month), 0)
+    assert sum(r.n_accidents for r in long) == len(a)
+
+
+def test_peer_rank_ppm_is_a_valid_percent_rank(spark):
+    """Within each type: ranks are 1..n without gaps, ppm is monotone in
+    rank, the riskiest peer reads 0 and the safest 1e6."""
+    from safeascent_spark.operators import analytics as A
+    rows = A.q_risk_peer_rank(spark, SF_ORACLE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.route_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.peer_rank)
+        n = rs[0].n_peers
+        assert len(rs) == n
+        assert [r.peer_rank for r in rs] == list(range(1, n + 1))
+        assert rs[0].riskier_than_ppm == 0
+        if n > 1:
+            assert rs[-1].riskier_than_ppm == 1_000_000
+        for a, b in zip(rs, rs[1:]):
+            assert a.risk_score >= b.risk_score
+            assert a.riskier_than_ppm <= b.riskier_than_ppm
