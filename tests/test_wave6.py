@@ -515,3 +515,18 @@ def test_peer_rank_ppm_is_a_valid_percent_rank(spark):
         for a, b in zip(rs, rs[1:]):
             assert a.risk_score >= b.risk_score
             assert a.riskier_than_ppm <= b.riskier_than_ppm
+
+
+def test_streaming_attribution_restart_is_exactly_once(spark, tmp_path):
+    """Re-running the stream from the same checkpoint with no new data
+    must emit nothing: the attribution output is exactly-once across
+    restarts (the ingest-dedup restart contract, applied here)."""
+    from safeascent_spark.streaming import attribution as SA
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "attr")
+    n1 = SA.run_attribution(spark, sf, out)
+    assert n1 > 0
+    rows_after_first = spark.read.parquet(out).count()
+    n2 = SA.run_attribution(spark, sf, out)   # same checkpoint, same file
+    assert n2 == 0
+    assert spark.read.parquet(out).count() == rows_after_first
