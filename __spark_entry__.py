@@ -410,6 +410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accidents_month_unpivot": A.q_accidents_month_unpivot,
         # peer-relative risk: exact-ppm percent rank within route_type
         "risk_peer_rank": A.q_risk_peer_rank,
+        # time-series densification: zero-filled calendar grid + LOCF
+        "events_gapfill": A.q_events_gapfill,
+        # model reliability table: predicted-risk deciles vs actual
+        "ml_calibration": A.q_ml_calibration,
     }
 
 
@@ -587,4 +591,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_growth": A.sql_orders_growth(),
         "accidents_month_unpivot": A.sql_accidents_month_unpivot(),
         "risk_peer_rank": A.sql_risk_peer_rank(),
+        "events_gapfill": A.sql_events_gapfill(),
+        "ml_calibration": A.sql_ml_calibration(),
     }

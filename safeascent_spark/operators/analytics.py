@@ -2113,3 +2113,120 @@ SELECT route_id, route_type, risk_score,
             ELSE 0 END AS BIGINT) AS riskier_than_ppm
 FROM ranked
 ORDER BY route_id"""
+
+
+# --- Time-series densification: gap-fill + LOCF ------------------------------
+# The warehouse backfill primitive: the (event_type, day) daily series
+# densified to EVERY calendar day in the observed range — missing days
+# get an explicit zero event count and a last-observation-carried-
+# forward value (LOCF), the standard dashboard/feature-store contract
+# for irregular series.  The dense grid is |types| x |days| (calendar-
+# bounded); LOCF is one last_value(ignorenulls) window per type; all
+# values are exact integer milli-units.
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", _epoch_day("ts").alias("day"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                   F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+                    .alias("v_milli")))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = daily.select("event_type").distinct()
+    grid = (types.crossJoin(F.broadcast(span))
+                 .select("event_type",
+                         F.explode(F.sequence("d0", "d1")).alias("day")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (grid.join(daily, ["event_type", "day"], "left")
+                .withColumn("n_events",
+                            F.coalesce("n_events", F.lit(0).cast("bigint")))
+                .withColumn("v_locf_milli",
+                            F.last("v_milli", ignorenulls=True).over(w))
+                .withColumn("is_gap", F.col("v_milli").isNull())
+                .select("event_type", "day", "n_events",
+                        "v_locf_milli", "is_gap")
+                .orderBy("event_type", "day"))
+
+
+def sql_events_gapfill() -> str:
+    day = _sql_epoch_day("ts")
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+  FROM events GROUP BY event_type, day
+),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+grid AS (
+  SELECT t.event_type, s.d0 + g.g AS day
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN span s
+  CROSS JOIN (SELECT unnest(range((SELECT d1 - d0 + 1 FROM span))) AS g) g
+)
+SELECT g.event_type, g.day,
+       coalesce(d.n_events, 0) AS n_events,
+       last_value(d.v_milli IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf_milli,
+       d.v_milli IS NULL AS is_gap
+FROM grid g LEFT JOIN daily d
+  ON g.event_type = d.event_type AND g.day = d.day
+ORDER BY g.event_type, g.day"""
+
+
+# --- Model calibration (reliability table for the risk surrogate) ------------
+# The ML-eval companion of ml_risk_model_cv: bucket routes by PREDICTED
+# risk decile (fixed 0..100 range, so buckets are data-independent) and
+# compare mean predicted vs mean ACTUAL risk per bucket — the
+# reliability diagram's data.  Means are exact: both scores round to 6
+# decimals upstream, so round(x * 1e6) is integral, sums are BIGINT,
+# and the per-bucket mean uses integer floor division.
+
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import ml as ML
+    m = ML.q_ml_risk_model(spark, sf_dir).select(
+        "route_id", "risk_score", "predicted_risk")
+    micro_p = F.expr("CAST(round(predicted_risk * 1000000) AS BIGINT)")
+    micro_a = F.expr("CAST(round(risk_score * 1000000) AS BIGINT)")
+    bucket = F.least(F.lit(9), F.greatest(
+        F.lit(0), F.floor(F.col("predicted_risk") / 10).cast("int")))
+    return (m.select(bucket.alias("pred_decile"),
+                     micro_p.alias("p"), micro_a.alias("a"))
+             .groupBy("pred_decile")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_routes"),
+                  # floor of a double ratio, NOT integer div: predictions
+                  # can be negative and Spark's div truncates while
+                  # DuckDB's // floors; the double ratio (sums < 2^53)
+                  # floors identically in both engines
+                  F.expr("CAST(floor(CAST(sum(p) AS DOUBLE) / count(1)) "
+                         "AS BIGINT)").alias("avg_pred_micro"),
+                  F.expr("CAST(floor(CAST(sum(a) AS DOUBLE) / count(1)) "
+                         "AS BIGINT)").alias("avg_actual_micro"))
+             .withColumn("calib_gap_micro",
+                         F.col("avg_pred_micro") - F.col("avg_actual_micro"))
+             .orderBy("pred_decile"))
+
+
+def sql_ml_calibration() -> str:
+    from ..ml import sql_ml_risk_model
+    return f"""
+WITH model AS ({sql_ml_risk_model()}),
+b AS (
+  SELECT least(9, greatest(0,
+           CAST(floor(predicted_risk / 10) AS INT))) AS pred_decile,
+         CAST(round(predicted_risk * 1000000) AS BIGINT) AS p,
+         CAST(round(risk_score * 1000000) AS BIGINT) AS a
+  FROM model
+)
+SELECT pred_decile,
+       CAST(count(*) AS BIGINT) AS n_routes,
+       CAST(floor(CAST(sum(p) AS DOUBLE) / count(*)) AS BIGINT)
+         AS avg_pred_micro,
+       CAST(floor(CAST(sum(a) AS DOUBLE) / count(*)) AS BIGINT)
+         AS avg_actual_micro,
+       CAST(floor(CAST(sum(p) AS DOUBLE) / count(*))
+            - floor(CAST(sum(a) AS DOUBLE) / count(*)) AS BIGINT)
+         AS calib_gap_micro
+FROM b GROUP BY pred_decile
+ORDER BY pred_decile"""

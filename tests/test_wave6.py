@@ -530,3 +530,52 @@ def test_streaming_attribution_restart_is_exactly_once(spark, tmp_path):
     n2 = SA.run_attribution(spark, sf, out)   # same checkpoint, same file
     assert n2 == 0
     assert spark.read.parquet(out).count() == rows_after_first
+
+
+def test_gapfill_densifies_and_carries_forward(spark):
+    """The dense grid covers exactly types x [d0, d1]; gap rows have
+    n_events == 0 and carry the most recent prior value; non-gap rows
+    carry their own day's value."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    import math
+    sf = "/root/testdata/sf0.001"
+    rows = A.q_events_gapfill(spark, sf).collect()
+    ev = domain.load_table(spark, sf, "events").collect()
+    day_ns = 86_400 * 1_000_000_000
+    daily: dict[tuple, list] = {}
+    for r in ev:
+        daily.setdefault((r.event_type, r.ts // day_ns), []).append(
+            math.floor(r.value * 1000))
+    days = sorted({d for _, d in daily})
+    types = sorted({t for t, _ in daily})
+    assert len(rows) == len(types) * (days[-1] - days[0] + 1)
+    locf: dict[str, int] = {}
+    by_key = {(r.event_type, r.day): r for r in rows}
+    for t in types:
+        last = None
+        for d in range(days[0], days[-1] + 1):
+            r = by_key[(t, d)]
+            if (t, d) in daily:
+                assert not r.is_gap
+                assert r.n_events == len(daily[(t, d)])
+                last = sum(daily[(t, d)])
+                assert r.v_locf_milli == last
+            else:
+                assert r.is_gap and r.n_events == 0
+                assert r.v_locf_milli == last
+
+
+def test_calibration_conserves_routes_and_brackets_buckets(spark):
+    """Bucket counts sum to the scored universe; every bucket's mean
+    prediction lies inside its decile bounds (clamped ends aside)."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import ml as ML
+    rows = A.q_ml_calibration(spark, SF_ORACLE).collect()
+    n_total = ML.q_ml_risk_model(spark, SF_ORACLE).count()
+    assert sum(r.n_routes for r in rows) == n_total
+    for r in rows:
+        assert r.calib_gap_micro == r.avg_pred_micro - r.avg_actual_micro
+        if 0 < r.pred_decile < 9:
+            lo, hi = r.pred_decile * 10_000_000, (r.pred_decile + 1) * 10_000_000
+            assert lo <= r.avg_pred_micro < hi, r
