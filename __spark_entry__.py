@@ -68,8 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_rolling_distinct, cf_item_neighbors, geo_hotspots,
     # events_survival, sample_active_learning; and the tenth wave:
     # location_subtree_rollup, orders_ltv_cohorts, part_brand_share;
-    # the eleventh wave: events_paths, orders_growth; and the twelfth:
-    # accidents_month_unpivot, risk_peer_rank) carry their evidence in
+    # the eleventh wave: events_paths, orders_growth; the twelfth:
+    # accidents_month_unpivot, risk_peer_rank; and the thirteenth:
+    # events_gapfill, ml_calibration) carry their evidence in
     # CORRECTNESS_LOCAL_r05.json until the r6 window rotates them in.
     # The three leave-outs are chosen so each is pinned by an IN-WINDOW
     # contract and all three are re-verified by tools/local_correctness.py
