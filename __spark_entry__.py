@@ -70,7 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # location_subtree_rollup, orders_ltv_cohorts, part_brand_share;
     # the eleventh wave: events_paths, orders_growth; the twelfth:
     # accidents_month_unpivot, risk_peer_rank; and the thirteenth:
-    # events_gapfill, ml_calibration) carry their evidence in
+    # events_gapfill, ml_calibration; and the fourteenth:
+    # events_twap) carry their evidence in
     # CORRECTNESS_LOCAL_r05.json until the r6 window rotates them in.
     # The three leave-outs are chosen so each is pinned by an IN-WINDOW
     # contract and all three are re-verified by tools/local_correctness.py
@@ -415,6 +416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": A.q_events_gapfill,
         # model reliability table: predicted-risk deciles vs actual
         "ml_calibration": A.q_ml_calibration,
+        # LOCF time-weighted average per (user, type) series — the
+        # hypertable time_weight analog, integer-exact ms weighting
+        "events_twap": A.q_events_twap,
     }
 
 
@@ -594,4 +598,5 @@ def oracle_sql() -> dict[str, str]:
         "risk_peer_rank": A.sql_risk_peer_rank(),
         "events_gapfill": A.sql_events_gapfill(),
         "ml_calibration": A.sql_ml_calibration(),
+        "events_twap": A.sql_events_twap(),
     }

@@ -2230,3 +2230,59 @@ SELECT pred_decile,
          AS calib_gap_micro
 FROM b GROUP BY pred_decile
 ORDER BY pred_decile"""
+
+
+# --- Time-weighted average (TimescaleDB time_weight('LOCF') analog) ----------
+# The hypertable-rollup operator the reference's event stream implies but
+# never materializes: each observation's value holds until the SAME
+# series' next observation (LOCF), so the series mean must weight each
+# value by how long it was current — the irregular-sampling analog of
+# A6's day-weighted mean (reference weather_service.py's weighted
+# windows).  Series grain is (user_id, event_type): the window partitions
+# by the natural series key, so parallelism scales with |users|x|types|
+# (NOT a handful of global per-type sorts — the 100 TB-safe grain; a
+# type-level TWAP would interleave values from different users, which is
+# semantically wrong for LOCF anyway).  Exactness: values are milli-units
+# (floor(value*1000)), durations are truncated-div milliseconds from the
+# ns-long timestamps (both engines truncate nonnegative integer division
+# identically), the weighted sum rides DECIMAL(38,0)/HUGEINT so no term
+# or series can overflow, and the final mean is a floor division of
+# nonnegative integers.  The open-ended last observation of each series
+# carries no duration and is excluded (count(dur) = n_obs - 1).
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id", "event_type")
+               .orderBy("ts", "event_id"))
+    seg = (e.select("user_id", "event_type", "ts", "event_id",
+                    F.expr("CAST(floor(value * 1000) AS BIGINT)")
+                     .alias("v_milli"))
+            .withColumn("lead_ts", F.lead("ts").over(w))
+            .withColumn("dur_ms", F.expr("(lead_ts - ts) div 1000000"))
+            .where(F.col("dur_ms").isNotNull()))
+    return (seg.groupBy("user_id", "event_type")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+                    F.sum("dur_ms").cast("bigint").alias("total_dur_ms"),
+                    F.expr("CAST(sum(CAST(v_milli AS DECIMAL(38,0)) * dur_ms)"
+                           " div sum(dur_ms) AS BIGINT)").alias("twap_milli"))
+               .orderBy("user_id", "event_type"))
+
+
+def sql_events_twap() -> str:
+    return """
+WITH seg AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+         (epoch_ns(lead(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id)
+           ) - epoch_ns(ts)) // 1000000 AS dur_ms
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+       CAST(sum(CAST(v_milli AS HUGEINT) * dur_ms) // sum(dur_ms)
+            AS BIGINT) AS twap_milli
+FROM seg WHERE dur_ms IS NOT NULL
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type"""

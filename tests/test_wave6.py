@@ -579,3 +579,35 @@ def test_calibration_conserves_routes_and_brackets_buckets(spark):
         if 0 < r.pred_decile < 9:
             lo, hi = r.pred_decile * 10_000_000, (r.pred_decile + 1) * 10_000_000
             assert lo <= r.avg_pred_micro < hi, r
+
+
+def test_twap_matches_bruteforce_locf_weighting(spark):
+    """Per-(user, type) series: brute-force LOCF time weighting from the
+    raw events reproduces every output row exactly — segment counts,
+    total held duration, and the floor-divided milli-unit TWAP.  Series
+    with a single observation carry no segment and must be absent."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark import domain
+    import math
+    sf = "/root/testdata/sf0.001"
+    rows = A.q_events_twap(spark, sf).collect()
+    ev = domain.load_table(spark, sf, "events").collect()
+    series: dict[tuple, list] = {}
+    for r in ev:
+        series.setdefault((r.user_id, r.event_type), []).append(
+            (r.ts, r.event_id, math.floor(r.value * 1000)))
+    expect = {}
+    for key, obs in series.items():
+        obs.sort()
+        segs = [(v, (obs[i + 1][0] - ts) // 1_000_000)
+                for i, (ts, _, v) in enumerate(obs[:-1])]
+        if not segs:
+            continue
+        total = sum(d for _, d in segs)
+        expect[key] = (len(segs), total,
+                       sum(v * d for v, d in segs) // total)
+    assert {(r.user_id, r.event_type) for r in rows} == set(expect)
+    for r in rows:
+        n, total, twap = expect[(r.user_id, r.event_type)]
+        assert (r.n_segments, r.total_dur_ms, r.twap_milli) == \
+            (n, total, twap), r
