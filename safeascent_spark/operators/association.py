@@ -65,8 +65,12 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(item_n.select(F.col("l_partkey").alias("p2"),
                                 F.col("n_item").alias("n2")), "p2")
             .select("p1", "p2", "support", "n1", "n2",
-                    F.expr(f"support * {n_orders}L * {LIFT_SCALE}L "
-                           "div (n1 * n2)").alias("lift_ppm"))
+                    # support * N * 1e6 rides DECIMAL(38,0) so the
+                    # numerator cannot overflow int64 at any corpus size
+                    # (ADVICE r5) — same exact value, wider intermediate
+                    F.expr(f"CAST(CAST(support AS DECIMAL(38,0)) "
+                           f"* {n_orders}L * {LIFT_SCALE}L "
+                           "div (n1 * n2) AS BIGINT)").alias("lift_ppm"))
             .orderBy("p1", "p2"))
 
 
@@ -86,7 +90,7 @@ pairs AS (
   HAVING count(*) >= {MIN_SUPPORT}
 )
 SELECT p.p1, p.p2, p.support, i1.n_item AS n1, i2.n_item AS n2,
-       CAST(p.support * n.n_orders * {LIFT_SCALE}
+       CAST(CAST(p.support AS HUGEINT) * n.n_orders * {LIFT_SCALE}
             // (i1.n_item * i2.n_item) AS BIGINT) AS lift_ppm
 FROM pairs p
 JOIN item_n i1 ON p.p1 = i1.l_partkey

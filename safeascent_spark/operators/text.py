@@ -2185,36 +2185,62 @@ ORDER BY domain, band DESC"""
 # CCNet (Wenzek et al. 2020) buckets each document by its LM perplexity
 # INTO PER-SOURCE TERCILES — "head" (most fluent third), "middle", "tail"
 # — and pretraining pipelines keep head+middle.  Here the LM is the
-# corpus's own unigram model (q_text_unigram_lm, oracle-green), so the
-# whole filter stays exact: bits/token is derived from BIGINT count
-# ratios, rounded once to 6 places, and the tercile is ntile(3) over
-# (rounded bits, doc_id) within each source — a total order both engines
-# reproduce bit-for-bit.
+# corpus's own unigram model (q_text_unigram_lm, oracle-green).
+#
+# Exactness (ADVICE r5): the earlier form averaged per-token double bits
+# with F.avg, whose accumulation order is partition-dependent — a
+# last-ulp wobble at a round(...,6) boundary could flip a tercile.  Now
+# the model weight is floored ONCE per distinct word to INTEGER
+# micro-bits (the text_bigram_lm / NB convention), per-doc totals are
+# exact BIGINT sums (order-free), and bits_per_token_micro is a floor
+# division of nonnegative integers — bit-identical in any engine.
 #
 # Scale shape: the LM is a vocabulary-bounded map-side-combined groupBy
 # broadcast onto the token stream (two shuffles total, same budget as
-# TF-IDF); the tercile window partitions by SOURCE — thousands of
-# independent partitions at corpus scale, no global sort.  This is the
-# standard shape of a 100 TB CCNet pass: score in one sweep, bucket
-# within shards, drop the tail third.
+# TF-IDF).  The tercile is NOT a per-source ntile window (source has
+# cardinality ~20 here — that would be 20 single-task sorts); it is
+# rebuilt from the banded distributed rank (rankutil.banded_rank) over
+# (source, bits band), with ntile(3)'s bucket recovered by exact integer
+# arithmetic on (rank, source total) — the text_length_histogram device.
+# The DuckDB oracle keeps the plain ntile (mathematically identical).
 
 def q_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
     toks = tokens_df(spark, sf_dir)
     freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
     total = toks.count()  # scalar: one aggregate over the token stream
-    bits = -F.log2(F.col("n_word").cast("double") / F.lit(float(total)))
-    scored = (toks.join(F.broadcast(freq), "word")
+    model = freq.select(
+        "word",
+        F.floor(F.lit(-1e6) * F.log2(
+            F.col("n_word").cast("double") / F.lit(float(total))))
+         .cast("bigint").alias("bits_micro"))
+    scored = (toks.join(F.broadcast(model), "word")
                   .groupBy("doc_id")
                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-                       F.round(F.avg(bits), 6).alias("bits_per_token")))
+                       F.sum("bits_micro").alias("bits_sum_micro"))
+                  .withColumn("bits_per_token_micro",
+                              F.expr("bits_sum_micro div n_tokens")))
     d = docs_df(spark, sf_dir).select("doc_id", "source")
-    w = Window.partitionBy("source").orderBy("bits_per_token", "doc_id")
-    res = (scored.join(d, "doc_id")
-                 .withColumn("tercile", F.ntile(3).over(w)))
+    ranked = banded_rank(
+        scored.join(d, "doc_id"), ["source"],
+        band=F.expr("bits_per_token_micro div 131072"),
+        order_cols=[F.col("bits_per_token_micro"), F.col("doc_id")],
+        rank_name="r", total_name="n_src")
+    # ntile(3) from (rank, total): q = n div 3, rem = n % 3 — the first
+    # rem buckets take q+1 rows (both engines define ntile this way)
+    tercile = F.expr("""
+        CASE WHEN r <= (n_src % 3) * (n_src div 3 + 1)
+             THEN (r - 1) div (n_src div 3 + 1) + 1
+             ELSE n_src % 3
+                  + (r - (n_src % 3) * (n_src div 3 + 1) - 1)
+                    div greatest(n_src div 3, 1L) + 1
+        END""").cast("int")
+    res = ranked.withColumn("tercile", tercile)
     bucket = (F.when(F.col("tercile") == 1, "head")
                .when(F.col("tercile") == 2, "middle")
                .otherwise("tail"))
-    return (res.select("doc_id", "source", "n_tokens", "bits_per_token",
+    return (res.select("doc_id", "source", "n_tokens",
+                       "bits_per_token_micro",
                        bucket.alias("ppl_bucket"),
                        (F.col("tercile") <= 2).alias("keep"))
                .orderBy("doc_id"))
@@ -2225,21 +2251,30 @@ def sql_text_perplexity_filter() -> str:
 WITH {TOKENS_CTE.strip()},
 freq AS (SELECT word, count(*) AS n_word FROM tokens GROUP BY word),
 total AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tokens),
+model AS (
+  SELECT f.word,
+         CAST(floor(-1000000.0 *
+                    log2(CAST(f.n_word AS DOUBLE) / total.n_total))
+              AS BIGINT) AS bits_micro
+  FROM freq f CROSS JOIN total
+),
 scored AS (
   SELECT t.doc_id,
          CAST(count(*) AS BIGINT) AS n_tokens,
-         round(avg(-log2(CAST(f.n_word AS DOUBLE) / total.n_total)), 6)
-           AS bits_per_token
-  FROM tokens t JOIN freq f ON t.word = f.word CROSS JOIN total
+         CAST(sum(m.bits_micro) AS BIGINT) AS bits_sum_micro
+  FROM tokens t JOIN model m ON t.word = m.word
   GROUP BY t.doc_id
 ),
 bucketed AS (
-  SELECT s.doc_id, d.source, s.n_tokens, s.bits_per_token,
+  SELECT s.doc_id, d.source, s.n_tokens,
+         CAST(s.bits_sum_micro // s.n_tokens AS BIGINT)
+           AS bits_per_token_micro,
          ntile(3) OVER (PARTITION BY d.source
-                        ORDER BY s.bits_per_token, s.doc_id) AS tercile
+                        ORDER BY s.bits_sum_micro // s.n_tokens, s.doc_id)
+           AS tercile
   FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 )
-SELECT doc_id, source, n_tokens, bits_per_token,
+SELECT doc_id, source, n_tokens, bits_per_token_micro,
        CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
             ELSE 'tail' END AS ppl_bucket,
        tercile <= 2 AS keep

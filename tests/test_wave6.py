@@ -26,9 +26,9 @@ def test_perplexity_terciles_balanced_per_source(spark):
         sizes = Counter(r.ppl_bucket for r in rs)
         if len(rs) >= 3:
             assert max(sizes.values()) - min(sizes.values()) <= 1, (src, sizes)
-        head_max = max((r.bits_per_token for r in rs
+        head_max = max((r.bits_per_token_micro for r in rs
                         if r.ppl_bucket == "head"), default=None)
-        tail_min = min((r.bits_per_token for r in rs
+        tail_min = min((r.bits_per_token_micro for r in rs
                         if r.ppl_bucket == "tail"), default=None)
         if head_max is not None and tail_min is not None:
             assert head_max <= tail_min, (src, head_max, tail_min)
@@ -611,3 +611,17 @@ def test_twap_matches_bruteforce_locf_weighting(spark):
         n, total, twap = expect[(r.user_id, r.event_type)]
         assert (r.n_segments, r.total_dur_ms, r.twap_milli) == \
             (n, total, twap), r
+
+
+def test_events_value_nonnegative_divisor_precondition(spark):
+    """ADVICE r5: events_twap's integer TWAP and events_attribution's
+    equal split rely on value >= 0 for Spark's truncating `div` to agree
+    with DuckDB's flooring `//`.  Pin that precondition on every fixture
+    the oracles run against, so a generator change producing negative
+    values fails HERE (named precondition) rather than as a silent
+    oracle divergence."""
+    from safeascent_spark import domain
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        bad = (domain.load_table(spark, sf, "events")
+               .filter(F.col("value") < 0).count())
+        assert bad == 0, f"{sf}: {bad} negative event values"
