@@ -571,3 +571,50 @@ def test_bm25_multi_scans_corpus_once(spark):
     assert n_ops(plan, "Scan parquet") == 1, plan[:2000]
     assert "WindowGroupLimit" in plan
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def _data_side_window_specs(plan: str) -> list[str]:
+    """All windowspecdefinition argument strings in a formatted plan."""
+    return [m.group(1)
+            for m in re.finditer(r"windowspecdefinition\((.*?)\)", plan)]
+
+
+def test_peer_rank_window_is_banded_not_per_type(spark):
+    """VERDICT r5 item 2: route_type has cardinality ~7, so the peer rank
+    must NOT be a plain PARTITION BY route_type window over the scored
+    routes (a 7-task global sort at scale).  The data-side row_number
+    must partition by (route_type, __band); the only windows partitioned
+    by route_type alone are the running-offset/total windows over the
+    bounded band-count table (frame-only specs, no order column over
+    data rows)."""
+    from safeascent_spark.operators import analytics as A
+    plan = plan_of(A.q_risk_peer_rank(spark, SF_SMOKE))
+    specs = _data_side_window_specs(plan)
+    assert any(re.match(r"route_type#\d+, __band#\d+L, risk_score", s)
+               for s in specs), specs
+    # the old scale-killer shape: rank over route_type alone
+    assert not any(re.match(r"route_type#\d+, risk_score", s)
+                   for s in specs), specs
+
+
+def test_approx_stats_rank_legs_are_banded(spark):
+    """VERDICT r5 item 4: the exact rank-window certification legs must
+    ride the banded device — no one-task-per-event_type sort."""
+    from safeascent_spark.operators import analytics as A
+    plan = plan_of(A.q_events_approx_stats(spark, SF_SMOKE))
+    specs = _data_side_window_specs(plan)
+    assert any(re.match(r"event_type#\d+, __band#\d+L, vi#", s)
+               for s in specs), specs
+    assert not any(re.match(r"event_type#\d+, vi#", s) for s in specs), specs
+
+
+def test_perplexity_tercile_is_banded_not_per_source(spark):
+    """source has cardinality ~20 — the tercile must come from the banded
+    rank + integer ntile arithmetic, not an ntile window per source."""
+    from safeascent_spark.operators import text as T
+    plan = plan_of(T.q_text_perplexity_filter(spark, SF_SMOKE))
+    specs = _data_side_window_specs(plan)
+    assert any(re.match(r"source#\d+, __band#\d+L, bits_per_token_micro", s)
+               for s in specs), specs
+    assert "ntile" not in plan
+    assert not any(re.match(r"source#\d+, bits", s) for s in specs), specs
