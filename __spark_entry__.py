@@ -38,53 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return scoring.risk_scores_df(spark, SMOKE_SF_DIR)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver hash-checks exactly the first 50
-    # registered queries, so registration order IS driver coverage and is
-    # ROTATED round-to-round (VERDICT r2 item 4).  Round 5 front-loads
-    # (a) the four queries new this round, then (b) every query whose most
-    # recent driver row is r3 (they sat below the r4 boundary and would
-    # otherwise go two rounds stale).  That set is 4 + 49 = 53 for a
-    # 50-slot window: at 146 registered queries the rotation has SATURATED
-    # (the ≤1-round-stale invariant is only achievable with ≤100 queries).
-    # The r5-new tail-registered queries (events_correlated,
-    # sample_softdedup, knn_classify, sample_split, events_retention,
-    # dedup_containment, events_funnel, text_heavy_hitters, and the
-    # second wave: events_asof_view, events_anomaly, text_collocations,
-    # graph_pagerank, events_rolling_7d, text_chi2_lang_source,
-    # text_length_histogram, text_search_and, text_search_phrase; and the
-    # fourth/fifth waves: text_bm25_topk, search_hybrid_rrf,
-    # multimodal_phash(+_pairs/_clusters), bpe_train/encode, events_ema,
-    # sample_contrastive_pairs, text_winnowing(+pairs),
-    # multimodal_wav_energy, search_eval_metrics, text_nb_confusion,
-    # text_bigram_lm, text_ctfidf_topk, dedup_source_flow,
-    # f8_polygon_filter, text_bm25_multi, events_ab_test, dedup_eval,
-    # multimodal_video_frames, multimodal_curation,
-    # sample_mixture_quality; the sixth wave: ann_ivf_pq_topk,
-    # text_perplexity_filter, star_revenue, events_scd2,
-    # entity_resolution, orders_skyline, events_attribution; and the
-    # seventh wave: basket_pairs_lift, graph_triangles, events_growth,
-    # dq_assertions, ml_risk_model_cv; and the eighth/ninth waves:
-    # events_rolling_distinct, cf_item_neighbors, geo_hotspots,
-    # events_survival, sample_active_learning; and the tenth wave:
-    # location_subtree_rollup, orders_ltv_cohorts, part_brand_share;
-    # the eleventh wave: events_paths, orders_growth; the twelfth:
-    # accidents_month_unpivot, risk_peer_rank; and the thirteenth:
-    # events_gapfill, ml_calibration; and the fourteenth:
-    # events_twap) carry their evidence in
-    # CORRECTNESS_LOCAL_r05.json until the r6 window rotates them in.
-    # The three leave-outs are chosen so each is pinned by an IN-WINDOW
-    # contract and all three are re-verified by tools/local_correctness.py
-    # this round (CORRECTNESS_LOCAL_r05.json):
-    #   * dedup_clusters_largestar — its oracle is literally
-    #     sql_dedup_clusters(), the contract the r4-green dedup_clusters
-    #     row already hash-pins;
-    #   * j5_location_breadcrumb — same oracle as the r4-green
-    #     j5_breadcrumb_recursive (sql_location_breadcrumb());
-    #   * k1_haversine — the K1 kernel rides every in-window scoring row
-    #     (risk_scores, *_capped, top_contributors, predict_point,
-    #     f7_bbox_radius_filter), and its code is frozen since r1.
-    # The r4-green 50 rotate to the tail.
+def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """UNORDERED name -> builder registry (one entry per implemented
+    query/operator).  Registration ORDER — which is driver coverage — is
+    the _R6_ORDER list below; queries() zips the two."""
     return {
         # --- (a) new in round 5 ---
         # filter composed INTO the IVF probe path (VERDICT r4 item 1):
@@ -420,6 +377,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hypertable time_weight analog, integer-exact ms weighting
         "events_twap": A.q_events_twap,
     }
+
+
+# --- Round-6 registration order (the driver hash-checks the FIRST 50) -------
+#
+# The driver hash-checks exactly the first 50 registered queries, so
+# registration order IS driver coverage and is ROTATED round-to-round
+# (VERDICT r2 item 4).  At 173 registered queries the 50-slot window
+# implies the achievable staleness invariant is: every query gets a
+# fresh driver row AT LEAST once every ceil(173/50) = 4 rounds, i.e.
+# NO query's newest driver row is ever more than 3 rounds old, and no
+# query stays never-driver-checked for more than 2 rounds after its
+# registration round.  That invariant is tracked here:
+#
+#   after r5: 50 r5-fresh / 50 r4 / 3 r3 / 70 never-checked
+#   r6 window (below): the 3 r3-stale leave-outs first (k1_haversine,
+#     j5_location_breadcrumb, dedup_clusters_largestar — VERDICT r5
+#     item 1), then the 4 queries whose CODE changed this round and so
+#     need re-verification under the driver's own gate (risk_peer_rank,
+#     events_approx_stats — banded-rank rebuild, VERDICT items 2/4;
+#     basket_pairs_lift — overflow-proof lift; text_perplexity_filter —
+#     integer micro-bit rebuild, ADVICE r5), then the 43 OLDEST
+#     never-driver-checked queries in original wave order
+#     (events_correlated .. sample_mixture_quality).
+#   after r6: 0 queries older than r4 evidence; 24 never-checked remain
+#     (wave 6-14 tail, ann_ivf_pq_topk .. events_twap — all re-verified
+#     locally each round via tools/local_correctness.py); they are the
+#     tail's FRONT so the r7 window picks them up first, followed by the
+#     queries whose newest row is r4 (2 rounds old at r7).
+#   Note: VERDICT r5's "<=20 never-checked remaining" target conflicts
+#     by 3+4 slots with its own "r3 leave-outs rotate in first" and
+#     "changed queries stay driver-green" requirements; this order
+#     resolves the conflict in favor of evidence FRESHNESS (nothing
+#     older than r4, every code change re-gated) at the cost of 24
+#     rather than 20 never-checked remaining.
+#
+# New r6 queries are tail-registered after the never-checked backlog
+# (saturation rationale unchanged); their evidence rides
+# CORRECTNESS_LOCAL_r06.json until the r7/r8 windows rotate them in.
+
+_R6_WINDOW = [
+    # (a) the three r3-stale leave-outs
+    "k1_haversine", "j5_location_breadcrumb", "dedup_clusters_largestar",
+    # (b) code changed in r6 — must re-pass the driver gate
+    "risk_peer_rank", "events_approx_stats", "basket_pairs_lift",
+    "text_perplexity_filter",
+    # (c) the 43 oldest never-driver-checked, original wave order
+    "events_correlated", "sample_softdedup", "knn_classify",
+    "sample_split", "events_retention", "dedup_containment",
+    "events_funnel", "text_heavy_hitters", "events_asof_view",
+    "events_anomaly", "text_collocations", "graph_pagerank",
+    "events_rolling_7d", "text_chi2_lang_source", "text_length_histogram",
+    "text_search_and", "text_search_phrase", "events_transitions",
+    "accidents_density_grid", "text_bm25_topk", "search_hybrid_rrf",
+    "multimodal_phash", "multimodal_phash_pairs", "bpe_train",
+    "bpe_encode", "events_ema", "sample_contrastive_pairs",
+    "text_winnowing", "winnowing_pairs", "multimodal_wav_energy",
+    "search_eval_metrics", "text_nb_confusion", "text_bigram_lm",
+    "text_ctfidf_topk", "dedup_source_flow", "f8_polygon_filter",
+    "text_bm25_multi", "events_ab_test", "multimodal_phash_clusters",
+    "dedup_eval", "multimodal_video_frames", "multimodal_curation",
+    "sample_mixture_quality",
+]
+
+# tail front: the 24 still-never-driver-checked (r7 rotates these in first)
+_R6_TAIL_NEVER = [
+    "ann_ivf_pq_topk", "star_revenue", "events_scd2", "entity_resolution",
+    "orders_skyline", "events_attribution", "graph_triangles",
+    "events_growth", "dq_assertions", "ml_risk_model_cv",
+    "events_rolling_distinct", "cf_item_neighbors", "geo_hotspots",
+    "events_survival", "sample_active_learning", "location_subtree_rollup",
+    "orders_ltv_cohorts", "part_brand_share", "events_paths",
+    "orders_growth", "accidents_month_unpivot", "events_gapfill",
+    "ml_calibration", "events_twap",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    b = _builders()
+    order = list(_R6_WINDOW) + list(_R6_TAIL_NEVER)
+    taken = set(order)
+    # then everything else: oldest driver evidence first (r4-row queries
+    # before r5-row queries) so the r7 window inherits a ready-made
+    # oldest-first order.  The r5 window was exactly the first 50 keys of
+    # the (r5-ordered) _builders dict; everything after it and not in
+    # `taken` carries an r4 row.
+    old_order = list(b)
+    r5_rest = [n for n in old_order[:50] if n not in taken]
+    r4_rest = [n for n in old_order[50:] if n not in taken]
+    order += r4_rest + r5_rest
+    assert len(order) == len(b) and set(order) == set(b)
+    return {n: b[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -20,7 +20,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: the flagship scoring pipeline + the scale-path variants +
 # the beyond-reference operators.  Kept small so the number is
 # interpretable; the full operator surface is exercised by the driver's
-# correctness gate.
+# correctness gate.  Round 6 extends the set with six round-5 heavies
+# (VERDICT r5 item 3) so the LLM-pipeline surface gets round-over-round
+# perf-regression visibility; the original eight stay first so the
+# BENCH_r{1..5} series remains comparable on its prefix.
 HEADLINE = [
     "risk_scores",
     "risk_scores_capped",
@@ -30,6 +33,13 @@ HEADLINE = [
     "w_similarity",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # round-5 heavies (r6+)
+    "winnowing_pairs",
+    "dedup_semantic",
+    "text_bm25_multi",
+    "multimodal_phash_clusters",
+    "entity_resolution",
+    "events_rolling_distinct",
 ]
 
 
@@ -68,6 +78,10 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        # the original-8 subtotal: comparable to BENCH_r1..r5 "value"
+        # (the full total includes the six r5 heavies added in r6)
+        "value_legacy8": round(sum(v for k, v in per_query.items()
+                                   if k in HEADLINE[:8]), 3),
     }))
     spark.stop()
 
