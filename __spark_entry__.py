@@ -15,6 +15,7 @@ from safeascent_spark.operators import analytics as A
 from safeascent_spark.operators import assembly as ASM
 from safeascent_spark.operators import association as ASSOC
 from safeascent_spark.operators import batch as B
+from safeascent_spark.operators import curation as CU
 from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import graph as G
 from safeascent_spark.operators import kernel_queries as KQ
@@ -376,6 +377,21 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LOCF time-weighted average per (user, type) series — the
         # hypertable time_weight analog, integer-exact ms weighting
         "events_twap": A.q_events_twap,
+        # --- round-6 wave 1: LLM-curation passes (operators/curation.py) ---
+        # Gopher quality-rule battery: exact integer word stats -> four
+        # boolean gates + conjunctive keep (Rae et al. 2021 A1.1)
+        "text_gopher_rules": CU.q_text_gopher_rules,
+        # PII redaction transform (the replace sibling of text_pii_scan):
+        # JVM regexp only; cross-engine witness is the redacted md5
+        "text_pii_redact": CU.q_text_pii_redact,
+        # DSIR importance weights (Xie et al. 2023): hashed-unigram
+        # micro-nat log-ratio model, bucket count fixed at 4096
+        # regardless of corpus size; exact BIGINT doc sums
+        "sample_dsir": CU.q_sample_dsir,
+        # distinct-n diversity per source (templated-corpus detector)
+        "text_distinct_ngrams": CU.q_text_distinct_ngrams,
+        # tokenizer fertility by language over the trained BPE states
+        "bpe_fertility": CU.q_bpe_fertility,
     }
 
 
@@ -452,10 +468,18 @@ _R6_TAIL_NEVER = [
     "ml_calibration", "events_twap",
 ]
 
+# queries NEW in round 6 (tail-registered per the saturation note; their
+# r6 evidence is CORRECTNESS_LOCAL_r06.json and they join the r7 window
+# right after _R6_TAIL_NEVER)
+_R6_NEW = [
+    "text_gopher_rules", "text_pii_redact", "sample_dsir",
+    "text_distinct_ngrams", "bpe_fertility",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     b = _builders()
-    order = list(_R6_WINDOW) + list(_R6_TAIL_NEVER)
+    order = list(_R6_WINDOW) + list(_R6_TAIL_NEVER) + list(_R6_NEW)
     taken = set(order)
     # then everything else: oldest driver evidence first (r4-row queries
     # before r5-row queries) so the r7 window inherits a ready-made
@@ -647,4 +671,9 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": A.sql_events_gapfill(),
         "ml_calibration": A.sql_ml_calibration(),
         "events_twap": A.sql_events_twap(),
+        "text_gopher_rules": CU.sql_text_gopher_rules(),
+        "text_pii_redact": CU.sql_text_pii_redact(),
+        "sample_dsir": CU.sql_sample_dsir(),
+        "text_distinct_ngrams": CU.sql_text_distinct_ngrams(),
+        "bpe_fertility": CU.sql_bpe_fertility(),
     }

@@ -1,0 +1,454 @@
+"""Round-6 LLM-curation operators: Gopher rule gates, PII redaction,
+DSIR importance weighting, n-gram diversity, tokenizer fertility.
+
+These extend the text/dedup curation surface with the standard
+pretraining-pipeline passes not yet covered (SURVEY.md beyond-reference
+scope; the reference — a climbing-safety API, e.g. backend/app/services/
+safety_computation.py — has no text pipeline, so every citation here is
+to the public method literature instead):
+
+* Gopher quality rules (Rae et al. 2021, appendix A1.1): hard rule
+  battery over word counts / word shape / stopword presence.
+* PII redaction: the transform sibling of q_text_pii_scan — replace
+  instead of count, with before/after evidence columns.
+* DSIR (Xie et al. 2023): importance = log p_target(x) - log p_raw(x)
+  under hashed-unigram bag models, selecting raw docs that look like the
+  target domain.
+* Distinct-n-gram diversity (the Self-BLEU / distinct-n family used to
+  detect templated or synthetic-collapse corpora).
+* Tokenizer fertility (tokens-per-word by language) — the standard
+  multilingual tokenizer-quality readout.
+
+Exactness follows repo convention: integer milli/ppm units via floor
+division everywhere; the only doubles are inside floor(1e6 * ln(ratio))
+model weights computed ONCE per vocabulary-grain row (the micro-nat
+device of text_nb_confusion / text_bigram_lm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import (STOPWORDS, TOKENS_CTE, VOCAB_CTE, docs_df, tokens_df,
+                   vocab_df, PII_PATTERNS)
+
+# --- Gopher rule battery ------------------------------------------------------
+# Thresholds follow Gopher's shape but are calibrated to this corpus's
+# 10-99-word synthetic documents so the gate genuinely splits the data
+# (Gopher's 50-word floor would be the only active rule otherwise).
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_MILLI = 3_000     # mean word length in [3, 10] chars
+GOPHER_MAX_MWL_MILLI = 10_000
+GOPHER_MIN_ALPHA_PM = 800        # >= 80% of words contain a letter
+GOPHER_MIN_STOP_DISTINCT = 2     # >= 2 distinct stopwords present
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags + the conjunctive keep verdict.
+
+    Scale shape: one map-side-combined groupBy over the token stream;
+    every statistic is an exact integer (milli / per-mille floors), so
+    the verdict is bit-reproducible in any engine.  Empty docs surface
+    with n_words = 0 and fail the word-count rule.
+    """
+    t = tokens_df(spark, sf_dir)
+    stats = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("word")).cast("bigint").alias("n_word_chars"),
+        F.sum(F.when(F.col("word").rlike("[a-zA-Z]"), 1).otherwise(0))
+         .cast("bigint").alias("n_alpha_words"),
+        F.count_distinct(
+            F.when(F.col("word").isin(*STOPWORDS), F.col("word")))
+         .cast("bigint").alias("n_stop_distinct"))
+    d = docs_df(spark, sf_dir).select("doc_id")
+    j = (d.join(stats, "doc_id", "left")
+          .na.fill(0, ["n_words", "n_word_chars", "n_alpha_words",
+                       "n_stop_distinct"])
+          .withColumn("mean_word_len_milli",
+                      F.expr("CASE WHEN n_words > 0 THEN "
+                             "n_word_chars * 1000 div n_words ELSE 0 END"))
+          .withColumn("alpha_word_pm",
+                      F.expr("CASE WHEN n_words > 0 THEN "
+                             "n_alpha_words * 1000 div n_words ELSE 0 END")))
+    r_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mwl = F.col("mean_word_len_milli").between(
+        GOPHER_MIN_MWL_MILLI, GOPHER_MAX_MWL_MILLI)
+    r_alpha = F.col("alpha_word_pm") >= GOPHER_MIN_ALPHA_PM
+    r_stop = F.col("n_stop_distinct") >= GOPHER_MIN_STOP_DISTINCT
+    return (j.select("doc_id", "n_words", "mean_word_len_milli",
+                     "alpha_word_pm", "n_stop_distinct",
+                     r_words.alias("rule_word_count"),
+                     r_mwl.alias("rule_mean_word_len"),
+                     r_alpha.alias("rule_alpha_words"),
+                     r_stop.alias("rule_stopwords"),
+                     (r_words & r_mwl & r_alpha & r_stop).alias("keep"))
+             .orderBy("doc_id"))
+
+
+def sql_text_gopher_rules() -> str:
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH {TOKENS_CTE.strip()},
+stats AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(word)) AS BIGINT) AS n_word_chars,
+         CAST(sum(CASE WHEN regexp_matches(word, '[a-zA-Z]')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+         CAST(count(DISTINCT CASE WHEN word IN ({stop_in})
+                                  THEN word END) AS BIGINT)
+           AS n_stop_distinct
+  FROM tokens GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id,
+         coalesce(s.n_words, 0) AS n_words,
+         CASE WHEN coalesce(s.n_words, 0) > 0
+              THEN s.n_word_chars * 1000 // s.n_words ELSE 0 END
+           AS mean_word_len_milli,
+         CASE WHEN coalesce(s.n_words, 0) > 0
+              THEN s.n_alpha_words * 1000 // s.n_words ELSE 0 END
+           AS alpha_word_pm,
+         coalesce(s.n_stop_distinct, 0) AS n_stop_distinct
+  FROM documents d LEFT JOIN stats s USING (doc_id)
+)
+SELECT doc_id, n_words,
+       CAST(mean_word_len_milli AS BIGINT) AS mean_word_len_milli,
+       CAST(alpha_word_pm AS BIGINT) AS alpha_word_pm,
+       n_stop_distinct,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AS rule_word_count,
+       mean_word_len_milli
+         BETWEEN {GOPHER_MIN_MWL_MILLI} AND {GOPHER_MAX_MWL_MILLI}
+         AS rule_mean_word_len,
+       alpha_word_pm >= {GOPHER_MIN_ALPHA_PM} AS rule_alpha_words,
+       n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT} AS rule_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mean_word_len_milli
+              BETWEEN {GOPHER_MIN_MWL_MILLI} AND {GOPHER_MAX_MWL_MILLI})
+         AND alpha_word_pm >= {GOPHER_MIN_ALPHA_PM}
+         AND n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT} AS keep
+FROM j
+ORDER BY doc_id"""
+
+
+# --- PII redaction ------------------------------------------------------------
+# The transform sibling of q_text_pii_scan: replace every email / URL /
+# long digit run with a typed placeholder.  Redaction order is fixed
+# (emails, then URLs, then numbers) so the output is deterministic even
+# where patterns could overlap; the md5 of the redacted text is the
+# cross-engine value witness (both engines emit the same lowercase hex).
+#
+# Scale shape: pure JVM regexp_replace projections — no UDF, no shuffle
+# beyond the presentation sort; at 100 TB this is a map-only pass.
+
+_REDACT = [("emails", "<EMAIL>"), ("urls", "<URL>"),
+           ("long_numbers", "<NUM>")]
+
+
+def redacted_col(col):
+    """The redaction Column expression, factored so tests can apply it to
+    constructed rows: the sf* documents fixture happens to contain no
+    PII-shaped strings (pii_scan is all-zero there too), so the
+    transform's replace behavior is pinned by tests/test_curation_r6.py
+    on synthetic emails/URLs/digit runs, while the registered query pins
+    the no-op case (md5 witnesses) against the oracle."""
+    red = col
+    for key, token in _REDACT:
+        red = F.regexp_replace(red, PII_PATTERNS[key], token)
+    return red
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_df(spark, sf_dir)
+    red = redacted_col(F.col("text"))
+    counts = {k: F.size(F.regexp_extract_all(F.col("text"),
+                                             F.lit(PII_PATTERNS[k]), 0))
+              for k, _ in _REDACT}
+    return (d.select(
+                "doc_id",
+                *[c.cast("bigint").alias(f"n_{k}")
+                  for k, c in counts.items()],
+                F.length("text").cast("bigint").alias("n_chars_before"),
+                F.length(red).cast("bigint").alias("n_chars_after"),
+                F.md5(red.cast("binary")).alias("redacted_md5"))
+             .orderBy("doc_id"))
+
+
+def sql_text_pii_redact() -> str:
+    red = "text"
+    for key, token in _REDACT:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[key]}', '{token}', 'g')"
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT)"
+        f" AS n_{k}" for k, _ in _REDACT)
+    return f"""
+SELECT doc_id, {cols},
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length({red}) AS BIGINT) AS n_chars_after,
+       md5({red}) AS redacted_md5
+FROM documents ORDER BY doc_id"""
+
+
+# --- DSIR importance weighting -------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# raw document by log p_target(x) - log p_raw(x) under hashed-unigram bag
+# models, where the target is the domain you want more of (here: the
+# English subcorpus).  Docs with positive per-token importance "look like
+# the target"; DSIR then samples proportionally — the deterministic
+# is_targetlike flag is the oracle-checkable core of that decision.
+#
+# Exactness: per-bucket weights are floored ONCE to integer micro-nats
+# (ln on identical integer-derived doubles in both engines — the NB /
+# bigram-LM convention); per-doc sums are exact BIGINT.
+#
+# Scale shape: the model is DSIR_BUCKETS rows regardless of vocabulary or
+# corpus size (that is the point of hashing) and broadcasts onto the
+# token stream; the word->bucket map rides the vocab dimension (wid is
+# data-derived, so the bucket assignment is engine-independent — no
+# reliance on engine hash functions).  One corpus pass, two bounded
+# shuffles.
+
+DSIR_BUCKETS = 4096
+DSIR_KNUTH = 2_654_435_761
+DSIR_P = 1_000_000_007
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens_df(spark, sf_dir)
+    v = vocab_df(spark, sf_dir).withColumn(
+        "bucket", F.expr(f"pmod(wid * {DSIR_KNUTH}L, {DSIR_P}L) "
+                         f"% {DSIR_BUCKETS}"))
+    lang = docs_df(spark, sf_dir).select("doc_id", "lang")
+    tb = (t.join(F.broadcast(v.select("word", "bucket")), "word")
+           .join(lang, "doc_id"))
+    tgt = (tb.filter(F.col("lang") == DSIR_TARGET_LANG)
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t")))
+    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
+    tot = (raw.agg(F.sum("c_s").alias("n_s"))
+              .crossJoin(tgt.agg(F.sum("c_t").alias("n_t"))))
+    model = (raw.join(tgt, "bucket", "left")
+                .na.fill(0, ["c_t"])
+                .crossJoin(F.broadcast(tot))
+                .select("bucket", F.floor(F.lit(1e6) * (
+                    F.log((F.col("c_t") + F.lit(1.0)) /
+                          (F.col("n_t") + F.lit(float(DSIR_BUCKETS)))) -
+                    F.log((F.col("c_s") + F.lit(1.0)) /
+                          (F.col("n_s") + F.lit(float(DSIR_BUCKETS))))))
+                    .cast("bigint").alias("w_micro")))
+    return (tb.join(F.broadcast(model), "bucket")
+              .groupBy("doc_id", "lang")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                   F.sum("w_micro").alias("dsir_sum_micro")))
+
+
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (_dsir_scored(spark, sf_dir)
+         .select(
+             "doc_id", "lang", "n_tokens", "dsir_sum_micro",
+             # floor division of a possibly-negative numerator must
+             # floor (not truncate) to match DuckDB //: use the
+             # double-floor device (exact: |sum| < 2^52 by construction
+             # — n_tokens <= 1e5 and |w_micro| <= ~20e6)
+             F.floor(F.col("dsir_sum_micro").cast("double") /
+                     F.col("n_tokens").cast("double"))
+              .cast("bigint").alias("dsir_per_token_micro")))
+    # the DSIR keep flag is RELATIVE (select docs that look MORE like the
+    # target than the corpus does on average): Laplace smoothing shifts
+    # every absolute log-ratio negative, so the comparison is against the
+    # corpus mean per-token importance, as an exact integer cross-multiply
+    # over a 1-row broadcast (no division, no float threshold)
+    tot = s.agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dsir_per_token_micro").alias("sum_ppt"))
+    return (s.crossJoin(F.broadcast(tot))
+             .withColumn("is_targetlike",
+                         F.col("dsir_per_token_micro") * F.col("n_docs")
+                         > F.col("sum_ppt"))
+             .drop("n_docs", "sum_ppt")
+             .orderBy("doc_id"))
+
+
+def sql_sample_dsir() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()},
+{VOCAB_CTE.strip()},
+wb AS (
+  SELECT word, ((wid * {DSIR_KNUTH}) % {DSIR_P}) % {DSIR_BUCKETS} AS bucket
+  FROM vocab
+),
+tb AS (
+  SELECT t.doc_id, d.lang, w.bucket
+  FROM tokens t JOIN wb w USING (word)
+  JOIN documents d USING (doc_id)
+),
+raw AS (SELECT bucket, count(*) AS c_s FROM tb GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS c_t FROM tb
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+tot AS (
+  SELECT (SELECT sum(c_s) FROM raw) AS n_s,
+         (SELECT sum(c_t) FROM tgt) AS n_t
+),
+model AS (
+  SELECT r.bucket,
+         CAST(floor(1000000.0 * (
+             ln((coalesce(g.c_t, 0) + 1.0) / (t.n_t + {DSIR_BUCKETS}.0))
+           - ln((r.c_s + 1.0) / (t.n_s + {DSIR_BUCKETS}.0))))
+              AS BIGINT) AS w_micro
+  FROM raw r LEFT JOIN tgt g USING (bucket) CROSS JOIN tot t
+),
+scored AS (
+  SELECT tb.doc_id, tb.lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(m.w_micro) AS BIGINT) AS dsir_sum_micro
+  FROM tb JOIN model m USING (bucket)
+  GROUP BY tb.doc_id, tb.lang
+),
+ppt AS (
+  SELECT doc_id, lang, n_tokens, dsir_sum_micro,
+         CAST(floor(CAST(dsir_sum_micro AS DOUBLE) / n_tokens) AS BIGINT)
+           AS dsir_per_token_micro
+  FROM scored
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dsir_per_token_micro) AS BIGINT) AS sum_ppt
+  FROM ppt
+)
+SELECT doc_id, lang, n_tokens, dsir_sum_micro, dsir_per_token_micro,
+       dsir_per_token_micro * n_docs > sum_ppt AS is_targetlike
+FROM ppt CROSS JOIN corpus
+ORDER BY doc_id"""
+
+
+# --- Distinct-n-gram diversity --------------------------------------------------
+# The distinct-n / Self-BLEU-style corpus diversity readout: per source
+# and n in {1,2,3}, total n-grams vs distinct n-grams.  Low distinct
+# ratios expose templated or synthetically-collapsed subcorpora BEFORE
+# they poison a training mix.
+#
+# Scale shape: one (source, gram) pre-aggregation per n (map-side
+# combined; the distinct count is a re-aggregation of that table, never
+# a distinct over raw rows); output is |sources| x 3 rows.
+
+def _source_grams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    d = docs_df(spark, sf_dir).select("doc_id", "source", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    if n == 1:
+        gram = F.explode(toks).alias("gram")
+    else:
+        gram = F.explode(F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN transform("
+            f"sequence(1, size(toks) - {n - 1}), "
+            f"i -> array_join(slice(toks, i, {n}), ' ')) "
+            "ELSE CAST(array() AS array<string>) END")).alias("gram")
+    base = d.select("source", toks.alias("toks")) if n > 1 else d
+    return (base.select("source", gram)
+                .groupBy("source", "gram")
+                .agg(F.count(F.lit(1)).alias("c")))
+
+
+def q_text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for n in (1, 2, 3):
+        g = _source_grams(spark, sf_dir, n)
+        parts.append(
+            g.groupBy("source")
+             .agg(F.sum("c").cast("bigint").alias("total_ngrams"),
+                  F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"))
+             .withColumn("n", F.lit(n)))
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (out.select("source", F.col("n").cast("int").alias("n"),
+                       "total_ngrams", "distinct_ngrams",
+                       F.expr("distinct_ngrams * 1000000 div total_ngrams")
+                        .alias("distinct_ppm"))
+               .orderBy("source", "n"))
+
+
+def sql_text_distinct_ngrams() -> str:
+    legs = []
+    for n in (1, 2, 3):
+        if n == 1:
+            grams = """
+  SELECT source, unnest(ws) AS gram
+  FROM (SELECT source, list_filter(string_split(text, ' '), x -> x <> '')
+               AS ws FROM documents)"""
+        else:
+            grams = f"""
+  SELECT source, array_to_string(ws[i:i+{n - 1}], ' ') AS gram
+  FROM (SELECT source, ws,
+               unnest(generate_series(1, len(ws) - {n - 1})) AS i
+        FROM (SELECT source,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS ws
+              FROM documents)
+        WHERE len(ws) >= {n})"""
+        legs.append(f"""
+SELECT source, {n} AS n,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       CAST(count(DISTINCT gram) * 1000000 // count(*) AS BIGINT)
+         AS distinct_ppm
+FROM ({grams})
+GROUP BY source""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+SELECT source, CAST(n AS INT) AS n, total_ngrams, distinct_ngrams,
+       distinct_ppm
+FROM ({union})
+ORDER BY source, n"""
+
+
+# --- Tokenizer fertility by language -------------------------------------------
+# Fertility (BPE tokens emitted per whitespace word) per language — the
+# standard multilingual tokenizer-quality metric: a tokenizer trained on
+# one language's distribution "over-segments" the others, and fertility
+# is how that shows up.  Rides the trained q_bpe_encode segmentations.
+#
+# Scale shape: the per-word segmentation table is vocabulary-grain and
+# broadcasts; the rollup is |langs| rows.
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _bpe_train_states, _bpe_syms
+    _, states = _bpe_train_states(spark, sf_dir)
+    seg = states.select(
+        "word", F.size(_bpe_syms(F.col("state"))).alias("n_syms"))
+    t = tokens_df(spark, sf_dir)
+    lang = docs_df(spark, sf_dir).select("doc_id", "lang")
+    return (t.join(F.broadcast(seg), "word")
+             .join(lang, "doc_id")
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                  F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+                  F.sum(F.length("word")).cast("bigint").alias("n_chars"))
+             .select("lang", "n_words", "n_bpe_tokens",
+                     F.expr("n_bpe_tokens * 1000000 div n_words")
+                      .alias("fertility_ppm"),
+                     F.expr("n_chars * 1000000 div n_bpe_tokens")
+                      .alias("chars_per_token_ppm"))
+             .orderBy("lang"))
+
+
+def sql_bpe_fertility() -> str:
+    from .text import _sql_bpe_ctes, BPE_MERGES
+    return f"""{_sql_bpe_ctes()},
+seg AS (
+  SELECT word,
+         len(list_filter(string_split(state, '  '), x -> x <> '')) AS n_syms
+  FROM state{BPE_MERGES}
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s.n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(s.n_syms) * 1000000 // count(*) AS BIGINT)
+         AS fertility_ppm,
+       CAST(sum(length(t.word)) * 1000000 // sum(s.n_syms) AS BIGINT)
+         AS chars_per_token_ppm
+FROM tokens t
+JOIN seg s USING (word)
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang"""
