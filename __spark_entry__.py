@@ -20,6 +20,7 @@ from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import graph as G
 from safeascent_spark.operators import kernel_queries as KQ
 from safeascent_spark.operators import multimodal as MM
+from safeascent_spark.operators import olap as OL
 from safeascent_spark.operators import rangejoin as RJ
 from safeascent_spark.operators import relational as R
 from safeascent_spark.operators import scoring
@@ -392,6 +393,17 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distinct_ngrams": CU.q_text_distinct_ngrams,
         # tokenizer fertility by language over the trained BPE states
         "bpe_fertility": CU.q_bpe_fertility,
+        # --- round-6 wave 2: canonical warehouse shapes (operators/olap.py) ---
+        # TPC-H Q1: one pushed-down scan -> map-side-combined wide
+        # aggregate, exact integer cents / 1e-4 / 1e-6 dollar units
+        "tpch_q1_pricing": OL.q_tpch_q1_pricing,
+        # TPC-H Q3: segment-pruned broadcast dim, both date predicates
+        # pushed, distributed TakeOrdered top-10
+        "tpch_q3_priority": OL.q_tpch_q3_priority,
+        # top-K |covariance| feature pairs over int8-quantized
+        # embeddings: in-row pair products (no self-join), dimension-
+        # bounded work, exact milli-unit floor-division covariance
+        "embedding_covariance": OL.q_embedding_covariance,
     }
 
 
@@ -474,6 +486,7 @@ _R6_TAIL_NEVER = [
 _R6_NEW = [
     "text_gopher_rules", "text_pii_redact", "sample_dsir",
     "text_distinct_ngrams", "bpe_fertility",
+    "tpch_q1_pricing", "tpch_q3_priority", "embedding_covariance",
 ]
 
 
@@ -676,4 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_dsir": CU.sql_sample_dsir(),
         "text_distinct_ngrams": CU.sql_text_distinct_ngrams(),
         "bpe_fertility": CU.sql_bpe_fertility(),
+        "tpch_q1_pricing": OL.sql_tpch_q1_pricing(),
+        "tpch_q3_priority": OL.sql_tpch_q3_priority(),
+        "embedding_covariance": OL.sql_embedding_covariance(),
     }

@@ -1,0 +1,248 @@
+"""Round-6 wave 2: classic warehouse-benchmark shapes + exact embedding
+covariance.
+
+The TPC-H Q1/Q3 shapes are THE reference plans every warehouse engine is
+judged on (the repo already carries the Q5 star and Q14-family share in
+`star_revenue` / `part_brand_share`); implementing them here exercises
+the remaining canonical patterns — the wide map-side-combined scan
+aggregate (Q1) and the selective three-way join with a distributed top-N
+(Q3) — under this repo's integer-exact oracle discipline.
+
+`embedding_covariance` adds the feature-diagnostics pass of an embedding
+pipeline (which dimensions co-vary — collapsed or redundant axes show up
+as extreme off-diagonal covariance) with the d x d work bounded by the
+embedding DIMENSION, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import domain
+from .similarity import DIM, quantized_df
+
+# --- TPC-H Q1: pricing summary report ----------------------------------------
+# Exactness: quantity is integral (cast to BIGINT); money flows as
+# integer cents = floor(x * 100); discount/tax carry exactly 2 decimals
+# so round(x * 100) is their exact integer percent.  disc_price and
+# charge are therefore exact integers in 1e-4 / 1e-6 dollar units, summed
+# on DECIMAL(38,0)/HUGEINT; averages are floor divisions.  No double is
+# ever summed.
+#
+# Scale shape (the Q1 contract): ONE scan with the shipdate predicate
+# pushed to parquet, one map-side-combined aggregate to a 6-ish-row
+# result — no join, no window, no second exchange.
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = domain.load_table(spark, sf_dir, "lineitem")
+    dec = "DECIMAL(38,0)"
+    qty = F.expr("CAST(l_quantity AS BIGINT)")
+    price_c = F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+    disc_p = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    tax_p = F.expr("CAST(round(l_tax * 100) AS BIGINT)")
+    base = (li.filter(F.col("l_shipdate").cast("date")
+                      <= F.lit(Q1_CUTOFF).cast("date"))
+              .select("l_returnflag", "l_linestatus",
+                      qty.alias("qty"), price_c.alias("price_c"),
+                      disc_p.alias("disc_p"), tax_p.alias("tax_p")))
+    return (base.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("qty").cast("bigint").alias("sum_qty"),
+                     F.sum("price_c").cast("bigint").alias("sum_base_cents"),
+                     F.expr(f"CAST(sum(CAST(price_c AS {dec}) * (100 - disc_p))"
+                            " AS DECIMAL(38,0))").cast("bigint")
+                      .alias("sum_disc_price_e4"),
+                     F.expr(f"CAST(sum(CAST(price_c AS {dec}) * (100 - disc_p)"
+                            " * (100 + tax_p)) AS DECIMAL(38,0))")
+                      .cast("bigint").alias("sum_charge_e6"),
+                     F.count(F.lit(1)).cast("bigint").alias("count_order"))
+                .select("l_returnflag", "l_linestatus", "sum_qty",
+                        "sum_base_cents", "sum_disc_price_e4",
+                        "sum_charge_e6",
+                        F.expr("sum_qty * 1000 div count_order")
+                         .alias("avg_qty_milli"),
+                        F.expr("sum_base_cents div count_order")
+                         .alias("avg_price_cents"),
+                        "count_order")
+                .orderBy("l_returnflag", "l_linestatus"))
+
+
+def sql_tpch_q1_pricing() -> str:
+    return f"""
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '{Q1_CUTOFF}'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(price_c) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(price_c AS HUGEINT) * (100 - disc_p)) AS BIGINT)
+         AS sum_disc_price_e4,
+       CAST(sum(CAST(price_c AS HUGEINT) * (100 - disc_p) * (100 + tax_p))
+            AS BIGINT) AS sum_charge_e6,
+       CAST(sum(qty) * 1000 // count(*) AS BIGINT) AS avg_qty_milli,
+       CAST(sum(price_c) // count(*) AS BIGINT) AS avg_price_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM base
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+# --- TPC-H Q3: shipping-priority top-10 --------------------------------------
+# Revenue (exact 1e-4 dollar units) of each not-yet-fully-shipped order
+# in one market segment: orders placed before the cutoff with at least
+# one lineitem shipping after it.  Top-10 by (revenue desc, orderdate).
+#
+# Scale shape: the segment filter prunes customers BEFORE the join (the
+# dim broadcasts); both date predicates reach their parquet scans; the
+# top-10 is a distributed TakeOrderedAndProject over the per-order
+# aggregate — no global sort materialization.
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+
+
+def q_tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (domain.load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+            .select("c_custkey"))
+    orders = (domain.load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate").cast("date")
+                      < F.lit(Q3_DATE).cast("date"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate").cast("date")
+                  > F.lit(Q3_DATE).cast("date"))
+          .select("l_orderkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) "
+                         "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+                   .alias("rev_e4")))
+    return (li.join(orders.join(F.broadcast(cust),
+                                orders.o_custkey == cust.c_custkey)
+                          .select("o_orderkey", "o_orderdate",
+                                  "o_orderpriority"),
+                    li.l_orderkey == F.col("o_orderkey"))
+              .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(F.sum("rev_e4").cast("bigint").alias("revenue_e4"))
+              .orderBy(F.col("revenue_e4").desc(), F.col("o_orderdate"),
+                       F.col("o_orderkey"))
+              .limit(10)
+              .select("o_orderkey",
+                      F.col("o_orderdate").cast("date").cast("string")
+                       .alias("o_orderdate"),
+                      "o_orderpriority", "revenue_e4"))
+
+
+def sql_tpch_q3_priority() -> str:
+    return f"""
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       o.o_orderpriority,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND CAST(o.o_orderdate AS DATE) < DATE '{Q3_DATE}'
+  AND CAST(l.l_shipdate AS DATE) > DATE '{Q3_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, o_orderdate, o_orderkey
+LIMIT 10"""
+
+
+# --- Embedding covariance diagnostics ----------------------------------------
+# Which embedding dimensions co-vary: the top-K feature pairs by absolute
+# covariance over the int8-quantized vectors (quantized_df's exact-
+# integer convention).  Covariance is emitted as corpus-size-independent
+# exact milli-units: cov_mean_milli = (n*Sxy - Sx*Sy) * 1000 div (n*n),
+# |value| <= 127^2 * 1000 regardless of n, with the numerator on
+# DECIMAL(38,0)/HUGEINT so no scale overflows it.
+#
+# Scale shape: the pair products are generated by a per-row flatten
+# (NO self-join — the d(d+1)/2 products ride the same task as their
+# row) and partial-aggregate map-side to a d(d+1)/2-row table bounded
+# by the DIMENSION; marginals reuse one n*d explode.  The top-K ranks
+# the bounded pair table (TakeOrderedAndProject).
+
+COV_TOP_K = 20
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quantized_df(spark, sf_dir)
+    # all (i <= j) products of one vector, flattened in-row
+    prods = F.explode(F.expr(
+        f"flatten(transform(sequence(0, {DIM - 1}), i -> "
+        f"transform(sequence(i, {DIM - 1}), j -> "
+        "struct(i AS i, j AS j, qvec[i] * qvec[j] AS xy))))")).alias("p")
+    sums = (q.select(prods)
+             .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+             .agg(F.sum("p.xy").cast("bigint").alias("sxy"),
+                  F.count(F.lit(1)).cast("bigint").alias("n")))
+    marg = (q.select(F.posexplode("qvec").alias("i", "x"))
+             .groupBy("i")
+             .agg(F.sum("x").cast("bigint").alias("sx")))
+    dec = "DECIMAL(38,0)"
+    # the numerator can be NEGATIVE: Spark's `div` truncates toward zero
+    # while DuckDB's `//` floors, so floor division is reconstructed from
+    # (div, %) exactly — no double ever touches the value (the
+    # ml_calibration double-floor device would lose exactness past 2^52)
+    nmr = (f"(CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy) * 1000"
+           .replace("{d}", dec))
+    dnm = f"(CAST(n AS {dec}) * n)"
+    floor_div = (f"(({nmr}) div {dnm}) - (CASE WHEN ({nmr}) % {dnm} != 0 "
+                 f"AND ({nmr}) < 0 THEN 1 ELSE 0 END)")
+    cov = (sums.join(F.broadcast(marg), "i")
+               .join(F.broadcast(marg.select(F.col("i").alias("j"),
+                                             F.col("sx").alias("sy"))), "j")
+               .select("i", "j", "n", "sxy", "sx", "sy",
+                       F.expr(f"CAST({floor_div} AS BIGINT)")
+                        .alias("cov_mean_milli")))
+    return (cov.orderBy(F.abs(F.col("cov_mean_milli")).desc(),
+                        F.col("i"), F.col("j"))
+               .limit(COV_TOP_K)
+               .select(F.col("i").cast("int").alias("i"),
+                       F.col("j").cast("int").alias("j"),
+                       "sxy", "sx", "sy", "cov_mean_milli"))
+
+
+def sql_embedding_covariance() -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i + 1] AS DOUBLE), -1.0),"
+          " 1.0) * 127) AS BIGINT)")
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(0, {DIM - 1})) AS i)
+),
+sums AS (
+  SELECT a.i, b.i AS j,
+         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qflat a JOIN qflat b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+marg AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM qflat GROUP BY i),
+cov AS (
+  SELECT s.i, s.j, s.sxy, mi.sx, mj.sx AS sy,
+         CAST((CAST(s.n AS HUGEINT) * s.sxy
+               - CAST(mi.sx AS HUGEINT) * mj.sx) * 1000
+              // (CAST(s.n AS HUGEINT) * s.n) AS BIGINT) AS cov_mean_milli
+  FROM sums s
+  JOIN marg mi ON s.i = mi.i
+  JOIN marg mj ON s.j = mj.i
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, sxy, sx, sy,
+       cov_mean_milli
+FROM cov
+ORDER BY abs(cov_mean_milli) DESC, i, j
+LIMIT {COV_TOP_K}"""

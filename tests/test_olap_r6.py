@@ -1,0 +1,114 @@
+"""Round-6 wave-2 semantics + plan shapes: TPC-H Q1/Q3 and the
+dimension-bounded embedding covariance."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from safeascent_spark import domain
+from safeascent_spark.operators import olap as OL
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.test_plans import n_ops, plan_of
+
+
+def test_q1_matches_bruteforce(spark):
+    rows = OL.q_tpch_q1_pricing(spark, SF_ORACLE).collect()
+    li = domain.load_table(spark, SF_ORACLE, "lineitem").collect()
+    import datetime
+    cutoff = datetime.datetime(1998, 9, 2)
+    groups: dict[tuple, list] = {}
+    for r in li:
+        if r.l_shipdate <= cutoff:
+            groups.setdefault((r.l_returnflag, r.l_linestatus),
+                              []).append(r)
+    assert len(rows) == len(groups)
+    for r in rows:
+        g = groups[(r.l_returnflag, r.l_linestatus)]
+        assert r.count_order == len(g)
+        assert r.sum_qty == sum(int(x.l_quantity) for x in g)
+        cents = [math.floor(x.l_extendedprice * 100) for x in g]
+        disc = [round(x.l_discount * 100) for x in g]
+        tax = [round(x.l_tax * 100) for x in g]
+        assert r.sum_base_cents == sum(cents)
+        assert r.sum_disc_price_e4 == sum(
+            c * (100 - d) for c, d in zip(cents, disc))
+        assert r.sum_charge_e6 == sum(
+            c * (100 - d) * (100 + t)
+            for c, d, t in zip(cents, disc, tax))
+        assert r.avg_qty_milli == r.sum_qty * 1000 // r.count_order
+
+
+def test_q1_plan_is_one_pushed_scan_one_aggregate(spark):
+    plan = plan_of(OL.q_tpch_q1_pricing(spark, SF_SMOKE))
+    assert n_ops(plan, "Scan parquet") == 1
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "partial_sum" in plan           # map-side combine
+    assert n_ops(plan, "Exchange") <= 2    # agg shuffle + presentation sort
+    assert n_ops(plan, "BroadcastHashJoin") == 0
+
+
+def test_q3_plan_broadcasts_dims_and_takes_ordered(spark):
+    plan = plan_of(OL.q_tpch_q3_priority(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan and "l_shipdate" in plan
+
+
+def test_q3_rows_satisfy_their_own_predicates(spark):
+    rows = OL.q_tpch_q3_priority(spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    revs = [r.revenue_e4 for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    orders = {r.o_orderkey: r for r in
+              domain.load_table(spark, SF_ORACLE, "orders").collect()}
+    for r in rows:
+        o = orders[r.o_orderkey]
+        assert str(o.o_orderdate.date()) == r.o_orderdate
+        assert str(o.o_orderdate.date()) < OL.Q3_DATE
+        assert o.o_orderpriority == r.o_orderpriority
+
+
+def test_covariance_matches_numpy_and_is_dimension_bounded(spark):
+    import numpy as np
+    rows = OL.q_embedding_covariance(spark, SF_ORACLE).collect()
+    assert len(rows) == OL.COV_TOP_K
+    e = domain.load_table(spark, SF_ORACLE, "embeddings").collect()
+    Q = np.array([[round(min(max(float(x), -1.0), 1.0) * 127)
+                   for x in r.embedding] for r in e], dtype=np.int64)
+    n = Q.shape[0]
+    for r in rows:
+        assert r.i <= r.j
+        x, y = Q[:, r.i], Q[:, r.j]
+        assert r.sxy == int((x * y).sum())
+        assert r.sx == int(x.sum())
+        assert r.sy == int(y.sum())
+        num = (n * int((x * y).sum())
+               - int(x.sum()) * int(y.sum())) * 1000
+        assert r.cov_mean_milli == num // (n * n)   # python // floors
+    # the top-K must rank by |cov| (verify against the full pair set)
+    covs = {}
+    for i in range(OL.DIM):
+        for j in range(i, OL.DIM):
+            num = (n * int((Q[:, i] * Q[:, j]).sum())
+                   - int(Q[:, i].sum()) * int(Q[:, j].sum())) * 1000
+            covs[(i, j)] = num // (n * n)
+    want = sorted(covs, key=lambda k: (-abs(covs[k]), k))[:OL.COV_TOP_K]
+    assert [(r.i, r.j) for r in rows] == want
+
+
+def test_covariance_plan_has_no_self_join(spark):
+    plan = plan_of(OL.q_embedding_covariance(spark, SF_SMOKE))
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    # pair products are generated in-row: the embeddings parquet is read
+    # at most 3x (pair sums + the marginal aggregate referenced for both
+    # i and j), never joined row-to-row — the only joins broadcast the
+    # 64-row marginal table onto the 2080-row pair table
+    assert n_ops(plan, "Scan parquet") <= 3
+    assert n_ops(plan, "BroadcastHashJoin") == 2
+    assert "partial_sum" in plan
