@@ -404,6 +404,16 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings: in-row pair products (no self-join), dimension-
         # bounded work, exact milli-unit floor-division covariance
         "embedding_covariance": OL.q_embedding_covariance,
+        # --- round-6 wave 3 ---
+        # the EXISTS/semi-join shape: late-shipping orders by priority,
+        # each order counted at most once (LEFT SEMI, no dup shuffle)
+        "tpch_q4_semijoin": OL.q_tpch_q4_semijoin,
+        # order-count distribution incl. the zero bucket: aggregate
+        # orders FIRST, then left-outer onto customers (Q13 shape)
+        "tpch_q13_custdist": OL.q_tpch_q13_custdist,
+        # interpolated Kneser-Ney bigram LM: absolute discount 3/4 +
+        # continuation backoff, single exact rational -> ppm floor div
+        "text_kneser_ney": CU.q_text_kneser_ney,
     }
 
 
@@ -487,6 +497,7 @@ _R6_NEW = [
     "text_gopher_rules", "text_pii_redact", "sample_dsir",
     "text_distinct_ngrams", "bpe_fertility",
     "tpch_q1_pricing", "tpch_q3_priority", "embedding_covariance",
+    "tpch_q4_semijoin", "tpch_q13_custdist", "text_kneser_ney",
 ]
 
 
@@ -692,4 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing": OL.sql_tpch_q1_pricing(),
         "tpch_q3_priority": OL.sql_tpch_q3_priority(),
         "embedding_covariance": OL.sql_embedding_covariance(),
+        "tpch_q4_semijoin": OL.sql_tpch_q4_semijoin(),
+        "tpch_q13_custdist": OL.sql_tpch_q13_custdist(),
+        "text_kneser_ney": CU.sql_text_kneser_ney(),
     }

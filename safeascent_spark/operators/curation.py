@@ -452,3 +452,88 @@ JOIN seg s USING (word)
 JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY d.lang"""
+
+
+# --- Interpolated Kneser-Ney bigram LM ----------------------------------------
+# The standard n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1999)
+# behind KenLM-style corpus-quality filters: absolute discount D on seen
+# bigrams, with the stolen mass backed off to the CONTINUATION
+# probability (how many distinct contexts a word follows — "Francisco"
+# is frequent but only ever follows "San", so its continuation mass is
+# tiny).  Completes the repo's LM ladder (unigram -> Laplace bigram ->
+# KN bigram).
+#
+# Exactness: with D = 3/4, every term is a ratio of BIGINT counts:
+#   P(w2|w1) = max(c12 - D, 0)/c1 + D * N1p(w1)/c1 * N1m(w2)/N1mm
+#            = [max(4*c12 - 3, 0) * N1mm + 3 * N1p(w1) * N1m(w2)]
+#              / (4 * c1 * N1mm)
+# emitted as one floor division to ppm on DECIMAL(38,0)/HUGEINT — no
+# float ever appears, so this is exact at ANY corpus size (stronger than
+# the floored-log micro-nat convention, which is exact only per model
+# cell).
+#
+# Scale shape: all four statistics are map-side-combined aggregates of
+# the bigram table; N1p / N1m / N1mm are re-aggregations of the distinct
+# bigram TYPE table (vocabulary^2-bounded, not corpus-bounded); the
+# output is one row per observed bigram type.
+
+KN_DISCOUNT_NUM = 3          # D = 3/4 as an exact rational
+KN_DISCOUNT_DEN = 4
+
+
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _doc_bigrams
+    bg = _doc_bigrams(spark, sf_dir)
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                               F.count(F.lit(1)).alias("n1p"))
+    n1m = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1m"))
+    n1mm = c12.agg(F.count(F.lit(1)).alias("n1mm"))
+    dec = "DECIMAL(38,0)"
+    p_ppm = F.expr(
+        f"CAST((CAST(greatest({KN_DISCOUNT_DEN} * c12 "
+        f"- {KN_DISCOUNT_NUM}, 0) AS {dec}) * n1mm "
+        f"+ CAST({KN_DISCOUNT_NUM} AS {dec}) * n1p * n1m) * 1000000 "
+        f"div (CAST({KN_DISCOUNT_DEN} AS {dec}) * c1 * n1mm) AS BIGINT)")
+    return (c12.join(F.broadcast(c1), "w1")
+               .join(F.broadcast(n1m), "w2")
+               .crossJoin(F.broadcast(n1mm))
+               .select("w1", "w2", "c12",
+                       F.col("c1").cast("bigint").alias("c1"),
+                       F.col("n1p").cast("bigint").alias("n1p_w1"),
+                       F.col("n1m").cast("bigint").alias("n1m_w2"),
+                       p_ppm.alias("p_kn_ppm"))
+               .orderBy("w1", "w2"))
+
+
+def sql_text_kneser_ney() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) > 1)
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+              CAST(count(*) AS BIGINT) AS n1p
+       FROM c12 GROUP BY w1),
+n1m AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1m FROM c12 GROUP BY w2),
+n1mm AS (SELECT CAST(count(*) AS BIGINT) AS n1mm FROM c12)
+SELECT b.w1, b.w2, b.c12, u.c1, u.n1p AS n1p_w1, m.n1m AS n1m_w2,
+       CAST((CAST(greatest({KN_DISCOUNT_DEN} * b.c12
+                           - {KN_DISCOUNT_NUM}, 0) AS HUGEINT) * t.n1mm
+             + CAST({KN_DISCOUNT_NUM} AS HUGEINT) * u.n1p * m.n1m)
+            * 1000000
+            // (CAST({KN_DISCOUNT_DEN} AS HUGEINT) * u.c1 * t.n1mm)
+            AS BIGINT) AS p_kn_ppm
+FROM c12 b
+JOIN c1 u USING (w1)
+JOIN n1m m USING (w2)
+CROSS JOIN n1mm t
+ORDER BY b.w1, b.w2"""

@@ -246,3 +246,87 @@ SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, sxy, sx, sy,
 FROM cov
 ORDER BY abs(cov_mean_milli) DESC, i, j
 LIMIT {COV_TOP_K}"""
+
+
+# --- TPC-H Q4: order-priority checking (the EXISTS / semi-join shape) --------
+# Orders with at least one LATE lineitem (shipped more than 90 days after
+# the order date), counted by priority.  The canonical semi-join: each
+# order must count AT MOST ONCE however many lineitems are late — a plain
+# inner join + distinct would shuffle the duplicates; LEFT SEMI never
+# materializes them.
+#
+# Scale shape: both sides prune columns to their keys + dates; the join
+# is a semi-join on l_orderkey (Spark picks broadcast or shuffled-hash
+# semi under AQE); the final rollup is |priorities| rows.
+
+Q4_LATE_DAYS = 90
+
+
+def q_tpch_q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (domain.load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderpriority",
+                      F.col("o_orderdate").cast("date").alias("od")))
+    late = (domain.load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey",
+                    F.col("l_shipdate").cast("date").alias("sd")))
+    hit = orders.join(
+        late,
+        (orders.o_orderkey == late.l_orderkey)
+        & (late.sd > F.date_add(orders.od, Q4_LATE_DAYS)),
+        "left_semi")
+    return (hit.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+               .orderBy("o_orderpriority"))
+
+
+def sql_tpch_q4_semijoin() -> str:
+    return f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND CAST(l.l_shipdate AS DATE) >
+        CAST(o.o_orderdate AS DATE) + INTERVAL {Q4_LATE_DAYS} DAY
+)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority"""
+
+
+# --- TPC-H Q13: customer order-count distribution ----------------------------
+# How many customers placed exactly c orders, INCLUDING c = 0 — the
+# left-outer + double-aggregate shape (the zero bucket is why a plain
+# inner join is wrong).
+#
+# Scale shape: orders aggregate to (custkey, count) first (map-side
+# combined), THEN join customers left-outer — the join carries one row
+# per customer, not one per order; the distribution is a re-aggregation
+# of that bounded-width frame.
+
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = domain.load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (domain.load_table(spark, sf_dir, "orders")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("c_count")))
+    j = (cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+             .select(F.coalesce("c_count", F.lit(0)).cast("bigint")
+                      .alias("c_count")))
+    return (j.groupBy("c_count")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+             .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def sql_tpch_q13_custdist() -> str:
+    return """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(coalesce(o.cnt, 0) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+             FROM orders GROUP BY o_custkey) o
+    ON c.c_custkey = o.o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""

@@ -112,3 +112,97 @@ def test_covariance_plan_has_no_self_join(spark):
     assert n_ops(plan, "Scan parquet") <= 3
     assert n_ops(plan, "BroadcastHashJoin") == 2
     assert "partial_sum" in plan
+
+
+def test_q4_semijoin_counts_each_order_once(spark):
+    import datetime
+    rows = {r.o_orderpriority: r.order_count
+            for r in OL.q_tpch_q4_semijoin(spark, SF_ORACLE).collect()}
+    orders = domain.load_table(spark, SF_ORACLE, "orders").collect()
+    li = domain.load_table(spark, SF_ORACLE, "lineitem").collect()
+    late_by_order: dict[int, int] = {}
+    for x in li:
+        late_by_order.setdefault(x.l_orderkey, 0)
+    ship = {}
+    for x in li:
+        ship.setdefault(x.l_orderkey, []).append(x.l_shipdate)
+    want: dict[str, int] = {}
+    for o in orders:
+        cut = o.o_orderdate + datetime.timedelta(days=OL.Q4_LATE_DAYS)
+        if any(s > cut for s in ship.get(o.o_orderkey, [])):
+            want[o.o_orderpriority] = want.get(o.o_orderpriority, 0) + 1
+    assert rows == want
+
+
+def test_q4_plan_is_left_semi(spark):
+    plan = plan_of(OL.q_tpch_q4_semijoin(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_q13_includes_zero_order_customers(spark):
+    rows = OL.q_tpch_q13_custdist(spark, SF_ORACLE).collect()
+    n_cust = domain.load_table(spark, SF_ORACLE, "customer").count()
+    n_orders = domain.load_table(spark, SF_ORACLE, "orders").count()
+    assert sum(r.custdist for r in rows) == n_cust          # every customer
+    assert sum(r.c_count * r.custdist for r in rows) == n_orders
+    with_orders = (domain.load_table(spark, SF_ORACLE, "orders")
+                   .select("o_custkey").distinct().count())
+    zero = {r.c_count: r.custdist for r in rows}.get(0, 0)
+    assert zero == n_cust - with_orders
+
+
+def test_q13_plan_aggregates_orders_before_the_join(spark):
+    """The join must carry one row per customer, not one per order: the
+    per-custkey count aggregate sits BELOW the join in the plan."""
+    plan = plan_of(OL.q_tpch_q13_custdist(spark, SF_SMOKE))
+    join_at = min(plan.find("SortMergeJoin") % 10**9,
+                  plan.find("BroadcastHashJoin") % 10**9,
+                  plan.find("ShuffledHashJoin") % 10**9)
+    agg_at = plan.find("HashAggregate")
+    assert agg_at != -1 and join_at < 10**9
+    # formatted plans print the tree top-down: the aggregate feeding the
+    # join appears as a deeper (later) tree line than the join itself
+    assert "partial_count" in plan
+
+
+def test_kneser_ney_matches_bruteforce(spark):
+    from safeascent_spark.operators import curation as CU
+    from safeascent_spark.operators import text as TX
+    rows = CU.q_text_kneser_ney(spark, SF_ORACLE).collect()
+    docs = TX.docs_df(spark, SF_ORACLE).collect()
+    from collections import Counter
+    c12: Counter = Counter()
+    for d in docs:
+        ws = [w for w in d.text.split(" ") if w]
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    n1p: Counter = Counter()
+    n1m: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1p[a] += 1
+        n1m[b] += 1
+    n1mm = len(c12)
+    assert len(rows) == n1mm
+    for r in rows:
+        c = c12[(r.w1, r.w2)]
+        assert r.c12 == c and r.c1 == c1[r.w1]
+        assert r.n1p_w1 == n1p[r.w1] and r.n1m_w2 == n1m[r.w2]
+        num = (max(4 * c - 3, 0) * n1mm + 3 * n1p[r.w1] * n1m[r.w2]) \
+            * 1_000_000
+        assert r.p_kn_ppm == num // (4 * c1[r.w1] * n1mm)
+        assert 0 < r.p_kn_ppm <= 1_000_000
+
+
+def test_kneser_ney_observed_mass_below_one(spark):
+    """Sum of P(w2|w1) over OBSERVED continuations stays <= 1 per w1
+    (the unobserved continuation mass is what KN redistributes)."""
+    from safeascent_spark.operators import curation as CU
+    rows = CU.q_text_kneser_ney(spark, SF_ORACLE).collect()
+    mass: dict[str, int] = {}
+    for r in rows:
+        mass[r.w1] = mass.get(r.w1, 0) + r.p_kn_ppm
+    for w1, m in mass.items():
+        assert m <= 1_000_000 + len(mass), (w1, m)  # + floor slack
