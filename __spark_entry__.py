@@ -17,6 +17,7 @@ from safeascent_spark.operators import association as ASSOC
 from safeascent_spark.operators import batch as B
 from safeascent_spark.operators import curation as CU
 from safeascent_spark.operators import dedup as D
+from safeascent_spark.operators import forecast as FC
 from safeascent_spark.operators import graph as G
 from safeascent_spark.operators import kernel_queries as KQ
 from safeascent_spark.operators import multimodal as MM
@@ -414,6 +415,16 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interpolated Kneser-Ney bigram LM: absolute discount 3/4 +
         # continuation backoff, single exact rational -> ppm floor div
         "text_kneser_ney": CU.q_text_kneser_ney,
+        # --- round-6 wave 4 (operators/forecast.py) ---
+        # Holt double-exponential smoothing with dyadic gains: exact
+        # packed-integer (level, trend) fold over a bounded ROWS frame
+        "events_holt": FC.q_events_holt,
+        # RFM segmentation: all three quintiles via the banded
+        # distributed rank — no global sort on any metric
+        "orders_rfm": FC.q_orders_rfm,
+        # MMR diversification of retrieval results: lambda=2/3 rational
+        # objective over exact int8 inner products, bounded greedy rounds
+        "search_mmr": FC.q_search_mmr,
     }
 
 
@@ -498,6 +509,7 @@ _R6_NEW = [
     "text_distinct_ngrams", "bpe_fertility",
     "tpch_q1_pricing", "tpch_q3_priority", "embedding_covariance",
     "tpch_q4_semijoin", "tpch_q13_custdist", "text_kneser_ney",
+    "events_holt", "orders_rfm", "search_mmr",
 ]
 
 
@@ -706,4 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4_semijoin": OL.sql_tpch_q4_semijoin(),
         "tpch_q13_custdist": OL.sql_tpch_q13_custdist(),
         "text_kneser_ney": CU.sql_text_kneser_ney(),
+        "events_holt": FC.sql_events_holt(),
+        "orders_rfm": FC.sql_orders_rfm(),
+        "search_mmr": FC.sql_search_mmr(),
     }
