@@ -20,6 +20,7 @@ from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import forecast as FC
 from safeascent_spark.operators import graph as G
 from safeascent_spark.operators import kernel_queries as KQ
+from safeascent_spark.operators import monitor as MON
 from safeascent_spark.operators import multimodal as MM
 from safeascent_spark.operators import olap as OL
 from safeascent_spark.operators import rangejoin as RJ
@@ -425,6 +426,17 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MMR diversification of retrieval results: lambda=2/3 rational
         # objective over exact int8 inner products, bounded greedy rounds
         "search_mmr": FC.q_search_mmr,
+        # --- round-6 wave 5 ---
+        # PSI feature-drift alarm per event type (early vs late half),
+        # cell-bounded floats floored once, exact BIGINT sums
+        "events_psi_drift": MON.q_events_psi_drift,
+        # join/agg key-skew profile: cardinality, heavy key + share,
+        # max/mean skew ratio per profiled column (the salting input)
+        "dq_skew_profile": MON.q_dq_skew_profile,
+        # NDCG@10 of the int8 retrieval stack vs label ground truth
+        "search_ndcg": CU.q_search_ndcg,
+        # per-source leading-boilerplate detection + strip verdicts
+        "text_strip_boilerplate": CU.q_text_strip_boilerplate,
     }
 
 
@@ -510,6 +522,8 @@ _R6_NEW = [
     "tpch_q1_pricing", "tpch_q3_priority", "embedding_covariance",
     "tpch_q4_semijoin", "tpch_q13_custdist", "text_kneser_ney",
     "events_holt", "orders_rfm", "search_mmr",
+    "events_psi_drift", "dq_skew_profile", "search_ndcg",
+    "text_strip_boilerplate",
 ]
 
 
@@ -721,4 +735,8 @@ def oracle_sql() -> dict[str, str]:
         "events_holt": FC.sql_events_holt(),
         "orders_rfm": FC.sql_orders_rfm(),
         "search_mmr": FC.sql_search_mmr(),
+        "events_psi_drift": MON.sql_events_psi_drift(),
+        "dq_skew_profile": MON.sql_dq_skew_profile(),
+        "search_ndcg": CU.sql_search_ndcg(),
+        "text_strip_boilerplate": CU.sql_text_strip_boilerplate(),
     }

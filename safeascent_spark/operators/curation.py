@@ -537,3 +537,213 @@ JOIN c1 u USING (w1)
 JOIN n1m m USING (w2)
 CROSS JOIN n1mm t
 ORDER BY b.w1, b.w2"""
+
+
+# --- Retrieval quality: NDCG@k against label ground truth ---------------------
+# The ranking-quality readout of the retrieval stack (BM25 / ANN / RRF /
+# MMR): binary relevance = "neighbor shares the query's label", DCG
+# discounts 1/log2(rank+1).  search_eval_metrics covers recall/MRR of
+# the ANN layer; NDCG adds the position-weighted contract the ranking
+# literature reports.
+#
+# Exactness: the discount is floored ONCE per rank position (k bounded
+# positions, identical log2 inputs in both engines — the NB convention);
+# DCG/IDCG are exact BIGINT dot products of relevance with that table;
+# NDCG is one ppm floor division.  IDCG uses min(k, corpus relevant
+# count) positions — the textbook ideal ranking.
+#
+# Scale shape: rides the same int8 exact top-k as ann_cosine_topk_int8
+# (swappable for any ANN stage); the discount table is K rows broadcast;
+# per-query output.
+
+NDCG_K = 10
+
+
+def q_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .similarity import N_QUERIES, quantized_df
+    from .. import domain
+    e = quantized_df(spark, sf_dir)
+    qs = (e.filter(F.col("vec_id") < N_QUERIES)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("label").alias("qlabel"),
+                   F.col("qvec").alias("quvec")))
+    dot = F.aggregate(F.zip_with(F.col("qvec"), F.col("quvec"),
+                                 lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (domain.fan_out(e).crossJoin(F.broadcast(qs))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "qlabel", "vec_id", "label",
+                      dot.alias("dot")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id"))
+    topk = (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= NDCG_K))
+    disc = F.expr("CAST(floor(1000000 / log2(rnk + 1)) AS BIGINT)")
+    rel = (F.col("label") == F.col("qlabel")).cast("bigint")
+    per_q = (topk.select("query_id", "qlabel", "rnk",
+                         (rel * disc).alias("gain_micro"))
+                 .groupBy("query_id", "qlabel")
+                 .agg(F.sum("gain_micro").alias("dcg_micro")))
+    # corpus relevant count per query label (excluding the query itself)
+    nrel = (e.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab")))
+    ideal_n = F.least(F.lit(NDCG_K).cast("bigint"),
+                      (F.col("n_lab") - 1).cast("bigint"))
+    # IDCG = sum of the first ideal_n discounts — fold over a sequence
+    idcg = F.expr(
+        "aggregate(sequence(1L, ideal_n), 0L, (acc, r) -> "
+        "acc + CAST(floor(1000000 / log2(r + 1)) AS BIGINT))")
+    return (per_q.join(F.broadcast(nrel),
+                       per_q.qlabel == nrel.label)
+                 .withColumn("n_rel", (F.col("n_lab") - 1).cast("bigint"))
+                 .withColumn("ideal_n", ideal_n)
+                 .withColumn("idcg_micro", idcg)
+                 .select("query_id", F.col("qlabel").cast("int")
+                          .alias("qlabel"),
+                         "n_rel", "dcg_micro",
+                         F.col("idcg_micro").cast("bigint")
+                          .alias("idcg_micro"),
+                         F.expr("dcg_micro * 1000000 div idcg_micro")
+                          .alias("ndcg_ppm"))
+                 .orderBy("query_id"))
+
+
+def sql_search_ndcg() -> str:
+    from .similarity import N_QUERIES
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT)")
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, label, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+dots AS (
+  SELECT q.vec_id AS query_id, max(q.label) AS qlabel,
+         c.vec_id, max(c.label) AS clabel,
+         CAST(sum(q.x * c.x) AS BIGINT) AS dot
+  FROM qflat q JOIN qflat c ON q.i = c.i
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+topk AS (
+  SELECT query_id, qlabel, clabel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, vec_id) AS rnk
+  FROM dots
+),
+dcg AS (
+  SELECT query_id, qlabel,
+         CAST(sum(CASE WHEN clabel = qlabel
+                  THEN CAST(floor(1000000 / log2(rnk + 1)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS dcg_micro
+  FROM topk WHERE rnk <= {NDCG_K}
+  GROUP BY query_id, qlabel
+),
+nlab AS (
+  SELECT label, count(*) AS n_lab
+  FROM embeddings GROUP BY label
+),
+ideal AS (
+  SELECT d.query_id, d.qlabel, d.dcg_micro,
+         CAST(l.n_lab - 1 AS BIGINT) AS n_rel,
+         CAST((SELECT sum(CAST(floor(1000000 / log2(r + 1)) AS BIGINT))
+               FROM unnest(generate_series(
+                   1, least({NDCG_K}, l.n_lab - 1))) AS t(r))
+              AS BIGINT) AS idcg_micro
+  FROM dcg d JOIN nlab l ON d.qlabel = l.label
+)
+SELECT query_id, CAST(qlabel AS INT) AS qlabel, n_rel, dcg_micro,
+       idcg_micro,
+       CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT) AS ndcg_ppm
+FROM ideal
+ORDER BY query_id"""
+
+
+# --- Leading-boilerplate detection --------------------------------------------
+# Scraped corpora carry shared leading boilerplate (cookie banners,
+# nav headers) per source; the curation pass detects each source's most
+# common leading trigram and flags the docs that start with it — the
+# strip decision a cleaning pipeline applies before dedup/training.
+#
+# Scale shape: the leading trigram is one expression per doc (no
+# explode); the per-source argmax rides a |sources x distinct leads|
+# aggregate; the verdict joins the tiny per-source table back broadcast.
+
+BOILERPLATE_MIN_DOCS = 2
+
+
+def q_text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_df(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    base = (d.select("doc_id", "source", toks.alias("ws"))
+             .withColumn("n_words", F.size("ws").cast("bigint"))
+             .withColumn("lead3",
+                         F.when(F.col("n_words") >= 3,
+                                F.expr("array_join(slice(ws, 1, 3), ' ')"))))
+    counts = (base.filter(F.col("lead3").isNotNull())
+                  .groupBy("source", "lead3")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    # deterministic argmax: max count, then lexicographically SMALLEST
+    # lead3 among ties — two bounded aggregates
+    maxc = counts.groupBy("source").agg(F.max("c").alias("max_c"))
+    arg = (counts.join(F.broadcast(maxc), "source")
+                 .filter(F.col("c") == F.col("max_c"))
+                 .groupBy("source")
+                 .agg(F.min("lead3").alias("bp_lead3"),
+                      F.max("max_c").alias("bp_count")))
+    return (base.join(F.broadcast(arg), "source", "left")
+                .withColumn("has_boilerplate",
+                            F.coalesce(
+                                (F.col("lead3") == F.col("bp_lead3"))
+                                & (F.col("bp_count")
+                                   >= BOILERPLATE_MIN_DOCS),
+                                F.lit(False)))
+                .select("doc_id", "source", "n_words",
+                        F.col("bp_lead3").alias("source_boilerplate"),
+                        F.col("bp_count").alias("boilerplate_docs"),
+                        "has_boilerplate",
+                        F.when(F.col("has_boilerplate"),
+                               F.col("n_words") - 3)
+                         .otherwise(F.col("n_words"))
+                         .cast("bigint").alias("stripped_n_words"))
+                .orderBy("doc_id"))
+
+
+def sql_text_strip_boilerplate() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_words,
+         CASE WHEN len(ws) >= 3
+              THEN array_to_string(ws[1:3], ' ') END AS lead3
+  FROM base
+),
+counts AS (
+  SELECT source, lead3, CAST(count(*) AS BIGINT) AS c
+  FROM sized WHERE lead3 IS NOT NULL
+  GROUP BY source, lead3
+),
+maxc AS (SELECT source, max(c) AS max_c FROM counts GROUP BY source),
+arg AS (
+  SELECT c.source, min(c.lead3) AS bp_lead3, max(c.max_c) AS bp_count
+  FROM (SELECT co.*, m.max_c FROM counts co JOIN maxc m USING (source)
+        WHERE co.c = m.max_c) c
+  GROUP BY c.source
+)
+SELECT s.doc_id, s.source, s.n_words,
+       a.bp_lead3 AS source_boilerplate,
+       a.bp_count AS boilerplate_docs,
+       coalesce(s.lead3 = a.bp_lead3
+                AND a.bp_count >= {BOILERPLATE_MIN_DOCS}, false)
+         AS has_boilerplate,
+       CAST(CASE WHEN coalesce(s.lead3 = a.bp_lead3
+                               AND a.bp_count >= {BOILERPLATE_MIN_DOCS},
+                               false)
+                 THEN s.n_words - 3 ELSE s.n_words END AS BIGINT)
+         AS stripped_n_words
+FROM sized s LEFT JOIN arg a USING (source)
+ORDER BY s.doc_id"""

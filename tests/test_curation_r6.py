@@ -115,3 +115,112 @@ def test_bpe_fertility_accounts_every_token(spark):
         assert r.n_bpe_tokens >= r.n_words
         assert r.fertility_ppm == r.n_bpe_tokens * 1_000_000 // r.n_words
         assert r.chars_per_token_ppm > 0
+
+
+def test_psi_drift_matches_bruteforce(spark):
+    import math
+    from safeascent_spark.operators import monitor as MON
+    from safeascent_spark import domain
+    rows = {r.event_type: r for r in
+            MON.q_events_psi_drift(spark, SF_ORACLE).collect()}
+    ev = domain.load_table(spark, SF_ORACLE, "events").collect()
+    mn = min(r.ts for r in ev)
+    mid = mn + (max(r.ts for r in ev) - mn) // 2
+    cells: dict[tuple, list] = {}
+    for r in ev:
+        b = math.floor(r.value / MON.PSI_BUCKET_WIDTH)
+        k = (r.event_type, b)
+        cells.setdefault(k, [0, 0])
+        cells[k][0 if r.ts <= mid else 1] += 1
+    by_type: dict[str, list] = {}
+    for (t, _b), (p, q) in cells.items():
+        by_type.setdefault(t, []).append((p, q))
+    for t, pq in by_type.items():
+        P = sum(p for p, _ in pq)
+        Q = sum(q for _, q in pq)
+        nb = len(pq)
+        # recompute exactly as the engines do: floor applied per cell
+        psi = sum(
+            math.floor(MON.PSI_SCALE *
+                       (((p + 1) / (P + nb) - (q + 1) / (Q + nb))
+                        * math.log(((p + 1) / (P + nb))
+                                   / ((q + 1) / (Q + nb)))))
+            for p, q in pq)
+        r = rows[t]
+        assert (r.n_early, r.n_late, r.n_buckets) == (P, Q, nb)
+        assert r.psi_micro == psi, (t, r.psi_micro, psi)
+        # an arbitrary mid-split of a stationary stream drifts little
+        assert abs(r.psi_micro) < 250_000, (t, r.psi_micro)
+
+
+def test_skew_profile_matches_bruteforce(spark):
+    from collections import Counter
+    from safeascent_spark.operators import monitor as MON
+    from safeascent_spark import domain
+    rows = {(r.table_name, r.column_name): r
+            for r in MON.q_dq_skew_profile(spark, SF_ORACLE).collect()}
+    assert set(rows) == set(MON._PROFILE_COLS)
+    for table, col in [("events", "user_id"), ("documents", "source")]:
+        data = [str(getattr(r, col)) for r in
+                domain.load_table(spark, SF_ORACLE, table).collect()]
+        c = Counter(data)
+        r = rows[(table, col)]
+        assert r.n_rows == len(data)
+        assert r.n_distinct == len(c)
+        top = min((k for k, v in c.items() if v == max(c.values())))
+        assert (r.top_key, r.top_count) == (top, max(c.values()))
+        assert r.skew_ratio_milli == \
+            max(c.values()) * len(c) * 1000 // len(data)
+
+
+def test_ndcg_matches_bruteforce(spark):
+    import math
+    import numpy as np
+    from safeascent_spark import domain
+    rows = CU.q_search_ndcg(spark, SF_ORACLE).collect()
+    e = domain.load_table(spark, SF_ORACLE, "embeddings").collect()
+    Q = {r.vec_id: (np.array([round(min(max(float(x), -1.0), 1.0) * 127)
+                              for x in r.embedding], dtype=np.int64),
+                    r.label) for r in e}
+    assert len(rows) == 5
+    for r in rows:
+        qv, qlab = Q[r.query_id]
+        assert r.qlabel == qlab
+        scored = sorted(((int(qv @ v), vid, lab)
+                         for vid, (v, lab) in Q.items()
+                         if vid != r.query_id),
+                        key=lambda t: (-t[0], t[1]))
+        dcg = sum(math.floor(1_000_000 / math.log2(i + 2))
+                  for i, (_, _, lab) in enumerate(scored[:CU.NDCG_K])
+                  if lab == qlab)
+        n_rel = sum(1 for vid, (_, lab) in Q.items()
+                    if lab == qlab and vid != r.query_id)
+        idcg = sum(math.floor(1_000_000 / math.log2(i + 2))
+                   for i in range(min(CU.NDCG_K, n_rel)))
+        assert (r.n_rel, r.dcg_micro, r.idcg_micro) == (n_rel, dcg, idcg)
+        assert r.ndcg_ppm == dcg * 1_000_000 // idcg
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+
+
+def test_boilerplate_flags_the_modal_leading_trigram(spark):
+    from collections import Counter
+    rows = CU.q_text_strip_boilerplate(spark, SF_ORACLE).collect()
+    docs = TX.docs_df(spark, SF_ORACLE).collect()
+    by_src: dict[str, Counter] = {}
+    leads = {}
+    for d in docs:
+        ws = [w for w in d.text.split(" ") if w]
+        lead = " ".join(ws[:3]) if len(ws) >= 3 else None
+        leads[d.doc_id] = (d.source, lead, len(ws))
+        if lead is not None:
+            by_src.setdefault(d.source, Counter())[lead] += 1
+    for r in rows:
+        src, lead, n = leads[r.doc_id]
+        c = by_src[src]
+        top_count = max(c.values())
+        top = min(k for k, v in c.items() if v == top_count)
+        assert r.source_boilerplate == top
+        assert r.boilerplate_docs == top_count
+        want = (lead == top and top_count >= CU.BOILERPLATE_MIN_DOCS)
+        assert r.has_boilerplate == want
+        assert r.stripped_n_words == (n - 3 if want else n)
