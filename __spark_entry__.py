@@ -437,6 +437,14 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_ndcg": CU.q_search_ndcg,
         # per-source leading-boilerplate detection + strip verdicts
         "text_strip_boilerplate": CU.q_text_strip_boilerplate,
+        # --- round-6 wave 6 ---
+        # revenue Pareto curve at decile grain: groupless banded rank,
+        # cumulative window only on the bounded 10-row frame
+        "orders_pareto": OL.q_orders_pareto,
+        # TPC-H Q10: returned-item revenue star, top-20 TakeOrdered
+        "tpch_q10_returns": OL.q_tpch_q10_returns,
+        # the NOT EXISTS / LEFT ANTI shape: never-returned parts by brand
+        "parts_never_returned": OL.q_parts_never_returned,
     }
 
 
@@ -523,7 +531,8 @@ _R6_NEW = [
     "tpch_q4_semijoin", "tpch_q13_custdist", "text_kneser_ney",
     "events_holt", "orders_rfm", "search_mmr",
     "events_psi_drift", "dq_skew_profile", "search_ndcg",
-    "text_strip_boilerplate",
+    "text_strip_boilerplate", "orders_pareto", "tpch_q10_returns",
+    "parts_never_returned",
 ]
 
 
@@ -739,4 +748,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_skew_profile": MON.sql_dq_skew_profile(),
         "search_ndcg": CU.sql_search_ndcg(),
         "text_strip_boilerplate": CU.sql_text_strip_boilerplate(),
+        "orders_pareto": OL.sql_orders_pareto(),
+        "tpch_q10_returns": OL.sql_tpch_q10_returns(),
+        "parts_never_returned": OL.sql_parts_never_returned(),
     }

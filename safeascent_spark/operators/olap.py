@@ -330,3 +330,189 @@ FROM (
 )
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC"""
+
+
+# --- Revenue Pareto concentration (80/20 curve at decile grain) ---------------
+# Customers ranked by lifetime revenue, bucketed into population deciles
+# (1 = biggest spenders), each decile's exact revenue share and the
+# cumulative share — the concentration readout behind "top 10% of
+# customers drive X% of revenue".
+#
+# Scale shape: one per-customer aggregate; the global revenue rank is a
+# groupless banded_rank (no global sort); decile assignment is integer
+# ntile arithmetic; shares are one 10-row frame — the cumulative window
+# runs on that bounded frame only.
+
+def q_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .rankutil import banded_rank
+    o = domain.load_table(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                 .agg(F.expr("CAST(sum(CAST(floor(o_totalprice * 100) "
+                             "AS BIGINT)) AS BIGINT)").alias("rev_c")))
+    ranked = banded_rank(
+        per_cust, [], band=F.expr("rev_c div 100000"),
+        order_cols=[F.col("rev_c").desc(), F.col("o_custkey")],
+        rank_name="rnk", total_name="n_c", descending_bands=True)
+    decile = F.expr("""
+        CASE WHEN rnk <= (n_c % 10) * (n_c div 10 + 1)
+             THEN (rnk - 1) div (n_c div 10 + 1) + 1
+             ELSE n_c % 10
+                  + (rnk - (n_c % 10) * (n_c div 10 + 1) - 1)
+                    div greatest(n_c div 10, 1L) + 1
+        END""").cast("int")
+    dec = (ranked.withColumn("decile", decile)
+                 .groupBy("decile")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                      F.sum("rev_c").cast("bigint").alias("revenue_c")))
+    # cumulative + total over the bounded 10-row decile frame only
+    # (BOUNDEDNESS: exactly <= 10 rows by construction — allowlisted)
+    cum_w = (Window.partitionBy(F.col("decile") % 1).orderBy("decile")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    tot_w = Window.partitionBy(F.col("decile") % 1)
+    return (dec.withColumn("cum_revenue_c", F.sum("revenue_c").over(cum_w))
+               .withColumn("total_c", F.sum("revenue_c").over(tot_w))
+               .select("decile", "n_customers", "revenue_c",
+                       F.expr("revenue_c * 1000000 div total_c")
+                        .alias("share_ppm"),
+                       F.expr("cum_revenue_c * 1000000 div total_c")
+                        .alias("cum_share_ppm"))
+               .orderBy("decile"))
+
+
+def sql_orders_pareto() -> str:
+    return """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+dec AS (
+  SELECT ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile,
+         rev_c
+  FROM per_cust
+),
+agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev_c) AS BIGINT) AS revenue_c
+  FROM dec GROUP BY decile
+)
+SELECT decile, n_customers, revenue_c,
+       CAST(revenue_c * 1000000 // sum(revenue_c) OVER () AS BIGINT)
+         AS share_ppm,
+       CAST(sum(revenue_c) OVER (ORDER BY decile
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+            * 1000000 // sum(revenue_c) OVER () AS BIGINT)
+         AS cum_share_ppm
+FROM agg
+ORDER BY decile"""
+
+
+# --- TPC-H Q10: returned-item revenue by customer ----------------------------
+# Revenue lost to returns in one quarter, per customer with nation —
+# the classic 4-table star (fact + selective fact filter + two dims),
+# top-20 by lost revenue.
+#
+# Scale shape: the returnflag + date predicates push to their scans;
+# nation broadcasts; customer joins on the shuffled custkey (it is
+# fact-sized in TPC-H terms); the top-20 is TakeOrderedAndProject.
+
+Q10_FROM = "1997-01-01"
+Q10_TO = "1997-04-01"
+
+
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) "
+                         "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+                   .alias("rev_e4")))
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate").cast("date")
+                  >= F.lit(Q10_FROM).cast("date"))
+                 & (F.col("o_orderdate").cast("date")
+                    < F.lit(Q10_TO).cast("date")))
+         .select("o_orderkey", "o_custkey"))
+    c = (domain.load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name", "c_nationkey"))
+    n = (domain.load_table(spark, sf_dir, "nation")
+         .select("n_nationkey", "n_name"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(F.sum("rev_e4").cast("bigint").alias("revenue_e4"))
+              .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+              .limit(20))
+
+
+def sql_tpch_q10_returns() -> str:
+    return f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '{Q10_FROM}'
+  AND CAST(o.o_orderdate AS DATE) < DATE '{Q10_TO}'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_e4 DESC, c.c_custkey
+LIMIT 20"""
+
+
+# --- Never-returned parts (the anti-join shape) -------------------------------
+# Per brand: how many catalog parts have NEVER appeared on a returned
+# lineitem — the NOT EXISTS / LEFT ANTI shape (Q16 family), rolled up to
+# a bounded brand grain.
+#
+# Scale shape: the returned-parts key set is a pre-aggregated DISTINCT
+# (map-side combined) before the anti-join; the rollup is |brands| rows.
+
+def q_parts_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (domain.load_table(spark, sf_dir, "part")
+         .select("p_partkey", "p_brand"))
+    returned = (domain.load_table(spark, sf_dir, "lineitem")
+                .filter(F.col("l_returnflag") == "R")
+                .select(F.col("l_partkey").alias("p_partkey"))
+                .distinct())
+    never = p.join(returned, "p_partkey", "left_anti")
+    totals = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    clean = never.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_never_returned"))
+    return (totals.join(clean, "p_brand", "left")
+                  .na.fill(0, ["n_never_returned"])
+                  .select("p_brand", "n_parts", "n_never_returned",
+                          F.expr("n_never_returned * 1000000 div n_parts")
+                           .alias("clean_ppm"))
+                  .orderBy("p_brand"))
+
+
+def sql_parts_never_returned() -> str:
+    return """
+WITH returned AS (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+),
+never AS (
+  SELECT p.p_brand, count(*) AS n_never
+  FROM part p
+  WHERE NOT EXISTS (SELECT 1 FROM returned r
+                    WHERE r.l_partkey = p.p_partkey)
+  GROUP BY p.p_brand
+)
+SELECT t.p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(coalesce(max(n.n_never), 0) AS BIGINT) AS n_never_returned,
+       CAST(coalesce(max(n.n_never), 0) * 1000000 // count(*) AS BIGINT)
+         AS clean_ppm
+FROM part t
+LEFT JOIN never n ON t.p_brand = n.p_brand
+GROUP BY t.p_brand
+ORDER BY t.p_brand"""

@@ -53,20 +53,25 @@ def banded_rank(df: DataFrame, group_cols: Sequence[str],
         F.count(F.lit(1)).cast("bigint").alias("__n"))
     band_order = (F.col("__band").desc() if descending_bands
                   else F.col("__band").asc())
-    # a global rank (no group cols) still needs a window over the tiny
-    # band-count table: partition by a NON-FOLDABLE constant (`__band % 1`
-    # — the vocab_df device) so the spec survives constant folding and the
-    # unpartitioned-window audit can see it is deliberate.  The table is
-    # bounded by the band count, not the corpus, so one task is fine THERE.
-    part = g if g else [F.col("__band") % 1]
-    off_w = (Window.partitionBy(*part).orderBy(band_order)
-                   .rowsBetween(Window.unboundedPreceding, -1))
+    if g:
+        off_w = (Window.partitionBy(*g).orderBy(band_order)
+                       .rowsBetween(Window.unboundedPreceding, -1))
+        tot_w = Window.partitionBy(*g)
+    else:
+        # a global rank (no group cols) still needs a window over the
+        # tiny band-count table.  BOUNDEDNESS: `counts` has one row per
+        # band — value range / band width, corpus-size-independent by the
+        # caller's band contract — so the non-foldable constant key
+        # (`__band % 1`, the vocab_df device) deliberately runs this
+        # bounded table on one task; the audit allowlist records it.
+        off_w = (Window.partitionBy(F.col("__band") % 1).orderBy(band_order)
+                       .rowsBetween(Window.unboundedPreceding, -1))
+        tot_w = Window.partitionBy(F.col("__band") % 1)
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__n").over(off_w),
                             F.lit(0).cast("bigint")))
     if total_name is not None:
-        offsets = offsets.withColumn(
-            total_name, F.sum("__n").over(Window.partitionBy(*part)))
+        offsets = offsets.withColumn(total_name, F.sum("__n").over(tot_w))
     keep = ["__band", "__off"] + ([total_name] if total_name else [])
     out = (ranked.join(F.broadcast(offsets.select(*g, *keep)),
                        g + ["__band"])

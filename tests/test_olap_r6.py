@@ -206,3 +206,75 @@ def test_kneser_ney_observed_mass_below_one(spark):
         mass[r.w1] = mass.get(r.w1, 0) + r.p_kn_ppm
     for w1, m in mass.items():
         assert m <= 1_000_000 + len(mass), (w1, m)  # + floor slack
+
+
+def test_pareto_deciles_conserve_revenue(spark):
+    rows = OL.q_orders_pareto(spark, SF_ORACLE).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    per_cust = (domain.load_table(spark, SF_ORACLE, "orders")
+                .groupBy("o_custkey")
+                .agg(F.expr("CAST(sum(CAST(floor(o_totalprice * 100) AS "
+                            "BIGINT)) AS BIGINT)").alias("rev"))
+                .collect())
+    total = sum(r.rev for r in per_cust)
+    assert sum(r.revenue_c for r in rows) == total
+    assert sum(r.n_customers for r in rows) == len(per_cust)
+    # decile sizes balanced, shares monotone non-increasing, cum to 1e6
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    shares = [r.share_ppm for r in rows]
+    assert all(a >= b for a, b in zip(shares, shares[1:]))
+    assert rows[-1].cum_share_ppm == 1_000_000
+    # concentration is real: the top decile out-earns its population share
+    assert rows[0].share_ppm > 100_000
+
+
+def test_q10_matches_bruteforce(spark):
+    import datetime
+    import math
+    rows = OL.q_tpch_q10_returns(spark, SF_ORACLE).collect()
+    li = domain.load_table(spark, SF_ORACLE, "lineitem").collect()
+    orders = {o.o_orderkey: o for o in
+              domain.load_table(spark, SF_ORACLE, "orders").collect()}
+    cust = {c.c_custkey: c for c in
+            domain.load_table(spark, SF_ORACLE, "customer").collect()}
+    nation = {n.n_nationkey: n.n_name for n in
+              domain.load_table(spark, SF_ORACLE, "nation").collect()}
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1997, 4, 1)
+    want: dict[int, int] = {}
+    for x in li:
+        if x.l_returnflag != "R":
+            continue
+        o = orders.get(x.l_orderkey)
+        if o is None or not (lo <= o.o_orderdate < hi):
+            continue
+        rev = math.floor(x.l_extendedprice * 100) \
+            * (100 - round(x.l_discount * 100))
+        want[o.o_custkey] = want.get(o.o_custkey, 0) + rev
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.c_custkey, r.revenue_e4) for r in rows] == top
+    for r in rows:
+        assert r.c_name == cust[r.c_custkey].c_name
+        assert r.n_name == nation[cust[r.c_custkey].c_nationkey]
+
+
+def test_parts_never_returned_is_anti_join(spark):
+    rows = OL.q_parts_never_returned(spark, SF_ORACLE).collect()
+    parts = domain.load_table(spark, SF_ORACLE, "part").collect()
+    returned = {x.l_partkey for x in
+                domain.load_table(spark, SF_ORACLE, "lineitem").collect()
+                if x.l_returnflag == "R"}
+    from collections import Counter
+    tot = Counter(p.p_brand for p in parts)
+    clean = Counter(p.p_brand for p in parts
+                    if p.p_partkey not in returned)
+    assert {r.p_brand for r in rows} == set(tot)
+    for r in rows:
+        assert r.n_parts == tot[r.p_brand]
+        assert r.n_never_returned == clean.get(r.p_brand, 0)
+        assert r.clean_ppm == \
+            clean.get(r.p_brand, 0) * 1_000_000 // tot[r.p_brand]
+    plan = plan_of(OL.q_parts_never_returned(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert n_ops(plan, "CartesianProduct") == 0

@@ -197,6 +197,13 @@ CONSTANT_KEY_WINDOW_ALLOWLIST = {
     ("safeascent_spark/operators/analytics.py", 'F.col("duration") % 1'),
     # monthly PoP-growth frame: <= |calendar months| rows
     ("safeascent_spark/operators/analytics.py", 'F.col("m") % 1'),
+    # groupless banded_rank offset/total windows: the input is the
+    # band-COUNT table (one row per band, value range / band width —
+    # corpus-size-independent by the caller's band contract)
+    ("safeascent_spark/operators/rankutil.py", 'F.col("__band") % 1'),
+    # orders_pareto cumulative/total windows: input is the <= 10-row
+    # decile aggregate (bounded by construction)
+    ("safeascent_spark/operators/olap.py", 'F.col("decile") % 1'),
 }
 
 
