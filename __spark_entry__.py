@@ -445,6 +445,15 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returns": OL.q_tpch_q10_returns,
         # the NOT EXISTS / LEFT ANTI shape: never-returned parts by brand
         "parts_never_returned": OL.q_parts_never_returned,
+        # --- round-6 wave 7 ---
+        # the correlated-scalar-subquery shape (TPC-H Q17), decorrelated
+        # and made float-free: 5*qty*n < sum_qty on DECIMAL(38,0)
+        "tpch_q17_smallqty": OL.q_tpch_q17_smallqty,
+        # GROUPING SETS + grouping_id: arbitrary subtotal lattice cells
+        "risk_grouping_sets": OL.q_risk_grouping_sets,
+        # tokenizer losslessness: decode(encode(word)) == word for the
+        # whole vocabulary, pinned true by the oracle
+        "bpe_roundtrip": CU.q_bpe_roundtrip,
     }
 
 
@@ -532,7 +541,8 @@ _R6_NEW = [
     "events_holt", "orders_rfm", "search_mmr",
     "events_psi_drift", "dq_skew_profile", "search_ndcg",
     "text_strip_boilerplate", "orders_pareto", "tpch_q10_returns",
-    "parts_never_returned",
+    "parts_never_returned", "tpch_q17_smallqty", "risk_grouping_sets",
+    "bpe_roundtrip",
 ]
 
 
@@ -751,4 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_pareto": OL.sql_orders_pareto(),
         "tpch_q10_returns": OL.sql_tpch_q10_returns(),
         "parts_never_returned": OL.sql_parts_never_returned(),
+        "tpch_q17_smallqty": OL.sql_tpch_q17_smallqty(),
+        "risk_grouping_sets": OL.sql_risk_grouping_sets(),
+        "bpe_roundtrip": CU.sql_bpe_roundtrip(),
     }

@@ -747,3 +747,50 @@ SELECT s.doc_id, s.source, s.n_words,
          AS stripped_n_words
 FROM sized s LEFT JOIN arg a USING (source)
 ORDER BY s.doc_id"""
+
+
+# --- Tokenizer roundtrip certification ----------------------------------------
+# The lossless-ness contract every tokenizer must hold: decoding the
+# trained BPE segmentation of every vocabulary word (concatenate the
+# symbols, strip the end-of-word marker) reproduces the word exactly.
+# Emitted as a per-word boolean + corpus rollup the oracle pins to
+# literal true — a merge-table regression (e.g. a corrupt merge or a
+# marker collision) breaks the hash gate.
+#
+# Scale shape: vocabulary-grain only (the |vocab|-row states table);
+# the corpus is never touched beyond BPE training's own word counts.
+
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import BPE_EOW, _bpe_syms, _bpe_train_states
+    _, states = _bpe_train_states(spark, sf_dir)
+    decoded = F.expr(
+        f"rtrim('{BPE_EOW}', concat_ws('', "
+        "filter(split(state, '  '), x -> x != '')))")
+    per_word = states.select(
+        "word",
+        F.size(_bpe_syms(F.col("state"))).cast("bigint").alias("n_syms"),
+        (decoded == F.col("word")).alias("ok"))
+    return (per_word.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+                F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint")
+                 .alias("n_roundtrip_ok"),
+                F.min("ok").alias("all_roundtrip_ok"),
+                F.sum("n_syms").cast("bigint").alias("n_total_syms"))
+            .select("n_vocab", "n_roundtrip_ok", "all_roundtrip_ok",
+                    "n_total_syms"))
+
+
+def sql_bpe_roundtrip() -> str:
+    from .text import BPE_MERGES, _sql_bpe_ctes
+    return f"""{_sql_bpe_ctes()},
+per_word AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(state, '  '), x -> x <> ''))
+              AS BIGINT) AS n_syms
+  FROM state{BPE_MERGES}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+       true AS all_roundtrip_ok,
+       CAST(sum(n_syms) AS BIGINT) AS n_total_syms
+FROM per_word"""

@@ -516,3 +516,111 @@ FROM part t
 LEFT JOIN never n ON t.p_brand = n.p_brand
 GROUP BY t.p_brand
 ORDER BY t.p_brand"""
+
+
+# --- TPC-H Q17: small-quantity order revenue (correlated-scalar shape) --------
+# "Revenue from orders of a part in quantities below 20% of that part's
+# average order quantity" — the canonical correlated scalar subquery,
+# decorrelated into a per-part aggregate + join.  Exact WITHOUT floats:
+# l_quantity is integral here, so
+#     qty < 0.2 * (sum_qty / n)   <=>   5 * qty * n < sum_qty
+# and the whole predicate is BIGINT arithmetic (DECIMAL(38,0) guard on
+# the product).  Revenue is reported per brand in 1e-4 dollar units
+# (avg yearly scaling omitted: the SHAPE is the point, and the output
+# must be engine-exact).
+#
+# Scale shape: the per-part (sum, count) aggregate is map-side combined
+# and joins back on partkey (at TPC-H scale Spark picks shuffled hash /
+# SMJ — both sides are fact-grain); the brand rollup is bounded.
+
+def q_tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey",
+                  F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                   .alias("price_c")))
+    per_part = (li.groupBy("l_partkey")
+                  .agg(F.sum("qty").alias("sum_qty"),
+                       F.count(F.lit(1)).alias("n_li")))
+    p = (domain.load_table(spark, sf_dir, "part")
+         .select("p_partkey", "p_brand"))
+    small = (li.join(per_part, "l_partkey")
+               .filter(F.expr("CAST(5 AS DECIMAL(38,0)) * qty * n_li "
+                              "< sum_qty"))
+               .join(p, li.l_partkey == p.p_partkey))
+    return (small.groupBy("p_brand")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_small"),
+                      F.sum("price_c").cast("bigint").alias("revenue_c"))
+                 .orderBy("p_brand"))
+
+
+def sql_tpch_q17_smallqty() -> str:
+    return """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n_li
+  FROM li GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(li.price_c) AS BIGINT) AS revenue_c
+FROM li
+JOIN per_part pp ON li.l_partkey = pp.l_partkey
+JOIN part p ON li.l_partkey = p.p_partkey
+WHERE CAST(5 AS HUGEINT) * li.qty * pp.n_li < pp.sum_qty
+GROUP BY p.p_brand
+ORDER BY p.p_brand"""
+
+
+# --- GROUPING SETS with grouping_id (the explicit multi-rollup API) -----------
+# CUBE (risk_cube) and ROLLUP (risk_rollup) cover their fixed lattices;
+# GROUPING SETS is the surface for ARBITRARY subtotal combinations — here
+# (type), (color), and the grand total, with grouping_id disambiguating
+# which lattice cell a NULL dimension means (a NULL route_type subtotal
+# vs a NULL-valued route_type would otherwise collide).
+
+def q_risk_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import scoring
+    from .. import domain as dm
+    r = dm.routes_df(spark, sf_dir).select("route_id", "route_type")
+    s = (scoring.risk_scores_df(spark, sf_dir).join(r, "route_id")
+         .select("route_type", "color_code",
+                 F.expr("CAST(floor(risk_score * 1000000) AS BIGINT)")
+                  .alias("risk_u")))
+    s.createOrReplaceTempView("gs_scores")
+    return s.sparkSession.sql("""
+        SELECT route_type, color_code,
+               CAST(grouping_id(route_type, color_code) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_routes,
+               CAST(sum(risk_u) AS BIGINT) AS risk_sum_u
+        FROM gs_scores
+        GROUP BY GROUPING SETS ((route_type), (color_code), ())
+        ORDER BY gid, route_type, color_code""")
+
+
+def sql_risk_grouping_sets() -> str:
+    from .analytics import _DOMAIN_WITH  # noqa: F401 (doc pointer)
+    from . import scoring
+    from .. import domain as dm
+    return f"""
+WITH scores AS ({scoring.risk_scores_sql()}),
+typed AS (
+  SELECT s.risk_score,
+         {dm._sql_mod_case('s.route_id', dm.ROUTE_TYPE_BY_MOD)}
+           AS route_type,
+         s.color_code,
+         CAST(floor(s.risk_score * 1000000) AS BIGINT) AS risk_u
+  FROM scores s
+)
+SELECT route_type, color_code,
+       CAST(grouping_id(route_type, color_code) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_routes,
+       CAST(sum(risk_u) AS BIGINT) AS risk_sum_u
+FROM typed
+GROUP BY GROUPING SETS ((route_type), (color_code), ())
+ORDER BY gid, route_type, color_code"""

@@ -278,3 +278,58 @@ def test_parts_never_returned_is_anti_join(spark):
     plan = plan_of(OL.q_parts_never_returned(spark, SF_SMOKE))
     assert "LeftAnti" in plan
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_q17_smallqty_matches_bruteforce(spark):
+    import math
+    rows = {r.p_brand: r for r in
+            OL.q_tpch_q17_smallqty(spark, SF_ORACLE).collect()}
+    li = domain.load_table(spark, SF_ORACLE, "lineitem").collect()
+    parts = {p.p_partkey: p.p_brand for p in
+             domain.load_table(spark, SF_ORACLE, "part").collect()}
+    stats: dict[int, list] = {}
+    for x in li:
+        stats.setdefault(x.l_partkey, [0, 0])
+        stats[x.l_partkey][0] += int(x.l_quantity)
+        stats[x.l_partkey][1] += 1
+    want: dict[str, list] = {}
+    for x in li:
+        s, n = stats[x.l_partkey]
+        if 5 * int(x.l_quantity) * n < s:     # qty < 0.2 * avg
+            b = parts[x.l_partkey]
+            want.setdefault(b, [0, 0])
+            want[b][0] += 1
+            want[b][1] += math.floor(x.l_extendedprice * 100)
+    assert set(rows) == set(want)
+    for b, (n, rev) in want.items():
+        assert (rows[b].n_small, rows[b].revenue_c) == (n, rev)
+
+
+def test_grouping_sets_cells_conserve(spark):
+    rows = OL.q_risk_grouping_sets(spark, SF_ORACLE).collect()
+    by_gid: dict[int, list] = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    # gid 1 = per-type (color NULL), gid 2 = per-color, gid 3 = total
+    assert set(by_gid) == {1, 2, 3}
+    total = by_gid[3][0]
+    assert total.route_type is None and total.color_code is None
+    for gid in (1, 2):
+        assert sum(r.n_routes for r in by_gid[gid]) == total.n_routes
+        assert sum(r.risk_sum_u for r in by_gid[gid]) == total.risk_sum_u
+    for r in by_gid[1]:
+        assert r.route_type is not None and r.color_code is None
+    for r in by_gid[2]:
+        assert r.color_code is not None and r.route_type is None
+
+
+def test_bpe_roundtrip_holds_and_counts_vocab(spark):
+    from safeascent_spark.operators import curation as CU
+    from safeascent_spark.operators import text as TX
+    row = CU.q_bpe_roundtrip(spark, SF_ORACLE).collect()[0]
+    n_vocab = (TX.tokens_df(spark, SF_ORACLE)
+               .select("word").distinct().count())
+    assert row.n_vocab == n_vocab
+    assert row.n_roundtrip_ok == n_vocab
+    assert row.all_roundtrip_ok is True
+    assert row.n_total_syms >= n_vocab     # >= 1 symbol per word
