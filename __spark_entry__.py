@@ -454,6 +454,15 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer losslessness: decode(encode(word)) == word for the
         # whole vocabulary, pinned true by the oracle
         "bpe_roundtrip": CU.q_bpe_roundtrip,
+        # --- round-6 wave 8 ---
+        # VAD-style audio activity segments: gaps-and-islands over the
+        # real decoded frame-energy grain
+        "multimodal_wav_segments": MM.q_multimodal_wav_segments,
+        # Holt backtest: one-step-ahead holdout error per user, exact
+        "events_forecast_eval": FC.q_events_forecast_eval,
+        # RHO-style learnability-gap sampling: unigram-vs-bigram micro-
+        # bit delta, above-corpus-mean selection (Mindermann et al. 2022)
+        "sample_learnability": CU.q_sample_learnability,
     }
 
 
@@ -542,7 +551,8 @@ _R6_NEW = [
     "events_psi_drift", "dq_skew_profile", "search_ndcg",
     "text_strip_boilerplate", "orders_pareto", "tpch_q10_returns",
     "parts_never_returned", "tpch_q17_smallqty", "risk_grouping_sets",
-    "bpe_roundtrip",
+    "bpe_roundtrip", "multimodal_wav_segments", "events_forecast_eval",
+    "sample_learnability",
 ]
 
 
@@ -764,4 +774,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q17_smallqty": OL.sql_tpch_q17_smallqty(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
+        "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),
+        "events_forecast_eval": FC.sql_events_forecast_eval(),
+        "sample_learnability": CU.sql_sample_learnability(),
     }

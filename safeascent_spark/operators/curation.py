@@ -794,3 +794,126 @@ SELECT CAST(count(*) AS BIGINT) AS n_vocab,
        true AS all_roundtrip_ok,
        CAST(sum(n_syms) AS BIGINT) AS n_total_syms
 FROM per_word"""
+
+
+# --- Learnability-gap sampling (RHO-style two-model selection) ----------------
+# RHO-loss-style data selection (Mindermann et al. 2022) with the repo's
+# own LM ladder as the two scorers: docs where the BIGRAM model explains
+# the text far better than the UNIGRAM model carry learnable sequential
+# structure (vs. bag-of-words noise) — those are the documents worth
+# training on first.  gain = unigram bits/token - bigram bits/bigram,
+# in exact micro-bits; the keep flag is the above-corpus-mean integer
+# cross-multiply (the sample_dsir convention).
+#
+# Scale shape: both models are vocabulary-grain broadcast tables
+# (micro-bit convention of text_bigram_lm); two corpus passes, exact
+# BIGINT doc sums, no windows.
+
+def q_sample_learnability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _doc_bigrams
+    toks = tokens_df(spark, sf_dir)
+    total = toks.count()
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    uni_model = freq.select(
+        "word",
+        F.floor(F.lit(-1e6) * F.log2(
+            F.col("n_word").cast("double") / F.lit(float(total))))
+         .cast("bigint").alias("ubits"))
+    uni = (toks.join(F.broadcast(uni_model), "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                    F.sum("ubits").alias("usum")))
+    vsize = toks.select("word").distinct().count()
+    bg = _doc_bigrams(spark, sf_dir)
+    c1 = toks.groupBy(F.col("word").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bi_model = (c12.join(F.broadcast(c1), "w1")
+                   .select("w1", "w2",
+                           F.floor(F.lit(-1e6) * F.log2(
+                               (F.col("c12") + F.lit(1.0))
+                               / (F.col("c1") + F.lit(float(vsize)))))
+                            .cast("bigint").alias("bbits")))
+    bi = (bg.join(F.broadcast(bi_model), ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.sum("bbits").alias("bsum")))
+    scored = (uni.join(bi, "doc_id")
+                 .select("doc_id", "n_tokens", "n_bigrams",
+                         F.expr("usum div n_tokens")
+                          .alias("uni_bits_micro"),
+                         F.expr("bsum div n_bigrams")
+                          .alias("bi_bits_micro"))
+                 .withColumn("gain_micro",
+                             F.col("uni_bits_micro")
+                             - F.col("bi_bits_micro")))
+    tot = scored.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("gain_micro").alias("sum_gain"))
+    return (scored.crossJoin(F.broadcast(tot))
+                  .withColumn("selected",
+                              F.col("gain_micro") * F.col("n_docs")
+                              > F.col("sum_gain"))
+                  .drop("n_docs", "sum_gain")
+                  .orderBy("doc_id"))
+
+
+def sql_sample_learnability() -> str:
+    return f"""
+WITH {TOKENS_CTE.strip()},
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tokens),
+vstat AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM tokens),
+freq AS (SELECT word, count(*) AS n_word FROM tokens GROUP BY word),
+uni_model AS (
+  SELECT f.word,
+         CAST(floor(-1000000.0 *
+                    log2(CAST(f.n_word AS DOUBLE) / total.n_total))
+              AS BIGINT) AS ubits
+  FROM freq f CROSS JOIN total
+),
+uni AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(m.ubits) AS BIGINT) AS usum
+  FROM tokens t JOIN uni_model m USING (word)
+  GROUP BY t.doc_id
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) > 1)
+),
+c1 AS (SELECT word AS w1, count(*) AS c1 FROM tokens GROUP BY word),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+bi_model AS (
+  SELECT m.w1, m.w2,
+         CAST(floor(-1000000.0 * log2((m.c12 + 1.0) / (u.c1 + s.v)))
+              AS BIGINT) AS bbits
+  FROM c12 m JOIN c1 u USING (w1) CROSS JOIN vstat s
+),
+bi AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(m.bbits) AS BIGINT) AS bsum
+  FROM bg b JOIN bi_model m USING (w1, w2)
+  GROUP BY b.doc_id
+),
+scored AS (
+  SELECT u.doc_id, u.n_tokens, b.n_bigrams,
+         CAST(u.usum // u.n_tokens AS BIGINT) AS uni_bits_micro,
+         CAST(b.bsum // b.n_bigrams AS BIGINT) AS bi_bits_micro,
+         CAST(u.usum // u.n_tokens AS BIGINT)
+           - CAST(b.bsum // b.n_bigrams AS BIGINT) AS gain_micro
+  FROM uni u JOIN bi b USING (doc_id)
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(gain_micro) AS BIGINT) AS sum_gain
+  FROM scored
+)
+SELECT doc_id, n_tokens, n_bigrams, uni_bits_micro, bi_bits_micro,
+       gain_micro,
+       gain_micro * n_docs > sum_gain AS selected
+FROM scored CROSS JOIN corpus
+ORDER BY doc_id"""

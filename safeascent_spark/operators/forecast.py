@@ -401,3 +401,85 @@ SELECT query_id, CAST(mmr_rank AS INT) AS mmr_rank, vec_id,
 FROM ({allsel})
 ORDER BY query_id, mmr_rank""")
     return "".join(parts)
+
+
+# --- Holt backtest (one-step-ahead holdout evaluation) ------------------------
+# The forecaster's accountability loop: hold out each user's LAST
+# observation, fit the same dyadic Holt recursion on the window ENDING
+# at the second-to-last observation, and score the one-step forecast
+# against the held-out actual.  Per-user exact integer errors; users
+# with a single observation have nothing to backtest and are excluded.
+#
+# Scale shape: the same one-window pass as q_events_holt — the fit frame
+# is the bounded ROWS window evaluated at rn = 2, the actual rides
+# rn = 1, and the two single-row-per-user frames join on user_id.
+
+def q_events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    milli = F.expr("CAST(floor(value * 1000) AS BIGINT)")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-(HOLT_WINDOW - 1), 0))
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    rows = (e.select("user_id", "ts", "event_id", milli.alias("v"))
+             .withColumn("arr", F.collect_list("v").over(w))
+             .withColumn("rn", F.row_number().over(wlast)))
+    seed = f"(arr[0] + {_L_OFF}L) * {_PACK}L + {_T_OFF}L"
+    fold = (f"aggregate(slice(arr, 2, {HOLT_WINDOW}), {seed}, "
+            f"{_FOLD_STEP})")
+    fit = (rows.filter(F.col("rn") == 2)
+               .select("user_id",
+                       F.size("arr").cast("int").alias("n_fit"),
+                       (F.expr(f"({fold}) div {_PACK} - {_L_OFF}")
+                        + F.expr(f"({fold}) % {_PACK} - {_T_OFF}"))
+                       .cast("bigint").alias("forecast_milli")))
+    actual = (rows.filter(F.col("rn") == 1)
+                  .select("user_id", F.col("v").alias("actual_milli")))
+    return (fit.join(actual, "user_id")
+               .select("user_id", "n_fit", "forecast_milli",
+                       "actual_milli",
+                       F.abs(F.col("forecast_milli")
+                             - F.col("actual_milli")).cast("bigint")
+                        .alias("abs_err_milli"))
+               .orderBy("user_id"))
+
+
+def sql_events_forecast_eval() -> str:
+    import re as _re
+    step = _re.sub(r"(\d)L\b", r"\1",
+                   _FOLD_STEP.replace(" div ", " // "))
+    return f"""
+WITH vals AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+framed AS (
+  SELECT user_id, v,
+         list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {HOLT_WINDOW - 1} PRECEDING
+                       AND CURRENT ROW) AS arr,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM vals
+),
+fit AS (
+  SELECT user_id, CAST(len(arr) AS INT) AS n_fit,
+         CAST((list_reduce(
+                 list_prepend(CAST((arr[1] + {_L_OFF}) * {_PACK}
+                                   + {_T_OFF} AS BIGINT), arr[2:]),
+                 {step}) // {_PACK} - {_L_OFF})
+              + (list_reduce(
+                 list_prepend(CAST((arr[1] + {_L_OFF}) * {_PACK}
+                                   + {_T_OFF} AS BIGINT), arr[2:]),
+                 {step}) % {_PACK} - {_T_OFF}) AS BIGINT)
+           AS forecast_milli
+  FROM framed WHERE rn = 2
+),
+actual AS (SELECT user_id, v AS actual_milli FROM framed WHERE rn = 1)
+SELECT f.user_id, f.n_fit, f.forecast_milli,
+       CAST(a.actual_milli AS BIGINT) AS actual_milli,
+       CAST(abs(f.forecast_milli - a.actual_milli) AS BIGINT)
+         AS abs_err_milli
+FROM fit f JOIN actual a USING (user_id)
+ORDER BY f.user_id"""

@@ -1088,3 +1088,87 @@ SELECT l.doc_id, l.text_ok, i.image_kept, a.audio_ok,
        l.text_ok AND i.image_kept AND a.audio_ok AS keep
 FROM lm l JOIN img i USING (doc_id) JOIN aud a USING (doc_id)
 ORDER BY l.doc_id"""
+
+
+# --- Audio activity segmentation (VAD-style islands over frame energy) --------
+# The segmentation layer over extract_wav_energy's frame grain: group
+# consecutive ABOVE-THRESHOLD frames into activity segments per media
+# (gaps-and-islands — the W3 sessionization device applied to audio),
+# the pass that turns raw PCM into trainable speech/non-speech spans.
+#
+# Exactness: frame energies are exact integers from real decoded PCM;
+# the threshold is a fixed constant; island arithmetic is pure integer.
+# Scale shape: windows partition by media_id (natural key — parallelism
+# scales with the corpus); frames per media are bounded by clip length.
+
+WAV_ACTIVE_ENERGY = 13_000_000
+
+
+def q_multimodal_wav_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    frames = extract_wav_energy(wav_media_df(spark, sf_dir))
+    active = frames.filter(F.col("energy") >= WAV_ACTIVE_ENERGY)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    isl = active.withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(w))
+    segs = (isl.groupBy("media_id", "island")
+               .agg(F.min("frame_idx").alias("start_frame"),
+                    F.max("frame_idx").alias("end_frame"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+                    F.sum("energy").cast("bigint").alias("energy_sum")))
+    w2 = Window.partitionBy("media_id").orderBy("start_frame")
+    return (segs.withColumn("seg_idx", F.row_number().over(w2).cast("int"))
+                .select("media_id", "seg_idx",
+                        F.col("start_frame").cast("int").alias("start_frame"),
+                        F.col("end_frame").cast("int").alias("end_frame"),
+                        "n_frames", "energy_sum")
+                .orderBy("media_id", "seg_idx"))
+
+
+def sql_multimodal_wav_segments() -> str:
+    f = WAV_FRAME
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         200 + n_chars % 300 AS n_samples,
+         doc_id AS seed
+  FROM documents
+),
+samp AS (
+  SELECT media_id,
+         unnest(generate_series(0, n_samples - 1)) AS i,
+         seed
+  FROM dims
+),
+vals AS (
+  SELECT media_id, i // {f} AS frame_idx,
+         ((seed + 7 * i) % 2048) - 1024 AS v
+  FROM samp
+),
+frames AS (
+  SELECT media_id, frame_idx,
+         CAST(sum(v * v) AS BIGINT) AS energy
+  FROM vals GROUP BY media_id, frame_idx
+),
+active AS (
+  SELECT media_id, frame_idx, energy,
+         frame_idx - row_number() OVER (PARTITION BY media_id
+                                        ORDER BY frame_idx) AS island
+  FROM frames WHERE energy >= {WAV_ACTIVE_ENERGY}
+),
+segs AS (
+  SELECT media_id, island,
+         min(frame_idx) AS start_frame,
+         max(frame_idx) AS end_frame,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(energy) AS BIGINT) AS energy_sum
+  FROM active GROUP BY media_id, island
+)
+SELECT media_id,
+       CAST(row_number() OVER (PARTITION BY media_id
+                               ORDER BY start_frame) AS INT) AS seg_idx,
+       CAST(start_frame AS INT) AS start_frame,
+       CAST(end_frame AS INT) AS end_frame,
+       n_frames, energy_sum
+FROM segs
+ORDER BY media_id, seg_idx"""

@@ -88,3 +88,83 @@ def test_mmr_matches_greedy_bruteforce(spark):
             assert r.vec_id == want, (qid, r.mmr_rank, r.vec_id, want)
             assert r.score3 == scores[want]
             chosen.append(want)
+
+
+def test_forecast_eval_is_holt_on_the_holdout_prefix(spark):
+    """Backtest contract: the forecast for each user equals running the
+    q_events_holt recursion on the series WITHOUT its last observation,
+    and the error is |forecast - actual|."""
+    rows = {r.user_id: r for r in
+            FC.q_events_forecast_eval(spark, SF_ORACLE).collect()}
+    ev = domain.load_table(spark, SF_ORACLE, "events").collect()
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, math.floor(r.value * 1000)))
+    for uid, obs in series.items():
+        obs.sort()
+        if len(obs) < 2:
+            assert uid not in rows
+            continue
+        fit_vals = [v for _, _, v in obs[:-1]][-FC.HOLT_WINDOW:]
+        lvl, trd = fit_vals[0], 0
+        for x in fit_vals[1:]:
+            nl = (x + lvl + trd) // 2
+            trd = (nl - lvl + 3 * trd) // 4
+            lvl = nl
+        actual = obs[-1][2]
+        r = rows[uid]
+        assert r.n_fit == len(fit_vals)
+        assert r.forecast_milli == lvl + trd
+        assert r.actual_milli == actual
+        assert r.abs_err_milli == abs(lvl + trd - actual)
+
+
+def test_wav_segments_are_maximal_active_islands(spark):
+    from safeascent_spark.operators import multimodal as MM
+    segs = MM.q_multimodal_wav_segments(spark, SF_ORACLE).collect()
+    frames = {(r.media_id, r.frame_idx): r.energy for r in
+              MM.extract_wav_energy(
+                  MM.wav_media_df(spark, SF_ORACLE)).collect()}
+    th = MM.WAV_ACTIVE_ENERGY
+    by_media: dict[int, list] = {}
+    for s in segs:
+        by_media.setdefault(s.media_id, []).append(s)
+    for mid, ss in by_media.items():
+        ss.sort(key=lambda s: s.seg_idx)
+        for a, b in zip(ss, ss[1:]):
+            assert a.end_frame + 1 < b.start_frame   # maximality: a gap
+        for s in ss:
+            total = 0
+            for f in range(s.start_frame, s.end_frame + 1):
+                assert frames[(mid, f)] >= th        # all frames active
+                total += frames[(mid, f)]
+            assert s.energy_sum == total
+            assert s.n_frames == s.end_frame - s.start_frame + 1
+            # boundary frames outside the segment are inactive or absent
+            for edge in (s.start_frame - 1, s.end_frame + 1):
+                e = frames.get((mid, edge))
+                if e is not None and not any(
+                        x.start_frame <= edge <= x.end_frame for x in ss):
+                    assert e < th
+    # every active frame is covered by exactly one segment
+    covered = {(mid, f) for mid, ss in by_media.items()
+               for s in ss for f in range(s.start_frame, s.end_frame + 1)}
+    active = {k for k, e in frames.items() if e >= th}
+    assert covered == active
+
+
+def test_learnability_gain_matches_model_recomputation(spark):
+    from safeascent_spark.operators import curation as CU
+    rows = CU.q_sample_learnability(spark, SF_ORACLE).collect()
+    n = len(rows)
+    total = sum(r.gain_micro for r in rows)
+    n_sel = 0
+    for r in rows:
+        assert r.gain_micro == r.uni_bits_micro - r.bi_bits_micro
+        assert r.selected == (r.gain_micro * n > total)
+        n_sel += r.selected
+    assert 0 < n_sel < n
+    # the bigram model must beat unigram on average (it has strictly
+    # more structure to exploit) — sanity that gains are mostly positive
+    assert total > 0
