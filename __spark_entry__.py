@@ -487,17 +487,21 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     integer micro-bit rebuild, ADVICE r5), then the 43 OLDEST
 #     never-driver-checked queries in original wave order
 #     (events_correlated .. sample_mixture_quality).
-#   after r6: 0 queries older than r4 evidence; 24 never-checked remain
-#     (wave 6-14 tail, ann_ivf_pq_topk .. events_twap — all re-verified
-#     locally each round via tools/local_correctness.py); they are the
-#     tail's FRONT so the r7 window picks them up first, followed by the
-#     queries whose newest row is r4 (2 rounds old at r7).
+#   after r6: 0 queries older than r4 evidence; 24 r5-registered
+#     never-checked remain (wave 6-14 tail, ann_ivf_pq_topk ..
+#     events_twap — all re-verified locally each round via
+#     tools/local_correctness.py) plus the 27 r6-new registrations
+#     (_R6_NEW, CORRECTNESS_LOCAL_r06 evidence); they are the tail's
+#     FRONT so the r7 window picks them up first (24 + 26 of the 27
+#     fit), followed by the queries whose newest row is r4 (2 rounds
+#     old at r7) — at 200 queries the invariant is ceil(200/50) = a
+#     fresh driver row at least every 4 rounds.
 #   Note: VERDICT r5's "<=20 never-checked remaining" target conflicts
 #     by 3+4 slots with its own "r3 leave-outs rotate in first" and
 #     "changed queries stay driver-green" requirements; this order
 #     resolves the conflict in favor of evidence FRESHNESS (nothing
 #     older than r4, every code change re-gated) at the cost of 24
-#     rather than 20 never-checked remaining.
+#     rather than 20 r5-era never-checked remaining.
 #
 # New r6 queries are tail-registered after the never-checked backlog
 # (saturation rationale unchanged); their evidence rides
