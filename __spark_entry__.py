@@ -463,6 +463,21 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RHO-style learnability-gap sampling: unigram-vs-bigram micro-
         # bit delta, above-corpus-mean selection (Mindermann et al. 2022)
         "sample_learnability": CU.q_sample_learnability,
+        # --- round-6 wave 9: the remaining expressible TPC-H shapes ---
+        # Q5: the multi-join with the c_nationkey = s_nationkey cycle edge
+        "tpch_q5_local_supplier": OL.q_tpch_q5_local_supplier,
+        # Q6: the pure pushdown scan-aggregate (no joins, 1 row out)
+        "tpch_q6_forecast": OL.q_tpch_q6_forecast,
+        # Q7: nation joins the fact twice (supplier + customer roles)
+        "tpch_q7_volume": OL.q_tpch_q7_volume,
+        # Q8: conditional share over one joined frame, exact ppm
+        "tpch_q8_market_share": OL.q_tpch_q8_market_share,
+        # Q14: promo-revenue share, DECIMAL(38,0)-widened ppm
+        "tpch_q14_promo": OL.q_tpch_q14_promo,
+        # Q15: argmax-over-aggregate via 1-row max broadcast (ties kept)
+        "tpch_q15_top_supplier": OL.q_tpch_q15_top_supplier,
+        # Q18: HAVING keyset fed back as a broadcast semi-join
+        "tpch_q18_large_orders": OL.q_tpch_q18_large_orders,
     }
 
 
@@ -557,6 +572,9 @@ _R6_NEW = [
     "parts_never_returned", "tpch_q17_smallqty", "risk_grouping_sets",
     "bpe_roundtrip", "multimodal_wav_segments", "events_forecast_eval",
     "sample_learnability",
+    "tpch_q5_local_supplier", "tpch_q6_forecast", "tpch_q7_volume",
+    "tpch_q8_market_share", "tpch_q14_promo", "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
 ]
 
 
@@ -776,6 +794,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10_returns": OL.sql_tpch_q10_returns(),
         "parts_never_returned": OL.sql_parts_never_returned(),
         "tpch_q17_smallqty": OL.sql_tpch_q17_smallqty(),
+        "tpch_q5_local_supplier": OL.sql_tpch_q5_local_supplier(),
+        "tpch_q6_forecast": OL.sql_tpch_q6_forecast(),
+        "tpch_q7_volume": OL.sql_tpch_q7_volume(),
+        "tpch_q8_market_share": OL.sql_tpch_q8_market_share(),
+        "tpch_q14_promo": OL.sql_tpch_q14_promo(),
+        "tpch_q15_top_supplier": OL.sql_tpch_q15_top_supplier(),
+        "tpch_q18_large_orders": OL.sql_tpch_q18_large_orders(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

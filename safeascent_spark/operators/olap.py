@@ -624,3 +624,462 @@ SELECT route_type, color_code,
 FROM typed
 GROUP BY GROUPING SETS ((route_type), (color_code), ())
 ORDER BY gid, route_type, color_code"""
+
+
+# --- TPC-H Q5: local-supplier volume (the region star with a cycle) ----------
+# Revenue per nation of one region, counting only lineitems whose
+# CUSTOMER and SUPPLIER sit in the same nation — the canonical
+# multi-join with the c_nationkey = s_nationkey "cycle" edge that
+# defeats naive join-ordering (reference query set; the repo's
+# star_revenue covers the acyclic Q5 star).
+#
+# Scale shape: region -> nation is a broadcast chain; supplier (a
+# 100-row dim here, bounded at any SF by the supplier/lineitem ratio)
+# broadcasts into the fact; the only shuffles are orders ⋈ customer and
+# lineitem ⋈ orders on their natural keys; the rollup is |nations| rows.
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1997-01-01"
+
+
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = (domain.load_table(spark, sf_dir, "region")
+           .filter(F.col("r_name") == Q5_REGION).select("r_regionkey"))
+    nat = (domain.load_table(spark, sf_dir, "nation")
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    cust = (domain.load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey"))
+    orders = (domain.load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate").cast("date")
+                       >= F.lit(Q5_FROM).cast("date"))
+                      & (F.col("o_orderdate").cast("date")
+                         < F.lit(Q5_TO).cast("date")))
+              .select("o_orderkey", "o_custkey"))
+    supp = (domain.load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) "
+                         "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+                   .alias("rev_e4")))
+    co = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+                .select("o_orderkey", "c_nationkey"))
+    return (li.join(co, li.l_orderkey == co.o_orderkey)
+              .join(F.broadcast(supp),
+                    (li.l_suppkey == supp.s_suppkey)
+                    & (co.c_nationkey == supp.s_nationkey))
+              .groupBy("n_name")
+              .agg(F.sum("rev_e4").cast("bigint").alias("revenue_e4"))
+              .orderBy(F.col("revenue_e4").desc(), F.col("n_name")))
+
+
+def sql_tpch_q5_local_supplier() -> str:
+    return f"""
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '{Q5_FROM}'
+  AND CAST(o.o_orderdate AS DATE) < DATE '{Q5_TO}'
+GROUP BY n.n_name
+ORDER BY revenue_e4 DESC, n.n_name"""
+
+
+# --- TPC-H Q6: forecasting-revenue change (the pure pushdown scan) -----------
+# One filtered scan, one global sum, zero joins — the query that exists
+# to prove predicate pushdown + column pruning + map-side combine.
+# discount rides as its exact integer percent, so "between 0.05 and
+# 0.07" is disc_p BETWEEN 5 AND 7 with no float compare; revenue =
+# sum(extendedprice * discount) in exact 1e-4 dollar units.
+#
+# Scale shape: the date/qty predicates push to parquet (min/max row-
+# group pruning); the aggregate is a 1-row partial-combined sum. The
+# plan must contain NO Exchange other than the final single-partition
+# gather of 32 partial rows.
+
+Q6_FROM = "1996-01-01"
+Q6_TO = "1997-01-01"
+Q6_DISC_LO = 5
+Q6_DISC_HI = 7
+Q6_QTY_LT = 24
+
+
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = domain.load_table(spark, sf_dir, "lineitem")
+    base = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit(Q6_FROM).cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit(Q6_TO).cast("date"))
+        & (F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+           .between(Q6_DISC_LO, Q6_DISC_HI))
+        & (F.expr("CAST(l_quantity AS BIGINT)") < Q6_QTY_LT))
+    return base.agg(
+        F.expr("CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) "
+               "* CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)")
+         .alias("revenue_e4"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+
+
+def sql_tpch_q6_forecast() -> str:
+    return f"""
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '{Q6_FROM}'
+  AND CAST(l_shipdate AS DATE) < DATE '{Q6_TO}'
+  AND CAST(round(l_discount * 100) AS BIGINT)
+      BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND CAST(l_quantity AS BIGINT) < {Q6_QTY_LT}"""
+
+
+# --- TPC-H Q7: volume shipping between two nations ---------------------------
+# Bilateral trade: revenue shipped between a nation PAIR (both
+# directions kept separate), by ship year — the two-dimension-role
+# query (nation joins the fact TWICE, once via supplier and once via
+# customer; aliasing errors here are the classic self-join bug).
+#
+# Scale shape: both nation sides broadcast; supplier broadcasts; the
+# heavy joins are lineitem ⋈ orders and orders ⋈ customer on natural
+# keys; the rollup is (2 directions x |years|) rows.
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_YEARS = (1996, 1997)
+
+
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = domain.load_table(spark, sf_dir, "nation")
+    pair = nat.filter(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+    supp = (domain.load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(pair.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("sn_key"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (domain.load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(pair.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"))),
+                F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey", "cust_nation"))
+    orders = (domain.load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey"))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .filter(F.year(F.col("l_shipdate").cast("date"))
+                  .isin(*Q7_YEARS))
+          .select("l_orderkey", "l_suppkey",
+                  F.year(F.col("l_shipdate").cast("date"))
+                   .cast("int").alias("l_year"),
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) "
+                         "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+                   .alias("rev_e4")))
+    return (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .filter(F.col("supp_nation") != F.col("cust_nation"))
+              .groupBy("supp_nation", "cust_nation", "l_year")
+              .agg(F.sum("rev_e4").cast("bigint").alias("revenue_e4"))
+              .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def sql_tpch_q7_volume() -> str:
+    return f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND nc.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND ns.n_name <> nc.n_name
+  AND year(CAST(l.l_shipdate AS DATE)) IN {Q7_YEARS}
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
+# --- TPC-H Q8: national market share -----------------------------------------
+# Of all revenue one REGION's customers spent on one part TYPE, what
+# fraction was supplied by one NATION, per order year — the
+# conditional-aggregate-over-join query (the share is a ratio of two
+# sums over the SAME joined frame, not two separate queries).
+#
+# Scale shape: part prunes by type before its join (semi-ish); nation/
+# region chain broadcasts on both roles; share is an exact ppm floor
+# division with the numerator widened to DECIMAL(38,0) BEFORE the
+# 1e6 scale-up (sum(rev_e4) * 1e6 overflows int64 at warehouse scale).
+
+Q8_REGION = "AMERICA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_3"
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = (domain.load_table(spark, sf_dir, "region")
+           .filter(F.col("r_name") == Q8_REGION).select("r_regionkey"))
+    rnat = (domain.load_table(spark, sf_dir, "nation")
+            .join(F.broadcast(reg),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(F.col("n_nationkey").alias("cn_key")))
+    cust = (domain.load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(rnat), F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey"))
+    part = (domain.load_table(spark, sf_dir, "part")
+            .filter(F.col("p_type") == Q8_TYPE).select("p_partkey"))
+    supp = (domain.load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(domain.load_table(spark, sf_dir, "nation")
+                              .select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    orders = (domain.load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey",
+                      F.year(F.col("o_orderdate").cast("date"))
+                       .cast("int").alias("o_year")))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) "
+                         "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+                   .alias("rev_e4")))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey))
+    dec = "DECIMAL(38,0)"
+    return (j.groupBy("o_year")
+             .agg(F.expr(
+                      "CAST(sum(CASE WHEN supp_nation = "
+                      f"'{Q8_NATION}' THEN rev_e4 ELSE 0 END) AS BIGINT)")
+                   .alias("nation_e4"),
+                  F.sum("rev_e4").cast("bigint").alias("total_e4"))
+             .select("o_year", "nation_e4", "total_e4",
+                     F.expr(f"CAST(CAST(nation_e4 AS {dec}) * 1000000 "
+                            "div total_e4 AS BIGINT)").alias("share_ppm"))
+             .orderBy("o_year"))
+
+
+def sql_tpch_q8_market_share() -> str:
+    return f"""
+WITH j AS (
+  SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
+         ns.n_name AS supp_nation,
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                     THEN rev_e4 ELSE 0 END) AS BIGINT) AS nation_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+       CAST(CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                          THEN rev_e4 ELSE 0 END) AS HUGEINT) * 1000000
+            // sum(rev_e4) AS BIGINT) AS share_ppm
+FROM j
+GROUP BY o_year
+ORDER BY o_year"""
+
+
+# --- TPC-H Q14: promotion-revenue share --------------------------------------
+# What fraction of one month's revenue came from PROMO-type parts —
+# the conditional-share scan-join (Q8's ratio device on a 2-table
+# join).  Exact ppm with the DECIMAL(38,0) widening before scale-up.
+#
+# Scale shape: the month predicate pushes to the lineitem scan; part
+# joins on partkey (fact-to-dim shuffle or broadcast under AQE by
+# stats); output is ONE row.
+
+Q14_FROM = "1996-09-01"
+Q14_TO = "1996-10-01"
+Q14_PROMO = "PROMO"
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (domain.load_table(spark, sf_dir, "part")
+            .select("p_partkey", "p_type"))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate").cast("date")
+                   >= F.lit(Q14_FROM).cast("date"))
+                  & (F.col("l_shipdate").cast("date")
+                     < F.lit(Q14_TO).cast("date")))
+          .select("l_partkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) "
+                         "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+                   .alias("rev_e4")))
+    dec = "DECIMAL(38,0)"
+    return (li.join(part, li.l_partkey == part.p_partkey)
+              .agg(F.expr(f"CAST(sum(CASE WHEN p_type = '{Q14_PROMO}' "
+                          "THEN rev_e4 ELSE 0 END) AS BIGINT)")
+                    .alias("promo_e4"),
+                   F.sum("rev_e4").cast("bigint").alias("total_e4"))
+              .select("promo_e4", "total_e4",
+                      F.expr(f"CAST(CAST(promo_e4 AS {dec}) * 1000000 "
+                             "div total_e4 AS BIGINT)")
+                       .alias("promo_share_ppm")))
+
+
+def sql_tpch_q14_promo() -> str:
+    return f"""
+WITH j AS (
+  SELECT p.p_type,
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '{Q14_FROM}'
+    AND CAST(l.l_shipdate AS DATE) < DATE '{Q14_TO}'
+)
+SELECT CAST(sum(CASE WHEN p_type = '{Q14_PROMO}' THEN rev_e4 ELSE 0 END)
+            AS BIGINT) AS promo_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+       CAST(CAST(sum(CASE WHEN p_type = '{Q14_PROMO}'
+                          THEN rev_e4 ELSE 0 END) AS HUGEINT) * 1000000
+            // sum(rev_e4) AS BIGINT) AS promo_share_ppm
+FROM j"""
+
+
+# --- TPC-H Q15: top supplier (the argmax-over-aggregate shape) ---------------
+# The supplier(s) whose quarterly revenue equals the global maximum —
+# TPC-H's correlated "= (SELECT max(...))" view query, decorrelated
+# into aggregate -> 1-row max -> broadcast equality join.  Ties all
+# surface (the spec's reason for the = form over LIMIT 1); revenue is
+# exact 1e-4 units so the equality is exact.
+#
+# Scale shape: per-supplier revenue is one map-side-combined aggregate
+# (|suppliers| rows); the max is a 1-row reduction broadcast back — no
+# global sort, no window over the whole frame.
+
+Q15_FROM = "1996-01-01"
+Q15_TO = "1996-04-01"
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate").cast("date")
+                   >= F.lit(Q15_FROM).cast("date"))
+                  & (F.col("l_shipdate").cast("date")
+                     < F.lit(Q15_TO).cast("date")))
+          .select("l_suppkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) "
+                         "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+                   .alias("rev_e4")))
+    per_supp = (li.groupBy("l_suppkey")
+                  .agg(F.sum("rev_e4").cast("bigint").alias("total_rev_e4")))
+    mx = per_supp.agg(F.max("total_rev_e4").alias("max_rev_e4"))
+    supp = (domain.load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_name"))
+    return (per_supp.join(F.broadcast(mx),
+                          F.col("total_rev_e4") == F.col("max_rev_e4"))
+                    .join(F.broadcast(supp),
+                          F.col("l_suppkey") == F.col("s_suppkey"))
+                    .select(F.col("s_suppkey").cast("bigint")
+                             .alias("s_suppkey"),
+                            "s_name", "total_rev_e4")
+                    .orderBy("s_suppkey"))
+
+
+def sql_tpch_q15_top_supplier() -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{Q15_FROM}'
+    AND CAST(l_shipdate AS DATE) < DATE '{Q15_TO}'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       r.total_rev_e4
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+ORDER BY s_suppkey"""
+
+
+# --- TPC-H Q18: large-volume customers (the HAVING -> IN self-reference) -----
+# Orders whose total quantity exceeds a threshold, with their customer
+# — the group-by-HAVING key set fed back as a semi-join on the same
+# fact (TPC-H writes it as IN (SELECT ... HAVING ...)).
+#
+# Scale shape: the qualifying keyset is a map-side-combined aggregate
+# + filter (tiny: the threshold sits in the distribution tail), then a
+# LEFT SEMI broadcast back onto orders; the lineitem re-aggregation
+# only runs on qualifying orders.  Top-100 is TakeOrderedAndProject.
+
+Q18_QTY_GT = 300
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey",
+                  F.expr("CAST(l_quantity AS BIGINT)").alias("qty")))
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("qty").alias("sum_qty"))
+             .filter(F.col("sum_qty") > Q18_QTY_GT))
+    orders = (domain.load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey",
+                      F.col("o_orderdate").cast("date").cast("string")
+                       .alias("o_orderdate"),
+                      F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                       .alias("o_totalprice_c")))
+    cust = (domain.load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name"))
+    return (orders.join(F.broadcast(big),
+                        orders.o_orderkey == big.l_orderkey)
+                  .join(cust, orders.o_custkey == cust.c_custkey)
+                  .select("c_name", "c_custkey", "o_orderkey",
+                          "o_orderdate", "o_totalprice_c",
+                          F.col("sum_qty").cast("bigint").alias("sum_qty"))
+                  .orderBy(F.col("o_totalprice_c").desc(),
+                           F.col("o_orderkey"))
+                  .limit(100))
+
+
+def sql_tpch_q18_large_orders() -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > {Q18_QTY_GT}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+       b.sum_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_totalprice_c DESC, o.o_orderkey
+LIMIT 100"""
