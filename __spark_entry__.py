@@ -478,6 +478,16 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": OL.q_tpch_q15_top_supplier,
         # Q18: HAVING keyset fed back as a broadcast semi-join
         "tpch_q18_large_orders": OL.q_tpch_q18_large_orders,
+        # --- round-6 wave 10: adapted shapes for the missing-column set ---
+        # Q12 shape: parallel CASE-conditional counts in one fact pass
+        "tpch_q12_priority_class": OL.q_tpch_q12_priority_class,
+        # Q19 shape: OR-of-conjunctive-bands evaluated in ONE join
+        "tpch_q19_disjunctive": OL.q_tpch_q19_disjunctive,
+        # Q21 shape: EXISTS + NOT EXISTS decorrelated to one per-order
+        # aggregate; the oracle keeps the literal correlated form
+        "tpch_q21_lone_late_supplier": OL.q_tpch_q21_lone_late_supplier,
+        # Q22 shape: 1-row scalar-avg broadcast + LEFT ANTI on the fact
+        "tpch_q22_lost_customers": OL.q_tpch_q22_lost_customers,
     }
 
 
@@ -575,6 +585,8 @@ _R6_NEW = [
     "tpch_q5_local_supplier", "tpch_q6_forecast", "tpch_q7_volume",
     "tpch_q8_market_share", "tpch_q14_promo", "tpch_q15_top_supplier",
     "tpch_q18_large_orders",
+    "tpch_q12_priority_class", "tpch_q19_disjunctive",
+    "tpch_q21_lone_late_supplier", "tpch_q22_lost_customers",
 ]
 
 
@@ -801,6 +813,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14_promo": OL.sql_tpch_q14_promo(),
         "tpch_q15_top_supplier": OL.sql_tpch_q15_top_supplier(),
         "tpch_q18_large_orders": OL.sql_tpch_q18_large_orders(),
+        "tpch_q12_priority_class": OL.sql_tpch_q12_priority_class(),
+        "tpch_q19_disjunctive": OL.sql_tpch_q19_disjunctive(),
+        "tpch_q21_lone_late_supplier": OL.sql_tpch_q21_lone_late_supplier(),
+        "tpch_q22_lost_customers": OL.sql_tpch_q22_lost_customers(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

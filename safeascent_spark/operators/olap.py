@@ -1083,3 +1083,257 @@ JOIN big b ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o_totalprice_c DESC, o.o_orderkey
 LIMIT 100"""
+
+
+# =============================================================================
+# Wave 10 — adapted forms of the TPC-H shapes whose literal columns the
+# reduced schema lacks (no l_shipmode / l_shipinstruct / l_commitdate /
+# l_receiptdate / p_container / c_phone).  Each keeps the SHAPE that
+# makes the original a benchmark classic; lateness is shipdate more than
+# 90 days after the order date (the repo's Q4 convention).
+# =============================================================================
+
+# --- Q12 shape: conditional CASE aggregation over a fact join ----------------
+# TPC-H Q12 counts high- vs low-priority orders per shipmode; without
+# shipmode the bucketing dimension is the lateness flag itself.  The
+# shape under test: ONE pass over the joined frame producing parallel
+# CASE-conditional counts (no per-bucket re-scan), bucket count bounded.
+
+Q12_LATE_DAYS = 90
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority",
+                 F.col("o_orderdate").cast("date").alias("od")))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey",
+                  F.col("l_shipdate").cast("date").alias("sd")))
+    hi = "', '".join(Q12_HIGH)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .select(F.when(F.col("sd") > F.date_add(F.col("od"),
+                                                      Q12_LATE_DAYS),
+                             F.lit("late")).otherwise(F.lit("ontime"))
+                       .alias("ship_bucket"),
+                      "o_orderpriority")
+              .groupBy("ship_bucket")
+              .agg(F.expr(f"CAST(sum(CASE WHEN o_orderpriority IN ('{hi}') "
+                          "THEN 1 ELSE 0 END) AS BIGINT)")
+                    .alias("high_line_count"),
+                   F.expr(f"CAST(sum(CASE WHEN o_orderpriority IN ('{hi}') "
+                          "THEN 0 ELSE 1 END) AS BIGINT)")
+                    .alias("low_line_count"))
+              .orderBy("ship_bucket"))
+
+
+def sql_tpch_q12_priority_class() -> str:
+    hi = "', '".join(Q12_HIGH)
+    return f"""
+SELECT CASE WHEN CAST(l.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + INTERVAL {Q12_LATE_DAYS} DAY
+       THEN 'late' ELSE 'ontime' END AS ship_bucket,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('{hi}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('{hi}')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY 1"""
+
+
+# --- Q19 shape: disjunctive multi-band predicate over a dim join -------------
+# TPC-H Q19's point is an OR of three conjunctive (brand, container,
+# quantity) bands evaluated in ONE join — a naive engine runs three
+# scans and unions.  Adapted bands use (p_brand, p_size, l_quantity).
+# The plan must show a single lineitem scan and a single part join with
+# the whole disjunction as its post-join (or pushed) filter.
+
+Q19_BANDS = (("Brand#11", 1, 15, 1, 11),
+             ("Brand#22", 1, 25, 10, 20),
+             ("Brand#3", 1, 35, 20, 30))
+
+
+def _q19_pred() -> str:
+    parts = []
+    for brand, slo, shi, qlo, qhi in Q19_BANDS:
+        parts.append(f"(p_brand = '{brand}' "
+                     f"AND p_size BETWEEN {slo} AND {shi} "
+                     f"AND qty BETWEEN {qlo} AND {qhi})")
+    return " OR ".join(parts)
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (domain.load_table(spark, sf_dir, "part")
+         .select("p_partkey", "p_brand", "p_size"))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey",
+                  F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) "
+                         "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+                   .alias("rev_e4")))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+              .filter(F.expr(_q19_pred()))
+              .agg(F.sum("rev_e4").cast("bigint").alias("revenue_e4"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_lineitems")))
+
+
+def sql_tpch_q19_disjunctive() -> str:
+    return f"""
+WITH j AS (
+  SELECT p.p_brand, p.p_size, CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM j
+WHERE {_q19_pred()}"""
+
+
+# --- Q21 shape: the double-correlated EXISTS + NOT EXISTS --------------------
+# "Suppliers who kept waiting": for multi-supplier orders, the supplier
+# whose lineitems are the ONLY late ones — TPC-H's hardest correlation
+# (an EXISTS and a NOT EXISTS both re-touching the same fact).  The
+# Spark side DECORRELATES it into one per-order aggregate: distinct
+# suppliers, distinct late suppliers, and the lone late supplier's key
+# (max over a CASE) — one shuffle on orderkey instead of two correlated
+# fact re-joins; the oracle keeps the literal EXISTS / NOT EXISTS form,
+# so the hash equality IS the decorrelation proof.
+#
+# Scale shape: per-order aggregate (map-side combined) -> filter
+# (ns > 1, n_late_supp = 1) -> per-supplier count of DISTINCT orders
+# (already distinct at order grain) -> broadcast supplier names ->
+# TakeOrdered top-20.
+
+Q21_LATE_DAYS = 90
+Q21_TOP = 20
+
+
+def q_tpch_q21_lone_late_supplier(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od")))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  F.col("l_shipdate").cast("date").alias("sd")))
+    flagged = (li.join(o, li.l_orderkey == o.o_orderkey)
+                 .select("l_orderkey", "l_suppkey",
+                         (F.col("sd") > F.date_add(F.col("od"),
+                                                   Q21_LATE_DAYS))
+                          .cast("int").alias("late")))
+    per_order = (flagged.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("ns"),
+                      F.countDistinct(F.expr(
+                          "CASE WHEN late = 1 THEN l_suppkey END"))
+                       .alias("n_late_supp"),
+                      F.max(F.expr("CASE WHEN late = 1 THEN l_suppkey END"))
+                       .alias("lone_supp")))
+    lone = per_order.filter((F.col("ns") > 1) & (F.col("n_late_supp") == 1))
+    supp = (domain.load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_name"))
+    return (lone.groupBy("lone_supp")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+                .join(F.broadcast(supp),
+                      F.col("lone_supp") == F.col("s_suppkey"))
+                .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+                        "s_name", "numwait")
+                .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+                .limit(Q21_TOP))
+
+
+def sql_tpch_q21_lone_late_supplier() -> str:
+    return f"""
+WITH q AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  JOIN orders o ON l1.l_orderkey = o.o_orderkey
+  WHERE CAST(l1.l_shipdate AS DATE)
+        > CAST(o.o_orderdate AS DATE) + INTERVAL {Q21_LATE_DAYS} DAY
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND CAST(l3.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + INTERVAL {Q21_LATE_DAYS} DAY)
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM q
+JOIN supplier s ON q.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT {Q21_TOP}"""
+
+
+# --- Q22 shape: scalar-average subquery + anti-join --------------------------
+# "Lost customers": above-average balance but no order since the
+# cutoff — TPC-H Q22's two devices: a 1-row global aggregate feeding a
+# per-row predicate, and an anti-join against the fact.  The average
+# compare is float-free: bal_c * n_pos > sum_pos_c (integer cross-
+# multiplication; DECIMAL(38,0)-widened because bal_c * n_customers
+# exceeds int64 at warehouse scale).  cntrycode := c_nationkey (the
+# schema has no phone column).
+#
+# Scale shape: the positive-balance stats are a 1-row broadcast; the
+# recent-buyer keyset is a pre-aggregated DISTINCT before the
+# LEFT ANTI; the rollup is |nations| rows.
+
+Q22_CUTOFF = "2000-01-01"
+
+
+def q_tpch_q22_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (domain.load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey",
+                    F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)")
+                     .alias("bal_c")))
+    pos = (cust.filter(F.col("bal_c") > 0)
+               .agg(F.sum("bal_c").alias("sum_pos_c"),
+                    F.count(F.lit(1)).alias("n_pos")))
+    recent = (domain.load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate").cast("date")
+                      >= F.lit(Q22_CUTOFF).cast("date"))
+              .select(F.col("o_custkey").alias("c_custkey"))
+              .distinct())
+    dec = "DECIMAL(38,0)"
+    rich = (cust.crossJoin(F.broadcast(pos))
+                .filter(F.expr(f"CAST(bal_c AS {dec}) * n_pos > sum_pos_c")))
+    return (rich.join(recent, "c_custkey", "left_anti")
+                .groupBy("c_nationkey")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+                     F.sum("bal_c").cast("bigint").alias("bal_sum_c"))
+                .select(F.col("c_nationkey").cast("int").alias("c_nationkey"),
+                        "n_custs", "bal_sum_c")
+                .orderBy("c_nationkey"))
+
+
+def sql_tpch_q22_lost_customers() -> str:
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+pos AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos_c,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM cust WHERE bal_c > 0
+)
+SELECT CAST(c.c_nationkey AS INT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(c.bal_c) AS BIGINT) AS bal_sum_c
+FROM cust c, pos
+WHERE CAST(c.bal_c AS HUGEINT) * pos.n_pos > pos.sum_pos_c
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND CAST(o.o_orderdate AS DATE) >= DATE '{Q22_CUTOFF}')
+GROUP BY c.c_nationkey
+ORDER BY c_nationkey"""

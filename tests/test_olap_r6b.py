@@ -149,3 +149,75 @@ def test_q18_threshold_and_plan(spark):
     plan = plan_of(OL.q_tpch_q18_large_orders(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+# --- wave 10: adapted shapes ---------------------------------------------
+
+def test_q12_buckets_partition_all_lineitems(spark):
+    rows = {r.ship_bucket: r for r in
+            OL.q_tpch_q12_priority_class(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"late", "ontime"}
+    n_li = domain.load_table(spark, SF_ORACLE, "lineitem").count()
+    total = sum(r.high_line_count + r.low_line_count for r in rows.values())
+    assert total == n_li
+
+
+def test_q19_single_join_single_scan_pair(spark):
+    plan = plan_of(OL.q_tpch_q19_disjunctive(spark, SF_SMOKE))
+    # the disjunction must ride ONE join — not three scan+join branches
+    assert n_ops(plan, "Scan parquet") == 2          # lineitem + part
+    joins = (n_ops(plan, "BroadcastHashJoin")
+             + n_ops(plan, "SortMergeJoin") + n_ops(plan, "ShuffledHashJoin"))
+    assert joins == 1
+    row = OL.q_tpch_q19_disjunctive(spark, SF_ORACLE).collect()[0]
+    assert row.n_lineitems > 0 and row.revenue_e4 > 0
+
+
+def test_q21_decorrelated_matches_bruteforce(spark):
+    rows = OL.q_tpch_q21_lone_late_supplier(spark, SF_ORACLE).collect()
+    import datetime
+    od = {r.o_orderkey: r.o_orderdate for r in
+          domain.load_table(spark, SF_ORACLE, "orders").collect()}
+    per_order: dict[int, tuple[set, set]] = {}
+    for r in domain.load_table(spark, SF_ORACLE, "lineitem").collect():
+        supp, late = per_order.setdefault(r.l_orderkey, (set(), set()))
+        supp.add(r.l_suppkey)
+        if r.l_shipdate > od[r.l_orderkey] + datetime.timedelta(days=90):
+            late.add(r.l_suppkey)
+    counts: dict[int, int] = {}
+    for supp, late in per_order.values():
+        if len(supp) > 1 and len(late) == 1:
+            (k,) = late
+            counts[k] = counts.get(k, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:OL.Q21_TOP]
+    assert [(r.s_suppkey, r.numwait) for r in rows] == want
+
+
+def test_q21_plan_touches_lineitem_once_per_role(spark):
+    plan = plan_of(OL.q_tpch_q21_lone_late_supplier(spark, SF_SMOKE))
+    # decorrelated: the correlated EXISTS/NOT EXISTS would re-join the
+    # fact twice more; the aggregate form scans lineitem exactly once
+    assert n_ops(plan, "Scan parquet") <= 3   # lineitem + orders + supplier
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_q22_anti_join_and_integer_threshold(spark):
+    rows = OL.q_tpch_q22_lost_customers(spark, SF_ORACLE).collect()
+    assert rows and all(r.n_custs > 0 for r in rows)
+    cust = domain.load_table(spark, SF_ORACLE, "customer").collect()
+    import datetime, math
+    bal = {r.c_custkey: math.floor(r.c_acctbal * 100) for r in cust}
+    pos = [b for b in bal.values() if b > 0]
+    s, n = sum(pos), len(pos)
+    cutoff = datetime.datetime(2000, 1, 1)
+    recent = {r.o_custkey for r in
+              domain.load_table(spark, SF_ORACLE, "orders").collect()
+              if r.o_orderdate >= cutoff}
+    want: dict[int, list[int]] = {}
+    for r in cust:
+        if bal[r.c_custkey] * n > s and r.c_custkey not in recent:
+            want.setdefault(r.c_nationkey, []).append(bal[r.c_custkey])
+    assert {r.c_nationkey: (r.n_custs, r.bal_sum_c) for r in rows} == {
+        k: (len(v), sum(v)) for k, v in want.items()}
+    plan = plan_of(OL.q_tpch_q22_lost_customers(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
