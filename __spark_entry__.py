@@ -488,6 +488,16 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_lone_late_supplier": OL.q_tpch_q21_lone_late_supplier,
         # Q22 shape: 1-row scalar-avg broadcast + LEFT ANTI on the fact
         "tpch_q22_lost_customers": OL.q_tpch_q22_lost_customers,
+        # --- round-6 wave 11: governance + vector-index eval ---
+        # one-pass 5-column profiler (multi-distinct via a single Expand)
+        "dq_column_profile": MON.q_dq_column_profile,
+        # k-anonymity small-group suppression at (lang, source) grain
+        "dq_k_anonymity": MON.q_dq_k_anonymity,
+        # Cleanlab-style kNN label-noise audit, int8-exact cosine
+        "knn_label_noise": SIM.q_knn_label_noise,
+        # recall@k vs Hamming probe radius over integer SRP cells —
+        # the index-tuning curve, fully engine-neutral (hash-exact)
+        "ann_recall_curve": SIM.q_ann_recall_curve,
     }
 
 
@@ -587,6 +597,8 @@ _R6_NEW = [
     "tpch_q18_large_orders",
     "tpch_q12_priority_class", "tpch_q19_disjunctive",
     "tpch_q21_lone_late_supplier", "tpch_q22_lost_customers",
+    "dq_column_profile", "dq_k_anonymity", "knn_label_noise",
+    "ann_recall_curve",
 ]
 
 
@@ -817,6 +829,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19_disjunctive": OL.sql_tpch_q19_disjunctive(),
         "tpch_q21_lone_late_supplier": OL.sql_tpch_q21_lone_late_supplier(),
         "tpch_q22_lost_customers": OL.sql_tpch_q22_lost_customers(),
+        "dq_column_profile": MON.sql_dq_column_profile(),
+        "dq_k_anonymity": MON.sql_dq_k_anonymity(),
+        "knn_label_noise": SIM.sql_knn_label_noise(),
+        "ann_recall_curve": SIM.sql_ann_recall_curve(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

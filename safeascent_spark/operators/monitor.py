@@ -180,3 +180,115 @@ SELECT table_name, column_name, n_rows, n_distinct, top_key, top_count,
             AS BIGINT) AS skew_ratio_milli
 FROM ({union})
 ORDER BY table_name, column_name"""
+
+
+# --- dq_column_profile: the one-pass column profiler --------------------------
+# Null rate, distinct count, and min/max per column — the first thing a
+# pipeline runs on a new drop before any join/dedup planning (it feeds
+# dq_skew_profile's choice of keys and dq_assertions' thresholds).
+#
+# Shape: ONE aggregate row computes all five columns' stats in a single
+# fact pass (Spark plans the multi-count-distinct via one Expand — a
+# x5 row multiplication streamed through a map-side-combined aggregate,
+# NOT five scans), then a bounded 5-row unpivot presents it long-form.
+# Profiled values are pre-cast to exact engine-neutral forms (BIGINT /
+# string / date-string) so min/max render identically in both engines.
+
+_PROFILE_SPEC = [
+    # name, exact projected expression (Spark + DuckDB shared syntax)
+    ("o_orderkey", "CAST(o_orderkey AS BIGINT)"),
+    ("o_custkey", "CAST(o_custkey AS BIGINT)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice_c", "CAST(floor(o_totalprice * 100) AS BIGINT)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+def q_dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = domain.load_table(spark, sf_dir, "orders")
+    # keep natural types through the aggregate (numeric min/max must be
+    # numeric, not lexicographic); render as string only at presentation
+    proj = o.selectExpr(*[f"({e}) AS {n}" for n, e in _PROFILE_SPEC])
+    aggs = []
+    for n, _ in _PROFILE_SPEC:
+        aggs += [
+            F.expr(f"CAST(count({n}) AS BIGINT)").alias(f"{n}__nn"),
+            F.expr(f"CAST(count(DISTINCT {n}) AS BIGINT)").alias(f"{n}__nd"),
+            F.expr(f"CAST(min({n}) AS STRING)").alias(f"{n}__mn"),
+            F.expr(f"CAST(max({n}) AS STRING)").alias(f"{n}__mx"),
+        ]
+    wide = proj.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"), *aggs)
+    stack = ", ".join(
+        f"'{n}', {n}__nn, {n}__nd, {n}__mn, {n}__mx"
+        for n, _ in _PROFILE_SPEC)
+    return (wide.selectExpr(
+                "n_rows",
+                f"stack({len(_PROFILE_SPEC)}, {stack}) AS "
+                "(col_name, n_nonnull, n_distinct, min_val, max_val)")
+                .selectExpr("col_name", "n_rows", "n_nonnull",
+                            "CAST(n_rows - n_nonnull AS BIGINT) AS n_null",
+                            "n_distinct", "min_val", "max_val")
+                .orderBy("col_name"))
+
+
+def sql_dq_column_profile() -> str:
+    legs = []
+    for n, e in _PROFILE_SPEC:
+        legs.append(f"""
+  SELECT '{n}' AS col_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(v) AS BIGINT) AS n_nonnull,
+         CAST(count(*) - count(v) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         CAST(min(v) AS VARCHAR) AS min_val,
+         CAST(max(v) AS VARCHAR) AS max_val
+  FROM (SELECT ({e}) AS v FROM orders)""")
+    return "SELECT * FROM (" + "\nUNION ALL".join(legs) + \
+           ")\nORDER BY col_name"
+
+
+# --- dq_k_anonymity: small-group suppression ---------------------------------
+# Privacy-governance gate: grouping the corpus by quasi-identifiers
+# (lang, source), any group smaller than K is SUPPRESSED — its members
+# are reported only through one aggregate catch-all row.  This is the
+# k-anonymity release shape (Sweeney 2002) every shared-dataset export
+# runs; on-engine it is one aggregate + a bounded CASE re-aggregate,
+# no row-level second pass.
+
+K_ANON = 10
+
+
+def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = domain.load_table(spark, sf_dir, "documents")
+    g = (d.groupBy("lang", "source")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    # bounded re-aggregate: |lang|x|source| rows in, released + 1 out
+    return (g.select(
+                F.when(F.col("n_docs") >= K_ANON, F.col("lang"))
+                 .otherwise(F.lit("*")).alias("lang"),
+                F.when(F.col("n_docs") >= K_ANON, F.col("source"))
+                 .otherwise(F.lit("*")).alias("source"),
+                "n_docs",
+                F.when(F.col("n_docs") >= K_ANON, F.lit(0))
+                 .otherwise(F.lit(1)).alias("suppressed"))
+             .groupBy("lang", "source")
+             .agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
+                  F.sum("suppressed").cast("bigint")
+                   .alias("n_suppressed_groups"))
+             .orderBy("lang", "source"))
+
+
+def sql_dq_k_anonymity() -> str:
+    return f"""
+WITH g AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+)
+SELECT CASE WHEN n_docs >= {K_ANON} THEN lang ELSE '*' END AS lang,
+       CASE WHEN n_docs >= {K_ANON} THEN source ELSE '*' END AS source,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_docs >= {K_ANON} THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_suppressed_groups
+FROM g
+GROUP BY 1, 2
+ORDER BY 1, 2"""

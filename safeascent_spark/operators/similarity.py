@@ -1039,3 +1039,278 @@ SELECT q.vec_id AS query_id,
 FROM (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) q
 LEFT JOIN per_q p ON p.query_id = q.vec_id
 ORDER BY query_id"""
+
+
+# --- kNN label-noise audit ---------------------------------------------------
+# Cleanlab-style mislabel detection (Northcutt et al. 2021, simplified to
+# its kNN-disagreement core): a labeled example whose nearest neighbors
+# mostly carry a DIFFERENT label is a labeling-error candidate — the
+# audit every labeled training set runs before fine-tuning.  Same
+# int8-exact cosine kNN contract as q_knn_classify (exact integer dots,
+# one IEEE division, integer vote); the verdict fraction is an exact
+# ppm floor division, so the flag is hash-stable.
+#
+# Scale: the probe slice is bounded per pass (full-corpus audits run as
+# successive slices or via the dedup_semantic SRP-cell bound); corpus
+# streams through one WindowGroupLimit top-k per probe.
+
+NOISE_PROBES = 50
+NOISE_K = 10
+NOISE_FLAG_PPM = 500_000      # flag when a strict majority disagrees
+
+
+def q_knn_label_noise(spark: SparkSession, sf_dir: str,
+                      k: int = NOISE_K) -> DataFrame:
+    e = quantized_df(spark, sf_dir)
+    probes = (e.filter(F.col("vec_id") < NOISE_PROBES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("own_label"),
+                       F.col("qvec").alias("quvec")))
+    pairs = (domain.fan_out(e).crossJoin(F.broadcast(probes))
+                  .filter(F.col("vec_id") != F.col("query_id")))
+    idot = F.aggregate(F.zip_with(F.col("qvec"), F.col("quvec"),
+                                  lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    inorm = lambda a: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x).cast("double"))
+    cos = idot.cast("double") / (inorm(F.col("qvec")) * inorm(F.col("quvec")))
+    scored = pairs.select("query_id", "own_label", "vec_id", "label",
+                          cos.alias("cosine"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    topk = (scored.withColumn("rank", F.row_number().over(wk))
+                  .filter(F.col("rank") <= k))
+    return (topk.groupBy("query_id", "own_label")
+                .agg(F.expr("CAST(sum(CASE WHEN label <> own_label "
+                            "THEN 1 ELSE 0 END) AS BIGINT)")
+                      .alias("n_disagree"))
+                .select(F.col("query_id").alias("vec_id"),
+                        F.col("own_label").alias("label"),
+                        "n_disagree",
+                        F.expr(f"n_disagree * 1000000 div {k}")
+                         .cast("bigint").alias("noise_ppm"),
+                        F.expr(f"n_disagree * 1000000 div {k} "
+                               f">= {NOISE_FLAG_PPM}").alias("flagged"))
+                .orderBy("vec_id"))
+
+
+def sql_knn_label_noise(k: int = NOISE_K) -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT)")
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, label, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+qnorms AS (
+  SELECT vec_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+  FROM qflat GROUP BY vec_id
+),
+qdots AS (
+  SELECT q.vec_id AS query_id, any_value(q.label) AS own_label,
+         c.vec_id, any_value(c.label) AS label,
+         CAST(sum(q.x * c.x) AS BIGINT) AS dot
+  FROM qflat q JOIN qflat c ON q.i = c.i
+  WHERE q.vec_id < {NOISE_PROBES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+topk AS (
+  SELECT query_id, own_label, label FROM (
+    SELECT d.query_id, d.own_label, d.label,
+           row_number() OVER (
+             PARTITION BY d.query_id
+             ORDER BY CAST(d.dot AS DOUBLE) / (nc.nrm * nq.nrm) DESC,
+                      d.vec_id ASC) AS rank
+    FROM qdots d
+    JOIN qnorms nc ON d.vec_id = nc.vec_id
+    JOIN qnorms nq ON d.query_id = nq.vec_id
+  ) WHERE rank <= {k}
+)
+SELECT query_id AS vec_id, own_label AS label,
+       CAST(sum(CASE WHEN label <> own_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_disagree,
+       CAST(sum(CASE WHEN label <> own_label THEN 1 ELSE 0 END)
+            * 1000000 // {k} AS BIGINT) AS noise_ppm,
+       (sum(CASE WHEN label <> own_label THEN 1 ELSE 0 END)
+        * 1000000 // {k}) >= {NOISE_FLAG_PPM} AS flagged
+FROM topk
+GROUP BY query_id, own_label
+ORDER BY vec_id"""
+
+
+# --- ANN recall-vs-probe-radius curve ----------------------------------------
+# The index-tuning readout every vector store publishes: recall@k as the
+# probe set widens.  Cells are INTEGER sign-random-projection codes over
+# the int8 vectors (projections are exact integer dots, so the cell
+# assignment — unlike KMeans — is engine-neutral and the whole curve is
+# hash-exact); probing at radius r admits every cell within Hamming
+# distance r of the query's code.  recall_ppm is measured against the
+# exact int8-cosine top-k computed in the same frame.
+#
+# Scale: the radius explode multiplies the per-query CANDIDATE stream,
+# not the corpus (candidates at radius r are the r-ball's occupancy);
+# the per-(radius, query) windows are probe-bounded; the exact leg is
+# the certification scaffold and runs on the same bounded probe slice.
+
+RC_BITS = 6
+RC_RADII = (0, 1, 2)
+RC_K = 10
+
+
+def _rc_plane_component(j: int, d: int) -> int:
+    """Deterministic integer plane component in [-3, 3] (distinct stream
+    from _plane_component / _band_plane)."""
+    return ((j * 149 + d * 23) % 7) - 3
+
+
+def _rc_code_expr(qvec):
+    code = F.lit(0).cast("long")
+    for j in range(RC_BITS):
+        plane = F.array(*[F.lit(_rc_plane_component(j, d)).cast("long")
+                          for d in range(DIM)])
+        proj = F.aggregate(F.zip_with(qvec, plane, lambda x, p: x * p),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+        code = code + F.when(proj > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return code
+
+
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str,
+                       k: int = RC_K) -> DataFrame:
+    e = quantized_df(spark, sf_dir).withColumn(
+        "code", _rc_code_expr(F.col("qvec")))
+    probes = (e.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qvec").alias("quvec"),
+                       F.col("code").alias("qcode")))
+    pairs = (domain.fan_out(e).crossJoin(F.broadcast(probes))
+                  .filter(F.col("vec_id") != F.col("query_id")))
+    idot = F.aggregate(F.zip_with(F.col("qvec"), F.col("quvec"),
+                                  lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    inorm = lambda a: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x).cast("double"))
+    cos = idot.cast("double") / (inorm(F.col("qvec")) * inorm(F.col("quvec")))
+    scored = pairs.select(
+        "query_id", "vec_id", cos.alias("cosine"),
+        F.expr("bit_count(code ^ qcode)").alias("ham"))
+    wx = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    exact = (scored.withColumn("xrank", F.row_number().over(wx))
+                   .filter(F.col("xrank") <= k)
+                   .select("query_id", F.col("vec_id").alias("hit_id")))
+    probed = (scored.withColumn(
+                  "radius", F.explode(F.array(*[F.lit(r)
+                                                for r in RC_RADII])))
+                    .filter(F.col("ham") <= F.col("radius")))
+    wp = Window.partitionBy("radius", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    approx = (probed.withColumn("arank", F.row_number().over(wp))
+                    .filter(F.col("arank") <= k))
+    hits = (approx.join(exact,
+                        (approx.query_id == exact.query_id)
+                        & (approx.vec_id == exact.hit_id))
+                  .groupBy("radius")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+    cand = (probed.groupBy("radius")
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                        .alias("n_cand_pairs")))
+    radii = spark.range(len(RC_RADII)).selectExpr(
+        f"CAST(element_at(array{RC_RADII}, CAST(id + 1 AS INT)) AS INT)"
+        " AS radius")
+    return (radii.join(F.broadcast(cand), "radius", "left")
+                 .join(F.broadcast(hits), "radius", "left")
+                 .na.fill(0, ["n_cand_pairs", "n_hits"])
+                 .select(F.col("radius").cast("int").alias("radius"),
+                         F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                         "n_cand_pairs", "n_hits",
+                         F.expr(f"n_hits * 1000000 div {N_QUERIES * k}")
+                          .cast("bigint").alias("recall_ppm"))
+                 .orderBy("radius"))
+
+
+def sql_ann_recall_curve(k: int = RC_K) -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT)")
+    radii_rows = ", ".join(f"({r})" for r in RC_RADII)
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+projs AS (
+  SELECT f.vec_id, j.j,
+         CAST(sum(f.x * (((j.j * 149 + (f.i - 1) * 23) % 7) - 3))
+              AS BIGINT) AS proj
+  FROM qflat f, (SELECT unnest(generate_series(0, {RC_BITS - 1})) AS j) j
+  GROUP BY f.vec_id, j.j
+),
+codes AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+           AS code
+  FROM projs GROUP BY vec_id
+),
+qnorms AS (
+  SELECT vec_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+  FROM qflat GROUP BY vec_id
+),
+qdots AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         CAST(sum(q.x * c.x) AS BIGINT) AS dot
+  FROM qflat q JOIN qflat c ON q.i = c.i
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / (nc.nrm * nq.nrm) AS cosine,
+         bit_count(xor(cc.code, cq.code)) AS ham
+  FROM qdots d
+  JOIN qnorms nc ON d.vec_id = nc.vec_id
+  JOIN qnorms nq ON d.query_id = nq.vec_id
+  JOIN codes cc ON d.vec_id = cc.vec_id
+  JOIN codes cq ON d.query_id = cq.vec_id
+),
+exact AS (
+  SELECT query_id, vec_id AS hit_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS xrank
+    FROM scored
+  ) WHERE xrank <= {k}
+),
+probed AS (
+  SELECT r.radius, s.query_id, s.vec_id, s.cosine
+  FROM scored s JOIN (VALUES {radii_rows}) r(radius)
+    ON s.ham <= r.radius
+),
+approx AS (
+  SELECT radius, query_id, vec_id FROM (
+    SELECT radius, query_id, vec_id,
+           row_number() OVER (PARTITION BY radius, query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS arank
+    FROM probed
+  ) WHERE arank <= {k}
+),
+hits AS (
+  SELECT a.radius, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.hit_id
+  GROUP BY a.radius
+),
+cand AS (
+  SELECT radius, CAST(count(*) AS BIGINT) AS n_cand_pairs
+  FROM probed GROUP BY radius
+)
+SELECT CAST(r.radius AS INT) AS radius,
+       CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       CAST(coalesce(c.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // {N_QUERIES * k} AS BIGINT)
+         AS recall_ppm
+FROM (VALUES {radii_rows}) r(radius)
+LEFT JOIN cand c ON r.radius = c.radius
+LEFT JOIN hits h ON r.radius = h.radius
+ORDER BY radius"""
