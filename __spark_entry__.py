@@ -498,6 +498,15 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall@k vs Hamming probe radius over integer SRP cells —
         # the index-tuning curve, fully engine-neutral (hash-exact)
         "ann_recall_curve": SIM.q_ann_recall_curve,
+        # --- round-6 wave 12: embedding diagnostics + eval + splits ---
+        # integer Fisher-style per-dimension class separability
+        "embedding_class_separation": SIM.q_embedding_class_separation,
+        # semi-hard negative mining (different-label top-M cosine)
+        "sample_hard_negatives": SIM.q_sample_hard_negatives,
+        # chance-corrected kNN-vs-gold agreement, exact signed ppm
+        "eval_cohens_kappa": SIM.q_eval_cohens_kappa,
+        # purged/embargoed temporal split + user-overlap certificate
+        "sample_time_embargo": CU.q_sample_time_embargo,
     }
 
 
@@ -599,6 +608,8 @@ _R6_NEW = [
     "tpch_q21_lone_late_supplier", "tpch_q22_lost_customers",
     "dq_column_profile", "dq_k_anonymity", "knn_label_noise",
     "ann_recall_curve",
+    "embedding_class_separation", "sample_hard_negatives",
+    "eval_cohens_kappa", "sample_time_embargo",
 ]
 
 
@@ -833,6 +844,10 @@ def oracle_sql() -> dict[str, str]:
         "dq_k_anonymity": MON.sql_dq_k_anonymity(),
         "knn_label_noise": SIM.sql_knn_label_noise(),
         "ann_recall_curve": SIM.sql_ann_recall_curve(),
+        "embedding_class_separation": SIM.sql_embedding_class_separation(),
+        "sample_hard_negatives": SIM.sql_sample_hard_negatives(),
+        "eval_cohens_kappa": SIM.sql_eval_cohens_kappa(),
+        "sample_time_embargo": CU.sql_sample_time_embargo(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

@@ -917,3 +917,85 @@ SELECT doc_id, n_tokens, n_bigrams, uni_bits_micro, bi_bits_micro,
        gain_micro * n_docs > sum_gain AS selected
 FROM scored CROSS JOIN corpus
 ORDER BY doc_id"""
+
+
+# --- Temporal train/test split with embargo ----------------------------------
+# Forecast/recsys training data must be split by TIME, not by hash — and
+# with an EMBARGO gap so near-boundary leakage (a user's test behavior
+# bleeding into late train rows via windowed features) cannot occur
+# (the purged/embargoed split of de Prado 2018).  This op both performs
+# the split accounting and certifies the residual risk: per event type
+# it reports the train/embargo/test row counts and how many users
+# appear on BOTH sides of the gap (the population whose windowed
+# features still need care).
+#
+# Exactness: pure integer epoch-ns compares and counts.  Scale shape:
+# one pass to (type, user) grain (map-side combined), then a bounded
+# per-type re-aggregate — the certificate never re-scans the fact.
+
+EMBARGO_TRAIN_END_NS = 1_705_708_800 * 1_000_000_000   # 2024-01-20 UTC
+EMBARGO_TEST_START_NS = 1_705_881_600 * 1_000_000_000  # 2024-01-22 UTC
+
+
+def q_sample_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import domain
+    e = domain.load_table(spark, sf_dir, "events")
+    flags = e.select(
+        "event_type", "user_id",
+        F.expr(f"CASE WHEN ts < {EMBARGO_TRAIN_END_NS} THEN 1 ELSE 0 END")
+         .alias("in_train"),
+        F.expr(f"CASE WHEN ts >= {EMBARGO_TRAIN_END_NS} "
+               f"AND ts < {EMBARGO_TEST_START_NS} THEN 1 ELSE 0 END")
+         .alias("in_embargo"),
+        F.expr(f"CASE WHEN ts >= {EMBARGO_TEST_START_NS} THEN 1 ELSE 0 END")
+         .alias("in_test"))
+    per_user = (flags.groupBy("event_type", "user_id")
+                     .agg(F.sum("in_train").alias("n_tr"),
+                          F.sum("in_embargo").alias("n_em"),
+                          F.sum("in_test").alias("n_te")))
+    return (per_user.groupBy("event_type")
+        .agg(F.sum("n_tr").cast("bigint").alias("n_train"),
+             F.sum("n_em").cast("bigint").alias("n_embargo"),
+             F.sum("n_te").cast("bigint").alias("n_test"),
+             F.expr("CAST(sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) "
+                    "AS BIGINT)").alias("n_train_users"),
+             F.expr("CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) "
+                    "AS BIGINT)").alias("n_test_users"),
+             F.expr("CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 "
+                    "THEN 1 ELSE 0 END) AS BIGINT)")
+              .alias("n_overlap_users"))
+        .orderBy("event_type"))
+
+
+def sql_sample_time_embargo() -> str:
+    return f"""
+WITH flags AS (
+  SELECT event_type, user_id,
+         CASE WHEN epoch_ns(ts) < {EMBARGO_TRAIN_END_NS}
+              THEN 1 ELSE 0 END AS in_train,
+         CASE WHEN epoch_ns(ts) >= {EMBARGO_TRAIN_END_NS}
+              AND epoch_ns(ts) < {EMBARGO_TEST_START_NS}
+              THEN 1 ELSE 0 END AS in_embargo,
+         CASE WHEN epoch_ns(ts) >= {EMBARGO_TEST_START_NS}
+              THEN 1 ELSE 0 END AS in_test
+  FROM events
+),
+per_user AS (
+  SELECT event_type, user_id,
+         sum(in_train) AS n_tr, sum(in_embargo) AS n_em,
+         sum(in_test) AS n_te
+  FROM flags GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(sum(n_tr) AS BIGINT) AS n_train,
+       CAST(sum(n_em) AS BIGINT) AS n_embargo,
+       CAST(sum(n_te) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train_users,
+       CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test_users,
+       CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap_users
+FROM per_user
+GROUP BY event_type
+ORDER BY event_type"""

@@ -193,20 +193,18 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("i")
              .agg(F.sum("x").cast("bigint").alias("sx")))
     dec = "DECIMAL(38,0)"
-    # the numerator can be NEGATIVE: Spark's `div` truncates toward zero
-    # while DuckDB's `//` floors, so floor division is reconstructed from
-    # (div, %) exactly — no double ever touches the value (the
-    # ml_calibration double-floor device would lose exactness past 2^52)
-    nmr = (f"(CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy) * 1000"
-           .replace("{d}", dec))
+    # the numerator can be NEGATIVE: both Spark's `div` and DuckDB's
+    # integer `//` truncate toward zero (verified on this runtime pair:
+    # -7 div 2 == -7 // 2 == -3), so the plain quotient is engine-exact
+    # for every sign — no floor reconstruction, no double ever touches
+    # the value.
+    nmr = f"(CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy) * 1000"
     dnm = f"(CAST(n AS {dec}) * n)"
-    floor_div = (f"(({nmr}) div {dnm}) - (CASE WHEN ({nmr}) % {dnm} != 0 "
-                 f"AND ({nmr}) < 0 THEN 1 ELSE 0 END)")
     cov = (sums.join(F.broadcast(marg), "i")
                .join(F.broadcast(marg.select(F.col("i").alias("j"),
                                              F.col("sx").alias("sy"))), "j")
                .select("i", "j", "n", "sxy", "sx", "sy",
-                       F.expr(f"CAST({floor_div} AS BIGINT)")
+                       F.expr(f"CAST(({nmr}) div {dnm} AS BIGINT)")
                         .alias("cov_mean_milli")))
     return (cov.orderBy(F.abs(F.col("cov_mean_milli")).desc(),
                         F.col("i"), F.col("j"))

@@ -1314,3 +1314,237 @@ FROM (VALUES {radii_rows}) r(radius)
 LEFT JOIN cand c ON r.radius = c.radius
 LEFT JOIN hits h ON r.radius = h.radius
 ORDER BY radius"""
+
+
+# --- Class-separability diagnostics (integer Fisher-style ratio) -------------
+# Which embedding dimensions actually separate the label classes — the
+# feature-quality readout run before training a probe/classifier on
+# frozen embeddings (high between-class scatter over within-class
+# scatter = discriminative axis).  Works on the SHIFTED int8 values
+# x' = q + 127 >= 0 so every division below is on non-negative integers
+# (Spark div == DuckDB // there) while means/variances are shift-
+# invariant; scatter terms are exact integers in milli^2 units with
+# DECIMAL(38,0) widening, so the whole top-10 ranking is hash-exact —
+# a float Fisher ratio would make the ranking engine-dependent.
+#
+# Scale: per-(label, dim) cells aggregate map-side (|labels| x DIM rows
+# out of any corpus size); everything after is bounded-frame arithmetic.
+
+SEP_TOP_DIMS = 10
+
+
+def q_embedding_class_separation(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    e = quantized_df(spark, sf_dir)
+    cells = (e.select("label", F.posexplode("qvec").alias("d", "q"))
+              .select("label", "d", (F.col("q") + 127).alias("x"))
+              .groupBy("label", "d")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_l"),
+                   F.sum("x").cast("long").alias("s_l"),
+                   F.sum(F.expr("x * x")).cast("long").alias("q_l")))
+    grand = (cells.groupBy("d")
+                  .agg(F.sum("n_l").cast("long").alias("n"),
+                       F.sum("s_l").cast("long").alias("s")))
+    dec = "DECIMAL(38,0)"
+    per_cell = (cells.join(F.broadcast(grand), "d")
+        .select("d",
+                # class/grand means in exact milli units (non-negative)
+                F.expr("s_l * 1000 div n_l").alias("m_l"),
+                F.expr("s * 1000 div n").alias("m"),
+                "n_l", "s_l", "q_l")
+        .select("d",
+                F.expr(f"CAST(n_l AS {dec}) * (m_l - m) * (m_l - m)")
+                 .alias("b_term"),
+                F.expr(f"(CAST(n_l AS {dec}) * q_l - CAST(s_l AS {dec})"
+                       " * s_l) * 1000000 div n_l").alias("w_term")))
+    return (per_cell.groupBy("d")
+        .agg(F.expr(f"CAST(sum(b_term) AS {dec})").alias("b_dec"),
+             F.expr(f"CAST(sum(w_term) AS {dec})").alias("w_dec"))
+        .select(F.col("d").cast("int").alias("dim"),
+                F.expr("CAST(b_dec AS BIGINT)").alias("between_milli2"),
+                F.expr("CAST(w_dec AS BIGINT)").alias("within_milli2"),
+                F.expr("CAST(b_dec * 1000000 div greatest(w_dec, CAST(1 AS "
+                       f"{dec})) AS BIGINT)").alias("fisher_ppm"))
+        .orderBy(F.col("fisher_ppm").desc(), F.col("dim"))
+        .limit(SEP_TOP_DIMS))
+
+
+def sql_embedding_class_separation() -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT) + 127")
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, label, i - 1 AS d, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+cells AS (
+  SELECT label, d, CAST(count(*) AS BIGINT) AS n_l,
+         CAST(sum(x) AS BIGINT) AS s_l,
+         CAST(sum(x * x) AS BIGINT) AS q_l
+  FROM qflat GROUP BY label, d
+),
+grand AS (
+  SELECT d, CAST(sum(n_l) AS BIGINT) AS n, CAST(sum(s_l) AS BIGINT) AS s
+  FROM cells GROUP BY d
+),
+per_cell AS (
+  SELECT c.d,
+         CAST(c.n_l AS HUGEINT)
+           * (c.s_l * 1000 // c.n_l - g.s * 1000 // g.n)
+           * (c.s_l * 1000 // c.n_l - g.s * 1000 // g.n) AS b_term,
+         (CAST(c.n_l AS HUGEINT) * c.q_l
+          - CAST(c.s_l AS HUGEINT) * c.s_l) * 1000000 // c.n_l AS w_term
+  FROM cells c JOIN grand g ON c.d = g.d
+)
+SELECT CAST(d AS INT) AS dim,
+       CAST(sum(b_term) AS BIGINT) AS between_milli2,
+       CAST(sum(w_term) AS BIGINT) AS within_milli2,
+       CAST(sum(b_term) * 1000000 // greatest(sum(w_term), 1) AS BIGINT)
+         AS fisher_ppm
+FROM per_cell
+GROUP BY d
+ORDER BY fisher_ppm DESC, dim
+LIMIT {SEP_TOP_DIMS}"""
+
+
+# --- Hard-negative mining for contrastive training ---------------------------
+# The retrieval-training complement of q_sample_contrastive_pairs: that
+# query draws RANDOM negatives; the pairs that actually move a model are
+# the HARD ones — highest-cosine neighbors carrying a DIFFERENT label
+# (in-batch semi-hard mining, Schroff et al. 2015).  Same int8-exact
+# kNN contract; the different-label filter runs BEFORE the rank window,
+# so the top-M is the true hardest set, not a post-filtered one.
+
+HN_PROBES = 20
+HN_M = 3
+
+
+def q_sample_hard_negatives(spark: SparkSession, sf_dir: str,
+                            m: int = HN_M) -> DataFrame:
+    e = quantized_df(spark, sf_dir)
+    probes = (e.filter(F.col("vec_id") < HN_PROBES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("anchor_label"),
+                       F.col("qvec").alias("quvec")))
+    pairs = (domain.fan_out(e).crossJoin(F.broadcast(probes))
+                  .filter((F.col("vec_id") != F.col("query_id"))
+                          & (F.col("label") != F.col("anchor_label"))))
+    idot = F.aggregate(F.zip_with(F.col("qvec"), F.col("quvec"),
+                                  lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    inorm = lambda a: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x).cast("double"))
+    cos = idot.cast("double") / (inorm(F.col("qvec")) * inorm(F.col("quvec")))
+    scored = pairs.select("query_id", "anchor_label", "vec_id", "label",
+                          cos.alias("cosine"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("neg_rank", F.row_number().over(wk))
+                  .filter(F.col("neg_rank") <= m)
+                  .select("query_id", "anchor_label",
+                          F.col("neg_rank").cast("int").alias("neg_rank"),
+                          F.col("vec_id").alias("neg_id"),
+                          F.col("label").alias("neg_label"),
+                          F.round("cosine", 6).alias("cosine"))
+                  .orderBy("query_id", "neg_rank"))
+
+
+def sql_sample_hard_negatives(m: int = HN_M) -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT)")
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, label, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+qnorms AS (
+  SELECT vec_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+  FROM qflat GROUP BY vec_id
+),
+qdots AS (
+  SELECT q.vec_id AS query_id, any_value(q.label) AS anchor_label,
+         c.vec_id, any_value(c.label) AS label,
+         CAST(sum(q.x * c.x) AS BIGINT) AS dot
+  FROM qflat q JOIN qflat c ON q.i = c.i
+  WHERE q.vec_id < {HN_PROBES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, anchor_label, CAST(neg_rank AS INT) AS neg_rank,
+       vec_id AS neg_id, label AS neg_label, round(cosine, 6) AS cosine
+FROM (
+  SELECT d.query_id, d.anchor_label, d.vec_id, d.label,
+         CAST(d.dot AS DOUBLE) / (nc.nrm * nq.nrm) AS cosine,
+         row_number() OVER (
+           PARTITION BY d.query_id
+           ORDER BY CAST(d.dot AS DOUBLE) / (nc.nrm * nq.nrm) DESC,
+                    d.vec_id ASC) AS neg_rank
+  FROM qdots d
+  JOIN qnorms nc ON d.vec_id = nc.vec_id
+  JOIN qnorms nq ON d.query_id = nq.vec_id
+  WHERE d.label <> d.anchor_label
+)
+WHERE neg_rank <= {m}
+ORDER BY query_id, neg_rank"""
+
+
+# --- Cohen's kappa of the kNN classifier vs gold labels ----------------------
+# Chance-corrected agreement between q_knn_classify's predictions and
+# the gold labels on the probe slice — the eval statistic that exposes
+# "high accuracy by majority class" (kappa ~ 0 there).  Exact integer
+# form:  kappa = (agree * n - SUM_l row_l * col_l)
+#              / (n * n      - SUM_l row_l * col_l)
+# reported as ppm; the numerator can be NEGATIVE (worse-than-chance),
+# which is safe because Spark's `div` and DuckDB's integer `//` BOTH
+# truncate toward zero (runtime-verified; the old repo assumption that
+# DuckDB floors is wrong on this pair) — plain quotients match exactly.
+
+def q_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = (embeddings_df(spark, sf_dir)
+            .filter(F.col("vec_id") < KNN_QUERIES)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("gold_label")))
+    pred = q_knn_classify(spark, sf_dir).select("query_id",
+                                                "predicted_label")
+    j = pred.join(F.broadcast(gold), "query_id")
+    rows_m = (j.groupBy("gold_label")
+               .agg(F.count(F.lit(1)).cast("long").alias("row_n")))
+    cols_m = (j.groupBy("predicted_label")
+               .agg(F.count(F.lit(1)).cast("long").alias("col_n")))
+    pe = (rows_m.join(cols_m,
+                      rows_m.gold_label == cols_m.predicted_label)
+                .agg(F.sum(F.expr("row_n * col_n")).cast("long")
+                      .alias("rowcol")))
+    base = j.agg(F.count(F.lit(1)).cast("long").alias("n_eval"),
+                 F.expr("CAST(sum(CASE WHEN predicted_label = gold_label "
+                        "THEN 1 ELSE 0 END) AS BIGINT)").alias("n_agree"))
+    return (base.crossJoin(F.broadcast(pe))
+                .select("n_eval", "n_agree", "rowcol",
+                        F.expr("CAST((n_agree * n_eval - rowcol) * 1000000 "
+                               "div (n_eval * n_eval - rowcol) AS BIGINT)")
+                         .alias("kappa_ppm")))
+
+
+def sql_eval_cohens_kappa() -> str:
+    return f"""
+WITH pred AS ({sql_knn_classify()}),
+j AS (
+  SELECT p.query_id, p.predicted_label, e.label AS gold_label
+  FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+),
+rows_m AS (SELECT gold_label, CAST(count(*) AS BIGINT) AS row_n
+           FROM j GROUP BY gold_label),
+cols_m AS (SELECT predicted_label, CAST(count(*) AS BIGINT) AS col_n
+           FROM j GROUP BY predicted_label),
+pe AS (SELECT CAST(sum(r.row_n * c.col_n) AS BIGINT) AS rowcol
+       FROM rows_m r JOIN cols_m c ON r.gold_label = c.predicted_label),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN predicted_label = gold_label
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM j
+)
+SELECT b.n_eval, b.n_agree, p.rowcol,
+       CAST((b.n_agree * b.n_eval - p.rowcol) * 1000000
+            // (b.n_eval * b.n_eval - p.rowcol) AS BIGINT) AS kappa_ppm
+FROM base b, pe p"""

@@ -87,3 +87,77 @@ def test_recall_curve_is_monotone_and_bounded(spark):
     # candidates must be a strict subset of the full corpus
     n_corpus = SIM.embeddings_df(spark, SF_ORACLE).count()
     assert rows[-1].n_cand_pairs < SIM.N_QUERIES * (n_corpus - 1)
+
+
+# --- wave 12: embedding diagnostics, hard negatives, kappa, embargo -------
+
+def test_class_separation_matches_numpy(spark):
+    import numpy as np
+    rows = SIM.q_embedding_class_separation(spark, SF_ORACLE).collect()
+    assert len(rows) == SIM.SEP_TOP_DIMS
+    vecs = SIM.embeddings_df(spark, SF_ORACLE).collect()
+    q = {r.vec_id: (r.label,
+                    np.array([round(max(-1.0, min(1.0, x)) * 127) + 127
+                              for x in r.vec], dtype=np.int64))
+         for r in vecs}
+    labels = sorted({l for l, _ in q.values()})
+    n = len(q)
+    by_label = {l: np.stack([v for ll, v in q.values() if ll == l])
+                for l in labels}
+    S = sum(m.sum(axis=0) for m in by_label.values())
+    want = {}
+    for d in range(SIM.DIM):
+        m_g = S[d] * 1000 // n
+        b = w = 0
+        for l in labels:
+            col = by_label[l][:, d]
+            n_l, s_l, q_l = len(col), int(col.sum()), int((col * col).sum())
+            m_l = s_l * 1000 // n_l
+            b += n_l * (m_l - m_g) ** 2
+            w += (n_l * q_l - s_l * s_l) * 1_000_000 // n_l
+        want[d] = (b, w, b * 1_000_000 // max(w, 1))
+    for r in rows:
+        assert (r.between_milli2, r.within_milli2,
+                r.fisher_ppm) == want[r.dim]
+    # the returned dims really are the argmax set
+    best = sorted(want.items(), key=lambda kv: (-kv[1][2], kv[0]))[:10]
+    assert [r.dim for r in rows] == [d for d, _ in best]
+
+
+def test_hard_negatives_are_cross_label_and_hardest(spark):
+    rows = SIM.q_sample_hard_negatives(spark, SF_ORACLE).collect()
+    assert len(rows) == SIM.HN_PROBES * SIM.HN_M
+    for r in rows:
+        assert r.neg_label != r.anchor_label
+    # per probe, ranks are 1..M with non-increasing cosine
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in rows:
+        per[r.query_id].append((r.neg_rank, r.cosine))
+    for q, rs in per.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, SIM.HN_M + 1))
+        cosines = [x[1] for x in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_kappa_bounds_and_formula(spark):
+    r = SIM.q_eval_cohens_kappa(spark, SF_ORACLE).collect()[0]
+    assert r.n_eval == SIM.KNN_QUERIES
+    assert 0 <= r.n_agree <= r.n_eval
+    num = (r.n_agree * r.n_eval - r.rowcol) * 1_000_000
+    den = r.n_eval * r.n_eval - r.rowcol
+    assert r.kappa_ppm == int(num / den)  # both engines truncate
+    assert -1_000_000 <= r.kappa_ppm <= 1_000_000
+
+
+def test_time_embargo_partitions_and_leak_readout(spark):
+    from safeascent_spark.operators import curation as CU
+    rows = CU.q_sample_time_embargo(spark, SF_ORACLE).collect()
+    assert rows
+    e = domain.load_table(spark, SF_ORACLE, "events")
+    n_events = e.count()
+    assert sum(r.n_train + r.n_embargo + r.n_test for r in rows) == n_events
+    for r in rows:
+        assert r.n_overlap_users <= min(r.n_train_users, r.n_test_users)
+        assert r.n_train > 0 and r.n_test > 0
