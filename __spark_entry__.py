@@ -20,6 +20,7 @@ from safeascent_spark.operators import dedup as D
 from safeascent_spark.operators import forecast as FC
 from safeascent_spark.operators import graph as G
 from safeascent_spark.operators import kernel_queries as KQ
+from safeascent_spark.operators import layout as LAY
 from safeascent_spark.operators import monitor as MON
 from safeascent_spark.operators import multimodal as MM
 from safeascent_spark.operators import olap as OL
@@ -507,6 +508,13 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_cohens_kappa": SIM.q_eval_cohens_kappa,
         # purged/embargoed temporal split + user-overlap certificate
         "sample_time_embargo": CU.q_sample_time_embargo,
+        # --- round-6 wave 13: layout, coresets, canonical dedup ---
+        # Morton-code clustering stats (the Z-ORDER BY decision readout)
+        "layout_zorder": LAY.q_layout_zorder,
+        # k-center farthest-point coreset, integer-exact trajectory
+        "sample_coreset_fps": SIM.q_sample_coreset_fps,
+        # quality-argmax canonical per duplicate cluster
+        "dedup_canonical": D.q_dedup_canonical,
     }
 
 
@@ -610,6 +618,7 @@ _R6_NEW = [
     "ann_recall_curve",
     "embedding_class_separation", "sample_hard_negatives",
     "eval_cohens_kappa", "sample_time_embargo",
+    "layout_zorder", "sample_coreset_fps", "dedup_canonical",
 ]
 
 
@@ -848,6 +857,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_hard_negatives": SIM.sql_sample_hard_negatives(),
         "eval_cohens_kappa": SIM.sql_eval_cohens_kappa(),
         "sample_time_embargo": CU.sql_sample_time_embargo(),
+        "layout_zorder": LAY.sql_layout_zorder(),
+        "sample_coreset_fps": SIM.sql_sample_coreset_fps(),
+        "dedup_canonical": D.sql_dedup_canonical(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

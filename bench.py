@@ -40,6 +40,11 @@ HEADLINE = [
     "multimodal_phash_clusters",
     "entity_resolution",
     "events_rolling_distinct",
+    # round-6 heavies (r7+): the decorrelated double-EXISTS, the probe-
+    # bounded index-tuning curve, and the dimension-grain separability
+    "tpch_q21_lone_late_supplier",
+    "ann_recall_curve",
+    "embedding_class_separation",
 ]
 
 

@@ -1338,3 +1338,67 @@ SELECT
       // sum(CASE WHEN in_approx THEN 1 ELSE 0 END)
     ELSE 1000000 END AS BIGINT) AS precision_ppm
 FROM j"""
+
+
+# --- Quality-aware canonical selection per duplicate cluster ------------------
+# q_dedup_clusters keeps min-doc_id per component (the cheap canonical);
+# production dedup keeps the HIGHEST-QUALITY member (Penedo et al. 2023
+# RefinedWeb keeps by heuristic score) — dropping a clean original in
+# favor of a boilerplate-wrapped copy because its id is smaller is a
+# real data-quality loss.  The canonical is argmax(quality_u) with a
+# min-doc_id tie-break, computed as two bounded aggregates + one
+# equality join (no window over the corpus); quality_u is the rounded
+# micro-unit integer of the already-verified quality expression, so the
+# argmax is engine-exact.
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import q_quality_score
+    clusters = q_dedup_clusters(spark, sf_dir) \
+        .select("doc_id", "cluster_rep", "cluster_size") \
+        .filter(F.col("cluster_size") >= 2)
+    qual = q_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(round(quality * 1000000) AS BIGINT)")
+         .alias("quality_u"))
+    j = clusters.join(qual, "doc_id")
+    best = (j.groupBy("cluster_rep")
+             .agg(F.max("quality_u").alias("best_q")))
+    return (j.join(F.broadcast(best), "cluster_rep")
+             .filter(F.col("quality_u") == F.col("best_q"))
+             .groupBy("cluster_rep")
+             .agg(F.min("doc_id").cast("bigint").alias("canonical_doc"),
+                  F.max("cluster_size").cast("bigint").alias("cluster_size"),
+                  F.max("best_q").cast("bigint").alias("canonical_quality_u"))
+             .select("cluster_rep", "canonical_doc", "cluster_size",
+                     "canonical_quality_u",
+                     (F.col("canonical_doc") != F.col("cluster_rep"))
+                      .alias("beats_min_id"))
+             .orderBy("cluster_rep"))
+
+
+def sql_dedup_canonical() -> str:
+    from .text import sql_quality_score
+    return f"""
+WITH clusters AS ({sql_dedup_clusters()}),
+qual AS (
+  SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS quality_u
+  FROM ({sql_quality_score()})
+),
+j AS (
+  SELECT c.doc_id, c.cluster_rep, c.cluster_size, q.quality_u
+  FROM clusters c JOIN qual q ON c.doc_id = q.doc_id
+  WHERE c.cluster_size >= 2
+),
+best AS (
+  SELECT cluster_rep, max(quality_u) AS best_q
+  FROM j GROUP BY cluster_rep
+)
+SELECT j.cluster_rep,
+       CAST(min(j.doc_id) AS BIGINT) AS canonical_doc,
+       CAST(max(j.cluster_size) AS BIGINT) AS cluster_size,
+       CAST(max(b.best_q) AS BIGINT) AS canonical_quality_u,
+       (CAST(min(j.doc_id) AS BIGINT) != j.cluster_rep) AS beats_min_id
+FROM j JOIN best b ON j.cluster_rep = b.cluster_rep
+               AND j.quality_u = b.best_q
+GROUP BY j.cluster_rep
+ORDER BY j.cluster_rep"""

@@ -1548,3 +1548,87 @@ SELECT b.n_eval, b.n_agree, p.rowcol,
        CAST((b.n_agree * b.n_eval - p.rowcol) * 1000000
             // (b.n_eval * b.n_eval - p.rowcol) AS BIGINT) AS kappa_ppm
 FROM base b, pe p"""
+
+
+# --- Farthest-point-sampling coreset -----------------------------------------
+# k-center coreset selection (Gonzalez 1985; the geometric backbone of
+# "diverse subset" data selection): greedily pick the vector farthest
+# from everything selected so far.  Distances are exact integer squared
+# euclidean over the int8 vectors, so each round's argmax — and hence
+# the ENTIRE selection trajectory — is engine-deterministic with a
+# (dist DESC, vec_id ASC) tie-break.
+#
+# Scale: each round is one full-corpus min-update + one 1-row argmax
+# (a bounded-scalar collect, the bpe_train / graph-convergence
+# pattern); rounds are the coreset size, a constant.  The DuckDB
+# oracle unrolls the same rounds as chained CTEs over a pairwise
+# distance table cut to candidate rows.
+
+FPS_ROUNDS = 6               # centers selected AFTER the seed (vec 0)
+FPS_SEED_ID = 0
+
+
+def q_sample_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = quantized_df(spark, sf_dir).select("vec_id", "qvec")
+    d2_to = lambda center: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("qvec"),
+                   F.array(*[F.lit(int(c)).cast("long") for c in center]),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    seed = e.filter(F.col("vec_id") == FPS_SEED_ID).collect()[0].qvec
+    state = e.filter(F.col("vec_id") != FPS_SEED_ID) \
+             .select("vec_id", "qvec", d2_to(seed).alias("mind"))
+    picked = []
+    for rnd in range(1, FPS_ROUNDS + 1):
+        state = state.localCheckpoint(eager=True)   # truncate lineage
+        top = (state.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+                    .limit(1).collect()[0])
+        picked.append((rnd, top.vec_id, int(top.mind)))
+        state = (state.filter(F.col("vec_id") != top.vec_id)
+                      .select("vec_id", "qvec",
+                              F.least("mind", d2_to(top.qvec))
+                               .alias("mind")))
+    rows = [(0, FPS_SEED_ID, 0)] + picked
+    return spark.createDataFrame(
+        rows, "sel_round INT, center_id BIGINT, dist2_to_set BIGINT")
+
+
+def sql_sample_coreset_fps() -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT)")
+    # every CTE is MATERIALIZED: the m/c chain references its
+    # predecessor more than once, and inlining would re-expand `dists`
+    # exponentially through the rounds (observed: >30 GB of DuckDB
+    # spill before the fix)
+    ctes = [f"""qflat AS MATERIALIZED (
+  SELECT vec_id, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+dists AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+  FROM qflat a JOIN qflat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+m0 AS MATERIALIZED (
+  SELECT vb AS vec_id, d2 AS mind FROM dists WHERE va = {FPS_SEED_ID}
+)"""]
+    sel = [f"SELECT 0 AS sel_round, CAST({FPS_SEED_ID} AS BIGINT) "
+           "AS center_id, CAST(0 AS BIGINT) AS dist2_to_set"]
+    for r in range(1, FPS_ROUNDS + 1):
+        prev, cur = f"m{r - 1}", f"m{r}"
+        ctes.append(f"""c{r} AS MATERIALIZED (
+  SELECT vec_id, mind FROM {prev}
+  ORDER BY mind DESC, vec_id ASC LIMIT 1
+)""")
+        sel.append(f"SELECT {r}, vec_id, mind FROM c{r}")
+        if r < FPS_ROUNDS:
+            ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT p.vec_id, least(p.mind, d.d2) AS mind
+  FROM {prev} p
+  JOIN dists d ON d.va = (SELECT vec_id FROM c{r})
+              AND d.vb = p.vec_id
+  WHERE p.vec_id <> (SELECT vec_id FROM c{r})
+)""")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(sel) + "\nORDER BY sel_round")

@@ -161,3 +161,63 @@ def test_time_embargo_partitions_and_leak_readout(spark):
     for r in rows:
         assert r.n_overlap_users <= min(r.n_train_users, r.n_test_users)
         assert r.n_train > 0 and r.n_test > 0
+
+
+# --- wave 13: layout, coreset, canonical dedup ----------------------------
+
+def test_zorder_buckets_tile_the_data(spark):
+    from safeascent_spark.operators import layout as LAY
+    rows = LAY.q_layout_zorder(spark, SF_ORACLE).collect()
+    assert len(rows) > 1                      # grain resolves the region
+    n = sum(r.n_accidents for r in rows)
+    assert n == domain.accidents_df(spark, SF_ORACLE).count()
+    for r in rows:
+        area = (r.lat_hi - r.lat_lo + 1) * (r.lng_hi - r.lng_lo + 1)
+        assert r.packing_ppm == r.n_accidents * 1_000_000 // area
+        # a Z-bucket's bbox cannot exceed its own tile: top-12-bit
+        # buckets fix 6 high bits per axis -> 16-cell extent max
+        assert r.lat_hi - r.lat_lo < 2 ** (LAY.Z_BUCKET_SHIFT // 2)
+        assert r.lng_hi - r.lng_lo < 2 ** (LAY.Z_BUCKET_SHIFT // 2)
+    zb = [r.zbucket for r in rows]
+    assert zb == sorted(zb)
+
+
+def test_coreset_fps_matches_greedy_bruteforce(spark):
+    rows = SIM.q_sample_coreset_fps(spark, SF_ORACLE).collect()
+    assert [r.sel_round for r in rows] == list(range(SIM.FPS_ROUNDS + 1))
+    vecs = {r.vec_id: [round(max(-1.0, min(1.0, x)) * 127) for x in r.vec]
+            for r in SIM.embeddings_df(spark, SF_ORACLE).collect()}
+    d2 = lambda a, b: sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+    selected = [SIM.FPS_SEED_ID]
+    mind = {v: d2(v, SIM.FPS_SEED_ID) for v in vecs if v != SIM.FPS_SEED_ID}
+    for r in rows[1:]:
+        pick = min(mind, key=lambda v: (-mind[v], v))
+        assert (r.center_id, r.dist2_to_set) == (pick, mind[pick])
+        selected.append(pick)
+        del mind[pick]
+        for v in mind:
+            mind[v] = min(mind[v], d2(v, pick))
+    assert len(set(selected)) == SIM.FPS_ROUNDS + 1
+
+
+def test_canonical_prefers_quality_over_min_id(spark):
+    from safeascent_spark.operators import dedup as D
+    from safeascent_spark.operators import text as TX
+    rows = D.q_dedup_canonical(spark, SF_ORACLE).collect()
+    assert rows
+    clusters = {r.doc_id: r.cluster_rep
+                for r in D.q_dedup_clusters(spark, SF_ORACLE).collect()
+                if r.cluster_size >= 2}
+    qual = {r.doc_id: round(r.quality * 1_000_000)
+            for r in TX.q_quality_score(spark, SF_ORACLE).collect()}
+    from collections import defaultdict
+    members = defaultdict(list)
+    for doc, rep in clusters.items():
+        members[rep].append(doc)
+    assert {r.cluster_rep for r in rows} == set(members)
+    for r in rows:
+        docs = members[r.cluster_rep]
+        best = max(qual[d] for d in docs)
+        want = min(d for d in docs if qual[d] == best)
+        assert (r.canonical_doc, r.canonical_quality_u) == (want, best)
+        assert r.beats_min_id == (want != r.cluster_rep)
