@@ -515,6 +515,13 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_coreset_fps": SIM.q_sample_coreset_fps,
         # quality-argmax canonical per duplicate cluster
         "dedup_canonical": D.q_dedup_canonical,
+        # --- round-6 wave 14: exact SLO stats + robust outliers + drift ---
+        # exact P50/P90/P99 per type via banded rank (no global sort)
+        "events_latency_percentiles": MON.q_events_latency_percentiles,
+        # median-absolute-deviation outliers (50% breakdown point)
+        "events_mad_outliers": MON.q_events_mad_outliers,
+        # order-independent polynomial table checksum per month bucket
+        "dq_table_fingerprint": MON.q_dq_table_fingerprint,
     }
 
 
@@ -542,12 +549,13 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   after r6: 0 queries older than r4 evidence; 24 r5-registered
 #     never-checked remain (wave 6-14 tail, ann_ivf_pq_topk ..
 #     events_twap — all re-verified locally each round via
-#     tools/local_correctness.py) plus the 27 r6-new registrations
+#     tools/local_correctness.py) plus the 49 r6-new registrations
 #     (_R6_NEW, CORRECTNESS_LOCAL_r06 evidence); they are the tail's
-#     FRONT so the r7 window picks them up first (24 + 26 of the 27
-#     fit), followed by the queries whose newest row is r4 (2 rounds
-#     old at r7) — at 200 queries the invariant is ceil(200/50) = a
-#     fresh driver row at least every 4 rounds.
+#     FRONT so the r7 window picks them up first (24 + the first 26 of
+#     the 49 fit; the remaining 23 r6-new go in the r8 window),
+#     followed by the queries whose newest row is r4 (2 rounds old at
+#     r7) — at 222 queries the invariant is ceil(222/50) = a fresh
+#     driver row at least every 5 rounds.
 #   Note: VERDICT r5's "<=20 never-checked remaining" target conflicts
 #     by 3+4 slots with its own "r3 leave-outs rotate in first" and
 #     "changed queries stay driver-green" requirements; this order
@@ -619,6 +627,8 @@ _R6_NEW = [
     "embedding_class_separation", "sample_hard_negatives",
     "eval_cohens_kappa", "sample_time_embargo",
     "layout_zorder", "sample_coreset_fps", "dedup_canonical",
+    "events_latency_percentiles", "events_mad_outliers",
+    "dq_table_fingerprint",
 ]
 
 
@@ -860,6 +870,9 @@ def oracle_sql() -> dict[str, str]:
         "layout_zorder": LAY.sql_layout_zorder(),
         "sample_coreset_fps": SIM.sql_sample_coreset_fps(),
         "dedup_canonical": D.sql_dedup_canonical(),
+        "events_latency_percentiles": MON.sql_events_latency_percentiles(),
+        "events_mad_outliers": MON.sql_events_mad_outliers(),
+        "dq_table_fingerprint": MON.sql_dq_table_fingerprint(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

@@ -292,3 +292,209 @@ SELECT CASE WHEN n_docs >= {K_ANON} THEN lang ELSE '*' END AS lang,
 FROM g
 GROUP BY 1, 2
 ORDER BY 1, 2"""
+
+
+# --- Exact per-type latency percentiles (P50/P90/P99) --------------------------
+# The SLO readout: exact 50th/90th/99th percentiles of `value` per event
+# type.  events_approx_stats serves the mergeable-sketch path; THIS is
+# the exact path, and neither uses a global sort: ranks come from
+# operators/rankutil.banded_rank (value-range bands -> thousands of
+# small in-band sorts + a tiny offset table).  The percentile element is
+# the lower-interpolation order statistic idx = (n-1)*p//100 + 1, an
+# integer pick — no float interpolation, hash-exact.
+
+PCT_BAND_MICRO = 50_000_000      # 50-unit value bands (~10 live bands)
+PCT_POINTS = (50, 90, 99)
+
+
+def _pct_ranked(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+    from .rankutil import banded_rank
+    e = (domain.load_table(spark, sf_dir, "events")
+         .select("event_type", "event_id",
+                 F.expr("CAST(floor(value * 1000000) AS BIGINT)")
+                  .alias("v_micro")))
+    return banded_rank(
+        e, ["event_type"], band=F.expr(f"v_micro div {PCT_BAND_MICRO}"),
+        order_cols=[F.col("v_micro").asc(), F.col("event_id").asc()],
+        rank_name="rnk", total_name="n")
+
+
+def q_events_latency_percentiles(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ranked = _pct_ranked(spark, sf_dir)
+    picks = []
+    for p in PCT_POINTS:
+        idx = f"((n - 1) * {p} div 100 + 1)"
+        picks.append(
+            F.expr(f"CAST(max(CASE WHEN rnk = {idx} THEN v_micro END) "
+                   f"AS BIGINT)").alias(f"p{p}_micro"))
+    return (ranked.groupBy("event_type")
+                  .agg(F.max("n").cast("bigint").alias("n_events"), *picks)
+                  .orderBy("event_type"))
+
+
+def sql_events_latency_percentiles() -> str:
+    picks = ", ".join(
+        f"CAST(max(CASE WHEN rnk = ((n - 1) * {p} // 100 + 1) "
+        f"THEN v_micro END) AS BIGINT) AS p{p}_micro"
+        for p in PCT_POINTS)
+    return f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v_micro, event_id) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events, {picks}
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type"""
+
+
+# --- Robust outlier detection: median absolute deviation ----------------------
+# events_anomaly's z-score path breaks when the contamination it hunts
+# inflates the mean/stdev it thresholds on; the MAD detector is the
+# robust standard (50% breakdown point).  Both the median and the MAD
+# are exact banded-rank order statistics — two bounded passes, no
+# global sort, no float summary statistics anywhere.
+
+MAD_K = 3                        # flag |x - med| > K * MAD
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    ranked = _pct_ranked(spark, sf_dir)
+    med = (ranked.groupBy("event_type")
+                 .agg(F.expr("CAST(max(CASE WHEN rnk = ((n - 1) * 50 div "
+                             "100 + 1) THEN v_micro END) AS BIGINT)")
+                       .alias("median_micro")))
+    dev = (ranked.join(F.broadcast(med), "event_type")
+                 .select("event_type", "event_id", "v_micro", "median_micro",
+                         F.expr("abs(v_micro - median_micro)")
+                          .alias("dev_micro")))
+    dranked = banded_rank(
+        dev, ["event_type"],
+        band=F.expr(f"dev_micro div {PCT_BAND_MICRO}"),
+        order_cols=[F.col("dev_micro").asc(), F.col("event_id").asc()],
+        rank_name="drnk", total_name="dn")
+    mad = (dranked.groupBy("event_type")
+                  .agg(F.expr("CAST(max(CASE WHEN drnk = ((dn - 1) * 50 div "
+                              "100 + 1) THEN dev_micro END) AS BIGINT)")
+                        .alias("mad_micro")))
+    return (dev.join(F.broadcast(mad), "event_type")
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                    F.max("median_micro").cast("bigint")
+                     .alias("median_micro"),
+                    F.max("mad_micro").cast("bigint").alias("mad_micro"),
+                    F.expr(f"CAST(sum(CASE WHEN dev_micro > {MAD_K} * "
+                           "mad_micro THEN 1 ELSE 0 END) AS BIGINT)")
+                     .alias("n_outliers"))
+               .orderBy("event_type"))
+
+
+def sql_events_mad_outliers() -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v_micro, event_id) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN rnk = ((n - 1) * 50 // 100 + 1)
+                       THEN v_micro END) AS BIGINT) AS median_micro
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT v.event_type, v.event_id, v.v_micro, m.median_micro,
+         abs(v.v_micro - m.median_micro) AS dev_micro
+  FROM v JOIN med m ON v.event_type = m.event_type
+),
+dranked AS (
+  SELECT event_type, dev_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev_micro, event_id) AS drnk,
+         count(*) OVER (PARTITION BY event_type) AS dn
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN drnk = ((dn - 1) * 50 // 100 + 1)
+                       THEN dev_micro END) AS BIGINT) AS mad_micro
+  FROM dranked GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(d.median_micro) AS BIGINT) AS median_micro,
+       CAST(max(m.mad_micro) AS BIGINT) AS mad_micro,
+       CAST(sum(CASE WHEN d.dev_micro > {MAD_K} * m.mad_micro
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type"""
+
+
+# --- Order-independent table fingerprint --------------------------------------
+# Replica/drift verification: a content checksum that is invariant to
+# row order and partitioning, so two engines (or two snapshots) can be
+# compared without sorting either.  Per-row polynomial hash over the
+# exact integer projection of the row, reduced mod a Mersenne prime,
+# then SUMMED per month bucket (sum is commutative = order-free); the
+# second moment catches permuted-value collisions the plain sum misses.
+# Pure int64/DECIMAL arithmetic — identical in both engines.
+
+FP_PRIME = 2_147_483_647         # 2^31 - 1
+
+
+def q_dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = domain.load_table(spark, sf_dir, "orders")
+    h = (f"((o_orderkey % {FP_PRIME}) * 1000003 "
+         f"+ (o_custkey % {FP_PRIME}) * 10007 "
+         f"+ CAST(floor(o_totalprice * 100) AS BIGINT)) % {FP_PRIME}")
+    dec = "DECIMAL(38,0)"
+    return (o.select(
+                F.expr("date_format(CAST(o_orderdate AS DATE), 'yyyy-MM')")
+                 .alias("month"),
+                F.expr(f"CAST({h} AS BIGINT)").alias("h"))
+             .groupBy("month")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                  F.expr(f"CAST(sum(h) % {FP_PRIME} AS BIGINT)")
+                   .alias("fp_sum"),
+                  F.expr(f"CAST(sum(CAST(h AS {dec}) * h % {FP_PRIME}) "
+                         f"% {FP_PRIME} AS BIGINT)").alias("fp_sumsq"))
+             .orderBy("month"))
+
+
+def sql_dq_table_fingerprint() -> str:
+    h = (f"((o_orderkey % {FP_PRIME}) * 1000003 "
+         f"+ (o_custkey % {FP_PRIME}) * 10007 "
+         f"+ CAST(floor(o_totalprice * 100) AS BIGINT)) % {FP_PRIME}")
+    return f"""
+WITH rows_h AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST({h} AS BIGINT) AS h
+  FROM orders
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(h) % {FP_PRIME} AS BIGINT) AS fp_sum,
+       CAST(sum(CAST(h AS HUGEINT) * h % {FP_PRIME}) % {FP_PRIME}
+            AS BIGINT) AS fp_sumsq
+FROM rows_h
+GROUP BY month
+ORDER BY month"""

@@ -221,3 +221,73 @@ def test_canonical_prefers_quality_over_min_id(spark):
         want = min(d for d in docs if qual[d] == best)
         assert (r.canonical_doc, r.canonical_quality_u) == (want, best)
         assert r.beats_min_id == (want != r.cluster_rep)
+
+
+# --- wave 14: exact percentiles, MAD outliers, table fingerprint ----------
+
+def test_latency_percentiles_match_bruteforce(spark):
+    rows = {r.event_type: r for r in
+            MON.q_events_latency_percentiles(spark, SF_ORACLE).collect()}
+    import math
+    per_type: dict[str, list[int]] = {}
+    for e in domain.load_table(spark, SF_ORACLE, "events").collect():
+        per_type.setdefault(e.event_type,
+                            []).append(math.floor(e.value * 1_000_000))
+    assert set(rows) == set(per_type)
+    for t, vals in per_type.items():
+        vals.sort()
+        r = rows[t]
+        assert r.n_events == len(vals)
+        for p, got in ((50, r.p50_micro), (90, r.p90_micro),
+                       (99, r.p99_micro)):
+            assert got == vals[(len(vals) - 1) * p // 100]
+
+
+def test_latency_percentiles_plan_has_no_single_partition_sort(spark):
+    plan = plan_of(MON.q_events_latency_percentiles(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan.split("TakeOrdered")[0] \
+        or "Window" not in plan  # banded device: no global window sort
+    assert "Window" in plan      # the in-band windows exist
+
+
+def test_mad_outliers_match_bruteforce(spark):
+    rows = {r.event_type: r for r in
+            MON.q_events_mad_outliers(spark, SF_ORACLE).collect()}
+    import math
+    per_type: dict[str, list[int]] = {}
+    for e in domain.load_table(spark, SF_ORACLE, "events").collect():
+        per_type.setdefault(e.event_type,
+                            []).append(math.floor(e.value * 1_000_000))
+    for t, vals in per_type.items():
+        vals.sort()
+        med = vals[(len(vals) - 1) // 2]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(len(devs) - 1) // 2]
+        n_out = sum(1 for v in vals if abs(v - med) > MON.MAD_K * mad)
+        r = rows[t]
+        assert (r.median_micro, r.mad_micro, r.n_outliers) == \
+            (med, mad, n_out)
+
+
+def test_fingerprint_is_order_invariant_and_row_sensitive(spark):
+    rows = MON.q_dq_table_fingerprint(spark, SF_ORACLE).collect()
+    n = domain.load_table(spark, SF_ORACLE, "orders").count()
+    assert sum(r.n_rows for r in rows) == n
+    import math
+    # brute-force one month from a SHUFFLED row list (order invariance)
+    target = rows[0].month
+    hs = []
+    for o in domain.load_table(spark, SF_ORACLE, "orders").collect():
+        if o.o_orderdate.strftime("%Y-%m") == target:
+            h = ((o.o_orderkey % MON.FP_PRIME) * 1000003
+                 + (o.o_custkey % MON.FP_PRIME) * 10007
+                 + math.floor(o.o_totalprice * 100)) % MON.FP_PRIME
+            hs.append(h)
+    import random
+    random.Random(7).shuffle(hs)
+    assert rows[0].fp_sum == sum(hs) % MON.FP_PRIME
+    assert rows[0].fp_sumsq == sum(h * h % MON.FP_PRIME
+                                   for h in hs) % MON.FP_PRIME
+    # removing any one row changes the sum (mod p, h < p so only h = 0
+    # rows are invisible to fp_sum; fp_sumsq covers h = 0 too)
+    assert rows[0].n_rows == len(hs)
