@@ -195,45 +195,56 @@ ORDER BY table_name, column_name"""
 # string / date-string) so min/max render identically in both engines.
 
 _PROFILE_SPEC = [
-    # name, exact projected expression (Spark + DuckDB shared syntax)
-    ("o_orderkey", "CAST(o_orderkey AS BIGINT)"),
-    ("o_custkey", "CAST(o_custkey AS BIGINT)"),
-    ("o_orderstatus", "o_orderstatus"),
-    ("o_totalprice_c", "CAST(floor(o_totalprice * 100) AS BIGINT)"),
-    ("o_orderpriority", "o_orderpriority"),
+    # name, exact projected expression (shared syntax), kind (num|str)
+    ("o_orderkey", "CAST(o_orderkey AS BIGINT)", "num"),
+    ("o_custkey", "CAST(o_custkey AS BIGINT)", "num"),
+    ("o_orderstatus", "o_orderstatus", "str"),
+    ("o_totalprice_c", "CAST(floor(o_totalprice * 100) AS BIGINT)", "num"),
+    ("o_orderpriority", "o_orderpriority", "str"),
 ]
 
 
 def q_dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = domain.load_table(spark, sf_dir, "orders")
-    # keep natural types through the aggregate (numeric min/max must be
-    # numeric, not lexicographic); render as string only at presentation
-    proj = o.selectExpr(*[f"({e}) AS {n}" for n, e in _PROFILE_SPEC])
-    aggs = []
-    for n, _ in _PROFILE_SPEC:
-        aggs += [
-            F.expr(f"CAST(count({n}) AS BIGINT)").alias(f"{n}__nn"),
-            F.expr(f"CAST(count(DISTINCT {n}) AS BIGINT)").alias(f"{n}__nd"),
-            F.expr(f"CAST(min({n}) AS STRING)").alias(f"{n}__mn"),
-            F.expr(f"CAST(max({n}) AS STRING)").alias(f"{n}__mx"),
-        ]
-    wide = proj.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"), *aggs)
+    # One scan, then an in-row unpivot to (col_name, value) pairs and a
+    # DISTRIBUTED two-level aggregate: groupBy (col_name, value) first
+    # (map-side-combined dedup across the cluster), THEN a per-column
+    # rollup of the deduped frame.  The naive multi-count-distinct form
+    # plans as a SortAggregate whose per-column distinct-value SETS are
+    # merged on a SINGLE partition — one task holding every distinct
+    # o_orderkey at 100 TB.  Numeric values ride a typed v_num lane so
+    # min/max stay numeric (never lexicographic); strings render last.
     stack = ", ".join(
-        f"'{n}', {n}__nn, {n}__nd, {n}__mn, {n}__mx"
-        for n, _ in _PROFILE_SPEC)
-    return (wide.selectExpr(
-                "n_rows",
-                f"stack({len(_PROFILE_SPEC)}, {stack}) AS "
-                "(col_name, n_nonnull, n_distinct, min_val, max_val)")
-                .selectExpr("col_name", "n_rows", "n_nonnull",
-                            "CAST(n_rows - n_nonnull AS BIGINT) AS n_null",
-                            "n_distinct", "min_val", "max_val")
-                .orderBy("col_name"))
+        (f"'{n}', CAST(({e}) AS STRING), ({e})" if kind == "num"
+         else f"'{n}', ({e}), CAST(NULL AS BIGINT)")
+        for n, e, kind in _PROFILE_SPEC)
+    pairs = o.selectExpr(
+        f"stack({len(_PROFILE_SPEC)}, {stack}) AS (col_name, v_str, v_num)")
+    dedup = (pairs.groupBy("col_name", "v_str")
+                  .agg(F.count(F.lit(1)).cast("long").alias("c"),
+                       F.max("v_num").alias("v_num")))
+    num_cols = {n for n, _, k in _PROFILE_SPEC if k == "num"}
+    num_in = ", ".join(f"'{n}'" for n in sorted(num_cols))
+    return (dedup.groupBy("col_name")
+        .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("n_rows_t"),
+             F.expr("CAST(sum(CASE WHEN v_str IS NULL THEN 0 ELSE c END) "
+                    "AS BIGINT)").alias("n_nonnull"),
+             F.expr("CAST(count(v_str) AS BIGINT)").alias("n_distinct"),
+             F.expr(f"CASE WHEN max(col_name) IN ({num_in}) "
+                    "THEN CAST(min(v_num) AS STRING) ELSE min(v_str) END")
+              .alias("min_val"),
+             F.expr(f"CASE WHEN max(col_name) IN ({num_in}) "
+                    "THEN CAST(max(v_num) AS STRING) ELSE max(v_str) END")
+              .alias("max_val"))
+        .selectExpr("col_name", "n_rows_t AS n_rows", "n_nonnull",
+                    "CAST(n_rows_t - n_nonnull AS BIGINT) AS n_null",
+                    "n_distinct", "min_val", "max_val")
+        .orderBy("col_name"))
 
 
 def sql_dq_column_profile() -> str:
     legs = []
-    for n, e in _PROFILE_SPEC:
+    for n, e, _kind in _PROFILE_SPEC:
         legs.append(f"""
   SELECT '{n}' AS col_name,
          CAST(count(*) AS BIGINT) AS n_rows,

@@ -16,7 +16,7 @@ def test_column_profile_matches_bruteforce(spark):
     rows = {r.col_name: r for r in
             MON.q_dq_column_profile(spark, SF_ORACLE).collect()}
     orders = domain.load_table(spark, SF_ORACLE, "orders").collect()
-    assert set(rows) == {n for n, _ in MON._PROFILE_SPEC}
+    assert set(rows) == {n for n, _, _k in MON._PROFILE_SPEC}
     r = rows["o_orderkey"]
     keys = [x.o_orderkey for x in orders]
     assert r.n_rows == len(orders) and r.n_null == 0
@@ -30,10 +30,15 @@ def test_column_profile_matches_bruteforce(spark):
     assert s.n_distinct == len({x.o_orderstatus for x in orders})
 
 
-def test_column_profile_is_one_pass(spark):
+def test_column_profile_is_one_pass_and_distributed(spark):
     plan = plan_of(MON.q_dq_column_profile(spark, SF_SMOKE))
     assert n_ops(plan, "Scan parquet") == 1   # NOT five per-column scans
-    assert "Expand" in plan                   # the multi-distinct strategy
+    assert "Generate" in plan                 # the in-row unpivot
+    # the distinct count must be a distributed two-level aggregate, NOT
+    # the valueSet/SortAggregate fallback that merges every distinct
+    # value on one partition (a single task holding every o_orderkey)
+    assert "valueSet" not in plan
+    assert "partial_count" in plan            # map-side combine
 
 
 def test_k_anonymity_releases_no_small_group(spark):
