@@ -522,6 +522,12 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": MON.q_events_mad_outliers,
         # order-independent polynomial table checksum per month bucket
         "dq_table_fingerprint": MON.q_dq_table_fingerprint,
+        # --- round-6 wave 15: CBO calibration + feature binning ---
+        # actual-vs-uniformity join cardinality, computed join-free
+        # (per-key counts + sum(cl*cr) — a |keys| join, not |rows|)
+        "dq_join_cardinality": MON.q_dq_join_cardinality,
+        # equal-mass bins with explicit [lo, hi] edges via banded rank
+        "features_quantile_bins": MON.q_features_quantile_bins,
     }
 
 
@@ -629,6 +635,7 @@ _R6_NEW = [
     "layout_zorder", "sample_coreset_fps", "dedup_canonical",
     "events_latency_percentiles", "events_mad_outliers",
     "dq_table_fingerprint",
+    "dq_join_cardinality", "features_quantile_bins",
 ]
 
 
@@ -873,6 +880,8 @@ def oracle_sql() -> dict[str, str]:
         "events_latency_percentiles": MON.sql_events_latency_percentiles(),
         "events_mad_outliers": MON.sql_events_mad_outliers(),
         "dq_table_fingerprint": MON.sql_dq_table_fingerprint(),
+        "dq_join_cardinality": MON.sql_dq_join_cardinality(),
+        "features_quantile_bins": MON.sql_features_quantile_bins(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

@@ -509,3 +509,139 @@ SELECT month,
 FROM rows_h
 GROUP BY month
 ORDER BY month"""
+
+
+# --- Join-cardinality calibration (the CBO reality check) ----------------------
+# Cost-based optimizers size joins with the uniformity estimate
+# |L ⋈ R| ~= |L| * |R| / max(ndv_L, ndv_R); when reality diverges
+# (skew, correlation), plans built on the estimate pick the wrong side
+# to broadcast or under-partition the shuffle.  This op measures the
+# divergence ON the engine — and computes the ACTUAL join cardinality
+# WITHOUT executing the join: per-key counts on each side, then
+# sum(c_l * c_r) over matching keys — a |keys|-sized equi-join instead
+# of a |rows|-sized one.
+
+_JOIN_PAIRS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+]
+
+
+def q_dq_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38,0)"
+    parts = []
+    for lt, lk, rt, rk in _JOIN_PAIRS:
+        lc = (domain.load_table(spark, sf_dir, lt)
+              .groupBy(F.col(lk).alias("k"))
+              .agg(F.count(F.lit(1)).cast("long").alias("cl")))
+        rc = (domain.load_table(spark, sf_dir, rt)
+              .groupBy(F.col(rk).alias("k"))
+              .agg(F.count(F.lit(1)).cast("long").alias("cr")))
+        stats = (lc.join(rc, "k")
+                   .agg(F.expr(f"CAST(sum(CAST(cl AS {dec}) * cr) "
+                               "AS BIGINT)").alias("actual_rows"))
+                   .crossJoin(F.broadcast(
+                       lc.agg(F.sum("cl").cast("long").alias("n_l"),
+                              F.count(F.lit(1)).cast("long").alias("ndv_l"))))
+                   .crossJoin(F.broadcast(
+                       rc.agg(F.sum("cr").cast("long").alias("n_r"),
+                              F.count(F.lit(1)).cast("long")
+                               .alias("ndv_r")))))
+        parts.append(stats.select(
+            F.lit(f"{lt}.{lk}={rt}.{rk}").alias("join_pair"),
+            "n_l", "n_r", "ndv_l", "ndv_r", "actual_rows",
+            F.expr(f"CAST(CAST(n_l AS {dec}) * n_r "
+                   "div greatest(ndv_l, ndv_r) AS BIGINT)")
+             .alias("est_rows"),
+            F.expr(f"CAST(CAST(actual_rows AS {dec}) * 1000000 div "
+                   f"greatest(CAST(CAST(n_l AS {dec}) * n_r div "
+                   f"greatest(ndv_l, ndv_r) AS BIGINT), 1) AS BIGINT)")
+             .alias("miss_ratio_ppm")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("join_pair")
+
+
+def sql_dq_join_cardinality() -> str:
+    legs = []
+    for lt, lk, rt, rk in _JOIN_PAIRS:
+        legs.append(f"""
+  SELECT '{lt}.{lk}={rt}.{rk}' AS join_pair, n_l, n_r, ndv_l, ndv_r,
+         actual_rows,
+         CAST(CAST(n_l AS HUGEINT) * n_r // greatest(ndv_l, ndv_r)
+              AS BIGINT) AS est_rows,
+         CAST(CAST(actual_rows AS HUGEINT) * 1000000
+              // greatest(CAST(CAST(n_l AS HUGEINT) * n_r
+                          // greatest(ndv_l, ndv_r) AS BIGINT), 1)
+              AS BIGINT) AS miss_ratio_ppm
+  FROM (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS n_l,
+           (SELECT CAST(count(*) AS BIGINT) FROM {rt}) AS n_r,
+           (SELECT CAST(count(DISTINCT {lk}) AS BIGINT) FROM {lt})
+             AS ndv_l,
+           (SELECT CAST(count(DISTINCT {rk}) AS BIGINT) FROM {rt})
+             AS ndv_r,
+           (SELECT CAST(sum(CAST(l.cl AS HUGEINT) * r.cr) AS BIGINT)
+            FROM (SELECT {lk} AS k, count(*) AS cl FROM {lt} GROUP BY 1) l
+            JOIN (SELECT {rk} AS k, count(*) AS cr FROM {rt} GROUP BY 1) r
+              ON l.k = r.k) AS actual_rows
+  )""")
+    return ("SELECT * FROM (" + "\nUNION ALL".join(legs)
+            + ")\nORDER BY join_pair")
+
+
+# --- Equal-mass feature binning with explicit edges ----------------------------
+# The quantile-bin transform of a feature pipeline (XGBoost-style
+# histogram features, calibration buckets): 10 equal-mass bins of the
+# order value, reported WITH their observed [lo, hi] cent edges so the
+# binning is reusable downstream.  Bin assignment is the exact ntile
+# arithmetic over a banded-rank numbering (orders_pareto's device) —
+# no global sort; edges are per-bin min/max aggregates.
+
+QB_BINS = 10
+
+
+def q_features_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .select("o_orderkey",
+                 F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .alias("v_c")))
+    ranked = banded_rank(
+        o, [], band=F.expr("v_c div 100000"),
+        order_cols=[F.col("v_c").asc(), F.col("o_orderkey").asc()],
+        rank_name="rnk", total_name="n")
+    k = QB_BINS
+    bin_id = F.expr(f"""
+        CASE WHEN rnk <= (n % {k}) * (n div {k} + 1)
+             THEN (rnk - 1) div (n div {k} + 1) + 1
+             ELSE n % {k}
+                  + (rnk - (n % {k}) * (n div {k} + 1) - 1)
+                    div greatest(n div {k}, 1L) + 1
+        END""").cast("int")
+    return (ranked.withColumn("bin_id", bin_id)
+                  .groupBy("bin_id")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                       F.min("v_c").cast("bigint").alias("lo_cents"),
+                       F.max("v_c").cast("bigint").alias("hi_cents"))
+                  .orderBy("bin_id"))
+
+
+def sql_features_quantile_bins() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v_c,
+         ntile({QB_BINS}) OVER (
+           ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT),
+                    o_orderkey) AS bin_id
+  FROM orders
+)
+SELECT CAST(bin_id AS INT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(v_c) AS BIGINT) AS lo_cents,
+       CAST(max(v_c) AS BIGINT) AS hi_cents
+FROM ranked
+GROUP BY bin_id
+ORDER BY bin_id"""

@@ -296,3 +296,33 @@ def test_fingerprint_is_order_invariant_and_row_sensitive(spark):
     # removing any one row changes the sum (mod p, h < p so only h = 0
     # rows are invisible to fp_sum; fp_sumsq covers h = 0 too)
     assert rows[0].n_rows == len(hs)
+
+
+# --- wave 15: CBO calibration + feature binning ---------------------------
+
+def test_join_cardinality_actual_is_join_free_and_right(spark):
+    rows = {r.join_pair: r for r in
+            MON.q_dq_join_cardinality(spark, SF_ORACLE).collect()}
+    # ground truth by actually executing one join
+    o = domain.load_table(spark, SF_ORACLE, "orders")
+    c = domain.load_table(spark, SF_ORACLE, "customer")
+    actual = o.join(c, o.o_custkey == c.c_custkey).count()
+    r = rows["orders.o_custkey=customer.c_custkey"]
+    assert r.actual_rows == actual
+    assert r.est_rows == r.n_l * r.n_r // max(r.ndv_l, r.ndv_r)
+    assert r.miss_ratio_ppm == r.actual_rows * 1_000_000 // max(r.est_rows, 1)
+    # the op must NOT execute the row-level join: plan joins only
+    # |key|-grain aggregates (no fact-x-fact join output columns)
+    plan = plan_of(MON.q_dq_join_cardinality(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_quantile_bins_are_equal_mass_with_ordered_edges(spark):
+    rows = MON.q_features_quantile_bins(spark, SF_ORACLE).collect()
+    assert [r.bin_id for r in rows] == list(range(1, MON.QB_BINS + 1))
+    n = domain.load_table(spark, SF_ORACLE, "orders").count()
+    sizes = [r.n_rows for r in rows]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1          # ntile equal mass
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo_cents <= a.hi_cents <= b.lo_cents  # ordered edges
