@@ -555,12 +555,12 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   after r6: 0 queries older than r4 evidence; 24 r5-registered
 #     never-checked remain (wave 6-14 tail, ann_ivf_pq_topk ..
 #     events_twap — all re-verified locally each round via
-#     tools/local_correctness.py) plus the 49 r6-new registrations
+#     tools/local_correctness.py) plus the 54 r6-new registrations
 #     (_R6_NEW, CORRECTNESS_LOCAL_r06 evidence); they are the tail's
 #     FRONT so the r7 window picks them up first (24 + the first 26 of
-#     the 49 fit; the remaining 23 r6-new go in the r8 window),
+#     the 54 fit; the remaining 28 r6-new go in the r8 window),
 #     followed by the queries whose newest row is r4 (2 rounds old at
-#     r7) — at 222 queries the invariant is ceil(222/50) = a fresh
+#     r7) — at 227 queries the invariant is ceil(227/50) = a fresh
 #     driver row at least every 5 rounds.
 #   Note: VERDICT r5's "<=20 never-checked remaining" target conflicts
 #     by 3+4 slots with its own "r3 leave-outs rotate in first" and
