@@ -528,6 +528,11 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_join_cardinality": MON.q_dq_join_cardinality,
         # equal-mass bins with explicit [lo, hi] edges via banded rank
         "features_quantile_bins": MON.q_features_quantile_bins,
+        # --- round-6 wave 16: change points + corpus naturalness ---
+        # CUSUM change-point per type, banded cumulative prefix sums
+        "events_changepoint": MON.q_events_changepoint,
+        # Zipf rank-frequency slope, micro-nat integer regression
+        "text_zipf_fit": CU.q_text_zipf_fit,
     }
 
 
@@ -636,6 +641,7 @@ _R6_NEW = [
     "events_latency_percentiles", "events_mad_outliers",
     "dq_table_fingerprint",
     "dq_join_cardinality", "features_quantile_bins",
+    "events_changepoint", "text_zipf_fit",
 ]
 
 
@@ -882,6 +888,8 @@ def oracle_sql() -> dict[str, str]:
         "dq_table_fingerprint": MON.sql_dq_table_fingerprint(),
         "dq_join_cardinality": MON.sql_dq_join_cardinality(),
         "features_quantile_bins": MON.sql_features_quantile_bins(),
+        "events_changepoint": MON.sql_events_changepoint(),
+        "text_zipf_fit": CU.sql_text_zipf_fit(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

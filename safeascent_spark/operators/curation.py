@@ -999,3 +999,81 @@ SELECT event_type,
 FROM per_user
 GROUP BY event_type
 ORDER BY event_type"""
+
+
+# --- Zipf slope of the corpus rank-frequency curve ----------------------------
+# A natural corpus follows freq ~ rank^(-s) with s ~ 1; templated,
+# synthetic-collapse, or boilerplate-heavy corpora bend the curve (the
+# distinct-n-gram detector's frequency-domain sibling).  Least-squares
+# slope of ln(freq) on ln(rank) over the vocabulary: both logs are
+# micro-nat integers computed ONCE per vocabulary-grain row (the
+# text_nb_confusion device), all regression sums are exact
+# DECIMAL(38,0) integer products, and the final slope is one signed
+# ppm quotient (Spark div == DuckDB // — both truncate).
+#
+# Scale shape: the vocabulary aggregate is map-side combined; ranking
+# the vocab table uses the banded device (band = count magnitude), so
+# no single-partition sort even at a 100 M-word vocabulary; the
+# regression is one 1-row aggregate.
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    from .text import tokens_df
+    vocab = (tokens_df(spark, sf_dir)
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    ranked = banded_rank(
+        vocab, [], band=F.expr("freq div 10"),
+        order_cols=[F.col("freq").desc(), F.col("word").asc()],
+        rank_name="rnk", descending_bands=True)
+    pts = ranked.select(
+        F.expr("CAST(floor(1000000 * ln(CAST(rnk AS DOUBLE))) AS BIGINT)")
+         .alias("x"),
+        F.expr("CAST(floor(1000000 * ln(CAST(freq AS DOUBLE))) AS BIGINT)")
+         .alias("y"))
+    dec = "DECIMAL(38,0)"
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr(f"CAST(sum(CAST(x AS {dec}) * y) AS {dec})").alias("sxy"),
+        F.expr(f"CAST(sum(CAST(x AS {dec}) * x) AS {dec})").alias("sxx"))
+    return sums.select(
+        F.col("n").alias("n_vocab"),
+        F.expr(f"CAST((CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy) "
+               f"* 1000000 div (CAST(n AS {dec}) * sxx "
+               f"- CAST(sx AS {dec}) * sx) AS BIGINT)").alias("slope_ppm"))
+
+
+def sql_text_zipf_fit() -> str:
+    from .text import TOKENS_CTE
+    return f"""
+WITH {TOKENS_CTE.strip()},
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM tokens GROUP BY word
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, word ASC) AS rnk
+  FROM vocab
+),
+pts AS (
+  SELECT CAST(floor(1000000 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+         CAST(floor(1000000 * ln(CAST(freq AS DOUBLE))) AS BIGINT) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_vocab,
+       CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+            * 1000000 // (CAST(n AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         AS slope_ppm
+FROM sums"""

@@ -645,3 +645,108 @@ SELECT CAST(bin_id AS INT) AS bin_id,
 FROM ranked
 GROUP BY bin_id
 ORDER BY bin_id"""
+
+
+# --- CUSUM change-point detection per event type --------------------------------
+# Monitoring's "when did the level shift" question: the classic CUSUM
+# statistic D_k = |S_k * n - k * S_n| (the scaled deviation of the
+# k-prefix sum from the uniform-rate line) maximized over k; its argmax
+# is the most likely change point (Page 1954).  All integer: values in
+# exact micro units, D on DECIMAL(38,0).
+#
+# Scale shape: the prefix sums S_k and indexes k come from a BANDED
+# cumulative pass — in-band windows partition by (type, day) and the
+# cross-band offsets ride a cumulative window over the tiny per-day
+# totals table (bounded by the TIME RANGE in days, not the corpus) —
+# the same discipline as rankutil.banded_rank, extended to sums.  The
+# argmax is a 1-row-per-type max + equality join, no sort.
+
+_DAY_NS = 86_400_000_000_000
+
+
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    e = (domain.load_table(spark, sf_dir, "events")
+         .select("event_type", "event_id", "ts",
+                 F.expr("CAST(floor(value * 1000000) AS BIGINT)")
+                  .alias("v")))
+    e = e.withColumn("day", F.expr(f"ts div {_DAY_NS}"))
+    in_day = (Window.partitionBy("event_type", "day")
+                    .orderBy("ts", "event_id")
+                    .rowsBetween(Window.unboundedPreceding, 0))
+    rows = (e.withColumn("k_in", F.count(F.lit(1)).over(in_day))
+             .withColumn("s_in", F.sum("v").over(in_day)))
+    day_tot = (e.groupBy("event_type", "day")
+                .agg(F.count(F.lit(1)).alias("dc"), F.sum("v").alias("ds")))
+    prior = (Window.partitionBy("event_type").orderBy("day")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    whole = Window.partitionBy("event_type")
+    offs = (day_tot
+            .withColumn("k_off", F.coalesce(F.sum("dc").over(prior),
+                                            F.lit(0)))
+            .withColumn("s_off", F.coalesce(F.sum("ds").over(prior),
+                                            F.lit(0)))
+            .withColumn("n", F.sum("dc").over(whole))
+            .withColumn("s_n", F.sum("ds").over(whole))
+            .select("event_type", "day", "k_off", "s_off", "n", "s_n"))
+    dec = "DECIMAL(38,0)"
+    full = (rows.join(offs, ["event_type", "day"])
+                .select("event_type", "event_id", "ts",
+                        F.expr("k_off + k_in").alias("k"),
+                        F.expr("s_off + s_in").alias("s_k"), "n", "s_n")
+                .withColumn("d", F.expr(
+                    f"abs(CAST(s_k AS {dec}) * n - CAST(k AS {dec}) * s_n)")))
+    maxd = full.groupBy("event_type").agg(F.max("d").alias("max_d"))
+    cp = (full.join(maxd, "event_type")
+              .filter(F.col("d") == F.col("max_d"))
+              .groupBy("event_type")
+              .agg(F.min("k").cast("bigint").alias("cp_k")))
+    return (full.join(cp, "event_type")
+                .filter(F.col("k") == F.col("cp_k"))
+                .select("event_type",
+                        F.col("n").cast("bigint").alias("n_events"),
+                        "cp_k",
+                        F.col("ts").cast("bigint").alias("cp_ts_ns"),
+                        F.col("s_k").cast("bigint").alias("prefix_sum_micro"),
+                        F.expr("CAST(d AS BIGINT)").alias("cusum_dev"))
+                .orderBy("event_type"))
+
+
+def sql_events_changepoint() -> str:
+    return """
+WITH v AS (
+  SELECT event_type, event_id, epoch_ns(ts) AS ts,
+         CAST(floor(value * 1000000) AS BIGINT) AS v
+  FROM events
+),
+seq AS (
+  SELECT event_type, event_id, ts,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS k,
+         sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s_k,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(v) OVER (PARTITION BY event_type) AS s_n
+  FROM v
+),
+scored AS (
+  SELECT event_type, event_id, ts, k, s_k, n, s_n,
+         abs(CAST(s_k AS HUGEINT) * n - CAST(k AS HUGEINT) * s_n) AS d
+  FROM seq
+),
+cp AS (
+  SELECT event_type, min(k) AS cp_k
+  FROM scored s
+  WHERE d = (SELECT max(d) FROM scored s2
+             WHERE s2.event_type = s.event_type)
+  GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(s.n AS BIGINT) AS n_events,
+       CAST(s.k AS BIGINT) AS cp_k,
+       CAST(s.ts AS BIGINT) AS cp_ts_ns,
+       CAST(s.s_k AS BIGINT) AS prefix_sum_micro,
+       CAST(s.d AS BIGINT) AS cusum_dev
+FROM scored s JOIN cp ON s.event_type = cp.event_type AND s.k = cp.cp_k
+ORDER BY s.event_type"""

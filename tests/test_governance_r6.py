@@ -326,3 +326,74 @@ def test_quantile_bins_are_equal_mass_with_ordered_edges(spark):
     assert max(sizes) - min(sizes) <= 1          # ntile equal mass
     for a, b in zip(rows, rows[1:]):
         assert a.lo_cents <= a.hi_cents <= b.lo_cents  # ordered edges
+
+
+# --- wave 16: change points + corpus naturalness --------------------------
+
+def test_changepoint_matches_bruteforce(spark):
+    rows = {r.event_type: r for r in
+            MON.q_events_changepoint(spark, SF_ORACLE).collect()}
+    import math
+    per_type: dict[str, list] = {}
+    for e in domain.load_table(spark, SF_ORACLE, "events").collect():
+        per_type.setdefault(e.event_type, []).append(
+            (e.ts, e.event_id, math.floor(e.value * 1_000_000)))
+    for t, evs in per_type.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        n = len(evs)
+        s_n = sum(v for _, _, v in evs)
+        best = None
+        s = 0
+        for k, (ts, _eid, v) in enumerate(evs, start=1):
+            s += v
+            d = abs(s * n - k * s_n)
+            if best is None or d > best[0] or (d == best[0]
+                                               and k < best[1]):
+                best = (d, k, ts, s)
+        r = rows[t]
+        assert (r.cusum_dev, r.cp_k, r.cp_ts_ns,
+                r.prefix_sum_micro) == best
+        assert r.n_events == n
+
+
+def test_changepoint_plan_windows_are_day_banded(spark):
+    plan = plan_of(MON.q_events_changepoint(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # cumulative sums ride (type, day) bands; the only per-type-only
+    # windows run on the tiny per-day totals table (its sort key is
+    # day#, never ts#) — no window sorts the raw event stream by a
+    # bare event_type partition
+    import re
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition"
+                         r"\(event_type#\d+, ([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "day#" in spec or "ts#" not in spec
+
+
+def test_zipf_slope_is_negative_and_matches_numpy(spark):
+    from safeascent_spark.operators import curation as CU
+    from safeascent_spark.operators import text as TX
+    r = CU.q_text_zipf_fit(spark, SF_ORACLE).collect()[0]
+    import math
+    from collections import Counter
+    freqs = Counter()
+    for d in TX.docs_df(spark, SF_ORACLE).collect():
+        for w in d.text.split(" "):
+            if w:
+                freqs[w] += 1
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.floor(1_000_000 * math.log(i + 1))
+          for i in range(len(ranked))]
+    ys = [math.floor(1_000_000 * math.log(f)) for _, f in ranked]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    # python // floors while the engines truncate toward zero;
+    # reconcile with exact integer arithmetic (no float division —
+    # the operands exceed 2^53)
+    num = (n * sxy - sx * sy) * 1_000_000
+    den = n * sxx - sx * sx
+    want = -((-num) // den) if (num < 0) != (den < 0) else num // den
+    assert r.n_vocab == n
+    assert r.slope_ppm == want
+    assert r.slope_ppm < 0          # frequencies decay with rank
