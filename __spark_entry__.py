@@ -533,6 +533,11 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": MON.q_events_changepoint,
         # Zipf rank-frequency slope, micro-nat integer regression
         "text_zipf_fit": CU.q_text_zipf_fit,
+        # --- round-6 wave 17: seasonal decomposition + ABC classes ---
+        # STL-lite trend/seasonal/residual on the bounded daily table
+        "events_seasonality": FC.q_events_seasonality,
+        # ABC cumulative-share classes via banded descending prefix sums
+        "orders_abc_class": OL.q_orders_abc_class,
     }
 
 
@@ -642,6 +647,7 @@ _R6_NEW = [
     "dq_table_fingerprint",
     "dq_join_cardinality", "features_quantile_bins",
     "events_changepoint", "text_zipf_fit",
+    "events_seasonality", "orders_abc_class",
 ]
 
 
@@ -890,6 +896,8 @@ def oracle_sql() -> dict[str, str]:
         "features_quantile_bins": MON.sql_features_quantile_bins(),
         "events_changepoint": MON.sql_events_changepoint(),
         "text_zipf_fit": CU.sql_text_zipf_fit(),
+        "events_seasonality": FC.sql_events_seasonality(),
+        "orders_abc_class": OL.sql_orders_abc_class(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

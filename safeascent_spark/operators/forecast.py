@@ -483,3 +483,92 @@ SELECT f.user_id, f.n_fit, f.forecast_milli,
          AS abs_err_milli
 FROM fit f JOIN actual a USING (user_id)
 ORDER BY f.user_id"""
+
+
+# --- STL-lite seasonal decomposition of the daily event series -----------------
+# The classic decompose: trend = centered 7-day moving average of the
+# daily count, seasonal = per-day-of-week mean of the detrended series,
+# residual = remainder.  All exact integers in milli units: the MA is
+# sum-over-7 div 7 (exact), the seasonal mean is a signed integer
+# quotient (Spark div == DuckDB // — both truncate toward zero), the
+# residual is a difference.  Only interior days (full +-3 window) are
+# emitted, so every row's trend is a TRUE 7-day average.
+#
+# Scale shape: everything runs on the per-(type, day) DAILY table —
+# bounded by the time range, never the corpus; the raw stream is
+# touched once by a map-side-combined count.
+
+STL_HALF = 3                      # +-3 days -> 7-day centered window
+
+
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .. import domain
+    day_ns = 86_400_000_000_000
+    e = domain.load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.expr(f"ts div {day_ns}").alias("day"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(-STL_HALF, STL_HALF))
+    t = (daily.withColumn("w_n", F.count(F.lit(1)).over(w))
+              .withColumn("w_sum", F.sum("n").over(w))
+              .filter(F.col("w_n") == 2 * STL_HALF + 1)
+              .withColumn("trend_milli",
+                          F.expr(f"w_sum * 1000 div {2 * STL_HALF + 1}"))
+              .withColumn("detr_milli",
+                          F.expr("n * 1000 - trend_milli")))
+    seas = (t.withColumn("dow", F.expr("day % 7"))
+             .groupBy("event_type", "dow")
+             .agg(F.expr("CAST(sum(detr_milli) div count(1) AS BIGINT)")
+                   .alias("seasonal_milli")))
+    return (t.withColumn("dow", F.expr("day % 7"))
+             .join(F.broadcast(seas), ["event_type", "dow"])
+             .select("event_type",
+                     F.col("day").cast("bigint").alias("day"),
+                     F.col("n").cast("bigint").alias("n_events"),
+                     F.col("trend_milli").cast("bigint")
+                      .alias("trend_milli"),
+                     "seasonal_milli",
+                     F.expr("CAST(detr_milli - seasonal_milli AS BIGINT)")
+                      .alias("resid_milli"))
+             .orderBy("event_type", "day"))
+
+
+def sql_events_seasonality() -> str:
+    day_ns = 86_400_000_000_000
+    win = 2 * STL_HALF + 1
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // {day_ns} AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, day, n,
+         count(*) OVER wfull AS w_n,
+         sum(n) OVER wfull AS w_sum
+  FROM daily
+  WINDOW wfull AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {STL_HALF} PRECEDING
+                   AND {STL_HALF} FOLLOWING)
+),
+interior AS (
+  SELECT event_type, day, n,
+         w_sum * 1000 // {win} AS trend_milli,
+         n * 1000 - w_sum * 1000 // {win} AS detr_milli
+  FROM t WHERE w_n = {win}
+),
+seas AS (
+  SELECT event_type, day % 7 AS dow,
+         CAST(sum(detr_milli) // count(*) AS BIGINT) AS seasonal_milli
+  FROM interior GROUP BY 1, 2
+)
+SELECT i.event_type, CAST(i.day AS BIGINT) AS day,
+       i.n AS n_events,
+       CAST(i.trend_milli AS BIGINT) AS trend_milli,
+       s.seasonal_milli,
+       CAST(i.detr_milli - s.seasonal_milli AS BIGINT) AS resid_milli
+FROM interior i
+JOIN seas s ON i.event_type = s.event_type AND i.day % 7 = s.dow
+ORDER BY i.event_type, i.day"""

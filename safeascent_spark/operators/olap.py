@@ -1335,3 +1335,95 @@ WHERE CAST(c.bal_c AS HUGEINT) * pos.n_pos > pos.sum_pos_c
       AND CAST(o.o_orderdate AS DATE) >= DATE '{Q22_CUTOFF}')
 GROUP BY c.c_nationkey
 ORDER BY c_nationkey"""
+
+
+# --- ABC inventory classification (cumulative-share thresholds) ---------------
+# The operations classic: class A = parts covering the first 80% of
+# revenue, B = the next 15%, C = the tail — i.e. a CLASSIFICATION by
+# cumulative share, which needs a descending prefix sum over the part
+# revenue table.  The prefix sum uses the banded-cumsum device
+# (events_changepoint's): in-band windows over revenue-magnitude bands
+# plus an offset table of higher-band totals — no global sort; share
+# thresholds are exact ppm compares.
+
+ABC_A_PPM = 800_000
+ABC_B_PPM = 950_000
+
+
+def q_orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    per_part = (domain.load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.expr("CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                    " AS BIGINT)").alias("rev_e4")))
+    banded = per_part.withColumn("band", F.expr("rev_e4 div 100000000"))
+    in_band = (Window.partitionBy("band")
+                     .orderBy(F.col("rev_e4").desc(),
+                              F.col("l_partkey").asc())
+                     .rowsBetween(Window.unboundedPreceding, 0))
+    rows = banded.withColumn("c_in", F.sum("rev_e4").over(in_band))
+    btot = banded.groupBy("band").agg(F.sum("rev_e4").alias("bs"))
+    # offsets = total of all HIGHER bands; the offset window runs on the
+    # tiny band table (BOUNDEDNESS: |bands| = revenue range / band width,
+    # corpus-size independent)
+    off_w = (Window.partitionBy(F.col("band") % 1)
+                   .orderBy(F.col("band").desc())
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    tot_w = Window.partitionBy(F.col("band") % 1)
+    offs = (btot.withColumn("off", F.coalesce(F.sum("bs").over(off_w),
+                                              F.lit(0)))
+                .withColumn("total", F.sum("bs").over(tot_w))
+                .select("band", "off", "total"))
+    dec = "DECIMAL(38,0)"
+    classed = (rows.join(F.broadcast(offs), "band")
+        .withColumn("cum_ppm",
+                    F.expr(f"CAST(CAST(off + c_in AS {dec}) * 1000000 "
+                           "div total AS BIGINT)"))
+        .withColumn("abc", F.expr(
+            f"CASE WHEN cum_ppm <= {ABC_A_PPM} THEN 'A' "
+            f"WHEN cum_ppm <= {ABC_B_PPM} THEN 'B' ELSE 'C' END")))
+    return (classed.groupBy("abc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+             F.sum("rev_e4").cast("bigint").alias("revenue_e4"))
+        .join(F.broadcast(offs.select(F.max("total").alias("t"))))
+        .select("abc", "n_parts", "revenue_e4",
+                F.expr(f"CAST(CAST(revenue_e4 AS {dec}) * 1000000 div t "
+                       "AS BIGINT)").alias("share_ppm"))
+        .orderBy("abc"))
+
+
+def sql_orders_abc_class() -> str:
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT rev_e4,
+         sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+         sum(rev_e4) OVER () AS total
+  FROM per_part
+),
+classed AS (
+  SELECT rev_e4,
+         CASE WHEN CAST(cum AS HUGEINT) * 1000000 // total
+                   <= {ABC_A_PPM} THEN 'A'
+              WHEN CAST(cum AS HUGEINT) * 1000000 // total
+                   <= {ABC_B_PPM} THEN 'B'
+              ELSE 'C' END AS abc,
+         total
+  FROM ranked
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+       CAST(CAST(sum(rev_e4) AS HUGEINT) * 1000000 // max(total)
+            AS BIGINT) AS share_ppm
+FROM classed
+GROUP BY abc
+ORDER BY abc"""

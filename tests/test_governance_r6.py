@@ -397,3 +397,70 @@ def test_zipf_slope_is_negative_and_matches_numpy(spark):
     assert r.n_vocab == n
     assert r.slope_ppm == want
     assert r.slope_ppm < 0          # frequencies decay with rank
+
+
+# --- wave 17: seasonal decomposition + ABC classes ------------------------
+
+def test_seasonality_reconstructs_and_matches_bruteforce(spark):
+    from safeascent_spark.operators import forecast as FC
+    rows = FC.q_events_seasonality(spark, SF_ORACLE).collect()
+    assert rows
+    day_ns = 86_400_000_000_000
+    from collections import Counter, defaultdict
+    daily: dict[str, Counter] = defaultdict(Counter)
+    for e in domain.load_table(spark, SF_ORACLE, "events").collect():
+        daily[e.event_type][e.ts // day_ns] += 1
+    h = FC.STL_HALF
+    for t, cnt in daily.items():
+        days = sorted(cnt)
+        interior = days[h:len(days) - h]
+        got = {r.day: r for r in rows if r.event_type == t}
+        assert set(got) == set(interior)
+        detr = {}
+        for d in interior:
+            wsum = sum(cnt[x] for x in range(d - h, d + h + 1))
+            trend = wsum * 1000 // (2 * h + 1)
+            assert got[d].trend_milli == trend
+            detr[d] = cnt[d] * 1000 - trend
+        for d in interior:
+            grp = [detr[x] for x in interior if x % 7 == d % 7]
+            s, n = sum(grp), len(grp)
+            seasonal = -((-s) // n) if s < 0 else s // n  # truncation
+            assert got[d].seasonal_milli == seasonal
+            assert got[d].resid_milli == detr[d] - seasonal
+        # decomposition reconstructs: n*1000 = trend + seasonal + resid
+        for d in interior:
+            r = got[d]
+            assert (r.trend_milli + r.seasonal_milli + r.resid_milli
+                    == r.n_events * 1000)
+
+
+def test_abc_classes_partition_revenue(spark):
+    from safeascent_spark.operators import olap as OL2
+    rows = {r.abc: r for r in
+            OL2.q_orders_abc_class(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total = sum(r.revenue_e4 for r in rows.values())
+    assert sum(r.share_ppm for r in rows.values()) <= 1_000_000
+    # A covers ~80%: its share must be the largest and near the cut
+    assert rows["A"].share_ppm >= rows["B"].share_ppm >= rows["C"].share_ppm
+    # every part classified exactly once
+    import math
+    li = domain.load_table(spark, SF_ORACLE, "lineitem").collect()
+    per_part: dict[int, int] = {}
+    for x in li:
+        per_part[x.l_partkey] = (per_part.get(x.l_partkey, 0)
+                                 + math.floor(x.l_extendedprice * 100)
+                                 * (100 - round(x.l_discount * 100)))
+    assert sum(r.n_parts for r in rows.values()) == len(per_part)
+    assert total == sum(per_part.values())
+    # brute-force the classification
+    ranked = sorted(per_part.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum, want = 0, {"A": 0, "B": 0, "C": 0}
+    tot = sum(per_part.values())
+    for _, rev in ranked:
+        cum += rev
+        ppm = cum * 1_000_000 // tot
+        want["A" if ppm <= OL2.ABC_A_PPM
+             else "B" if ppm <= OL2.ABC_B_PPM else "C"] += 1
+    assert {k: rows[k].n_parts for k in rows} == want

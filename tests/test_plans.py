@@ -204,6 +204,10 @@ CONSTANT_KEY_WINDOW_ALLOWLIST = {
     # orders_pareto cumulative/total windows: input is the <= 10-row
     # decile aggregate (bounded by construction)
     ("safeascent_spark/operators/olap.py", 'F.col("decile") % 1'),
+    # orders_abc_class higher-band offset/total windows: input is the
+    # revenue-band TOTALS table (one row per band, revenue range /
+    # band width — corpus-size-independent)
+    ("safeascent_spark/operators/olap.py", 'F.col("band") % 1'),
 }
 
 
