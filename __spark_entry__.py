@@ -538,6 +538,11 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": FC.q_events_seasonality,
         # ABC cumulative-share classes via banded descending prefix sums
         "orders_abc_class": OL.q_orders_abc_class,
+        # --- round-6 wave 18: load-gate data-quality checks ---
+        # orphan-FK audit: LEFT ANTI vs pre-deduped parent keysets
+        "dq_referential_integrity": MON.q_dq_referential_integrity,
+        # per-stream ingest freshness lag vs the freshest stream
+        "dq_freshness_lag": MON.q_dq_freshness_lag,
     }
 
 
@@ -648,6 +653,7 @@ _R6_NEW = [
     "dq_join_cardinality", "features_quantile_bins",
     "events_changepoint", "text_zipf_fit",
     "events_seasonality", "orders_abc_class",
+    "dq_referential_integrity", "dq_freshness_lag",
 ]
 
 
@@ -898,6 +904,8 @@ def oracle_sql() -> dict[str, str]:
         "text_zipf_fit": CU.sql_text_zipf_fit(),
         "events_seasonality": FC.sql_events_seasonality(),
         "orders_abc_class": OL.sql_orders_abc_class(),
+        "dq_referential_integrity": MON.sql_dq_referential_integrity(),
+        "dq_freshness_lag": MON.sql_dq_freshness_lag(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

@@ -750,3 +750,109 @@ SELECT s.event_type,
        CAST(s.d AS BIGINT) AS cusum_dev
 FROM scored s JOIN cp ON s.event_type = cp.event_type AND s.k = cp.cp_k
 ORDER BY s.event_type"""
+
+
+# --- Referential-integrity audit (orphan foreign keys) -------------------------
+# The first gate of any warehouse load: fact rows whose foreign key has
+# no parent.  Per declared FK edge: total fact rows, orphan rows, and
+# distinct orphan keys — the orphan set computed as a LEFT ANTI against
+# the parent's pre-deduped keyset (map-side-combined DISTINCT before
+# the join, never a row-level parent scan per fact row).
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q_dq_referential_integrity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    parts = []
+    for ft, fk, pt, pk in _FK_EDGES:
+        fact = (domain.load_table(spark, sf_dir, ft)
+                .select(F.col(fk).cast("long").alias("k")))
+        parent = (domain.load_table(spark, sf_dir, pt)
+                  .select(F.col(pk).cast("long").alias("k")).distinct())
+        orphans = fact.join(parent, "k", "left_anti")
+        stats = (fact.agg(F.count(F.lit(1)).cast("long").alias("n_fact"))
+                 .crossJoin(F.broadcast(
+                     orphans.agg(
+                         F.count(F.lit(1)).cast("long").alias("n_orphan"),
+                         F.count_distinct("k").cast("long")
+                          .alias("n_orphan_keys")))))
+        parts.append(stats.select(
+            F.lit(f"{ft}.{fk}->{pt}.{pk}").alias("fk_edge"),
+            "n_fact", "n_orphan", "n_orphan_keys",
+            (F.col("n_orphan") == 0).alias("intact")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk_edge")
+
+
+def sql_dq_referential_integrity() -> str:
+    legs = []
+    for ft, fk, pt, pk in _FK_EDGES:
+        legs.append(f"""
+  SELECT '{ft}.{fk}->{pt}.{pk}' AS fk_edge,
+         (SELECT CAST(count(*) AS BIGINT) FROM {ft}) AS n_fact,
+         (SELECT CAST(count(*) AS BIGINT) FROM {ft} f
+          WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                            WHERE p.{pk} = f.{fk})) AS n_orphan,
+         (SELECT CAST(count(DISTINCT f.{fk}) AS BIGINT) FROM {ft} f
+          WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                            WHERE p.{pk} = f.{fk})) AS n_orphan_keys,
+         (SELECT count(*) FROM {ft} f
+          WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                            WHERE p.{pk} = f.{fk})) = 0 AS intact""")
+    return ("SELECT * FROM (" + "\nUNION ALL".join(legs)
+            + ")\nORDER BY fk_edge")
+
+
+# --- Ingest-freshness lag per stream -------------------------------------------
+# The pipeline-health readout every on-call dashboard opens with: how
+# far behind the freshest stream is each event type, in exact
+# nanoseconds and whole minutes, with a staleness flag.  Pure integer
+# max/"argmax vs global max" arithmetic — one map-side-combined
+# aggregate, a 1-row global max broadcast back.
+
+FRESH_STALE_MIN = 60          # flag streams > 60 min behind the freshest
+
+
+def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    per = (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.max("ts").cast("long").alias("max_ts_ns")))
+    g = per.agg(F.max("max_ts_ns").alias("global_max_ns"))
+    return (per.crossJoin(F.broadcast(g))
+               .select("event_type", "n_events", "max_ts_ns",
+                       F.expr("CAST(global_max_ns - max_ts_ns AS BIGINT)")
+                        .alias("lag_ns"),
+                       F.expr("CAST((global_max_ns - max_ts_ns) "
+                              "div 60000000000 AS BIGINT)")
+                        .alias("lag_minutes"),
+                       F.expr("(global_max_ns - max_ts_ns) div 60000000000"
+                              f" > {FRESH_STALE_MIN}").alias("stale"))
+               .orderBy("event_type"))
+
+
+def sql_dq_freshness_lag() -> str:
+    return f"""
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(epoch_ns(ts)) AS BIGINT) AS max_ts_ns
+  FROM events GROUP BY event_type
+),
+g AS (SELECT max(max_ts_ns) AS global_max_ns FROM per)
+SELECT p.event_type, p.n_events, p.max_ts_ns,
+       CAST(g.global_max_ns - p.max_ts_ns AS BIGINT) AS lag_ns,
+       CAST((g.global_max_ns - p.max_ts_ns) // 60000000000 AS BIGINT)
+         AS lag_minutes,
+       (g.global_max_ns - p.max_ts_ns) // 60000000000
+         > {FRESH_STALE_MIN} AS stale
+FROM per p, g
+ORDER BY p.event_type"""

@@ -464,3 +464,33 @@ def test_abc_classes_partition_revenue(spark):
         want["A" if ppm <= OL2.ABC_A_PPM
              else "B" if ppm <= OL2.ABC_B_PPM else "C"] += 1
     assert {k: rows[k].n_parts for k in rows} == want
+
+
+# --- wave 18: load-gate data-quality checks --------------------------------
+
+def test_referential_integrity_flags_and_counts(spark):
+    rows = {r.fk_edge: r for r in
+            MON.q_dq_referential_integrity(spark, SF_ORACLE).collect()}
+    assert len(rows) == len(MON._FK_EDGES)
+    li = domain.load_table(spark, SF_ORACLE, "lineitem")
+    orders = {o.o_orderkey for o in
+              domain.load_table(spark, SF_ORACLE, "orders").collect()}
+    fact = [r.l_orderkey for r in li.collect()]
+    orphan = [k for k in fact if k not in orders]
+    r = rows["lineitem.l_orderkey->orders.o_orderkey"]
+    assert r.n_fact == len(fact)
+    assert r.n_orphan == len(orphan)
+    assert r.n_orphan_keys == len(set(orphan))
+    assert r.intact == (len(orphan) == 0)
+    plan = plan_of(MON.q_dq_referential_integrity(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+
+
+def test_freshness_lag_is_relative_to_freshest(spark):
+    rows = MON.q_dq_freshness_lag(spark, SF_ORACLE).collect()
+    assert rows
+    assert min(r.lag_ns for r in rows) == 0     # the freshest stream
+    for r in rows:
+        assert r.lag_ns >= 0
+        assert r.lag_minutes == r.lag_ns // 60_000_000_000
+        assert r.stale == (r.lag_minutes > MON.FRESH_STALE_MIN)
