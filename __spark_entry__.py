@@ -543,6 +543,11 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_referential_integrity": MON.q_dq_referential_integrity,
         # per-stream ingest freshness lag vs the freshest stream
         "dq_freshness_lag": MON.q_dq_freshness_lag,
+        # --- round-6 wave 19: PK uniqueness + backlog aging ---
+        # primary-key uniqueness audit over seven declared keys
+        "dq_unique_key_check": MON.q_dq_unique_key_check,
+        # open-work aging buckets vs the dataset watermark
+        "orders_backlog_aging": OL.q_orders_backlog_aging,
     }
 
 
@@ -654,6 +659,7 @@ _R6_NEW = [
     "events_changepoint", "text_zipf_fit",
     "events_seasonality", "orders_abc_class",
     "dq_referential_integrity", "dq_freshness_lag",
+    "dq_unique_key_check", "orders_backlog_aging",
 ]
 
 
@@ -906,6 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_abc_class": OL.sql_orders_abc_class(),
         "dq_referential_integrity": MON.sql_dq_referential_integrity(),
         "dq_freshness_lag": MON.sql_dq_freshness_lag(),
+        "dq_unique_key_check": MON.sql_dq_unique_key_check(),
+        "orders_backlog_aging": OL.sql_orders_backlog_aging(),
         "risk_grouping_sets": OL.sql_risk_grouping_sets(),
         "bpe_roundtrip": CU.sql_bpe_roundtrip(),
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),

@@ -856,3 +856,58 @@ SELECT p.event_type, p.n_events, p.max_ts_ns,
          > {FRESH_STALE_MIN} AS stale
 FROM per p, g
 ORDER BY p.event_type"""
+
+
+# --- Primary-key uniqueness audit ----------------------------------------------
+# dq_referential_integrity's companion gate: every declared key must be
+# unique before it can serve as a join/merge key.  Per (table, key):
+# row count, distinct keys, duplicated keys, and the worst key's
+# multiplicity — all from one map-side-combined per-key count, with the
+# max multiplicity a bounded re-aggregate (never a sort).
+
+_PK_DECLS = [
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("events", "event_id"),
+]
+
+
+def q_dq_unique_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for t, k in _PK_DECLS:
+        counts = (domain.load_table(spark, sf_dir, t)
+                  .groupBy(F.col(k).cast("long").alias("k"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        parts.append(counts.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.expr("CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)")
+             .alias("n_dup_keys"),
+            F.max("c").cast("bigint").alias("max_multiplicity"))
+            .select(F.lit(f"{t}.{k}").alias("key"),
+                    "n_rows", "n_keys", "n_dup_keys", "max_multiplicity",
+                    (F.col("n_dup_keys") == 0).alias("unique")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key")
+
+
+def sql_dq_unique_key_check() -> str:
+    legs = []
+    for t, k in _PK_DECLS:
+        legs.append(f"""
+  SELECT '{t}.{k}' AS key,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_keys,
+         CAST(max(c) AS BIGINT) AS max_multiplicity,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS "unique"
+  FROM (SELECT {k}, count(*) AS c FROM {t} GROUP BY {k})""")
+    return ("SELECT * FROM (" + "\nUNION ALL".join(legs)
+            + ")\nORDER BY key")

@@ -1427,3 +1427,61 @@ SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
 FROM classed
 GROUP BY abc
 ORDER BY abc"""
+
+
+# --- Order-backlog aging buckets ------------------------------------------------
+# The receivables/ops classic: open work bucketed by age as of the
+# dataset's watermark (max order date) — 0-30 / 31-60 / 61-90 / 90+
+# days, per order status.  Age is exact integer day arithmetic against
+# a 1-row watermark broadcast; value rides exact cents.
+
+AGING_EDGES = (30, 60, 90)
+
+
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .select("o_orderstatus",
+                 F.col("o_orderdate").cast("date").alias("od"),
+                 F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .alias("price_c")))
+    wm = o.agg(F.max("od").alias("watermark"))
+    aged = (o.crossJoin(F.broadcast(wm))
+             .withColumn("age_days", F.datediff("watermark", "od")))
+    e1, e2, e3 = AGING_EDGES
+    bucket = F.expr(f"""
+        CASE WHEN age_days <= {e1} THEN '0-{e1}'
+             WHEN age_days <= {e2} THEN '{e1 + 1}-{e2}'
+             WHEN age_days <= {e3} THEN '{e2 + 1}-{e3}'
+             ELSE '{e3}+' END""")
+    return (aged.groupBy("o_orderstatus", bucket.alias("age_bucket"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                     F.sum("price_c").cast("bigint").alias("value_c"),
+                     F.max("age_days").cast("int").alias("oldest_days"))
+                .orderBy("o_orderstatus", "age_bucket"))
+
+
+def sql_orders_backlog_aging() -> str:
+    e1, e2, e3 = AGING_EDGES
+    return f"""
+WITH o AS (
+  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS od,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+wm AS (SELECT max(od) AS watermark FROM o),
+aged AS (
+  SELECT o.o_orderstatus, o.price_c,
+         datediff('day', o.od, wm.watermark) AS age_days
+  FROM o, wm
+)
+SELECT o_orderstatus,
+       CASE WHEN age_days <= {e1} THEN '0-{e1}'
+            WHEN age_days <= {e2} THEN '{e1 + 1}-{e2}'
+            WHEN age_days <= {e3} THEN '{e2 + 1}-{e3}'
+            ELSE '{e3}+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_c) AS BIGINT) AS value_c,
+       CAST(max(age_days) AS INT) AS oldest_days
+FROM aged
+GROUP BY 1, 2
+ORDER BY 1, 2"""

@@ -494,3 +494,34 @@ def test_freshness_lag_is_relative_to_freshest(spark):
         assert r.lag_ns >= 0
         assert r.lag_minutes == r.lag_ns // 60_000_000_000
         assert r.stale == (r.lag_minutes > MON.FRESH_STALE_MIN)
+
+
+# --- wave 19: PK uniqueness + backlog aging --------------------------------
+
+def test_unique_key_check_matches_bruteforce(spark):
+    rows = {r.key: r for r in
+            MON.q_dq_unique_key_check(spark, SF_ORACLE).collect()}
+    assert len(rows) == len(MON._PK_DECLS)
+    evs = [e.event_id for e in
+           domain.load_table(spark, SF_ORACLE, "events").collect()]
+    from collections import Counter
+    c = Counter(evs)
+    r = rows["events.event_id"]
+    assert r.n_rows == len(evs)
+    assert r.n_keys == len(c)
+    assert r.n_dup_keys == sum(1 for v in c.values() if v > 1)
+    assert r.max_multiplicity == max(c.values())
+    assert r.unique == (r.n_dup_keys == 0)
+
+
+def test_backlog_aging_partitions_orders(spark):
+    from safeascent_spark.operators import olap as OL
+    rows = OL.q_orders_backlog_aging(spark, SF_ORACLE).collect()
+    n = domain.load_table(spark, SF_ORACLE, "orders").count()
+    assert sum(r.n_orders for r in rows) == n
+    buckets = {r.age_bucket for r in rows}
+    e1, e2, e3 = OL.AGING_EDGES
+    assert buckets <= {f"0-{e1}", f"{e1 + 1}-{e2}",
+                       f"{e2 + 1}-{e3}", f"{e3}+"}
+    # the watermark order itself ages 0 days, so a 0-30 bucket exists
+    assert any(r.age_bucket == f"0-{e1}" for r in rows)
