@@ -575,23 +575,27 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   after r6: 0 queries older than r4 evidence; 24 r5-registered
 #     never-checked remain (wave 6-14 tail, ann_ivf_pq_topk ..
 #     events_twap — all re-verified locally each round via
-#     tools/local_correctness.py) plus the 54 r6-new registrations
+#     tools/local_correctness.py) plus the 62 r6-new registrations
 #     (_R6_NEW, CORRECTNESS_LOCAL_r06 evidence); they are the tail's
-#     FRONT so the r7 window picks them up first (24 + the first 26 of
-#     the 54 fit; the remaining 28 r6-new go in the r8 window),
-#     followed by the queries whose newest row is r4 (2 rounds old at
-#     r7) — at 227 queries the invariant is ceil(227/50) = a fresh
-#     driver row at least every 5 rounds.
-#   Note: VERDICT r5's "<=20 never-checked remaining" target conflicts
-#     by 3+4 slots with its own "r3 leave-outs rotate in first" and
-#     "changed queries stay driver-green" requirements; this order
-#     resolves the conflict in favor of evidence FRESHNESS (nothing
-#     older than r4, every code change re-gated) at the cost of 24
-#     rather than 20 r5-era never-checked remaining.
+#     FRONT so the r7 window picks them up first (24 + 26 of the 62
+#     fit; the remaining 36 r6-new go in the r8 window) — at 235
+#     queries (pre-r7 growth) the invariant is ceil(235/50) = a fresh
+#     driver row at least every 5 rounds.  (ADVICE r6 low: an earlier
+#     revision of this note said 54/227/28 — corrected to 62/235/36.)
+#   r7 window (_R7_WINDOW below): dedup_canonical FIRST (its code
+#     changed this round — integer-exact quality_u per ADVICE r6 high —
+#     so it must re-pass the driver's own gate), then the 24
+#     still-never-checked r5-era queries (_R6_TAIL_NEVER), then the
+#     first 25 of the 62 r6-new in registration order
+#     (text_gopher_rules .. multimodal_wav_segments).
+#   after r7 (projected): never-checked = the remaining 36 r6-new
+#     (_R7_TAIL_NEVER — the r8 window takes all 36 + the 14 oldest
+#     r5-evidence rows) + whatever r7 adds (_R7_NEW, evidence in
+#     CORRECTNESS_LOCAL_r07.json until the r8/r9 windows).
 #
-# New r6 queries are tail-registered after the never-checked backlog
+# New r7 queries are tail-registered after the never-checked backlog
 # (saturation rationale unchanged); their evidence rides
-# CORRECTNESS_LOCAL_r06.json until the r7/r8 windows rotate them in.
+# CORRECTNESS_LOCAL_r07.json until the r8/r9 windows rotate them in.
 
 _R6_WINDOW = [
     # (a) the three r3-stale leave-outs
@@ -663,20 +667,42 @@ _R6_NEW = [
 ]
 
 
+# --- Round-7 registration order ----------------------------------------------
+# window: code-changed re-gate first, then the 24 r5-era never-checked,
+# then the first 25 r6-new (dedup_canonical would have been #49 of the
+# r6-new order; pulling it forward costs one slot of the 26 planned).
+_R7_WINDOW = (["dedup_canonical"]
+              + list(_R6_TAIL_NEVER)
+              + [n for n in _R6_NEW if n != "dedup_canonical"][:25])
+
+# tail front: the 36 r6-new still never driver-checked (r8 takes all 36)
+_R7_TAIL_NEVER = [n for n in _R6_NEW if n != "dedup_canonical"][25:]
+
+# queries NEW in round 7 (tail-registered per the saturation note; their
+# evidence is CORRECTNESS_LOCAL_r07.json until the r8/r9 windows)
+_R7_NEW: list = [
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     b = _builders()
-    order = list(_R6_WINDOW) + list(_R6_TAIL_NEVER) + list(_R6_NEW)
+    order = list(_R7_WINDOW) + list(_R7_TAIL_NEVER) + list(_R7_NEW)
     taken = set(order)
-    # then everything else: oldest driver evidence first (r4-row queries
-    # before r5-row queries) so the r7 window inherits a ready-made
-    # oldest-first order.  The r5 window was exactly the first 50 keys of
-    # the (r5-ordered) _builders dict; everything after it and not in
-    # `taken` carries an r4 row.
+    # then everything else, oldest driver evidence first, so the r8
+    # window inherits a ready-made order: r4-row queries (r5-era dict
+    # tail never rotated), then r5-row (the r5 window minus what r6
+    # re-checked), then r6-fresh (_R6_WINDOW).  The r5 window was
+    # exactly the first 50 keys of the (r5-ordered) _builders dict.
     old_order = list(b)
-    r5_rest = [n for n in old_order[:50] if n not in taken]
-    r4_rest = [n for n in old_order[50:] if n not in taken]
-    order += r4_rest + r5_rest
-    assert len(order) == len(b) and set(order) == set(b)
+    r6_set = set(_R6_WINDOW)
+    r5_rest = [n for n in old_order[:50]
+               if n not in taken and n not in r6_set]
+    r4_rest = [n for n in old_order[50:]
+               if n not in taken and n not in r6_set]
+    r6_rest = [n for n in _R6_WINDOW if n not in taken]
+    order += r4_rest + r5_rest + r6_rest
+    assert len(order) == len(b) and set(order) == set(b), (
+        len(order), len(b))
     return {n: b[n] for n in order}
 
 

@@ -1347,19 +1347,18 @@ FROM j"""
 # favor of a boilerplate-wrapped copy because its id is smaller is a
 # real data-quality loss.  The canonical is argmax(quality_u) with a
 # min-doc_id tie-break, computed as two bounded aggregates + one
-# equality join (no window over the corpus); quality_u is the rounded
-# micro-unit integer of the already-verified quality expression, so the
-# argmax is engine-exact.
+# equality join (no window over the corpus); quality_u is the EXACT
+# integer micro-unit quality (``text.quality_u_df`` — per-term BIGINT
+# floor division, ADVICE r6 high: the old ``round(quality * 1e6)`` on
+# the composed double diverged from DuckDB in the last ulp at
+# half-boundaries, flipping the argmax at some scale factors).
 
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import q_quality_score
+    from .text import quality_u_df
     clusters = q_dedup_clusters(spark, sf_dir) \
         .select("doc_id", "cluster_rep", "cluster_size") \
         .filter(F.col("cluster_size") >= 2)
-    qual = q_quality_score(spark, sf_dir).select(
-        "doc_id",
-        F.expr("CAST(round(quality * 1000000) AS BIGINT)")
-         .alias("quality_u"))
+    qual = quality_u_df(spark, sf_dir)
     j = clusters.join(qual, "doc_id")
     best = (j.groupBy("cluster_rep")
              .agg(F.max("quality_u").alias("best_q")))
@@ -1377,13 +1376,10 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_dedup_canonical() -> str:
-    from .text import sql_quality_score
+    from .text import sql_quality_u_cte
     return f"""
 WITH clusters AS ({sql_dedup_clusters()}),
-qual AS (
-  SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS quality_u
-  FROM ({sql_quality_score()})
-),
+qual AS ({sql_quality_u_cte()}),
 j AS (
   SELECT c.doc_id, c.cluster_rep, c.cluster_size, q.quality_u
   FROM clusters c JOIN qual q ON c.doc_id = q.doc_id

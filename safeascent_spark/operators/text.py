@@ -240,6 +240,60 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+def quality_u_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_u) — the quality heuristic in EXACT micro-unit
+    BIGINT arithmetic (ADVICE r6 high).  ``round(quality * 1e6)`` on the
+    composed double differs between Spark and DuckDB in the last ulp at
+    half-boundaries, so any consumer that keys on quality (argmax joins,
+    canonical selection) was fixture-lucky.  Each min() term of the
+    heuristic is a rational with an exact small-integer denominator
+    (n_tokens, n_stop, n_chars are exact BIGINTs), so micro-unit quality
+    is computed term-by-term with truncating integer division — verified
+    identical on this Spark/DuckDB pair for all signs:
+
+      0.4e6 * min(ntok/100, 1)              = least(4000*ntok, 400000)
+      0.3e6 * min(4*nstop/ntok, 1)          = least(1200000*nstop div ntok, 300000)
+      0.3e6 * min(((nchars-ntok+1)/ntok)/8,1)= least(300000*(nchars-ntok+1)
+                                                     div (8*ntok), 300000)
+
+    Per-term floors differ from the composed-double round by <3 ulp-scale
+    micro-units — irrelevant for ranking, and every consumer's oracle
+    mirrors this exact expression."""
+    d = docs_df(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    ntok = F.size(toks).cast("bigint")
+    nstop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    base = d.select("doc_id",
+                    F.col("n_chars").cast("bigint").alias("nch"),
+                    ntok.alias("ntok"), nstop.alias("nstop"))
+    return base.select(
+        "doc_id",
+        F.expr(
+            "least(4000 * ntok, 400000)"
+            " + least((1200000 * nstop) div greatest(ntok, 1), 300000)"
+            " + least((300000 * (nch - ntok + 1)) div (8 * greatest(ntok, 1)),"
+            "         300000)"
+        ).cast("bigint").alias("quality_u"))
+
+
+def sql_quality_u_cte() -> str:
+    """DuckDB CTE body mirroring ``quality_u_df`` verbatim (DuckDB ``//``
+    and Spark ``div`` both truncate toward zero on this runtime pair)."""
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+  SELECT doc_id,
+         least(4000 * ntok, 400000)
+         + least((1200000 * nstop) // greatest(ntok, 1), 300000)
+         + least((300000 * (nch - ntok + 1)) // (8 * greatest(ntok, 1)),
+                 300000) AS quality_u
+  FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS nch,
+               CAST(len({toks}) AS BIGINT) AS ntok,
+               CAST(len(list_filter({toks}, x -> x IN ({stop_in}))) AS BIGINT)
+                 AS nstop
+        FROM documents)"""
+
+
 def quality_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, quality_band) — the band leg of ``q_quality_score``, as a
     composable input for reweighting operators (``dedup.py

@@ -213,8 +213,23 @@ def test_canonical_prefers_quality_over_min_id(spark):
     clusters = {r.doc_id: r.cluster_rep
                 for r in D.q_dedup_clusters(spark, SF_ORACLE).collect()
                 if r.cluster_size >= 2}
-    qual = {r.doc_id: round(r.quality * 1_000_000)
-            for r in TX.q_quality_score(spark, SF_ORACLE).collect()}
+    # integer micro-unit quality, mirrored from text.quality_u_df (per-term
+    # BIGINT truncating division — ADVICE r6 high replaced round(q*1e6))
+    docs = {r.doc_id: (r.n_chars, r.text)
+            for r in TX.docs_df(spark, SF_ORACLE)
+                       .select("doc_id", "n_chars", "text").collect()}
+
+    def qual_u(doc_id):
+        nch, text = docs[doc_id]
+        toks = [t for t in text.split(" ") if t]
+        ntok = len(toks)
+        nstop = sum(1 for t in toks if t in TX.STOPWORDS)
+        t = max(ntok, 1)
+        return (min(4000 * ntok, 400000)
+                + min((1200000 * nstop) // t, 300000)
+                + min((300000 * (nch - ntok + 1)) // (8 * t), 300000))
+
+    qual = {d: qual_u(d) for d in docs}
     from collections import defaultdict
     members = defaultdict(list)
     for doc, rep in clusters.items():

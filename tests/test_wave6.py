@@ -616,7 +616,10 @@ def test_twap_matches_bruteforce_locf_weighting(spark):
 def test_events_value_nonnegative_divisor_precondition(spark):
     """ADVICE r5: events_twap's integer TWAP and events_attribution's
     equal split rely on value >= 0 for Spark's truncating `div` to agree
-    with DuckDB's flooring `//`.  Pin that precondition on every fixture
+    with DuckDB's truncating `//` (both truncate toward zero on this
+    runtime pair: -7 // 2 = -3 on duckdb 1.0.0 — identical to Spark's
+    div on all signs; the value>=0 pin below keeps the arithmetic
+    sign-free anyway).  Pin that precondition on every fixture
     the oracles run against, so a generator change producing negative
     values fails HERE (named precondition) rather than as a silent
     oracle divergence."""
