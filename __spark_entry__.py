@@ -33,6 +33,7 @@ from safeascent_spark.operators import weather as W
 from safeascent_spark import ml as ML
 from safeascent_spark import skew as SK
 from safeascent_spark.streaming import correlate as CORR
+from safeascent_spark.operators import evalrank as EV
 from safeascent_spark.streaming import sessions as SESS
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -548,6 +549,16 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_unique_key_check": MON.q_dq_unique_key_check,
         # open-work aging buckets vs the dataset watermark
         "orders_backlog_aging": OL.q_orders_backlog_aging,
+        # --- round-7 wave 20: model-evaluation rank statistics ---
+        # tie-corrected Mann-Whitney AUC, one-vs-rest per event type,
+        # from banded prefix sums over the bounded distinct-score grid
+        "eval_roc_auc": EV.q_eval_roc_auc,
+        # Kolmogorov-Smirnov class separation on the same grid
+        "eval_ks_statistic": EV.q_eval_ks_statistic,
+        # decile gains/lift table via banded global rank (no single sort)
+        "ml_gains_deciles": EV.q_ml_gains_deciles,
+        # Benford first-digit conformance audit with exact chi-square
+        "dq_benford": MON.q_dq_benford,
     }
 
 
@@ -681,6 +692,7 @@ _R7_TAIL_NEVER = [n for n in _R6_NEW if n != "dedup_canonical"][25:]
 # queries NEW in round 7 (tail-registered per the saturation note; their
 # evidence is CORRECTNESS_LOCAL_r07.json until the r8/r9 windows)
 _R7_NEW: list = [
+    "eval_roc_auc", "eval_ks_statistic", "ml_gains_deciles", "dq_benford",
 ]
 
 
@@ -945,4 +957,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_wav_segments": MM.sql_multimodal_wav_segments(),
         "events_forecast_eval": FC.sql_events_forecast_eval(),
         "sample_learnability": CU.sql_sample_learnability(),
+        "eval_roc_auc": EV.sql_eval_roc_auc(),
+        "eval_ks_statistic": EV.sql_eval_ks_statistic(),
+        "ml_gains_deciles": EV.sql_ml_gains_deciles(),
+        "dq_benford": MON.sql_dq_benford(),
     }

@@ -1,0 +1,312 @@
+"""Model-evaluation rank statistics over the events stream (round 7).
+
+The training-data-pipeline closing loop: after a filter/classifier model
+scores a corpus, the pipeline grades the SCORES themselves — ROC AUC,
+KS separation, and decile gains/lift — before the scores are trusted to
+gate data.  The reference computes per-route quality gradings driver-side
+(`backend/app/services/mp_routes.py` score summaries); the engine form is
+three distributed rank statistics with exact integer arithmetic.
+
+Shared frame: label = (event_type — each type in turn is the "positive"
+class, one-vs-rest), score = floor(value * 100) exact cents.
+
+Scale design: every statistic is computed from the DISTINCT-SCORE count
+table, never a per-row global sort.  Scores live on a bounded cent grid
+(value range x 100 rows regardless of corpus size), and the prefix sums
+over that grid use rankutil.banded_cumsum — in-band windows over
+score-magnitude bands plus a broadcast offset join — so nothing funnels
+through a single task.  All products ride DECIMAL(38,0) (HUGEINT in the
+DuckDB oracles): at 1e12 events 2U <= N^2/2 ~ 5e23 and ppm scaling adds
+x1e6 — still 8 orders inside DECIMAL(38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import domain
+from .rankutil import banded_cumsum, banded_rank
+
+# score bands of $10 (1000 cents): |bands| = value range / $10,
+# corpus-size-independent
+SCORE_BAND_CENTS = 1000
+GAINS_POS_TYPE = "purchase"
+GAINS_DECILES = 10
+
+_DEC = "DECIMAL(38,0)"
+
+
+def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, event_id, s) with s = exact integer cents."""
+    return (domain.load_table(spark, sf_dir, "events")
+            .select("event_type", "event_id",
+                    F.expr("CAST(floor(value * 100) AS BIGINT)").alias("s")))
+
+
+def _per_and_tot(spark: SparkSession, sf_dir: str):
+    """Distinct-score count tables: per (event_type, s) and per s."""
+    per = (_scores(spark, sf_dir)
+           .groupBy("event_type", "s")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_ts")))
+    tot = per.groupBy("s").agg(F.sum("n_ts").cast("bigint").alias("n_s"))
+    return per, tot
+
+
+# --- ROC AUC via the tie-corrected rank-sum (Mann-Whitney U) -------------------
+# AUC = U / (n_pos * n_neg) with U = #(pos>neg) + #(pos==neg)/2.  The
+# engine computes 2U (an exact integer even with ties):
+#   2U = sum over distinct scores s of  n_pos(s) * (2 * cum_neg_below(s)
+#                                                   + n_neg(s))
+# one-vs-rest for every event_type in a single pass over the shared
+# distinct-score grid.
+
+def q_eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per, tot = _per_and_tot(spark, sf_dir)
+    band = F.expr(f"s div {SCORE_BAND_CENTS}")
+    totc = banded_cumsum(tot, [], band, [F.col("s").asc()],
+                         "n_s", "cum_all_below", inclusive=False)
+    perc = banded_cumsum(per, ["event_type"], band, [F.col("s").asc()],
+                         "n_ts", "cum_t_below", inclusive=False)
+    n_row = tot.agg(F.sum("n_s").cast("bigint").alias("n_total"))
+    j = perc.join(totc.select("s", "n_s", "cum_all_below"), "s")
+    contrib = F.expr(
+        f"CAST(n_ts AS {_DEC})"
+        " * (2 * (cum_all_below - cum_t_below) + (n_s - n_ts))")
+    agg = (j.groupBy("event_type")
+            .agg(F.sum("n_ts").cast("bigint").alias("n_pos"),
+                 F.sum(contrib).alias("u2")))
+    return (agg.crossJoin(F.broadcast(n_row))
+               .select("event_type", "n_pos",
+                       (F.col("n_total") - F.col("n_pos"))
+                        .cast("bigint").alias("n_neg"),
+                       F.expr(
+                           f"CAST(u2 * 1000000 div (2 * CAST(n_pos AS {_DEC})"
+                           " * (n_total - n_pos)) AS BIGINT)")
+                        .alias("auc_ppm"))
+               .orderBy("event_type"))
+
+
+def sql_eval_roc_auc() -> str:
+    return """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS s FROM events
+),
+per AS (
+  SELECT event_type, s, CAST(count(*) AS BIGINT) AS n_ts
+  FROM e GROUP BY 1, 2
+),
+tot AS (SELECT s, CAST(sum(n_ts) AS BIGINT) AS n_s FROM per GROUP BY 1),
+totc AS (
+  SELECT s, n_s,
+         CAST(coalesce(sum(n_s) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_all_below
+  FROM tot
+),
+perc AS (
+  SELECT event_type, s, n_ts,
+         CAST(coalesce(sum(n_ts) OVER (PARTITION BY event_type ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_t_below
+  FROM per
+),
+n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM tot),
+agg AS (
+  SELECT p.event_type,
+         CAST(sum(p.n_ts) AS BIGINT) AS n_pos,
+         sum(CAST(p.n_ts AS HUGEINT)
+             * (2 * (t.cum_all_below - p.cum_t_below) + (t.n_s - p.n_ts)))
+           AS u2
+  FROM perc p JOIN totc t ON p.s = t.s
+  GROUP BY 1
+)
+SELECT event_type, n_pos,
+       CAST(n.n_total - n_pos AS BIGINT) AS n_neg,
+       CAST(u2 * 1000000 // (2 * CAST(n_pos AS HUGEINT)
+            * (n.n_total - n_pos)) AS BIGINT) AS auc_ppm
+FROM agg, n
+ORDER BY event_type"""
+
+
+# --- Kolmogorov-Smirnov separation per class -----------------------------------
+# KS = max over scores of |F_pos(s) - F_neg(s)| (inclusive CDFs).  On the
+# common denominator n_pos * n_neg the gap at each score is the exact
+# integer D(s) = |cumPos(s) * n_neg - cumNeg(s) * n_pos|; the statistic
+# is max D / (n_pos * n_neg).  The CDFs are evaluated on the full
+# distinct-score grid x |event types| (bounded x 5), with the per-type
+# inclusive prefix from banded_cumsum over zero-filled counts.
+
+def q_eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per, tot = _per_and_tot(spark, sf_dir)
+    band = F.expr(f"s div {SCORE_BAND_CENTS}")
+    totc = banded_cumsum(tot, [], band, [F.col("s").asc()],
+                         "n_s", "cum_all", inclusive=True)
+    types = per.select("event_type").distinct()
+    grid = (totc.crossJoin(F.broadcast(types))
+                .join(per, ["event_type", "s"], "left")
+                .withColumn("n_ts", F.coalesce(F.col("n_ts"),
+                                               F.lit(0).cast("bigint"))))
+    g = banded_cumsum(grid, ["event_type"], band, [F.col("s").asc()],
+                      "n_ts", "cum_t", inclusive=True)
+    npos = per.groupBy("event_type").agg(
+        F.sum("n_ts").cast("bigint").alias("n_pos"))
+    n_row = tot.agg(F.sum("n_s").cast("bigint").alias("n_total"))
+    d = (g.join(F.broadcast(npos), "event_type")
+          .crossJoin(F.broadcast(n_row))
+          .withColumn("n_neg", (F.col("n_total") - F.col("n_pos"))
+                                .cast("bigint"))
+          .withColumn("d", F.expr(
+              f"abs(CAST(cum_t AS {_DEC}) * n_neg"
+              f" - CAST(cum_all - cum_t AS {_DEC}) * n_pos)")))
+    mx = d.groupBy("event_type").agg(F.max("d").alias("max_d"))
+    return (d.join(F.broadcast(mx), "event_type")
+             .filter(F.col("d") == F.col("max_d"))
+             .groupBy("event_type")
+             .agg(F.max("n_pos").alias("n_pos"),
+                  F.max("n_neg").alias("n_neg"),
+                  F.min("s").cast("bigint").alias("ks_at_score_c"),
+                  F.max(F.expr(
+                      f"CAST(d * 1000000 div (CAST(n_pos AS {_DEC}) * n_neg)"
+                      " AS BIGINT)")).alias("ks_ppm"))
+             .select("event_type", "n_pos", "n_neg", "ks_at_score_c",
+                     "ks_ppm")
+             .orderBy("event_type"))
+
+
+def sql_eval_ks_statistic() -> str:
+    return """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS s FROM events
+),
+per AS (
+  SELECT event_type, s, CAST(count(*) AS BIGINT) AS n_ts
+  FROM e GROUP BY 1, 2
+),
+tot AS (SELECT s, CAST(sum(n_ts) AS BIGINT) AS n_s FROM per GROUP BY 1),
+totc AS (
+  SELECT s, n_s,
+         CAST(sum(n_s) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_all
+  FROM tot
+),
+grid AS (
+  SELECT t.s, t.cum_all, ty.event_type, coalesce(p.n_ts, 0) AS n_ts
+  FROM totc t
+  CROSS JOIN (SELECT DISTINCT event_type FROM per) ty
+  LEFT JOIN per p ON p.event_type = ty.event_type AND p.s = t.s
+),
+g AS (
+  SELECT event_type, s, cum_all,
+         CAST(sum(n_ts) OVER (PARTITION BY event_type ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_t
+  FROM grid
+),
+np AS (
+  SELECT event_type, CAST(sum(n_ts) AS BIGINT) AS n_pos
+  FROM per GROUP BY 1
+),
+n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM tot),
+d AS (
+  SELECT g.event_type, g.s, np.n_pos,
+         CAST(n.n_total - np.n_pos AS BIGINT) AS n_neg,
+         abs(CAST(g.cum_t AS HUGEINT) * (n.n_total - np.n_pos)
+             - CAST(g.cum_all - g.cum_t AS HUGEINT) * np.n_pos) AS dd
+  FROM g JOIN np ON g.event_type = np.event_type, n
+),
+mx AS (SELECT event_type, max(dd) AS max_d FROM d GROUP BY 1)
+SELECT d.event_type,
+       max(d.n_pos) AS n_pos,
+       max(d.n_neg) AS n_neg,
+       CAST(min(d.s) AS BIGINT) AS ks_at_score_c,
+       max(CAST(d.dd * 1000000 // (CAST(d.n_pos AS HUGEINT) * d.n_neg)
+           AS BIGINT)) AS ks_ppm
+FROM d JOIN mx ON d.event_type = mx.event_type AND d.dd = mx.max_d
+GROUP BY d.event_type
+ORDER BY d.event_type"""
+
+
+# --- Decile gains / lift table -------------------------------------------------
+# The campaign-targeting classic: rank the corpus by score descending,
+# cut into 10 equal deciles, and report what share of the positive class
+# each cumulative decile captures vs random (lift).  Decile assignment
+# needs a corpus-wide row numbering — banded_rank with descending
+# score-magnitude bands, never a single-task sort; the cumulative pass
+# then runs on the 10-row decile aggregate.
+
+def q_ml_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _scores(spark, sf_dir)
+    ranked = banded_rank(
+        e, [], F.expr(f"s div {SCORE_BAND_CENTS}"),
+        [F.col("s").desc(), F.col("event_id").asc()],
+        rank_name="r", total_name="n_total", descending_bands=True)
+    dec = ranked.withColumn(
+        "decile",
+        F.expr(f"CAST((r - 1) * {GAINS_DECILES} div n_total + 1 AS INT)"))
+    agg = (dec.groupBy("decile")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                   F.sum(F.when(F.col("event_type") == GAINS_POS_TYPE, 1)
+                          .otherwise(0)).cast("bigint").alias("n_pos")))
+    # cumulative windows over the 10-row decile aggregate (bounded by
+    # construction — GAINS_DECILES rows)
+    cum_w = (Window.partitionBy(F.col("decile") % 1).orderBy("decile")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    tot_w = Window.partitionBy(F.col("decile") % 1)
+    return (agg.withColumn("cum_rows", F.sum("n_rows").over(cum_w)
+                                        .cast("bigint"))
+               .withColumn("cum_pos", F.sum("n_pos").over(cum_w)
+                                       .cast("bigint"))
+               .withColumn("t_rows", F.sum("n_rows").over(tot_w))
+               .withColumn("t_pos", F.sum("n_pos").over(tot_w))
+               .select("decile", "n_rows", "n_pos", "cum_pos",
+                       F.expr("CAST(cum_pos * 1000000 div t_pos AS BIGINT)")
+                        .alias("capture_ppm"),
+                       F.expr(
+                           f"CAST(CAST(cum_pos AS {_DEC}) * t_rows * 1000000"
+                           " div (CAST(cum_rows AS {0}) * t_pos) AS BIGINT)"
+                           .format(_DEC)).alias("lift_ppm"))
+               .orderBy("decile"))
+
+
+def sql_ml_gains_deciles() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS s
+  FROM events
+),
+r AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY s DESC, event_id) AS r,
+         count(*) OVER () AS n_total
+  FROM e
+),
+d AS (
+  SELECT CAST((r - 1) * {GAINS_DECILES} // n_total + 1 AS INT) AS decile,
+         CASE WHEN event_type = '{GAINS_POS_TYPE}' THEN 1 ELSE 0 END AS p
+  FROM r
+),
+a AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(p) AS BIGINT) AS n_pos
+  FROM d GROUP BY 1
+),
+c AS (
+  SELECT decile, n_rows, n_pos,
+         CAST(sum(n_rows) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_rows,
+         CAST(sum(n_pos) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_pos,
+         CAST(sum(n_rows) OVER () AS BIGINT) AS t_rows,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS t_pos
+  FROM a
+)
+SELECT decile, n_rows, n_pos, cum_pos,
+       CAST(cum_pos * 1000000 // t_pos AS BIGINT) AS capture_ppm,
+       CAST(CAST(cum_pos AS HUGEINT) * t_rows * 1000000
+            // (CAST(cum_rows AS HUGEINT) * t_pos) AS BIGINT) AS lift_ppm
+FROM c
+ORDER BY decile"""

@@ -911,3 +911,74 @@ def sql_dq_unique_key_check() -> str:
   FROM (SELECT {k}, count(*) AS c FROM {t} GROUP BY {k})""")
     return ("SELECT * FROM (" + "\nUNION ALL".join(legs)
             + ")\nORDER BY key")
+
+
+# --- Benford first-digit conformance audit --------------------------------------
+# The forensic-accounting load gate: naturally-occurring monetary values
+# follow Benford's law (P(first digit = d) = log10(1 + 1/d)); synthetic,
+# capped, or fabricated feeds don't.  The audit bins o_totalprice by
+# leading significant digit and reports observed-vs-expected ppm plus an
+# exact chi-square term per digit, all integer: the expected ppm table
+# is a hardcoded integer constant (round(log10(1+1/d) * 1e6) — the nine
+# values sum to exactly 1_000_000), the leading digit comes from the
+# exact cent integer (multiplying by 100 never changes the leading
+# significant digit of a value >= 0.01), and the chi-square term rides
+# DECIMAL(38,0): chi2_micro = (n_d*1e6 - n*exp_ppm)^2 div (n*exp_ppm)
+# = 1e6 * (O-E)^2/E.  One scan + a 9-row aggregate — nothing to shuffle
+# but the digit counts.
+
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .select(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .alias("price_c")))
+    digits = (o.select(F.expr(
+                  "CAST(substring(CAST(price_c AS STRING), 1, 1) AS INT)")
+                  .alias("digit"))
+               .groupBy("digit")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs")))
+    exp_ppm = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()) + " END"
+    n_row = digits.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    dec = "DECIMAL(38,0)"
+    return (digits.crossJoin(F.broadcast(n_row))
+            .withColumn("obs_ppm",
+                        F.expr("CAST(n_obs * 1000000 div n AS BIGINT)"))
+            .withColumn("exp_ppm", F.expr(f"CAST({exp_ppm} AS BIGINT)"))
+            .withColumn("dev_ppm",
+                        (F.col("obs_ppm") - F.col("exp_ppm")).cast("bigint"))
+            .withColumn("chi2_micro", F.expr(
+                f"CAST(CAST(n_obs * 1000000 - n * ({exp_ppm}) AS {dec})"
+                f" * (n_obs * 1000000 - n * ({exp_ppm}))"
+                f" div (CAST(n AS {dec}) * ({exp_ppm})) AS BIGINT)"))
+            .select("digit", "n_obs", "obs_ppm", "exp_ppm", "dev_ppm",
+                    "chi2_micro")
+            .orderBy("digit"))
+
+
+def sql_dq_benford() -> str:
+    exp_ppm = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()) + " END"
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+),
+n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+SELECT digit, n_obs,
+       CAST(n_obs * 1000000 // n.n AS BIGINT) AS obs_ppm,
+       CAST({exp_ppm} AS BIGINT) AS exp_ppm,
+       CAST(n_obs * 1000000 // n.n - ({exp_ppm}) AS BIGINT) AS dev_ppm,
+       CAST(CAST(n_obs * 1000000 - n.n * ({exp_ppm}) AS HUGEINT)
+            * (n_obs * 1000000 - n.n * ({exp_ppm}))
+            // (CAST(n.n AS HUGEINT) * ({exp_ppm})) AS BIGINT)
+         AS chi2_micro
+FROM counts, n
+ORDER BY digit"""

@@ -80,3 +80,47 @@ def banded_rank(df: DataFrame, group_cols: Sequence[str],
                              .cast("bigint"))
                  .drop("__band", "__r_in", "__off"))
     return out
+
+
+def banded_cumsum(df: DataFrame, group_cols: Sequence[str],
+                  band: Column, order_cols: Sequence[Column],
+                  val: Column | str, name: str,
+                  inclusive: bool = True) -> DataFrame:
+    """Add ``name`` = sum(val) OVER (PARTITION BY group_cols ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING .. CURRENT ROW/-1) computed via
+    the banded device — the prefix-sum twin of :func:`banded_rank`,
+    first used inline by ``events_changepoint`` and generalized here.
+
+    ``band`` must be monotone non-decreasing in the order key and its
+    per-group band count bounded (value range / band width, independent
+    of corpus size).  ``inclusive=False`` gives the strictly-below
+    prefix (UNBOUNDED PRECEDING .. 1 PRECEDING, coalesced to 0)."""
+    g = list(group_cols)
+    v = F.col(val) if isinstance(val, str) else val
+    banded = df.withColumn("__band", band.cast("bigint")) \
+               .withColumn("__v", v.cast("bigint"))
+    upper = 0 if inclusive else -1
+    in_band = (Window.partitionBy(*g, "__band").orderBy(*order_cols)
+                     .rowsBetween(Window.unboundedPreceding, upper))
+    rows = banded.withColumn(
+        "__c_in", F.coalesce(F.sum("__v").over(in_band),
+                             F.lit(0).cast("bigint")))
+    counts = banded.groupBy(*g, "__band").agg(
+        F.sum("__v").cast("bigint").alias("__bn"))
+    if g:
+        off_w = (Window.partitionBy(*g).orderBy("__band")
+                       .rowsBetween(Window.unboundedPreceding, -1))
+    else:
+        # groupless prefix: the offset window runs on the band-TOTALS
+        # table (one row per band — bounded by the caller's band
+        # contract), same rationale as banded_rank's allowlisted site
+        off_w = (Window.partitionBy(F.col("__band") % 1).orderBy("__band")
+                       .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(off_w),
+                            F.lit(0).cast("bigint")))
+    return (rows.join(F.broadcast(offsets.select(*g, "__band", "__off")),
+                      g + ["__band"])
+                .withColumn(name, (F.col("__off") + F.col("__c_in"))
+                                   .cast("bigint"))
+                .drop("__band", "__v", "__c_in", "__off"))

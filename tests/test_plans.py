@@ -208,6 +208,9 @@ CONSTANT_KEY_WINDOW_ALLOWLIST = {
     # revenue-band TOTALS table (one row per band, revenue range /
     # band width — corpus-size-independent)
     ("safeascent_spark/operators/olap.py", 'F.col("band") % 1'),
+    # ml_gains_deciles cumulative/total windows: input is the 10-row
+    # decile aggregate (bounded by construction — GAINS_DECILES rows)
+    ("safeascent_spark/operators/evalrank.py", 'F.col("decile") % 1'),
 }
 
 
