@@ -559,6 +559,15 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_gains_deciles": EV.q_ml_gains_deciles,
         # Benford first-digit conformance audit with exact chi-square
         "dq_benford": MON.q_dq_benford,
+        # --- round-7 wave 21: embedding certification + sampling plans ---
+        # per-label int8 reconstruction-error profile (bias/MAE/max/MSE),
+        # error rounded once per cell into exact micro-units
+        "embedding_quantization_error": SIM.q_embedding_quantization_error,
+        # per-label squared-norm summary + degenerate low-norm gate
+        "embedding_norm_profile": SIM.q_embedding_norm_profile,
+        # Neyman-allocated stratified sampling plan, largest-remainder
+        # integer allocation with deterministic ties
+        "sample_stratified_neyman": CU.q_sample_stratified_neyman,
     }
 
 
@@ -693,6 +702,8 @@ _R7_TAIL_NEVER = [n for n in _R6_NEW if n != "dedup_canonical"][25:]
 # evidence is CORRECTNESS_LOCAL_r07.json until the r8/r9 windows)
 _R7_NEW: list = [
     "eval_roc_auc", "eval_ks_statistic", "ml_gains_deciles", "dq_benford",
+    "embedding_quantization_error", "embedding_norm_profile",
+    "sample_stratified_neyman",
 ]
 
 
@@ -961,4 +972,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_ks_statistic": EV.sql_eval_ks_statistic(),
         "ml_gains_deciles": EV.sql_ml_gains_deciles(),
         "dq_benford": MON.sql_dq_benford(),
+        "embedding_quantization_error":
+            SIM.sql_embedding_quantization_error(),
+        "embedding_norm_profile": SIM.sql_embedding_norm_profile(),
+        "sample_stratified_neyman": CU.sql_sample_stratified_neyman(),
     }

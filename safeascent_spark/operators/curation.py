@@ -1077,3 +1077,117 @@ SELECT n AS n_vocab,
                           - CAST(sx AS HUGEINT) * sx) AS BIGINT)
          AS slope_ppm
 FROM sums"""
+
+
+# --- Neyman-allocated stratified sampling plan (round 7) ------------------------
+# The survey-sampling classic applied to corpus curation: given a total
+# annotation/eval budget M, allocate per-stratum sample sizes
+# n_h ∝ N_h * S_h (Neyman 1934) so high-variance strata get more budget.
+# Strata are the event types; the value is exact cents.  Everything is
+# integer except ONE sqrt per stratum cell (|strata| rows, bounded):
+# N_h * sigma_h = sqrt(N_h*Σx² − (Σx)²) exactly, and sqrt is a
+# correctly-rounded IEEE op, so floor(sqrt(double(V_h))) is bit-identical
+# across engines even when V_h exceeds 2^53 (both engines round the same
+# integer to the same double first).  Integer allocation uses the
+# largest-remainder method with a deterministic stratum-name tie-break,
+# ranked by a bounded |strata|² broadcast self-join — no window, no sort.
+
+from .. import domain as _domain
+
+NEYMAN_BUDGET = 1000
+
+
+def q_sample_stratified_neyman(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38,0)"
+    st = (_domain.load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("CAST(floor(value * 100) AS BIGINT)").alias("x")))
+    agg = (st.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                  F.sum("x").cast("bigint").alias("sx"),
+                  F.expr(f"CAST(sum(CAST(x AS {dec}) * x) AS {dec})")
+                   .alias("sx2")))
+    # w_h = N_h * sigma_h = floor(sqrt(N*Σx² − (Σx)²)) — one sqrt per
+    # bounded stratum cell
+    w = agg.select(
+        "event_type", "n_rows",
+        F.expr(f"CAST(floor(sqrt(CAST(CAST(n_rows AS {dec}) * sx2"
+               f" - CAST(sx AS {dec}) * sx AS DOUBLE))) AS BIGINT)")
+         .alias("w"))
+    tw_row = w.agg(F.expr("CAST(greatest(sum(w), 1) AS BIGINT)")
+                    .alias("tw"))
+    based = (w.crossJoin(F.broadcast(tw_row))
+              .withColumn("base_n", F.expr(
+                  f"CAST(CAST({NEYMAN_BUDGET} AS {dec}) * w div tw"
+                  " AS BIGINT)"))
+              .withColumn("rem", F.expr(
+                  f"CAST(CAST({NEYMAN_BUDGET} AS {dec}) * w"
+                  f" - CAST(base_n AS {dec}) * tw AS {dec})")))
+    left_row = based.agg(
+        F.expr(f"CAST({NEYMAN_BUDGET} - sum(base_n) AS BIGINT)")
+         .alias("leftover"))
+    # largest-remainder rank via bounded |strata|² broadcast self-join
+    other = based.select(F.col("event_type").alias("o_type"),
+                         F.col("rem").alias("o_rem"))
+    rank = (based.join(F.broadcast(other),
+                       F.expr("(o_rem > rem) OR"
+                              " (o_rem = rem AND o_type < event_type)"),
+                       "left")
+                 .groupBy("event_type", "n_rows", "w", "base_n")
+                 .agg(F.count("o_type").cast("bigint").alias("rnk")))
+    return (rank.crossJoin(F.broadcast(left_row))
+                .select("event_type", "n_rows",
+                        F.col("w").alias("sd_scaled"),
+                        F.expr("CAST(base_n + CASE WHEN rnk < leftover"
+                               " THEN 1 ELSE 0 END AS BIGINT)")
+                         .alias("alloc_n"))
+                .withColumn("sampling_ppm", F.expr(
+                    "CAST(alloc_n * 1000000 div n_rows AS BIGINT)"))
+                .orderBy("event_type"))
+
+
+def sql_sample_stratified_neyman() -> str:
+    return f"""
+WITH st AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x FROM events
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(x) AS BIGINT) AS sx,
+         sum(CAST(x AS HUGEINT) * x) AS sx2
+  FROM st GROUP BY 1
+),
+w AS (
+  SELECT event_type, n_rows,
+         CAST(floor(sqrt(CAST(CAST(n_rows AS HUGEINT) * sx2
+                              - CAST(sx AS HUGEINT) * sx AS DOUBLE)))
+              AS BIGINT) AS w
+  FROM agg
+),
+tw AS (SELECT CAST(greatest(sum(w), 1) AS BIGINT) AS tw FROM w),
+based AS (
+  SELECT w.event_type, w.n_rows, w.w,
+         CAST(CAST({NEYMAN_BUDGET} AS HUGEINT) * w.w // tw.tw AS BIGINT)
+           AS base_n,
+         CAST({NEYMAN_BUDGET} AS HUGEINT) * w.w
+           - (CAST(CAST({NEYMAN_BUDGET} AS HUGEINT) * w.w // tw.tw
+                   AS HUGEINT)) * tw.tw AS rem
+  FROM w, tw
+),
+lo AS (SELECT CAST({NEYMAN_BUDGET} - sum(base_n) AS BIGINT)
+         AS leftover FROM based),
+rnk AS (
+  SELECT b.event_type, b.n_rows, b.w, b.base_n,
+         CAST(count(o.event_type) AS BIGINT) AS rnk
+  FROM based b LEFT JOIN based o
+    ON (o.rem > b.rem) OR (o.rem = b.rem AND o.event_type < b.event_type)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, n_rows, w AS sd_scaled,
+       CAST(base_n + CASE WHEN rnk < lo.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_n,
+       CAST((base_n + CASE WHEN rnk < lo.leftover THEN 1 ELSE 0 END)
+            * 1000000 // n_rows AS BIGINT) AS sampling_ppm
+FROM rnk, lo
+ORDER BY event_type"""

@@ -1632,3 +1632,112 @@ m0 AS MATERIALIZED (
 )""")
     return ("WITH " + ",\n".join(ctes) + "\n"
             + "\nUNION ALL\n".join(sel) + "\nORDER BY sel_round")
+
+
+# --- int8 quantization-error profile (round 7) ---------------------------------
+# The other half of the quantized_df story: before shipping the 4x
+# smaller int8 vectors, the pipeline certifies what the quantization
+# COSTS — per-label reconstruction-error stats (bias, mean absolute,
+# worst-case, MSE) of q/127 against the original coordinate.  The error
+# of each (vector, dim) cell is rounded ONCE into exact micro-units
+# (floor((x - q/127)*1e6) — a fixed chain of correctly-rounded IEEE ops
+# both engines evaluate identically), and everything downstream is
+# integer.  One explode + one map-side-combined aggregate; DECIMAL(38,0)
+# keeps the squared sums exact at any corpus size.
+
+def q_embedding_quantization_error(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    e = embeddings_df(spark, sf_dir)
+    ex = e.select("label", F.posexplode("vec").alias("d", "x"))
+    err_u = ("CAST(floor((x - round(least(greatest(x, -1.0D), 1.0D)"
+             " * 127, 0) / 127.0D) * 1000000) AS BIGINT)")
+    dec = "DECIMAL(38,0)"
+    cells = ex.select("label", F.expr(err_u).alias("e_u"))
+    return (cells.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+                 F.sum("e_u").cast("bigint").alias("bias_sum_u"),
+                 F.sum(F.abs(F.col("e_u"))).cast("bigint")
+                  .alias("abs_sum_u"),
+                 F.max(F.abs(F.col("e_u"))).cast("bigint")
+                  .alias("max_abs_u"),
+                 F.expr(f"CAST(sum(CAST(e_u AS {dec}) * e_u) AS {dec})")
+                  .alias("sq"))
+            .select("label", "n_vals", "bias_sum_u", "abs_sum_u",
+                    "max_abs_u",
+                    F.expr("CAST(sq div n_vals AS BIGINT)")
+                     .alias("mse_p12"))
+            .orderBy("label"))
+
+
+def sql_embedding_quantization_error() -> str:
+    err_u = ("CAST(floor((x - round(least(greatest(x, -1.0), 1.0)"
+             " * 127) / 127.0) * 1000000) AS BIGINT)")
+    return f"""
+WITH cells AS (
+  SELECT label, {err_u} AS e_u
+  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings)
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(e_u) AS BIGINT) AS bias_sum_u,
+       CAST(sum(abs(e_u)) AS BIGINT) AS abs_sum_u,
+       CAST(max(abs(e_u)) AS BIGINT) AS max_abs_u,
+       CAST(sum(CAST(e_u AS HUGEINT) * e_u) // count(*) AS BIGINT)
+         AS mse_p12
+FROM cells
+GROUP BY label
+ORDER BY label"""
+
+
+# --- per-label norm profile + degenerate-vector gate (round 7) ------------------
+# Embedding sanity profiling: per-label squared-norm summary over the
+# int8-quantized vectors (exact integer norms — the quantized_df
+# contract), plus a count of "low-norm" vectors below HALF the global
+# mean — the standard symptom of empty/degenerate inputs reaching the
+# encoder.  Per-label aggregate + a 1-row global broadcast; no window,
+# no sort.
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = quantized_df(spark, sf_dir)
+    norm2 = F.aggregate(F.transform(F.col("qvec"), lambda x: x * x),
+                        F.lit(0).cast("long"), lambda a, x: a + x)
+    v = e.select("label", norm2.alias("norm2"))
+    g = v.agg(F.expr("CAST(sum(norm2) * 1000 div count(*) AS BIGINT)")
+               .alias("g_mean_milli"))
+    return (v.crossJoin(F.broadcast(g))
+             .groupBy("label")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                  F.min("norm2").cast("bigint").alias("min_norm2"),
+                  F.max("norm2").cast("bigint").alias("max_norm2"),
+                  F.expr("CAST(sum(norm2) * 1000 div count(*) AS BIGINT)")
+                   .alias("mean_norm2_milli"),
+                  F.sum(F.expr("CASE WHEN norm2 * 2000 < g_mean_milli"
+                               " THEN 1 ELSE 0 END")).cast("bigint")
+                   .alias("n_low"))
+             .orderBy("label"))
+
+
+def sql_embedding_norm_profile() -> str:
+    qx = ("CAST(round(least(greatest(CAST(x AS DOUBLE), -1.0), 1.0)"
+          " * 127) AS BIGINT)")
+    return f"""
+WITH q AS (
+  SELECT vec_id, label, sum(qq * qq) AS norm2
+  FROM (SELECT vec_id, label, {qx} AS qq
+        FROM (SELECT vec_id, label, unnest(embedding) AS x
+              FROM embeddings))
+  GROUP BY vec_id, label
+),
+g AS (SELECT CAST(sum(norm2) * 1000 // count(*) AS BIGINT)
+        AS g_mean_milli FROM q)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(norm2) AS BIGINT) AS min_norm2,
+       CAST(max(norm2) AS BIGINT) AS max_norm2,
+       CAST(sum(norm2) * 1000 // count(*) AS BIGINT) AS mean_norm2_milli,
+       CAST(sum(CASE WHEN norm2 * 2000 < g.g_mean_milli THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low
+FROM q, g
+GROUP BY label, g.g_mean_milli
+ORDER BY label"""

@@ -114,3 +114,71 @@ def test_benford_counts_match_bruteforce(spark):
         assert r.obs_ppm == counts[d] * 1_000_000 // n
         x = counts[d] * 1_000_000 - n * MON.BENFORD_PPM[d]
         assert r.chi2_micro == x * x // (n * MON.BENFORD_PPM[d])
+
+
+# --- wave 21: embedding certification + Neyman sampling plan ----------------
+
+def test_quantization_error_matches_bruteforce(spark):
+    from safeascent_spark.operators import similarity as SIM
+    rows = {r.label: r for r in
+            SIM.q_embedding_quantization_error(spark, SF_SMOKE).collect()}
+    vecs = (domain.load_table(spark, SF_SMOKE, "embeddings")
+            .select("label", "embedding").collect())
+    per = defaultdict(list)
+    for r in vecs:
+        for x in r.embedding:
+            x = float(x)
+            q = round(max(-1.0, min(1.0, x)) * 127)
+            per[r.label].append(math.floor((x - q / 127.0) * 1_000_000))
+    assert set(rows) == set(per)
+    for lb, errs in per.items():
+        r = rows[lb]
+        assert r.n_vals == len(errs)
+        assert r.bias_sum_u == sum(errs)
+        assert r.abs_sum_u == sum(abs(e) for e in errs)
+        assert r.max_abs_u == max(abs(e) for e in errs)
+        assert r.mse_p12 == sum(e * e for e in errs) // len(errs)
+
+
+def test_norm_profile_low_gate(spark):
+    from safeascent_spark.operators import similarity as SIM
+    rows = {r.label: r for r in
+            SIM.q_embedding_norm_profile(spark, SF_SMOKE).collect()}
+    vecs = (domain.load_table(spark, SF_SMOKE, "embeddings")
+            .select("label", "embedding").collect())
+    norms = defaultdict(list)
+    for r in vecs:
+        n2 = sum(round(max(-1.0, min(1.0, float(x))) * 127) ** 2
+                 for x in r.embedding)
+        norms[r.label].append(n2)
+    allv = [n for v in norms.values() for n in v]
+    g_milli = sum(allv) * 1000 // len(allv)
+    for lb, ns in norms.items():
+        r = rows[lb]
+        assert (r.n_vecs, r.min_norm2, r.max_norm2) == \
+            (len(ns), min(ns), max(ns))
+        assert r.mean_norm2_milli == sum(ns) * 1000 // len(ns)
+        assert r.n_low == sum(1 for n in ns if n * 2000 < g_milli)
+
+
+def test_neyman_allocation_invariants(spark):
+    from safeascent_spark.operators import curation as CU
+    rows = CU.q_sample_stratified_neyman(spark, SF_SMOKE).collect()
+    # budget exactly exhausted
+    assert sum(r.alloc_n for r in rows) == CU.NEYMAN_BUDGET
+    # allocation proportional to N_h * sigma_h within the +/-1 integer
+    # granularity of largest-remainder rounding
+    tw = sum(r.sd_scaled for r in rows)
+    for r in rows:
+        exact = CU.NEYMAN_BUDGET * r.sd_scaled / tw
+        assert abs(r.alloc_n - exact) < 1.0
+        assert r.sampling_ppm == r.alloc_n * 1_000_000 // r.n_rows
+    # sd_scaled really is floor(sqrt(N*Sxx - Sx^2)) on exact cents
+    data = defaultdict(list)
+    for e in (domain.load_table(spark, SF_SMOKE, "events")
+                    .select("event_type", "value").collect()):
+        data[e.event_type].append(math.floor(e.value * 100))
+    for r in rows:
+        xs = data[r.event_type]
+        v = len(xs) * sum(x * x for x in xs) - sum(xs) ** 2
+        assert r.sd_scaled == math.floor(math.sqrt(v))
