@@ -568,6 +568,14 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Neyman-allocated stratified sampling plan, largest-remainder
         # integer allocation with deterministic ties
         "sample_stratified_neyman": CU.q_sample_stratified_neyman,
+        # --- round-7 wave 22: span-level dedup + lexical profiles ---
+        # Lee et al. 2022 EXACTSUBSTR output form: merged duplicated
+        # token ranges per document (gaps-and-islands per doc)
+        "dedup_duplicate_spans": D.q_dedup_duplicate_spans,
+        # type-token + hapax ratios per source (templated-feed detector)
+        "text_ttr_hapax": TX.q_text_ttr_hapax,
+        # Cavnar-Trenkle char-trigram language profiles, banded top-K
+        "text_char_trigram_profile": TX.q_text_char_trigram_profile,
     }
 
 
@@ -704,6 +712,7 @@ _R7_NEW: list = [
     "eval_roc_auc", "eval_ks_statistic", "ml_gains_deciles", "dq_benford",
     "embedding_quantization_error", "embedding_norm_profile",
     "sample_stratified_neyman",
+    "dedup_duplicate_spans", "text_ttr_hapax", "text_char_trigram_profile",
 ]
 
 
@@ -976,4 +985,7 @@ def oracle_sql() -> dict[str, str]:
             SIM.sql_embedding_quantization_error(),
         "embedding_norm_profile": SIM.sql_embedding_norm_profile(),
         "sample_stratified_neyman": CU.sql_sample_stratified_neyman(),
+        "dedup_duplicate_spans": D.sql_dedup_duplicate_spans(),
+        "text_ttr_hapax": TX.sql_text_ttr_hapax(),
+        "text_char_trigram_profile": TX.sql_text_char_trigram_profile(),
     }

@@ -1398,3 +1398,114 @@ FROM j JOIN best b ON j.cluster_rep = b.cluster_rep
                AND j.quality_u = b.best_q
 GROUP BY j.cluster_rep
 ORDER BY j.cluster_rep"""
+
+
+# --- Duplicated-span extraction (round 7) ---------------------------------------
+# The actionable form of q_dedup_repeated_ngrams: Lee et al. 2022
+# (EXACTSUBSTR) cut the duplicated BYTES out of each document, not the
+# document out of the corpus.  This operator emits, per document, the
+# merged token ranges covered by any RNG_W-token window that recurs in
+# >= RNG_MIN_DF distinct documents — exactly the spans a dedup pass
+# would strip.  Same seeded corpus and thresholds as
+# q_dedup_repeated_ngrams.
+#
+# Scale shape: the window explode is map-only; document frequency is a
+# map-side-combined aggregate over DISTINCT (doc, window) pairs; the
+# duplicated-position set comes back via one equi-join on the window
+# key (at 100 TB the 64-bit rolling hash replaces the literal string —
+# same plan).  Span merging is a per-DOCUMENT gaps-and-islands window —
+# the partition key has corpus cardinality, thousands of tiny
+# independent sorts, never a global one.
+
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    W = RNG_W
+    corpus = _rng_corpus(T.docs_df(spark, sf_dir))
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    toks = corpus.select("doc_id", ws.alias("ws"))
+    idx = F.when(F.size("ws") >= W,
+                 F.sequence(F.lit(1), F.size("ws") - (W - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    wins = (toks.select("doc_id", F.explode(F.transform(
+                idx, lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("ws", i, W)).alias("w"))))
+                .alias("pw"))
+                .select("doc_id", F.col("pw.pos").alias("pos"),
+                        F.col("pw.w").alias("w")))
+    dfreq = (wins.select("doc_id", "w").distinct()
+                 .groupBy("w")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"))
+                 .filter(F.col("df_docs") >= RNG_MIN_DF))
+    dup = wins.join(dfreq, "w").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    lagp = F.lag("pos").over(wd)
+    flagged = dup.withColumn(
+        "f", F.when(lagp.isNull() | (F.col("pos") - lagp > W), 1)
+              .otherwise(0))
+    isl = flagged.withColumn(
+        "isl", F.sum("f").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)))
+    return (isl.groupBy("doc_id", "isl")
+               .agg(F.min("pos").cast("bigint").alias("span_start"),
+                    (F.max("pos") + (W - 1)).cast("bigint")
+                     .alias("span_end"),
+                    F.count(F.lit(1)).cast("bigint")
+                     .alias("n_dup_windows"))
+               .select("doc_id", "span_start", "span_end",
+                       (F.col("span_end") - F.col("span_start") + 1)
+                        .cast("bigint").alias("span_tokens"),
+                       "n_dup_windows")
+               .orderBy("doc_id", "span_start"))
+
+
+def sql_dedup_duplicate_spans() -> str:
+    W = RNG_W
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {RNG_BOILER_MOD} = {RNG_BOILER_REM}
+              THEN '{_RNG_HDR_PRE}'
+                   || CAST(doc_id % {RNG_BOILER_VARIANTS} AS VARCHAR)
+                   || '{_RNG_HDR_POST}' || text
+              ELSE text END AS text
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i + {W - 1}], ' ') AS w
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - {W - 1})) AS i
+        FROM (SELECT doc_id, {toks} AS ws FROM corpus)
+        WHERE len(ws) >= {W})
+),
+dfreq AS (
+  SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS df_docs
+                 FROM wins GROUP BY w)
+  WHERE df_docs >= {RNG_MIN_DF}
+),
+dup AS (SELECT doc_id, pos FROM wins JOIN dfreq USING (w)),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {W}
+              THEN 1 ELSE 0 END AS f
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS isl
+  FROM fl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {W - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {W - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM isl
+GROUP BY doc_id, isl
+ORDER BY doc_id, span_start"""

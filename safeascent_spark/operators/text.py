@@ -2384,3 +2384,125 @@ FROM (SELECT * FROM ranked WHERE rn = 1) b
 JOIN (SELECT * FROM ranked WHERE rn = 2) s USING (doc_id)
 ORDER BY margin_micro ASC, b.doc_id ASC
 LIMIT {AL_BATCH}"""
+
+
+# --- Lexical-diversity profile per source (round 7) -----------------------------
+# The templated-corpus detector: type-token ratio and hapax share per
+# source.  Synthetic or boilerplate-heavy feeds collapse both; natural
+# text keeps TTR and the hapax share high.  Two vocabulary-grain
+# map-side-combined aggregates — (source, word) counts, then per-source
+# rollup — all integer ppm.
+
+def q_text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_df(spark, sf_dir)
+    t = (d.select("source",
+                  F.explode(F.split(F.col("text"), " ")).alias("word"))
+          .filter(F.col("word") != ""))
+    wc = (t.groupBy("source", "word")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    docs = (d.groupBy("source")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    per = (wc.groupBy("source")
+             .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                  F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                   .cast("bigint").alias("n_hapax")))
+    return (per.join(F.broadcast(docs), "source")
+               .select("source", "n_docs", "n_tokens", "n_types",
+                       "n_hapax",
+                       F.expr("CAST(n_types * 1000000 div n_tokens"
+                              " AS BIGINT)").alias("ttr_ppm"),
+                       F.expr("CAST(n_hapax * 1000000 div n_types"
+                              " AS BIGINT)").alias("hapax_ppm"))
+               .orderBy("source"))
+
+
+def sql_text_ttr_hapax() -> str:
+    return """
+WITH t AS (
+  SELECT source, word
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> ''
+),
+wc AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+  FROM t GROUP BY 1, 2
+),
+docs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+per AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM wc GROUP BY 1
+)
+SELECT p.source, d.n_docs, p.n_tokens, p.n_types, p.n_hapax,
+       CAST(p.n_types * 1000000 // p.n_tokens AS BIGINT) AS ttr_ppm,
+       CAST(p.n_hapax * 1000000 // p.n_types AS BIGINT) AS hapax_ppm
+FROM per p JOIN docs d USING (source)
+ORDER BY p.source"""
+
+
+# --- Per-language character-trigram fingerprint (round 7) -----------------------
+# The Cavnar-Trenkle n-gram language profile: the top-K character
+# trigrams per language by frequency, with ranks — the classic
+# profile-based language-ID model, trained on-engine.  The trigram
+# count table is CHARSET^3-bounded (corpus-size-independent), and the
+# per-language top-K rank runs via rankutil.banded_rank with
+# count-magnitude (decimal-digit) bands — <= 19 bands, monotone in the
+# count — so no low-cardinality language partition ever funnels the
+# count table through one task.
+
+TRIGRAM_TOP_K = 20
+
+
+def q_text_char_trigram_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    d = docs_df(spark, sf_dir)
+    tris = d.select(
+        "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 0)),"
+            " i -> substring(text, i, 3))")).alias("tri"))
+    counts = (tris.groupBy("lang", "tri")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    ranked = banded_rank(
+        counts, ["lang"],
+        F.length(F.expr("CAST(cnt AS STRING)")),
+        [F.col("cnt").desc(), F.col("tri").asc()],
+        rank_name="rnk", descending_bands=True)
+    return (ranked.filter(F.col("rnk") <= TRIGRAM_TOP_K)
+                  .select("lang", F.col("rnk").cast("int").alias("rnk"),
+                          "tri", "cnt")
+                  .orderBy("lang", "rnk"))
+
+
+def sql_text_char_trigram_profile() -> str:
+    return f"""
+WITH tris AS (
+  SELECT lang, substr(text, i, 3) AS tri
+  FROM (SELECT lang, text,
+               unnest(generate_series(1, greatest(length(text) - 2, 0)))
+                 AS i
+        FROM documents)
+),
+counts AS (
+  SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt
+  FROM tris GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, tri, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, tri ASC) AS rnk
+  FROM counts
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, tri, cnt
+FROM ranked
+WHERE rnk <= {TRIGRAM_TOP_K}
+ORDER BY lang, rnk"""

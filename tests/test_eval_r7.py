@@ -182,3 +182,101 @@ def test_neyman_allocation_invariants(spark):
         xs = data[r.event_type]
         v = len(xs) * sum(x * x for x in xs) - sum(xs) ** 2
         assert r.sd_scaled == math.floor(math.sqrt(v))
+
+
+# --- wave 22: duplicated spans + lexical profiles ----------------------------
+
+def test_duplicate_spans_cover_exactly_the_dup_windows(spark):
+    """Spans are the MERGED intervals of duplicated windows: every
+    duplicated window start lies inside a span, spans don't overlap or
+    touch within W tokens, and each span's window count is exact."""
+    from safeascent_spark.operators import dedup as D
+    W = D.RNG_W
+    rows = D.q_dedup_duplicate_spans(spark, SF_SMOKE).collect()
+    # brute force the duplicated window-start sets
+    docs = {r.doc_id: r.text for r in
+            D._rng_corpus(
+                domain.load_table(spark, SF_SMOKE, "documents")
+                      .select("doc_id", "text")).collect()}
+    from collections import Counter
+    win_docs = defaultdict(set)
+    starts = {}
+    for doc, text in docs.items():
+        toks = [t for t in text.split(" ") if t]
+        ws = [" ".join(toks[i:i + W]) for i in range(len(toks) - W + 1)]
+        starts[doc] = ws
+        for w in set(ws):
+            win_docs[w].add(doc)
+    dup_pos = defaultdict(list)
+    for doc, ws in starts.items():
+        for i, w in enumerate(ws, start=1):
+            if len(win_docs[w]) >= D.RNG_MIN_DF:
+                dup_pos[doc].append(i)
+    # merge brute-force islands
+    expected = []
+    for doc in sorted(dup_pos):
+        ps = dup_pos[doc]
+        cur = [ps[0], ps[0]]
+        spans = []
+        for p in ps[1:]:
+            if p - cur[1] > W:
+                spans.append(tuple(cur))
+                cur = [p, p]
+            else:
+                cur[1] = p
+        spans.append(tuple(cur))
+        for a, b in spans:
+            expected.append((doc, a, b + W - 1, b + W - 1 - a + 1))
+    got = [(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in rows]
+    assert got == expected
+    # window counts per span
+    cnt = Counter()
+    for doc, ps in dup_pos.items():
+        for r in rows:
+            if r.doc_id == doc:
+                cnt[(doc, r.span_start)] = sum(
+                    1 for p in ps if r.span_start <= p <= r.span_end)
+    for r in rows:
+        assert r.n_dup_windows == cnt[(r.doc_id, r.span_start)]
+
+
+def test_ttr_hapax_matches_bruteforce(spark):
+    from safeascent_spark.operators import text as TX
+    rows = {r.source: r for r in
+            TX.q_text_ttr_hapax(spark, SF_SMOKE).collect()}
+    from collections import Counter
+    per = defaultdict(Counter)
+    ndocs = defaultdict(int)
+    for r in (domain.load_table(spark, SF_SMOKE, "documents")
+                    .select("source", "text").collect()):
+        ndocs[r.source] += 1
+        per[r.source].update(t for t in r.text.split(" ") if t)
+    for src, c in per.items():
+        r = rows[src]
+        n_tok, n_typ = sum(c.values()), len(c)
+        n_hapax = sum(1 for v in c.values() if v == 1)
+        assert (r.n_docs, r.n_tokens, r.n_types, r.n_hapax) == \
+            (ndocs[src], n_tok, n_typ, n_hapax)
+        assert r.ttr_ppm == n_typ * 1_000_000 // n_tok
+        assert r.hapax_ppm == n_hapax * 1_000_000 // n_typ
+
+
+def test_trigram_profile_topk(spark):
+    from safeascent_spark.operators import text as TX
+    rows = TX.q_text_char_trigram_profile(spark, SF_SMOKE).collect()
+    from collections import Counter
+    per = defaultdict(Counter)
+    for r in (domain.load_table(spark, SF_SMOKE, "documents")
+                    .select("lang", "text").collect()):
+        t = r.text
+        per[r.lang].update(t[i:i + 3] for i in range(len(t) - 2))
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    assert set(by_lang) == set(per)
+    for lang, rs in by_lang.items():
+        want = sorted(per[lang].items(), key=lambda kv: (-kv[1], kv[0]))
+        want = want[:TX.TRIGRAM_TOP_K]
+        assert [(r.rnk, r.tri, r.cnt) for r in rs] == \
+            [(i + 1, tri, c) for i, (tri, c) in enumerate(want)]
