@@ -576,6 +576,14 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr_hapax": TX.q_text_ttr_hapax,
         # Cavnar-Trenkle char-trigram language profiles, banded top-K
         "text_char_trigram_profile": TX.q_text_char_trigram_profile,
+        # --- round-7 wave 23: spatial kNN + link prediction + gap audit ---
+        # exact k-nearest accidents per route under the production 300 km
+        # cap, candidates from the 3x3 grid neighborhood
+        "geo_knn_grid": R.q_geo_knn_grid,
+        # Adamic-Adar common-neighbor link prediction with hot-node cap
+        "graph_common_neighbors": G.q_graph_common_neighbors,
+        # ingest sequence-gap audit over fixed-width id blocks
+        "dq_sequence_gaps": MON.q_dq_sequence_gaps,
     }
 
 
@@ -713,6 +721,7 @@ _R7_NEW: list = [
     "embedding_quantization_error", "embedding_norm_profile",
     "sample_stratified_neyman",
     "dedup_duplicate_spans", "text_ttr_hapax", "text_char_trigram_profile",
+    "geo_knn_grid", "graph_common_neighbors", "dq_sequence_gaps",
 ]
 
 
@@ -988,4 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_duplicate_spans": D.sql_dedup_duplicate_spans(),
         "text_ttr_hapax": TX.sql_text_ttr_hapax(),
         "text_char_trigram_profile": TX.sql_text_char_trigram_profile(),
+        "geo_knn_grid": R.sql_geo_knn_grid(),
+        "graph_common_neighbors": G.sql_graph_common_neighbors(),
+        "dq_sequence_gaps": MON.sql_dq_sequence_gaps(),
     }

@@ -256,3 +256,91 @@ SELECT CASE WHEN vid >= {_HUB_V} THEN 'type_hub'
 FROM {prev}
 ORDER BY rank_ppm DESC, vid
 LIMIT 100"""
+
+
+# --- Common-neighbor / Adamic-Adar link prediction (round 7) --------------------
+# The classic missing-edge scorer over the same derived graph as
+# q_graph_pagerank: for node pairs sharing wedge centers, count common
+# neighbors and accumulate the Adamic-Adar-style weight sum
+# 1e6 div deg(center) (integer ppm; the harmonic form keeps the exact
+# integer convention — hubs contribute ~nothing, which is the point of
+# Adamic-Adar).  Top-100 pairs by score with a total deterministic
+# order.
+#
+# Scale shape: wedge pairs are generated ONLY through centers with
+# deg <= CN_MAX_DEG (mirrored verbatim in the oracle) — the standard
+# hot-node cap of the repo's dedup family: sum of deg^2 over capped
+# centers <= CAP * 2|E|, linear in the edge list, never quadratic in a
+# hub's neighborhood.  The type-hub vertices this cap excludes carry
+# deg ~ |routes|/7 and an AA weight of ~7e6/|routes| ppm — negligible
+# by construction, and the cap is part of the operator's contract.
+
+CN_MAX_DEG = 64
+CN_TOP_K = 100
+
+
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _pagerank_edges(spark, sf_dir)
+    und = (edges.select("src", "dst")
+                .unionAll(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct())
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("deg"))
+    nb = (und.join(deg, "src")
+             .filter(F.col("deg") <= CN_MAX_DEG)
+             .select(F.col("src").alias("c"), F.col("dst").alias("n"),
+                     "deg"))
+    a = nb.select("c", F.col("n").alias("node_a"), "deg")
+    b = nb.select("c", F.col("n").alias("node_b"))
+    pairs = (a.join(b, "c")
+              .filter(F.col("node_a") < F.col("node_b"))
+              .select("node_a", "node_b",
+                      F.expr("1000000 div deg").alias("w")))
+    return (pairs.groupBy("node_a", "node_b")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("common_cnt"),
+                      F.sum("w").cast("bigint").alias("aa_score_ppm"))
+                 .orderBy(F.desc("aa_score_ppm"), "node_a", "node_b")
+                 .limit(CN_TOP_K))
+
+
+def sql_graph_common_neighbors() -> str:
+    from .. import domain
+    return f"""
+WITH {domain.ROUTES_CTE.strip()},
+r AS (SELECT route_id, location_id FROM routes),
+edges AS (
+  SELECT route_id + {_ROUTE_V} AS src,
+         CAST(location_id AS BIGINT) AS dst FROM r
+  UNION ALL
+  SELECT route_id + {_ROUTE_V} AS src,
+         route_id % 7 + {_HUB_V} AS dst FROM r
+  UNION ALL
+  SELECT CAST(lid AS BIGINT) AS src, lid // 10 AS dst
+  FROM (SELECT DISTINCT CAST(location_id AS BIGINT) AS lid FROM r)
+  WHERE lid > 0
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL SELECT dst AS src, src AS dst FROM edges)
+  WHERE src <> dst
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+nb AS (
+  SELECT u.src AS c, u.dst AS n, d.deg
+  FROM und u JOIN deg d USING (src)
+  WHERE d.deg <= {CN_MAX_DEG}
+),
+pairs AS (
+  SELECT a.n AS node_a, b.n AS node_b, 1000000 // a.deg AS w
+  FROM nb a JOIN nb b ON a.c = b.c AND a.n < b.n
+)
+SELECT node_a, node_b,
+       CAST(count(*) AS BIGINT) AS common_cnt,
+       CAST(sum(w) AS BIGINT) AS aa_score_ppm
+FROM pairs
+GROUP BY 1, 2
+ORDER BY aa_score_ppm DESC, node_a, node_b
+LIMIT {CN_TOP_K}"""

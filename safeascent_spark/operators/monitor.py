@@ -982,3 +982,68 @@ SELECT digit, n_obs,
          AS chi2_micro
 FROM counts, n
 ORDER BY digit"""
+
+
+# --- Ingest sequence-gap audit (round 7) -----------------------------------------
+# Dropped-batch detection: a monotone ingest key (event_id) should be
+# contiguous; holes mean a producer batch never landed.  The audit never
+# sorts the corpus — ids aggregate into fixed-width blocks (id div
+# SEQ_BLOCK: |blocks| = id range / width, corpus-size-independent per
+# retention window), each block's actual distinct-id count is compared
+# with its expected width (edge blocks clamped by the global min/max —
+# a 1-row broadcast), and only deficient blocks are reported.
+#
+# The synthetic events table is gap-free by construction, so (as with
+# dedup's _rng_corpus seeding) a deterministic ingest hole is seeded:
+# event_id % SEQ_DROP_MOD == SEQ_DROP_REM rows are dropped before the
+# audit, making the parity rows non-empty and the detector's arithmetic
+# observable.  The oracle mirrors the seeding verbatim.
+
+SEQ_BLOCK = 1000
+SEQ_DROP_MOD = 997
+SEQ_DROP_REM = 13
+
+
+def q_dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (domain.load_table(spark, sf_dir, "events")
+           .select(F.col("event_id").cast("long").alias("id"))
+           .filter(F.col("id") % SEQ_DROP_MOD != SEQ_DROP_REM))
+    blocks = (ids.groupBy(F.expr(f"id div {SEQ_BLOCK}").alias("block_id"))
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("actual_n")))
+    bounds = ids.agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+    return (blocks.crossJoin(F.broadcast(bounds))
+            .withColumn("expected_n", F.expr(
+                f"CAST(least((block_id + 1) * {SEQ_BLOCK} - 1, hi)"
+                f" - greatest(block_id * {SEQ_BLOCK}, lo) + 1 AS BIGINT)"))
+            .withColumn("missing_n",
+                        (F.col("expected_n") - F.col("actual_n"))
+                         .cast("bigint"))
+            .filter(F.col("missing_n") > 0)
+            .select("block_id", "expected_n", "actual_n", "missing_n")
+            .orderBy("block_id"))
+
+
+def sql_dq_sequence_gaps() -> str:
+    return f"""
+WITH ids AS (
+  SELECT CAST(event_id AS BIGINT) AS id FROM events
+  WHERE event_id % {SEQ_DROP_MOD} <> {SEQ_DROP_REM}
+),
+blocks AS (
+  SELECT id // {SEQ_BLOCK} AS block_id,
+         CAST(count(*) AS BIGINT) AS actual_n
+  FROM ids GROUP BY 1
+),
+bounds AS (SELECT min(id) AS lo, max(id) AS hi FROM ids)
+SELECT block_id,
+       CAST(least((block_id + 1) * {SEQ_BLOCK} - 1, b.hi)
+            - greatest(block_id * {SEQ_BLOCK}, b.lo) + 1 AS BIGINT)
+         AS expected_n,
+       actual_n,
+       CAST(least((block_id + 1) * {SEQ_BLOCK} - 1, b.hi)
+            - greatest(block_id * {SEQ_BLOCK}, b.lo) + 1
+            - actual_n AS BIGINT) AS missing_n
+FROM blocks, bounds b
+WHERE least((block_id + 1) * {SEQ_BLOCK} - 1, b.hi)
+      - greatest(block_id * {SEQ_BLOCK}, b.lo) + 1 - actual_n > 0
+ORDER BY block_id"""

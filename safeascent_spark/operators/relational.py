@@ -858,3 +858,92 @@ SELECT s.location_id,
        s.n_routes_subtree, s.pop_cents_subtree
 FROM subtree s LEFT JOIN direct d USING (location_id)
 ORDER BY s.location_id"""
+
+
+# --- Grid-bounded spatial k-nearest-neighbors (round 7) --------------------------
+# The /predict endpoint's "nearest accidents to this route" view
+# (reference mp_routes.py radius search) as a distributed exact kNN
+# under the production 300 km cap: candidates come from the 3x3
+# grid-cell neighborhood (scoring.GRID_CELL_DEG is sized so NO
+# within-cap pair can escape the neighborhood — the same exactness
+# argument as the capped scoring join), distance is the haversine
+# rounded once, and the top-K per route is a per-ROUTE window —
+# corpus-cardinality partition key, millions of independent K-row
+# sorts, never a global one.  Accident rows replicate x9 (bounded
+# constant), routes don't.
+
+GEO_KNN_K = 5
+
+
+def q_geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring import GRID_CELL_DEG
+    from .. import config as _C
+    cell = F.lit(GRID_CELL_DEG)
+    cap = _C.MAX_SEARCH_RADIUS_KM
+    r = (domain.routes_df(spark, sf_dir)
+         .join(F.broadcast(domain.locations_df(spark, sf_dir)),
+               "location_id")
+         .select("route_id", F.col("latitude").alias("r_lat"),
+                 F.col("longitude").alias("r_lon"),
+                 F.floor(F.col("latitude") / cell).cast("int").alias("cx"),
+                 F.floor(F.col("longitude") / cell).cast("int").alias("cy")))
+    offs = F.expr("explode(transform(sequence(0, 8),"
+                  " i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))")
+    a = (domain.accidents_df(spark, sf_dir)
+         .select("accident_id", F.col("latitude").alias("a_lat"),
+                 F.col("longitude").alias("a_lon"))
+         .select("*", offs.alias("o"))
+         .select("accident_id", "a_lat", "a_lon",
+                 (F.floor(F.col("a_lat") / cell).cast("int")
+                  + F.col("o.dx")).alias("cx"),
+                 (F.floor(F.col("a_lon") / cell).cast("int")
+                  + F.col("o.dy")).alias("cy")))
+    d = K.haversine_km("r_lat", "r_lon", "a_lat", "a_lon")
+    cand = (r.join(a, ["cx", "cy"])
+             .filter(d <= F.lit(cap))
+             .select("route_id", "accident_id",
+                     F.round(d, 6).alias("distance_km")))
+    w = Window.partitionBy("route_id").orderBy("distance_km",
+                                               "accident_id")
+    return (cand.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= GEO_KNN_K)
+                .select("route_id", F.col("rnk").cast("int").alias("rnk"),
+                        "accident_id", "distance_km")
+                .orderBy("route_id", "rnk"))
+
+
+def sql_geo_knn_grid() -> str:
+    from .scoring import GRID_CELL_DEG
+    from .. import config as _C
+    cell = GRID_CELL_DEG
+    cap = _C.MAX_SEARCH_RADIUS_KM
+    hav = S.haversine_km("r.r_lat", "r.r_lon", "a.a_lat", "a.a_lon")
+    return f"""{_DOMAIN_WITH},
+rts AS (
+  SELECT r.route_id, l.latitude AS r_lat, l.longitude AS r_lon,
+         CAST(floor(l.latitude / {cell}) AS INT) AS cx,
+         CAST(floor(l.longitude / {cell}) AS INT) AS cy
+  FROM routes r JOIN locations l USING (location_id)
+),
+acc9 AS (
+  SELECT accident_id, latitude AS a_lat, longitude AS a_lon,
+         CAST(floor(latitude / {cell}) AS INT) + dx.dx AS cx,
+         CAST(floor(longitude / {cell}) AS INT) + dy.dy AS cy
+  FROM accidents,
+       (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)
+),
+cand AS (
+  SELECT r.route_id, a.accident_id, round({hav}, 6) AS distance_km
+  FROM rts r JOIN acc9 a USING (cx, cy)
+  WHERE {hav} <= {cap}
+),
+ranked AS (
+  SELECT route_id, accident_id, distance_km,
+         row_number() OVER (PARTITION BY route_id
+                            ORDER BY distance_km, accident_id) AS rnk
+  FROM cand
+)
+SELECT route_id, CAST(rnk AS INT) AS rnk, accident_id, distance_km
+FROM ranked
+WHERE rnk <= {GEO_KNN_K}
+ORDER BY route_id, rnk"""

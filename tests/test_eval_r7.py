@@ -280,3 +280,91 @@ def test_trigram_profile_topk(spark):
         want = want[:TX.TRIGRAM_TOP_K]
         assert [(r.rnk, r.tri, r.cnt) for r in rs] == \
             [(i + 1, tri, c) for i, (tri, c) in enumerate(want)]
+
+
+# --- wave 23: spatial kNN, link prediction, sequence gaps --------------------
+
+def test_geo_knn_matches_bruteforce_under_cap(spark):
+    """The 3x3 grid candidates lose NOTHING under the 300 km cap: the
+    per-route top-5 equals a full cross-join brute force."""
+    from safeascent_spark.operators import relational as R
+    from safeascent_spark import kernels as K
+    from pyspark.sql import functions as F
+    rows = defaultdict(list)
+    for r in R.q_geo_knn_grid(spark, SF_SMOKE).collect():
+        rows[r.route_id].append((r.rnk, r.accident_id, r.distance_km))
+    # brute force via a full cross join (sf0.001 only)
+    rts = (domain.routes_df(spark, SF_SMOKE)
+           .join(domain.locations_df(spark, SF_SMOKE), "location_id")
+           .select("route_id", F.col("latitude").alias("r_lat"),
+                   F.col("longitude").alias("r_lon")))
+    acc = domain.accidents_df(spark, SF_SMOKE).select(
+        "accident_id", F.col("latitude").alias("a_lat"),
+        F.col("longitude").alias("a_lon"))
+    d = F.round(K.haversine_km("r_lat", "r_lon", "a_lat", "a_lon"), 6)
+    full = (rts.crossJoin(acc)
+               .filter(K.haversine_km("r_lat", "r_lon",
+                                      "a_lat", "a_lon") <= 300.0)
+               .select("route_id", "accident_id", d.alias("dist"))
+               .collect())
+    want = defaultdict(list)
+    for r in full:
+        want[r.route_id].append((r.dist, r.accident_id))
+    for rid, cands in want.items():
+        cands.sort()
+        top = [(i + 1, aid, dist) for i, (dist, aid)
+               in enumerate(cands[:R.GEO_KNN_K])]
+        assert rows.get(rid, []) == top
+    assert set(rows) == {rid for rid, c in want.items() if c}
+
+
+def test_common_neighbors_bruteforce(spark):
+    from safeascent_spark.operators import graph as G
+    rows = G.q_graph_common_neighbors(spark, SF_SMOKE).collect()
+    edges = G._pagerank_edges(spark, SF_SMOKE).collect()
+    nbrs = defaultdict(set)
+    for e in edges:
+        if e.src != e.dst:
+            nbrs[e.src].add(e.dst)
+            nbrs[e.dst].add(e.src)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    scores = defaultdict(lambda: [0, 0])
+    for c, ns in nbrs.items():
+        if deg[c] > G.CN_MAX_DEG:
+            continue
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1:]:
+                scores[(a, b)][0] += 1
+                scores[(a, b)][1] += 1_000_000 // deg[c]
+    want = sorted(((s[1], a, b, s[0]) for (a, b), s in scores.items()),
+                  key=lambda x: (-x[0], x[1], x[2]))[:G.CN_TOP_K]
+    got = [(r.aa_score_ppm, r.node_a, r.node_b, r.common_cnt)
+           for r in rows]
+    assert got == want
+
+
+def test_sequence_gaps_find_the_seeded_holes(spark):
+    from safeascent_spark.operators import monitor as MON
+    rows = MON.q_dq_sequence_gaps(spark, SF_SMOKE).collect()
+    ids = [r.event_id for r in
+           (domain.load_table(spark, SF_SMOKE, "events")
+                  .select("event_id").collect())]
+    kept = [i for i in ids if i % MON.SEQ_DROP_MOD != MON.SEQ_DROP_REM]
+    lo, hi = min(kept), max(kept)
+    per_block = defaultdict(int)
+    for i in kept:
+        per_block[i // MON.SEQ_BLOCK] += 1
+    want = []
+    for b in sorted(per_block):
+        exp = (min((b + 1) * MON.SEQ_BLOCK - 1, hi)
+               - max(b * MON.SEQ_BLOCK, lo) + 1)
+        if exp - per_block[b] > 0:
+            want.append((b, exp, per_block[b], exp - per_block[b]))
+    assert [(r.block_id, r.expected_n, r.actual_n, r.missing_n)
+            for r in rows] == want
+    # total missing = the number of seeded drops inside [lo, hi]
+    dropped = [i for i in ids
+               if i % MON.SEQ_DROP_MOD == MON.SEQ_DROP_REM
+               and lo <= i <= hi]
+    assert sum(r.missing_n for r in rows) == len(dropped)
