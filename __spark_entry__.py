@@ -584,6 +584,15 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_common_neighbors": G.q_graph_common_neighbors,
         # ingest sequence-gap audit over fixed-width id blocks
         "dq_sequence_gaps": MON.q_dq_sequence_gaps,
+        # --- round-7 wave 24: iterative linear algebra + audits ---
+        # top principal component by integer power iteration on the
+        # bounded DIM x DIM int8 covariance (one corpus pass)
+        "embedding_pca_power": OL.q_embedding_pca_power,
+        # stationary distribution of the event-type Markov chain,
+        # integer power iteration on the |types|^2 ppm matrix
+        "events_markov_stationary": A.q_events_markov_stationary,
+        # duplicate-payment detector over (customer, cents, date)
+        "dq_duplicate_payments": MON.q_dq_duplicate_payments,
     }
 
 
@@ -722,6 +731,8 @@ _R7_NEW: list = [
     "sample_stratified_neyman",
     "dedup_duplicate_spans", "text_ttr_hapax", "text_char_trigram_profile",
     "geo_knn_grid", "graph_common_neighbors", "dq_sequence_gaps",
+    "embedding_pca_power", "events_markov_stationary",
+    "dq_duplicate_payments",
 ]
 
 
@@ -1000,4 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn_grid": R.sql_geo_knn_grid(),
         "graph_common_neighbors": G.sql_graph_common_neighbors(),
         "dq_sequence_gaps": MON.sql_dq_sequence_gaps(),
+        "embedding_pca_power": OL.sql_embedding_pca_power(),
+        "events_markov_stationary": A.sql_events_markov_stationary(),
+        "dq_duplicate_payments": MON.sql_dq_duplicate_payments(),
     }

@@ -2305,3 +2305,99 @@ SELECT user_id, event_type,
 FROM seg WHERE dur_ms IS NOT NULL
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type"""
+
+
+# --- Markov stationary distribution of the event-type chain (round 7) ------------
+# Where does the user journey settle?  The per-user next-event chain
+# (q_events_transitions) induces a |types|×|types| transition matrix in
+# exact ppm; its stationary distribution comes from MARKOV_ITERS rounds
+# of integer power iteration on that BOUNDED matrix — the corpus is
+# touched once (the per-user lead() pass), every iteration is a matvec
+# on <= |types|² rows.  Truncating div loses < |types| ppm of mass per
+# round (documented, identical in both engines); the output keeps the
+# observed first-event share alongside for drift comparison.
+
+MARKOV_ITERS = 10
+
+
+def q_events_markov_stationary(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select("user_id", "ts", "event_id",
+                      F.col("event_type").alias("prev_type"),
+                      F.lead("event_type").over(w).alias("next_type"))
+              .filter(F.col("next_type").isNotNull())
+              .groupBy("prev_type", "next_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_out"))
+    t = (pairs.join(F.broadcast(tot), "prev_type")
+              .select("prev_type", "next_type",
+                      F.expr("(n * 1000000) div n_out").alias("p_ppm"))
+              .cache())
+    n_types = t.select("prev_type").distinct().count()
+    v = (t.select(F.col("prev_type").alias("event_type")).distinct()
+          .select("event_type",
+                  F.lit(1_000_000 // n_types).cast("long").alias("v")))
+    for _ in range(MARKOV_ITERS):
+        v = (t.join(v.select(F.col("event_type").alias("prev_type"),
+                             F.col("v").alias("vp")), "prev_type")
+              .groupBy(F.col("next_type").alias("event_type"))
+              .agg(F.expr("CAST(sum(vp * p_ppm) div 1000000 AS BIGINT)")
+                    .alias("v")))
+    share = (tot.crossJoin(F.broadcast(
+                 tot.agg(F.sum("n_out").alias("tt"))))
+                .select(F.col("prev_type").alias("event_type"),
+                        F.expr("CAST(n_out * 1000000 div tt AS BIGINT)")
+                         .alias("observed_share_ppm")))
+    return (v.join(F.broadcast(share), "event_type")
+             .select("event_type", F.col("v").alias("stationary_ppm"),
+                     "observed_share_ppm")
+             .orderBy("event_type"))
+
+
+def sql_events_markov_stationary() -> str:
+    iters = []
+    prev = "v0"
+    for k in range(1, MARKOV_ITERS + 1):
+        iters.append(f"""
+v{k} AS MATERIALIZED (
+  SELECT t.next_type AS event_type,
+         CAST(sum(p.v * t.p_ppm) // 1000000 AS BIGINT) AS v
+  FROM t JOIN {prev} p ON t.prev_type = p.event_type
+  GROUP BY 1
+)""")
+        prev = f"v{k}"
+    return f"""
+WITH pairs AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT event_type AS prev_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+  WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS MATERIALIZED (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out
+        FROM pairs GROUP BY 1),
+t AS MATERIALIZED (
+  SELECT p.prev_type, p.next_type, (p.n * 1000000) // tt.n_out AS p_ppm
+  FROM pairs p JOIN tot tt USING (prev_type)
+),
+v0 AS (
+  SELECT prev_type AS event_type,
+         CAST(1000000 // (SELECT count(DISTINCT prev_type) FROM t)
+              AS BIGINT) AS v
+  FROM (SELECT DISTINCT prev_type FROM t)
+),
+{",".join(x.strip() for x in iters)},
+share AS (
+  SELECT prev_type AS event_type,
+         CAST(n_out * 1000000 // (SELECT sum(n_out) FROM tot) AS BIGINT)
+           AS observed_share_ppm
+  FROM tot
+)
+SELECT v.event_type, v.v AS stationary_ppm, s.observed_share_ppm
+FROM {prev} v JOIN share s USING (event_type)
+ORDER BY v.event_type"""

@@ -1047,3 +1047,62 @@ FROM blocks, bounds b
 WHERE least((block_id + 1) * {SEQ_BLOCK} - 1, b.hi)
       - greatest(block_id * {SEQ_BLOCK}, b.lo) + 1 - actual_n > 0
 ORDER BY block_id"""
+
+
+# --- Duplicate-payment audit (round 7) --------------------------------------------
+# The fin-ops double-charge detector: order rows agreeing on
+# (customer, exact cents, order date) are retried/double-ingested
+# payments.  One map-side-combined groupBy on the composite key, groups
+# of size >= 2 reported with their key-range evidence — no window, no
+# sort, no join.  The synthetic orders table is collision-free by
+# construction, so (the _rng_corpus/SEQ_DROP convention) a deterministic
+# retry stream is seeded: orders with o_orderkey % DUPPAY_MOD ==
+# DUPPAY_REM are re-ingested once with a shifted surrogate key, and the
+# audit must find exactly those groups.  The oracle mirrors the seeding.
+
+DUPPAY_MOD = 251
+DUPPAY_REM = 7
+DUPPAY_KEY_SHIFT = 10_000_000
+
+
+def q_dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("long").alias("okey"),
+                 F.col("o_custkey").cast("long").alias("custkey"),
+                 F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .alias("price_c"),
+                 F.col("o_orderdate").cast("date").alias("odate")))
+    retried = (o.filter(F.col("okey") % DUPPAY_MOD == DUPPAY_REM)
+                .withColumn("okey", F.col("okey") + DUPPAY_KEY_SHIFT))
+    return (o.unionByName(retried)
+             .groupBy("custkey", "price_c", "odate")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_payments"),
+                  F.min("okey").cast("bigint").alias("first_key"),
+                  F.max("okey").cast("bigint").alias("last_key"))
+             .filter(F.col("n_payments") >= 2)
+             .orderBy("custkey", "price_c", "odate"))
+
+
+def sql_dq_duplicate_payments() -> str:
+    return f"""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+         CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+         CAST(o_orderdate AS DATE) AS odate
+  FROM orders
+),
+seeded AS (
+  SELECT * FROM o
+  UNION ALL
+  SELECT okey + {DUPPAY_KEY_SHIFT}, custkey, price_c, odate
+  FROM o WHERE okey % {DUPPAY_MOD} = {DUPPAY_REM}
+)
+SELECT custkey, price_c, odate,
+       CAST(count(*) AS BIGINT) AS n_payments,
+       CAST(min(okey) AS BIGINT) AS first_key,
+       CAST(max(okey) AS BIGINT) AS last_key
+FROM seeded
+GROUP BY 1, 2, 3
+HAVING count(*) >= 2
+ORDER BY custkey, price_c, odate"""

