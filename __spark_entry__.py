@@ -593,6 +593,13 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": A.q_events_markov_stationary,
         # duplicate-payment detector over (customer, cents, date)
         "dq_duplicate_payments": MON.q_dq_duplicate_payments,
+        # --- round-7 wave 25: engagement, contamination, encoding ---
+        # daily bounce rate over the engine's 1-hour session semantics
+        "events_bounce_rate": A.q_events_bounce_rate,
+        # inter-source n-gram contamination matrix (|grams| x |sources|^2)
+        "dedup_cross_source_overlap": D.q_dedup_cross_source_overlap,
+        # smoothed target encoding (Micci-Barreca), one exact rational
+        "features_target_encoding": MON.q_features_target_encoding,
     }
 
 
@@ -733,6 +740,8 @@ _R7_NEW: list = [
     "geo_knn_grid", "graph_common_neighbors", "dq_sequence_gaps",
     "embedding_pca_power", "events_markov_stationary",
     "dq_duplicate_payments",
+    "events_bounce_rate", "dedup_cross_source_overlap",
+    "features_target_encoding",
 ]
 
 
@@ -1014,4 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca_power": OL.sql_embedding_pca_power(),
         "events_markov_stationary": A.sql_events_markov_stationary(),
         "dq_duplicate_payments": MON.sql_dq_duplicate_payments(),
+        "events_bounce_rate": A.sql_events_bounce_rate(),
+        "dedup_cross_source_overlap": D.sql_dedup_cross_source_overlap(),
+        "features_target_encoding": MON.sql_features_target_encoding(),
     }

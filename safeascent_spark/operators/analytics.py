@@ -2401,3 +2401,72 @@ share AS (
 SELECT v.event_type, v.v AS stationary_ppm, s.observed_share_ppm
 FROM {prev} v JOIN share s USING (event_type)
 ORDER BY v.event_type"""
+
+
+# --- Session bounce-rate daily rollup (round 7) -----------------------------------
+# The engagement classic on top of the session operator: per day (of
+# session start), how many 1-hour-gap sessions there were, how many
+# bounced (single event), and the exact engagement intensity.  Reuses
+# the session_window batch form (streaming/sessions.py) so the session
+# boundaries are THE engine's session semantics; everything downstream
+# is integer epoch-second arithmetic (duration excludes the gap
+# padding session_window adds to `end`).
+
+def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessions import user_sessions_batch
+    s = (user_sessions_batch(spark, sf_dir)
+         .select(F.col("session_start").cast("long").alias("start_s"),
+                 F.col("session_end").cast("long").alias("end_s"),
+                 F.col("n_events").cast("bigint").alias("n_events")))
+    day = F.expr("start_s div 86400")
+    return (s.groupBy(day.alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                  F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                   .cast("bigint").alias("n_bounce"),
+                  F.sum("n_events").cast("bigint").alias("n_events"),
+                  F.sum(F.expr("end_s - start_s - 3600")).cast("bigint")
+                   .alias("active_s"))
+             .select("day", "n_sessions", "n_bounce",
+                     F.expr("CAST(n_bounce * 1000000 div n_sessions"
+                            " AS BIGINT)").alias("bounce_ppm"),
+                     F.expr("CAST(n_events * 1000 div n_sessions"
+                            " AS BIGINT)").alias("events_per_session_milli"),
+                     "active_s")
+             .orderBy("day"))
+
+
+def sql_events_bounce_rate() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS et_s
+  FROM events
+),
+marked AS (
+  SELECT user_id, et_s,
+         CASE WHEN et_s - lag(et_s) OVER (PARTITION BY user_id ORDER BY et_s)
+                   > 3600 THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+sess AS (
+  SELECT user_id, et_s,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY et_s
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+per AS (
+  SELECT min(et_s) AS start_s, max(et_s) AS last_s,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT start_s // 86400 AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm,
+       CAST(sum(n_events) * 1000 // count(*) AS BIGINT)
+         AS events_per_session_milli,
+       CAST(sum(last_s - start_s) AS BIGINT) AS active_s
+FROM per
+GROUP BY 1
+ORDER BY 1"""

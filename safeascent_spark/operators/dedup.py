@@ -1509,3 +1509,71 @@ SELECT doc_id,
 FROM isl
 GROUP BY doc_id, isl
 ORDER BY doc_id, span_start"""
+
+
+# --- Cross-source n-gram contamination matrix (round 7) ---------------------------
+# Which sources copy from which?  For every ordered source pair (a, b):
+# how many of a's DISTINCT token trigrams also occur in b — the
+# inter-source contamination view that decontamination and source-
+# weighting decisions read.  The (source, gram) distinct table is
+# vocabulary-grain (map-side combined); the pair join fans out per gram
+# by AT MOST |sources| (the gram's source list), so the join is
+# |grams| x |sources|^2 bounded — never doc x doc.
+
+XS_NGRAM_W = 3
+
+
+def q_dedup_cross_source_overlap(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    W = XS_NGRAM_W
+    d = T.docs_df(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    idx = F.when(F.size("ws") >= W,
+                 F.sequence(F.lit(1), F.size("ws") - (W - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = (d.select("source", ws.alias("ws"))
+              .select("source", F.explode(F.transform(
+                  idx, lambda i: F.concat_ws(" ", F.slice("ws", i, W))))
+                  .alias("g"))
+              .distinct())
+    sizes = (grams.groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams")))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    pairs = (a.join(b, "g")
+              .filter(F.col("src_a") != F.col("src_b"))
+              .groupBy("src_a", "src_b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    return (pairs.join(F.broadcast(sizes.withColumnRenamed(
+                 "source", "src_a")), "src_a")
+                 .select("src_a", "src_b", "n_common", "n_grams",
+                         F.expr("CAST(n_common * 1000000 div n_grams"
+                                " AS BIGINT)").alias("overlap_ppm"))
+                 .orderBy("src_a", "src_b"))
+
+
+def sql_dedup_cross_source_overlap() -> str:
+    W = XS_NGRAM_W
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT source, array_to_string(ws[i:i + {W - 1}], ' ') AS g
+  FROM (SELECT source, ws,
+               unnest(generate_series(1, len(ws) - {W - 1})) AS i
+        FROM (SELECT source, {toks} AS ws FROM documents)
+        WHERE len(ws) >= {W})
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+  FROM grams GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.n_common, s.n_grams,
+       CAST(p.n_common * 1000000 // s.n_grams AS BIGINT) AS overlap_ppm
+FROM pairs p JOIN sizes s ON p.src_a = s.source
+ORDER BY p.src_a, p.src_b"""

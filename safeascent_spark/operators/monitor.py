@@ -1106,3 +1106,67 @@ FROM seeded
 GROUP BY 1, 2, 3
 HAVING count(*) >= 2
 ORDER BY custkey, price_c, odate"""
+
+
+# --- Smoothed target encoding (round 7) --------------------------------------------
+# The standard ML categorical-feature encoder: per category, the
+# target mean shrunk toward the global prior (smoothing m rows of
+# prior mass — the Micci-Barreca 2001 estimator).  Exactness: the
+# encoder is a single rational (sum_c*N + m*S) / ((n_c + m)*N) in
+# cents — computed as ONE integer floor division in milli-cents on
+# DECIMAL(38,0)/HUGEINT with no intermediate rounding.  One map-side-
+# combined aggregate + a 1-row global broadcast; the category table is
+# |priorities| x |statuses| bounded.
+
+TENC_SMOOTH_M = 100
+
+
+def q_features_target_encoding(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38,0)"
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .select("o_orderpriority", "o_orderstatus",
+                 F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .alias("y_c")))
+    per = (o.groupBy("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("y_c").cast("bigint").alias("sum_c")))
+    g = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"),
+              F.sum("y_c").cast("bigint").alias("sum_all"))
+    m = TENC_SMOOTH_M
+    return (per.crossJoin(F.broadcast(g))
+            .select("o_orderpriority", "o_orderstatus", "n_rows", "sum_c",
+                    F.expr("CAST(sum_c * 1000 div n_rows AS BIGINT)")
+                     .alias("raw_mean_milli"),
+                    F.expr(
+                        f"CAST((CAST(sum_c AS {dec}) * n_all"
+                        f" + {m} * CAST(sum_all AS {dec})) * 1000"
+                        f" div (CAST(n_rows + {m} AS {dec}) * n_all)"
+                        " AS BIGINT)").alias("enc_milli"))
+            .orderBy("o_orderpriority", "o_orderstatus"))
+
+
+def sql_features_target_encoding() -> str:
+    m = TENC_SMOOTH_M
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS y_c
+  FROM orders
+),
+per AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(y_c) AS BIGINT) AS sum_c
+  FROM o GROUP BY 1, 2
+),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(y_c) AS BIGINT) AS sum_all FROM o)
+SELECT o_orderpriority, o_orderstatus, n_rows, sum_c,
+       CAST(sum_c * 1000 // n_rows AS BIGINT) AS raw_mean_milli,
+       CAST((CAST(sum_c AS HUGEINT) * g.n_all
+             + {m} * CAST(g.sum_all AS HUGEINT)) * 1000
+            // (CAST(n_rows + {m} AS HUGEINT) * g.n_all) AS BIGINT)
+         AS enc_milli
+FROM per, g
+ORDER BY o_orderpriority, o_orderstatus"""

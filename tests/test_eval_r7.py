@@ -461,3 +461,92 @@ def test_duplicate_payments_find_exactly_the_seeded_retries(spark):
         assert r.n_payments == 2
         assert r.first_key == by_key[k]
         assert r.last_key == by_key[k] + MON.DUPPAY_KEY_SHIFT
+
+
+# --- wave 25: engagement, contamination, encoding -----------------------------
+
+def test_bounce_rate_matches_session_bruteforce(spark):
+    from safeascent_spark.operators import analytics as A
+    rows = {r.day: r for r in
+            A.q_events_bounce_rate(spark, SF_SMOKE).collect()}
+    ev = defaultdict(list)
+    for e in (domain.load_table(spark, SF_SMOKE, "events")
+                    .select("user_id", "ts").collect()):
+        ev[e.user_id].append(e.ts // 1_000_000_000)
+    per_day = defaultdict(lambda: [0, 0, 0, 0])  # sess, bounce, ev, act
+    for _, ts in ev.items():
+        ts.sort()
+        cur = [ts[0], ts[0], 1]  # start, last, n
+        sessions = []
+        for t in ts[1:]:
+            if t - cur[1] > 3600:
+                sessions.append(tuple(cur))
+                cur = [t, t, 1]
+            else:
+                cur[1], cur[2] = t, cur[2] + 1
+        sessions.append(tuple(cur))
+        for st, la, n in sessions:
+            d = per_day[st // 86400]
+            d[0] += 1
+            d[1] += 1 if n == 1 else 0
+            d[2] += n
+            d[3] += la - st
+    assert set(rows) == set(per_day)
+    for day, (ns, nb, ne, act) in per_day.items():
+        r = rows[day]
+        assert (r.n_sessions, r.n_bounce, r.active_s) == (ns, nb, act)
+        assert r.bounce_ppm == nb * 1_000_000 // ns
+        assert r.events_per_session_milli == ne * 1000 // ns
+
+
+def test_cross_source_overlap_symmetric_counts(spark):
+    from safeascent_spark.operators import dedup as D
+    rows = D.q_dedup_cross_source_overlap(spark, SF_SMOKE).collect()
+    got = {(r.src_a, r.src_b): r for r in rows}
+    grams = defaultdict(set)
+    for r in (domain.load_table(spark, SF_SMOKE, "documents")
+                    .select("source", "text").collect()):
+        toks = [t for t in r.text.split(" ") if t]
+        W = D.XS_NGRAM_W
+        grams[r.source].update(
+            " ".join(toks[i:i + W]) for i in range(len(toks) - W + 1))
+    for a in grams:
+        for b in grams:
+            if a == b:
+                continue
+            common = len(grams[a] & grams[b])
+            if common == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r.n_common == common
+            assert r.n_grams == len(grams[a])
+            assert r.overlap_ppm == common * 1_000_000 // len(grams[a])
+    # n_common is symmetric; overlap_ppm needn't be
+    for (a, b), r in got.items():
+        assert got[(b, a)].n_common == r.n_common
+
+
+def test_target_encoding_shrinks_toward_prior(spark):
+    from safeascent_spark.operators import monitor as MON
+    rows = MON.q_features_target_encoding(spark, SF_SMOKE).collect()
+    data = defaultdict(list)
+    allv = []
+    for o in (domain.load_table(spark, SF_SMOKE, "orders")
+                    .select("o_orderpriority", "o_orderstatus",
+                            "o_totalprice").collect()):
+        c = math.floor(o.o_totalprice * 100)
+        data[(o.o_orderpriority, o.o_orderstatus)].append(c)
+        allv.append(c)
+    N, S = len(allv), sum(allv)
+    m = MON.TENC_SMOOTH_M
+    for r in rows:
+        ys = data[(r.o_orderpriority, r.o_orderstatus)]
+        assert (r.n_rows, r.sum_c) == (len(ys), sum(ys))
+        assert r.raw_mean_milli == sum(ys) * 1000 // len(ys)
+        want = (sum(ys) * N + m * S) * 1000 // ((len(ys) + m) * N)
+        assert r.enc_milli == want
+        # shrinkage: encoded mean lies between raw mean and global prior
+        lo = min(r.raw_mean_milli, S * 1000 // N)
+        hi = max(r.raw_mean_milli, S * 1000 // N)
+        assert lo - 1 <= r.enc_milli <= hi + 1
