@@ -600,6 +600,13 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_source_overlap": D.q_dedup_cross_source_overlap,
         # smoothed target encoding (Micci-Barreca), one exact rational
         "features_target_encoding": MON.q_features_target_encoding,
+        # --- round-7 wave 26: reconciliation, funnel latency, volume ---
+        # fact-to-detail reconciliation: order totals vs line sums (e6)
+        "dq_order_reconciliation": MON.q_dq_order_reconciliation,
+        # exact p50/p90/p99 step-conversion delays, banded order stats
+        "events_funnel_ttc": A.q_events_funnel_ttc,
+        # daily volume vs trailing-7-day median, pairwise-rank median
+        "dq_volume_anomaly": MON.q_dq_volume_anomaly,
     }
 
 
@@ -742,6 +749,7 @@ _R7_NEW: list = [
     "dq_duplicate_payments",
     "events_bounce_rate", "dedup_cross_source_overlap",
     "features_target_encoding",
+    "dq_order_reconciliation", "events_funnel_ttc", "dq_volume_anomaly",
 ]
 
 
@@ -1026,4 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "events_bounce_rate": A.sql_events_bounce_rate(),
         "dedup_cross_source_overlap": D.sql_dedup_cross_source_overlap(),
         "features_target_encoding": MON.sql_features_target_encoding(),
+        "dq_order_reconciliation": MON.sql_dq_order_reconciliation(),
+        "events_funnel_ttc": A.sql_events_funnel_ttc(),
+        "dq_volume_anomaly": MON.sql_dq_volume_anomaly(),
     }

@@ -45,6 +45,11 @@ HEADLINE = [
     "tpch_q21_lone_late_supplier",
     "ann_recall_curve",
     "embedding_class_separation",
+    # round-7 heavies (r8+): the grid spatial kNN, the span-level dedup
+    # pass, and the banded rank-statistic family's widest query
+    "geo_knn_grid",
+    "dedup_duplicate_spans",
+    "eval_roc_auc",
 ]
 
 

@@ -2470,3 +2470,101 @@ SELECT start_s // 86400 AS day,
 FROM per
 GROUP BY 1
 ORDER BY 1"""
+
+
+# --- Funnel time-to-convert percentiles (round 7) ----------------------------------
+# q_events_funnel reports the MEAN step delay; conversion-rate work
+# reads the percentiles (a long-tailed p99 with a healthy median is a
+# different problem than a shifted median).  Same earliest-qualifying
+# step semantics as the funnel; per consecutive step pair the exact
+# p50/p90/p99 of the per-user delay in whole seconds, computed with
+# rankutil.banded_rank over day-width delay bands — the 7-day step
+# window bounds the band count at 8, so the order statistics never
+# leave partitioned windows.
+
+def q_events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    e = domain.load_table(spark, sf_dir, "events") \
+              .select("user_id", "event_type", "ts")
+    prev = None
+    legs = []
+    for i, step in enumerate(FUNNEL_STEPS):
+        ev = e.filter(F.col("event_type") == step)
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (ev.join(prev.select("user_id",
+                                       F.col("t").alias("t_prev")),
+                           "user_id")
+                     .filter((F.col("ts") > F.col("t_prev"))
+                             & (F.col("ts") - F.col("t_prev")
+                                <= FUNNEL_STEP_WINDOW_NS))
+                     .groupBy("user_id")
+                     .agg(F.min("ts").alias("t"),
+                          F.first("t_prev").alias("t_prev")))
+            legs.append(cur.select(
+                F.lit(f"{FUNNEL_STEPS[i - 1]}->{step}").alias("step_pair"),
+                "user_id",
+                F.expr("(t - t_prev) div 1000000000").alias("delta_s")))
+        prev = cur
+    deltas = legs[0]
+    for leg in legs[1:]:
+        deltas = deltas.unionByName(leg)
+    ranked = banded_rank(
+        deltas, ["step_pair"], F.expr("delta_s div 86400"),
+        [F.col("delta_s").asc(), F.col("user_id").asc()],
+        rank_name="rnk", total_name="n")
+    picks = [
+        F.expr(f"CAST(max(CASE WHEN rnk = ((n - 1) * {p} div 100 + 1)"
+               f" THEN delta_s END) AS BIGINT)").alias(f"p{p}_s")
+        for p in (50, 90, 99)]
+    return (ranked.groupBy("step_pair")
+                  .agg(F.max("n").cast("bigint").alias("n_users"), *picks)
+                  .orderBy("step_pair"))
+
+
+def sql_events_funnel_ttc() -> str:
+    w = FUNNEL_STEP_WINDOW_NS
+    s1, s2, s3 = FUNNEL_STEPS
+    picks = ", ".join(
+        f"CAST(max(CASE WHEN rnk = ((n - 1) * {p} // 100 + 1)"
+        f" THEN delta_s END) AS BIGINT) AS p{p}_s"
+        for p in (50, 90, 99))
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events
+),
+step1 AS (
+  SELECT user_id, min(ts) AS t FROM ev
+  WHERE event_type = '{s1}' GROUP BY 1
+),
+step2 AS (
+  SELECT e.user_id, min(e.ts) AS t, min(s.t) AS t_prev
+  FROM ev e JOIN step1 s ON e.user_id = s.user_id
+  WHERE e.event_type = '{s2}' AND e.ts > s.t AND e.ts - s.t <= {w}
+  GROUP BY 1
+),
+step3 AS (
+  SELECT e.user_id, min(e.ts) AS t, min(s.t) AS t_prev
+  FROM ev e JOIN step2 s ON e.user_id = s.user_id
+  WHERE e.event_type = '{s3}' AND e.ts > s.t AND e.ts - s.t <= {w}
+  GROUP BY 1
+),
+deltas AS (
+  SELECT '{s1}->{s2}' AS step_pair, user_id,
+         (t - t_prev) // 1000000000 AS delta_s FROM step2
+  UNION ALL
+  SELECT '{s2}->{s3}' AS step_pair, user_id,
+         (t - t_prev) // 1000000000 AS delta_s FROM step3
+),
+ranked AS (
+  SELECT step_pair, delta_s,
+         row_number() OVER (PARTITION BY step_pair
+                            ORDER BY delta_s, user_id) AS rnk,
+         count(*) OVER (PARTITION BY step_pair) AS n
+  FROM deltas
+)
+SELECT step_pair, CAST(max(n) AS BIGINT) AS n_users, {picks}
+FROM ranked
+GROUP BY step_pair
+ORDER BY step_pair"""

@@ -1170,3 +1170,163 @@ SELECT o_orderpriority, o_orderstatus, n_rows, sum_c,
          AS enc_milli
 FROM per, g
 ORDER BY o_orderpriority, o_orderstatus"""
+
+
+# --- Fact-to-detail reconciliation audit (round 7) ---------------------------------
+# The warehouse-close classic: does the order header's total equal the
+# sum of its lines?  Per order-status leg: header count, headers with
+# no lines, headers whose |total - sum(lines)| exceeds one cent, and
+# the worst discrepancy.  All exact: line net value rides the TPC-H Q1
+# integer device (cents x (100-disc) x (100+tax) = e6 units), the
+# header total is floor(cents) x 10^4 e6 units, and the comparison is
+# BIGINT.  One co-partitioned equi-join on the order key + map-side
+# combined aggregates.  (On this synthetic fixture headers are priced
+# independently of lines, so the audit genuinely fires — the point of
+# a reconciliation gate.)
+
+RECON_TOL_E6 = 10_000            # one cent in e6 units
+
+
+def q_dq_order_reconciliation(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .groupBy(F.col("l_orderkey").alias("okey"))
+          .agg(F.expr(
+              "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)"
+              " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+              " * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)")
+              .alias("lines_e6")))
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("okey"), "o_orderstatus",
+                 F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"
+                        " * 10000").alias("total_e6")))
+    j = (o.join(li, "okey", "left")
+          .withColumn("diff_e6", F.when(
+              F.col("lines_e6").isNotNull(),
+              F.abs(F.col("total_e6") - F.col("lines_e6")))))
+    return (j.groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                  F.sum(F.when(F.col("lines_e6").isNull(), 1).otherwise(0))
+                   .cast("bigint").alias("n_no_lines"),
+                  F.sum(F.when(F.col("diff_e6") > RECON_TOL_E6, 1)
+                         .otherwise(0)).cast("bigint").alias("n_mismatch"),
+                  F.max("diff_e6").cast("bigint").alias("max_diff_e6"))
+             .withColumn("matched_ppm", F.expr(
+                 "CAST((n_orders - n_no_lines - n_mismatch) * 1000000"
+                 " div n_orders AS BIGINT)"))
+             .orderBy("o_orderstatus"))
+
+
+def sql_dq_order_reconciliation() -> str:
+    return f"""
+WITH li AS (
+  SELECT l_orderkey AS okey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+              AS BIGINT) AS lines_e6
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey AS okey, o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) * 10000 AS total_e6
+  FROM orders
+),
+j AS (
+  SELECT o.o_orderstatus, li.lines_e6,
+         CASE WHEN li.lines_e6 IS NOT NULL
+              THEN abs(o.total_e6 - li.lines_e6) END AS diff_e6
+  FROM o LEFT JOIN li USING (okey)
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN lines_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_lines,
+       CAST(sum(CASE WHEN diff_e6 > {RECON_TOL_E6} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatch,
+       CAST(max(diff_e6) AS BIGINT) AS max_diff_e6,
+       CAST((count(*)
+             - sum(CASE WHEN lines_e6 IS NULL THEN 1 ELSE 0 END)
+             - sum(CASE WHEN diff_e6 > {RECON_TOL_E6} THEN 1 ELSE 0 END))
+            * 1000000 // count(*) AS BIGINT) AS matched_ppm
+FROM j
+GROUP BY 1
+ORDER BY 1"""
+
+
+# --- Daily volume anomaly vs trailing median (round 7) ------------------------------
+# The ops-monitoring twin of events_mad_outliers, on VOLUME rather than
+# value and against a TRAILING baseline rather than a global one: per
+# day, the event count vs the median of the previous VOL_WINDOW days,
+# with an exact ppm deviation.  The corpus collapses to the bounded
+# per-day count table in one map-side-combined pass; the trailing
+# median is a rank-by-pairwise-count over the |days| x W x W bounded
+# self-join (time-range bounded, corpus-size-independent) — no window,
+# no sort.
+
+VOL_WINDOW = 7
+VOL_ANOM_PPM = 300_000           # flag |dev| > 30%
+
+
+def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.expr(f"ts div {86_400_000_000_000}").alias("day"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    W = VOL_WINDOW
+    d = daily.select(F.col("day").alias("d"), F.col("n_events").alias("n"))
+    f = daily.select(F.col("day").alias("fd"), F.col("n_events").alias("fn"))
+    e2 = daily.select(F.col("day").alias("ed"), F.col("n_events").alias("en"))
+    # candidates f in d's trailing window, ranked among the window by
+    # pairwise counts; the median of W=7 is pairwise-rank 4
+    cand = (d.join(f, (F.col("fd") >= F.col("d") - W)
+                      & (F.col("fd") <= F.col("d") - 1)))
+    ranked = (cand.join(e2, (F.col("ed") >= F.col("d") - W)
+                           & (F.col("ed") <= F.col("d") - 1))
+                  .groupBy("d", "n", "fd", "fn")
+                  .agg(F.sum(F.expr(
+                      "CASE WHEN (en < fn) OR (en = fn AND ed < fd)"
+                      " THEN 1 ELSE 0 END")).alias("smaller"),
+                       F.count(F.lit(1)).cast("bigint").alias("w_n")))
+    med = (ranked.filter((F.col("w_n") == W)
+                         & (F.col("smaller") == (W - 1) // 2))
+                 .select("d", "n", F.col("fn").alias("trailing_med")))
+    return (med.select(F.col("d").alias("day"),
+                       F.col("n").alias("n_events"), "trailing_med",
+                       F.expr("CAST((n - trailing_med) * 1000000"
+                              " div trailing_med AS BIGINT)")
+                        .alias("dev_ppm"))
+               .withColumn("is_anomaly",
+                           F.abs(F.col("dev_ppm")) > VOL_ANOM_PPM)
+               .orderBy("day"))
+
+
+def sql_dq_volume_anomaly() -> str:
+    W = VOL_WINDOW
+    return f"""
+WITH daily AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+cand AS (
+  SELECT d.day AS d, d.n_events AS n, f.day AS fd, f.n_events AS fn
+  FROM daily d JOIN daily f
+    ON f.day BETWEEN d.day - {W} AND d.day - 1
+),
+ranked AS (
+  SELECT c.d, c.n, c.fd, c.fn,
+         sum(CASE WHEN (e.n_events < c.fn)
+                   OR (e.n_events = c.fn AND e.day < c.fd)
+                  THEN 1 ELSE 0 END) AS smaller,
+         CAST(count(*) AS BIGINT) AS w_n
+  FROM cand c JOIN daily e
+    ON e.day BETWEEN c.d - {W} AND c.d - 1
+  GROUP BY 1, 2, 3, 4
+)
+SELECT d AS day, n AS n_events, fn AS trailing_med,
+       CAST((n - fn) * 1000000 // fn AS BIGINT) AS dev_ppm,
+       abs(CAST((n - fn) * 1000000 // fn AS BIGINT)) > {VOL_ANOM_PPM}
+         AS is_anomaly
+FROM ranked
+WHERE w_n = {W} AND smaller = {(W - 1) // 2}
+ORDER BY day"""

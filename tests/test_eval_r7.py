@@ -550,3 +550,102 @@ def test_target_encoding_shrinks_toward_prior(spark):
         lo = min(r.raw_mean_milli, S * 1000 // N)
         hi = max(r.raw_mean_milli, S * 1000 // N)
         assert lo - 1 <= r.enc_milli <= hi + 1
+
+
+# --- wave 26: reconciliation, funnel latency percentiles, volume anomaly -----
+
+def test_order_reconciliation_bruteforce(spark):
+    from safeascent_spark.operators import monitor as MON
+    rows = {r.o_orderstatus: r for r in
+            MON.q_dq_order_reconciliation(spark, SF_SMOKE).collect()}
+    lines = defaultdict(int)
+    for li in (domain.load_table(spark, SF_SMOKE, "lineitem")
+                     .select("l_orderkey", "l_extendedprice",
+                             "l_discount", "l_tax").collect()):
+        c = math.floor(li.l_extendedprice * 100)
+        d = round(li.l_discount * 100)
+        t = round(li.l_tax * 100)
+        lines[li.l_orderkey] += c * (100 - d) * (100 + t)
+    stats = defaultdict(lambda: [0, 0, 0, None])
+    for o in (domain.load_table(spark, SF_SMOKE, "orders")
+                    .select("o_orderkey", "o_orderstatus",
+                            "o_totalprice").collect()):
+        st = stats[o.o_orderstatus]
+        st[0] += 1
+        if o.o_orderkey not in lines:
+            st[1] += 1
+            continue
+        diff = abs(math.floor(o.o_totalprice * 100) * 10000
+                   - lines[o.o_orderkey])
+        if diff > MON.RECON_TOL_E6:
+            st[2] += 1
+        st[3] = diff if st[3] is None else max(st[3], diff)
+    assert set(rows) == set(stats)
+    for s, (n, nn, nm, mx) in stats.items():
+        r = rows[s]
+        assert (r.n_orders, r.n_no_lines, r.n_mismatch) == (n, nn, nm)
+        assert r.max_diff_e6 == mx
+        assert r.matched_ppm == (n - nn - nm) * 1_000_000 // n
+
+
+def test_funnel_ttc_matches_bruteforce(spark):
+    from safeascent_spark.operators import analytics as A
+    rows = {r.step_pair: r for r in
+            A.q_events_funnel_ttc(spark, SF_SMOKE).collect()}
+    ev = defaultdict(lambda: defaultdict(list))
+    for e in (domain.load_table(spark, SF_SMOKE, "events")
+                    .select("user_id", "event_type", "ts").collect()):
+        ev[e.user_id][e.event_type].append(e.ts)
+    w = A.FUNNEL_STEP_WINDOW_NS
+    deltas = defaultdict(list)
+    for uid, by_type in ev.items():
+        t_prev = min(by_type[A.FUNNEL_STEPS[0]], default=None) \
+            if by_type.get(A.FUNNEL_STEPS[0]) else None
+        for i in range(1, len(A.FUNNEL_STEPS)):
+            if t_prev is None:
+                break
+            step = A.FUNNEL_STEPS[i]
+            cands = [t for t in by_type.get(step, [])
+                     if t > t_prev and t - t_prev <= w]
+            if not cands:
+                t_prev = None
+                break
+            t = min(cands)
+            deltas[f"{A.FUNNEL_STEPS[i - 1]}->{step}"].append(
+                (t - t_prev) // 1_000_000_000)
+            t_prev = t
+    assert set(rows) == {k for k, v in deltas.items() if v}
+    for pair, ds in deltas.items():
+        ds.sort()
+        r = rows[pair]
+        assert r.n_users == len(ds)
+        for p in (50, 90, 99):
+            assert getattr(r, f"p{p}_s") == ds[(len(ds) - 1) * p // 100]
+
+
+def test_volume_anomaly_trailing_median(spark):
+    from safeascent_spark.operators import monitor as MON
+    rows = {r.day: r for r in
+            MON.q_dq_volume_anomaly(spark, SF_SMOKE).collect()}
+    daily = defaultdict(int)
+    for e in (domain.load_table(spark, SF_SMOKE, "events")
+                    .select("ts").collect()):
+        daily[e.ts // 86_400_000_000_000] += 1
+    days = sorted(daily)
+    W = MON.VOL_WINDOW
+    expected = {}
+    for d in days:
+        window = [(daily[f], f) for f in days if d - W <= f <= d - 1]
+        if len(window) != W:
+            continue
+        window.sort()
+        med = window[(W - 1) // 2][0]
+        n = daily[d]
+        x = (n - med) * 1_000_000
+        dev = x // med if x >= 0 else -((-x) // med)
+        expected[d] = (n, med, dev, abs(dev) > MON.VOL_ANOM_PPM)
+    assert set(rows) == set(expected)
+    for d, (n, med, dev, an) in expected.items():
+        r = rows[d]
+        assert (r.n_events, r.trailing_med, r.dev_ppm, r.is_anomaly) == \
+            (n, med, dev, an)
