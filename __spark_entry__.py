@@ -648,9 +648,12 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     first 25 of the 62 r6-new in registration order
 #     (text_gopher_rules .. multimodal_wav_segments).
 #   after r7 (projected): never-checked = the remaining 36 r6-new
-#     (_R7_TAIL_NEVER — the r8 window takes all 36 + the 14 oldest
-#     r5-evidence rows) + whatever r7 adds (_R7_NEW, evidence in
-#     CORRECTNESS_LOCAL_r07.json until the r8/r9 windows).
+#     (_R7_TAIL_NEVER — the r8 window takes all 36 + the first 14 of
+#     the 22 r7-new) + the 22 r7-new registrations (_R7_NEW, evidence
+#     in CORRECTNESS_LOCAL_r07.json = 254/254 green).  At 254 queries
+#     the staleness invariant is ceil(254/50) = a fresh driver row at
+#     least every 6 rounds; the r9 window takes the last 8 r7-new +
+#     the 42 oldest r4/r5-evidence rows.
 #
 # New r7 queries are tail-registered after the never-checked backlog
 # (saturation rationale unchanged); their evidence rides
