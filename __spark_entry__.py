@@ -607,6 +607,13 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_ttc": A.q_events_funnel_ttc,
         # daily volume vs trailing-7-day median, pairwise-rank median
         "dq_volume_anomaly": MON.q_dq_volume_anomaly,
+        # --- round-7 wave 27: stickiness, concentration, enum drift ---
+        # exact DAU/MAU-30 via bounded x30 covered-day expansion
+        "events_stickiness": A.q_events_stickiness,
+        # Herfindahl supplier-concentration index per part brand
+        "supplier_hhi": OL.q_supplier_hhi,
+        # categorical-domain conformance audit per declared whitelist
+        "dq_enum_drift": MON.q_dq_enum_drift,
     }
 
 
@@ -649,11 +656,12 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     (text_gopher_rules .. multimodal_wav_segments).
 #   after r7 (projected): never-checked = the remaining 36 r6-new
 #     (_R7_TAIL_NEVER — the r8 window takes all 36 + the first 14 of
-#     the 22 r7-new) + the 22 r7-new registrations (_R7_NEW, evidence
-#     in CORRECTNESS_LOCAL_r07.json = 254/254 green).  At 254 queries
-#     the staleness invariant is ceil(254/50) = a fresh driver row at
-#     least every 6 rounds; the r9 window takes the last 8 r7-new +
-#     the 42 oldest r4/r5-evidence rows.
+#     the 25 r7-new) + the 25 r7-new registrations (_R7_NEW, evidence
+#     in CORRECTNESS_LOCAL_r07.json = 257/257 green + the wave-27
+#     trio's exact_check rows).  At 260 queries the staleness
+#     invariant is ceil(260/50) = a fresh driver row at least every
+#     6 rounds; the r9 window takes the last 11 r7-new + the 39
+#     oldest r4/r5-evidence rows.
 #
 # New r7 queries are tail-registered after the never-checked backlog
 # (saturation rationale unchanged); their evidence rides
@@ -753,6 +761,7 @@ _R7_NEW: list = [
     "events_bounce_rate", "dedup_cross_source_overlap",
     "features_target_encoding",
     "dq_order_reconciliation", "events_funnel_ttc", "dq_volume_anomaly",
+    "events_stickiness", "supplier_hhi", "dq_enum_drift",
 ]
 
 
@@ -1040,4 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_order_reconciliation": MON.sql_dq_order_reconciliation(),
         "events_funnel_ttc": A.sql_events_funnel_ttc(),
         "dq_volume_anomaly": MON.sql_dq_volume_anomaly(),
+        "events_stickiness": A.sql_events_stickiness(),
+        "supplier_hhi": OL.sql_supplier_hhi(),
+        "dq_enum_drift": MON.sql_dq_enum_drift(),
     }

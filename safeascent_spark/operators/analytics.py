@@ -2568,3 +2568,55 @@ SELECT step_pair, CAST(max(n) AS BIGINT) AS n_users, {picks}
 FROM ranked
 GROUP BY step_pair
 ORDER BY step_pair"""
+
+
+# --- DAU/MAU stickiness (round 7) ---------------------------------------------------
+# The growth-accounting ratio: per day, distinct daily actives over
+# distinct 30-day actives.  MAU is computed EXACTLY without a per-day
+# corpus rescan: each user's distinct active days explode to the <=
+# STICKY_WINDOW days they cover (a bounded x30 expansion of the
+# per-user DISTINCT-day table, linear in the corpus), then one distinct
+# count per covered day.  No window over the event stream; both legs
+# are map-side-combined distinct aggregates.
+
+STICKY_WINDOW = 30
+
+
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    du = (e.select(F.expr(f"ts div {_DAY_NS}").alias("day"), "user_id")
+           .distinct())
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("dau"))
+    covered = (du.select("user_id", F.explode(F.expr(
+                   f"sequence(day, day + {STICKY_WINDOW - 1})"))
+                   .alias("day"))
+                 .distinct())
+    mau = covered.groupBy("day").agg(F.count(F.lit(1)).cast("bigint")
+                                      .alias("mau"))
+    # report only days with observed activity (the covered table also
+    # extends past the last active day)
+    return (dau.join(mau, "day")
+               .select("day", "dau", "mau",
+                       F.expr("CAST(dau * 1000000 div mau AS BIGINT)")
+                        .alias("stickiness_ppm"))
+               .orderBy("day"))
+
+
+def sql_events_stickiness() -> str:
+    return f"""
+WITH du AS (
+  SELECT DISTINCT epoch_ns(ts) // {_DAY_NS} AS day, user_id FROM events
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+covered AS (
+  SELECT DISTINCT user_id, day + off AS day
+  FROM du, (SELECT unnest(generate_series(0, {STICKY_WINDOW - 1}))
+            AS off)
+),
+mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau
+        FROM covered GROUP BY 1)
+SELECT d.day, d.dau, m.mau,
+       CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN mau m USING (day)
+ORDER BY d.day"""

@@ -1330,3 +1330,68 @@ SELECT d AS day, n AS n_events, fn AS trailing_med,
 FROM ranked
 WHERE w_n = {W} AND smaller = {(W - 1) // 2}
 ORDER BY day"""
+
+
+# --- Enum-domain drift audit (round 7) -----------------------------------------------
+# Schema contracts declare categorical columns' legal values; upstream
+# drift (new codes, casing changes, junk) breaks joins and CASE logic
+# silently.  Per declared (table, column, whitelist): row count, rows
+# outside the whitelist, distinct unexpected values, and the smallest
+# offending value as evidence.  One map-side-combined (col, value)
+# aggregate per declaration — never a row-level scan result.  The
+# declared whitelists deliberately OMIT one legal value per column
+# (documented below) so the audit's arithmetic is observable on the
+# synthetic fixture — the dq gate pattern of SEQ_DROP/DUPPAY.
+
+_ENUM_DECLS = [
+    # (table, column, allowed-values)  — each list drops one real value
+    # (events: 'view'; orders: 'P'; documents: 'zh') to keep the
+    # parity rows non-vacuous
+    ("events", "event_type", ("click", "error", "purchase", "signup")),
+    ("orders", "o_orderstatus", ("F", "O")),
+    ("documents", "lang", ("de", "en", "es", "fr")),
+]
+
+
+def q_dq_enum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for t, c, allowed in _ENUM_DECLS:
+        counts = (domain.load_table(spark, sf_dir, t)
+                  .groupBy(F.col(c).cast("string").alias("v"))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+        bad = F.col("v").isin(*allowed) == F.lit(False)
+        parts.append(counts.agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum(F.when(bad, F.col("n")).otherwise(0)).cast("bigint")
+             .alias("n_unexpected"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint")
+             .alias("n_unexpected_distinct"),
+            F.min(F.when(bad, F.col("v"))).alias("example_value"))
+            .select(F.lit(f"{t}.{c}").alias("key"), "n_rows",
+                    "n_unexpected", "n_unexpected_distinct",
+                    "example_value",
+                    (F.col("n_unexpected") == 0).alias("conforms")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key")
+
+
+def sql_dq_enum_drift() -> str:
+    legs = []
+    for t, c, allowed in _ENUM_DECLS:
+        inlist = ", ".join(f"'{a}'" for a in allowed)
+        legs.append(f"""
+  SELECT '{t}.{c}' AS key,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN v NOT IN ({inlist}) THEN n ELSE 0 END)
+              AS BIGINT) AS n_unexpected,
+         CAST(sum(CASE WHEN v NOT IN ({inlist}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unexpected_distinct,
+         min(CASE WHEN v NOT IN ({inlist}) THEN v END) AS example_value,
+         sum(CASE WHEN v NOT IN ({inlist}) THEN n ELSE 0 END) = 0
+           AS conforms
+  FROM (SELECT CAST({c} AS VARCHAR) AS v, count(*) AS n
+        FROM {t} GROUP BY 1)""")
+    return ("SELECT * FROM (" + "\nUNION ALL".join(legs)
+            + ")\nORDER BY key")

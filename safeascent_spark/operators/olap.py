@@ -1614,3 +1614,72 @@ v0 AS (
 SELECT CAST(i AS INT) AS dim, v AS component_ppm
 FROM {prev}
 ORDER BY dim"""
+
+
+# --- Supplier-concentration HHI per brand (round 7) ---------------------------------
+# The procurement-risk readout: the Herfindahl-Hirschman index of
+# supplier revenue shares within each part brand — HHI above ~2500
+# (ppm^2 scale: 2.5e11) is the antitrust "highly concentrated" line.
+# Shares are exact ppm floors of the e4 revenue integers; HHI is the
+# ppm^2 sum divided back to ppm scale.  Two map-side-combined
+# aggregates ((brand, supplier) then brand) + one broadcast of the
+# |brands|-row totals — the corpus is scanned once.
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38,0)"
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                         " * (100 - CAST(round(l_discount * 100)"
+                         " AS BIGINT))").alias("rev_e4")))
+    p = domain.load_table(spark, sf_dir, "part") \
+              .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    bs = (li.join(p, "l_partkey")
+            .groupBy("p_brand", "l_suppkey")
+            .agg(F.sum("rev_e4").cast("bigint").alias("rev")))
+    tot = bs.groupBy("p_brand").agg(F.sum("rev").cast("bigint")
+                                     .alias("brand_rev"))
+    shares = (bs.join(F.broadcast(tot), "p_brand")
+                .select("p_brand", "brand_rev",
+                        F.expr(f"CAST(CAST(rev AS {dec}) * 1000000"
+                               " div brand_rev AS BIGINT)")
+                         .alias("share_ppm")))
+    return (shares.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+                 F.max("brand_rev").cast("bigint").alias("brand_rev_e4"),
+                 F.max("share_ppm").cast("bigint").alias("top_share_ppm"),
+                 F.expr(f"CAST(sum(CAST(share_ppm AS {dec}) * share_ppm)"
+                        " div 1000000 AS BIGINT)").alias("hhi_ppm"))
+            .orderBy("p_brand"))
+
+
+def sql_supplier_hhi() -> str:
+    return """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem
+),
+bs AS (
+  SELECT p.p_brand, li.l_suppkey, CAST(sum(li.rev_e4) AS BIGINT) AS rev
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT p_brand, CAST(sum(rev) AS BIGINT) AS brand_rev
+        FROM bs GROUP BY 1),
+shares AS (
+  SELECT bs.p_brand, tot.brand_rev,
+         CAST(CAST(bs.rev AS HUGEINT) * 1000000 // tot.brand_rev
+              AS BIGINT) AS share_ppm
+  FROM bs JOIN tot USING (p_brand)
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(max(brand_rev) AS BIGINT) AS brand_rev_e4,
+       CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+       CAST(sum(CAST(share_ppm AS HUGEINT) * share_ppm) // 1000000
+            AS BIGINT) AS hhi_ppm
+FROM shares
+GROUP BY 1
+ORDER BY 1"""

@@ -649,3 +649,75 @@ def test_volume_anomaly_trailing_median(spark):
         r = rows[d]
         assert (r.n_events, r.trailing_med, r.dev_ppm, r.is_anomaly) == \
             (n, med, dev, an)
+
+
+# --- wave 27: stickiness, concentration, enum drift ----------------------------
+
+def test_stickiness_matches_bruteforce(spark):
+    from safeascent_spark.operators import analytics as A
+    rows = {r.day: r for r in
+            A.q_events_stickiness(spark, SF_SMOKE).collect()}
+    du = set()
+    for e in (domain.load_table(spark, SF_SMOKE, "events")
+                    .select("ts", "user_id").collect()):
+        du.add((e.ts // 86_400_000_000_000, e.user_id))
+    days = sorted({d for d, _ in du})
+    for d in days:
+        dau = sum(1 for dd, _ in du if dd == d)
+        mau = len({u for dd, u in du if d - A.STICKY_WINDOW < dd <= d})
+        r = rows[d]
+        assert (r.dau, r.mau) == (dau, mau)
+        assert r.stickiness_ppm == dau * 1_000_000 // mau
+    assert set(rows) == set(days)
+
+
+def test_supplier_hhi_bruteforce(spark):
+    from safeascent_spark.operators import olap as OL
+    rows = {r.p_brand: r for r in
+            OL.q_supplier_hhi(spark, SF_SMOKE).collect()}
+    parts = {p.p_partkey: p.p_brand for p in
+             domain.load_table(spark, SF_SMOKE, "part")
+                   .select("p_partkey", "p_brand").collect()}
+    rev = defaultdict(int)
+    for li in (domain.load_table(spark, SF_SMOKE, "lineitem")
+                     .select("l_partkey", "l_suppkey", "l_extendedprice",
+                             "l_discount").collect()):
+        b = parts[li.l_partkey]
+        r4 = (math.floor(li.l_extendedprice * 100)
+              * (100 - round(li.l_discount * 100)))
+        rev[(b, li.l_suppkey)] += r4
+    brands = defaultdict(list)
+    for (b, s), v in rev.items():
+        brands[b].append(v)
+    assert set(rows) == set(brands)
+    for b, vs in brands.items():
+        tot = sum(vs)
+        shares = [v * 1_000_000 // tot for v in vs]
+        r = rows[b]
+        assert (r.n_suppliers, r.brand_rev_e4) == (len(vs), tot)
+        assert r.top_share_ppm == max(shares)
+        assert r.hhi_ppm == sum(s * s for s in shares) // 1_000_000
+        # HHI bounds: 1e6/n <= hhi <= 1e6 (up to floor slack)
+        assert r.hhi_ppm <= 1_000_000
+        assert r.hhi_ppm >= 1_000_000 // len(vs) - len(vs)
+
+
+def test_enum_drift_finds_the_omitted_values(spark):
+    from safeascent_spark.operators import monitor as MON
+    rows = {r.key: r for r in
+            MON.q_dq_enum_drift(spark, SF_SMOKE).collect()}
+    assert set(rows) == {f"{t}.{c}" for t, c, _ in MON._ENUM_DECLS}
+    for t, c, allowed in MON._ENUM_DECLS:
+        vals = [getattr(x, c) for x in
+                (domain.load_table(spark, SF_SMOKE, t)
+                       .select(c).collect())]
+        bad = [v for v in vals if str(v) not in allowed]
+        r = rows[f"{t}.{c}"]
+        assert r.n_rows == len(vals)
+        assert r.n_unexpected == len(bad)
+        assert r.n_unexpected_distinct == len(set(bad))
+        assert r.conforms == (len(bad) == 0)
+        if bad:
+            assert r.example_value == min(str(v) for v in bad)
+        # the declared whitelists omit one real value by design
+        assert len(bad) > 0
