@@ -614,6 +614,13 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hhi": OL.q_supplier_hhi,
         # categorical-domain conformance audit per declared whitelist
         "dq_enum_drift": MON.q_dq_enum_drift,
+        # --- round-7 wave 28: bursts, entropy drift, fulfillment SLA ---
+        # densest 60-second burst per user (range-frame window)
+        "events_burst_velocity": A.q_events_burst_velocity,
+        # Shannon entropy of the daily event-type mix, micro-nat exact
+        "events_entropy_daily": A.q_events_entropy_daily,
+        # exact p50/p90 order-to-ship latency per month, banded ranks
+        "orders_ship_latency": OL.q_orders_ship_latency,
     }
 
 
@@ -656,11 +663,11 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     (text_gopher_rules .. multimodal_wav_segments).
 #   after r7 (projected): never-checked = the remaining 36 r6-new
 #     (_R7_TAIL_NEVER — the r8 window takes all 36 + the first 14 of
-#     the 25 r7-new) + the 25 r7-new registrations (_R7_NEW, evidence
+#     the 28 r7-new) + the 28 r7-new registrations (_R7_NEW, evidence
 #     in CORRECTNESS_LOCAL_r07.json = 257/257 green + the wave-27
-#     trio's exact_check rows).  At 260 queries the staleness
-#     invariant is ceil(260/50) = a fresh driver row at least every
-#     6 rounds; the r9 window takes the last 11 r7-new + the 39
+#     trios' exact_check rows).  At 263 queries the staleness
+#     invariant is ceil(263/50) = a fresh driver row at least every
+#     6 rounds; the r9 window takes the last 14 r7-new + the 36
 #     oldest r4/r5-evidence rows.
 #
 # New r7 queries are tail-registered after the never-checked backlog
@@ -762,6 +769,8 @@ _R7_NEW: list = [
     "features_target_encoding",
     "dq_order_reconciliation", "events_funnel_ttc", "dq_volume_anomaly",
     "events_stickiness", "supplier_hhi", "dq_enum_drift",
+    "events_burst_velocity", "events_entropy_daily",
+    "orders_ship_latency",
 ]
 
 
@@ -1052,4 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stickiness": A.sql_events_stickiness(),
         "supplier_hhi": OL.sql_supplier_hhi(),
         "dq_enum_drift": MON.sql_dq_enum_drift(),
+        "events_burst_velocity": A.sql_events_burst_velocity(),
+        "events_entropy_daily": A.sql_events_entropy_daily(),
+        "orders_ship_latency": OL.sql_orders_ship_latency(),
     }

@@ -2620,3 +2620,102 @@ SELECT d.day, d.dau, m.mau,
        CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
 FROM dau d JOIN mau m USING (day)
 ORDER BY d.day"""
+
+
+# --- Burst velocity per user (round 7) ------------------------------------------------
+# The fraud/abuse primitive: the densest 60-second burst in each user's
+# event stream.  One per-USER range window over the ns timestamps
+# (value-range frame, so tie order is irrelevant and the count is
+# deterministic) — corpus-cardinality partitions, no global sort; the
+# per-user max + earliest-attaining-ts collapse is a map-side-combined
+# aggregate pair.
+
+BURST_WINDOW_NS = 60 * 1_000_000_000
+
+
+def q_events_burst_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (domain.load_table(spark, sf_dir, "events")
+         .select("user_id", F.col("ts").cast("long").alias("ts")))
+    w = (Window.partitionBy("user_id").orderBy("ts")
+               .rangeBetween(0, BURST_WINDOW_NS - 1))
+    b = e.withColumn("burst", F.count(F.lit(1)).over(w))
+    mx = b.groupBy("user_id").agg(F.max("burst").alias("max_burst"))
+    return (b.join(mx, "user_id")
+             .filter(F.col("burst") == F.col("max_burst"))
+             .groupBy("user_id")
+             .agg(F.max("burst").cast("bigint").alias("max_burst_60s"),
+                  F.min("ts").cast("bigint").alias("at_ts_ns"))
+             .orderBy("user_id"))
+
+
+def sql_events_burst_velocity() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts FROM events
+),
+b AS (
+  SELECT user_id, ts,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN CURRENT ROW
+                        AND {BURST_WINDOW_NS - 1} FOLLOWING) AS burst
+  FROM e
+),
+mx AS (SELECT user_id, max(burst) AS max_burst FROM b GROUP BY 1)
+SELECT b.user_id,
+       CAST(max(b.burst) AS BIGINT) AS max_burst_60s,
+       CAST(min(b.ts) AS BIGINT) AS at_ts_ns
+FROM b JOIN mx ON b.user_id = mx.user_id AND b.burst = mx.max_burst
+GROUP BY b.user_id
+ORDER BY b.user_id"""
+
+
+# --- Daily event-mix entropy (round 7) -------------------------------------------------
+# Drift signal: the Shannon entropy of the event-type mix per day.  A
+# traffic day that collapses to one type (bot flood, pipeline stuck on
+# retries) drops to ~0; a healthy mix sits near ln(|types|).  The
+# micro-nat determinism device (text.py NB models): ln is evaluated
+# ONCE per bounded (day, type) cell as floor(1e6 * ln(n/n_t)), and the
+# entropy Σ n_t * w_t div n is exact BIGINT arithmetic after that.
+
+def q_events_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    cell = (e.groupBy(F.expr(f"ts div {_DAY_NS}").alias("day"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_t")))
+    day_tot = cell.groupBy("day").agg(F.sum("n_t").cast("bigint")
+                                       .alias("n"))
+    terms = (cell.join(day_tot, "day")
+                 .select("day", "n", "n_t",
+                         F.floor(F.lit(1e6) * F.log(
+                             F.col("n").cast("double")
+                             / F.col("n_t").cast("double")))
+                          .cast("bigint").alias("w")))
+    return (terms.groupBy("day")
+                 .agg(F.max("n").alias("n_events"),
+                      F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                      F.expr("CAST(sum(n_t * w) div max(n) AS BIGINT)")
+                       .alias("entropy_micro_nats"))
+                 .orderBy("day"))
+
+
+def sql_events_entropy_daily() -> str:
+    return f"""
+WITH cell AS (
+  SELECT epoch_ns(ts) // {_DAY_NS} AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n_t
+  FROM events GROUP BY 1, 2
+),
+day_tot AS (SELECT day, CAST(sum(n_t) AS BIGINT) AS n
+            FROM cell GROUP BY 1),
+terms AS (
+  SELECT c.day, t.n, c.n_t,
+         CAST(floor(1e6 * ln(CAST(t.n AS DOUBLE)
+                             / CAST(c.n_t AS DOUBLE))) AS BIGINT) AS w
+  FROM cell c JOIN day_tot t USING (day)
+)
+SELECT day, max(n) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(n_t * w) // max(n) AS BIGINT) AS entropy_micro_nats
+FROM terms
+GROUP BY day
+ORDER BY day"""

@@ -1683,3 +1683,65 @@ SELECT p_brand,
 FROM shares
 GROUP BY 1
 ORDER BY 1"""
+
+
+# --- Order-to-ship latency percentiles per month (round 7) ---------------------------
+# The fulfillment SLA readout: per order month, the exact p50/p90 of
+# days from order to line shipment.  Lines join their order header on
+# the co-partitioned order key; latency is exact integer day
+# arithmetic; the order statistics ride rankutil.banded_rank over
+# week-width latency bands (TPC-H ship latency is bounded at ~121
+# days, so <= 18 bands — never a per-month single-task sort).
+
+def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("okey"), "l_linenumber",
+                  F.col("l_shipdate").cast("date").alias("sd")))
+    o = (domain.load_table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("okey"),
+                 F.col("o_orderdate").cast("date").alias("od")))
+    j = (li.join(o, "okey")
+           .select(F.date_format("od", "yyyy-MM").alias("month"),
+                   "okey", "l_linenumber",
+                   F.datediff("sd", "od").cast("bigint").alias("days")))
+    ranked = banded_rank(
+        j, ["month"], F.expr("days div 7"),
+        [F.col("days").asc(), F.col("okey").asc(),
+         F.col("l_linenumber").asc()],
+        rank_name="rnk", total_name="n")
+    picks = [
+        F.expr(f"CAST(max(CASE WHEN rnk = ((n - 1) * {p} div 100 + 1)"
+               f" THEN days END) AS BIGINT)").alias(f"p{p}_days")
+        for p in (50, 90)]
+    return (ranked.groupBy("month")
+                  .agg(F.max("n").cast("bigint").alias("n_lines"), *picks,
+                       F.max("days").cast("bigint").alias("max_days"))
+                  .orderBy("month"))
+
+
+def sql_orders_ship_latency() -> str:
+    picks = ", ".join(
+        f"CAST(max(CASE WHEN rnk = ((n - 1) * {p} // 100 + 1)"
+        f" THEN days END) AS BIGINT) AS p{p}_days"
+        for p in (50, 90))
+    return f"""
+WITH j AS (
+  SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+         li.l_orderkey AS okey, li.l_linenumber,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(li.l_shipdate AS DATE)) AS days
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+),
+ranked AS (
+  SELECT month, days,
+         row_number() OVER (PARTITION BY month
+                            ORDER BY days, okey, l_linenumber) AS rnk,
+         count(*) OVER (PARTITION BY month) AS n
+  FROM j
+)
+SELECT month, CAST(max(n) AS BIGINT) AS n_lines, {picks},
+       CAST(max(days) AS BIGINT) AS max_days
+FROM ranked
+GROUP BY month
+ORDER BY month"""

@@ -721,3 +721,69 @@ def test_enum_drift_finds_the_omitted_values(spark):
             assert r.example_value == min(str(v) for v in bad)
         # the declared whitelists omit one real value by design
         assert len(bad) > 0
+
+
+# --- wave 28: bursts, entropy drift, fulfillment SLA ---------------------------
+
+def test_burst_velocity_bruteforce(spark):
+    from safeascent_spark.operators import analytics as A
+    rows = {r.user_id: r for r in
+            A.q_events_burst_velocity(spark, SF_SMOKE).collect()}
+    ev = defaultdict(list)
+    for e in (domain.load_table(spark, SF_SMOKE, "events")
+                    .select("user_id", "ts").collect()):
+        ev[e.user_id].append(e.ts)
+    assert set(rows) == set(ev)
+    W = A.BURST_WINDOW_NS
+    for uid, ts in ev.items():
+        ts.sort()
+        best, at = 0, None
+        for i, t in enumerate(ts):
+            c = sum(1 for x in ts[i:] if x < t + W)
+            if c > best:
+                best, at = c, t
+        r = rows[uid]
+        assert (r.max_burst_60s, r.at_ts_ns) == (best, at)
+
+
+def test_entropy_daily_bounds_and_replay(spark):
+    from safeascent_spark.operators import analytics as A
+    rows = {r.day: r for r in
+            A.q_events_entropy_daily(spark, SF_SMOKE).collect()}
+    cells = defaultdict(lambda: defaultdict(int))
+    for e in (domain.load_table(spark, SF_SMOKE, "events")
+                    .select("ts", "event_type").collect()):
+        cells[e.ts // 86_400_000_000_000][e.event_type] += 1
+    for day, by_type in cells.items():
+        n = sum(by_type.values())
+        ent = sum(nt * math.floor(1e6 * math.log(n / nt))
+                  for nt in by_type.values()) // n
+        r = rows[day]
+        assert (r.n_events, r.n_types) == (n, len(by_type))
+        assert r.entropy_micro_nats == ent
+        # bounds: 0 <= H <= ln(n_types) (+ floor slack)
+        assert 0 <= r.entropy_micro_nats <= \
+            int(1e6 * math.log(len(by_type))) + 1
+
+
+def test_ship_latency_percentiles_bruteforce(spark):
+    from safeascent_spark.operators import olap as OL
+    rows = {r.month: r for r in
+            OL.q_orders_ship_latency(spark, SF_SMOKE).collect()}
+    odates = {o.o_orderkey: o.o_orderdate for o in
+              domain.load_table(spark, SF_SMOKE, "orders")
+                    .select("o_orderkey", "o_orderdate").collect()}
+    per = defaultdict(list)
+    for li in (domain.load_table(spark, SF_SMOKE, "lineitem")
+                     .select("l_orderkey", "l_shipdate").collect()):
+        od = odates[li.l_orderkey]
+        days = (li.l_shipdate.date() - od.date()).days
+        per[od.strftime("%Y-%m")].append(days)
+    assert set(rows) == set(per)
+    for month, ds in per.items():
+        ds.sort()
+        r = rows[month]
+        assert r.n_lines == len(ds)
+        assert r.p50_days == ds[(len(ds) - 1) * 50 // 100]
+        assert r.p90_days == ds[(len(ds) - 1) * 90 // 100]
+        assert r.max_days == ds[-1]
