@@ -621,6 +621,13 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_entropy_daily": A.q_events_entropy_daily,
         # exact p50/p90 order-to-ship latency per month, banded ranks
         "orders_ship_latency": OL.q_orders_ship_latency,
+        # --- round-7 wave 29: metric-learning sanity, fences, pricing ---
+        # triplet violation rate via division-free integer cosine compare
+        "embedding_triplet_violations": SIM.q_embedding_triplet_violations,
+        # Tukey 1.5-IQR fences + tail counts per event type
+        "dq_tukey_fences": MON.q_dq_tukey_fences,
+        # promo-depth revenue/quantity curve in exact ppm shares
+        "lineitem_discount_curve": OL.q_lineitem_discount_curve,
     }
 
 
@@ -663,11 +670,11 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     (text_gopher_rules .. multimodal_wav_segments).
 #   after r7 (projected): never-checked = the remaining 36 r6-new
 #     (_R7_TAIL_NEVER — the r8 window takes all 36 + the first 14 of
-#     the 28 r7-new) + the 28 r7-new registrations (_R7_NEW, evidence
+#     the 31 r7-new) + the 31 r7-new registrations (_R7_NEW, evidence
 #     in CORRECTNESS_LOCAL_r07.json = 257/257 green + the wave-27
-#     trios' exact_check rows).  At 263 queries the staleness
-#     invariant is ceil(263/50) = a fresh driver row at least every
-#     6 rounds; the r9 window takes the last 14 r7-new + the 36
+#     trios' exact_check rows).  At 266 queries the staleness
+#     invariant is ceil(266/50) = a fresh driver row at least every
+#     6 rounds; the r9 window takes the last 17 r7-new + the 33
 #     oldest r4/r5-evidence rows.
 #
 # New r7 queries are tail-registered after the never-checked backlog
@@ -771,6 +778,8 @@ _R7_NEW: list = [
     "events_stickiness", "supplier_hhi", "dq_enum_drift",
     "events_burst_velocity", "events_entropy_daily",
     "orders_ship_latency",
+    "embedding_triplet_violations", "dq_tukey_fences",
+    "lineitem_discount_curve",
 ]
 
 
@@ -1064,4 +1073,8 @@ def oracle_sql() -> dict[str, str]:
         "events_burst_velocity": A.sql_events_burst_velocity(),
         "events_entropy_daily": A.sql_events_entropy_daily(),
         "orders_ship_latency": OL.sql_orders_ship_latency(),
+        "embedding_triplet_violations":
+            SIM.sql_embedding_triplet_violations(),
+        "dq_tukey_fences": MON.sql_dq_tukey_fences(),
+        "lineitem_discount_curve": OL.sql_lineitem_discount_curve(),
     }

@@ -1395,3 +1395,78 @@ def sql_dq_enum_drift() -> str:
         FROM {t} GROUP BY 1)""")
     return ("SELECT * FROM (" + "\nUNION ALL".join(legs)
             + ")\nORDER BY key")
+
+
+# --- Tukey IQR outlier fences per event type (round 7) --------------------------------
+# The boxplot profiling classic, complementing events_mad_outliers'
+# robust-center view: exact Q1/Q3 order statistics per type (the
+# banded-rank percentile device), 1.5-IQR fences in exact micro units,
+# and the tail counts outside each fence from one more corpus pass.
+
+def q_dq_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _pct_ranked(spark, sf_dir)
+    q13 = (ranked.groupBy("event_type")
+           .agg(F.max("n").cast("bigint").alias("n_events"),
+                F.expr("CAST(max(CASE WHEN rnk = (n - 1) * 25 div 100 + 1"
+                       " THEN v_micro END) AS BIGINT)").alias("q1_micro"),
+                F.expr("CAST(max(CASE WHEN rnk = (n - 1) * 75 div 100 + 1"
+                       " THEN v_micro END) AS BIGINT)").alias("q3_micro")))
+    f = (q13.withColumn("iqr_micro",
+                        (F.col("q3_micro") - F.col("q1_micro"))
+                         .cast("bigint"))
+            # 1.5*IQR in exact halves: fence*2 = 2*q1 - 3*iqr
+            .withColumn("lo2", F.expr("2 * q1_micro - 3 * iqr_micro"))
+            .withColumn("hi2", F.expr("2 * q3_micro + 3 * iqr_micro")))
+    e = (domain.load_table(spark, sf_dir, "events")
+         .select("event_type",
+                 F.expr("CAST(floor(value * 1000000) AS BIGINT)")
+                  .alias("v")))
+    return (e.join(F.broadcast(f), "event_type")
+             .groupBy("event_type")
+             .agg(F.max("n_events").alias("n_events"),
+                  F.max("q1_micro").alias("q1_micro"),
+                  F.max("q3_micro").alias("q3_micro"),
+                  F.max("iqr_micro").alias("iqr_micro"),
+                  F.sum(F.when(F.expr("2 * v < lo2"), 1).otherwise(0))
+                   .cast("bigint").alias("n_below"),
+                  F.sum(F.when(F.expr("2 * v > hi2"), 1).otherwise(0))
+                   .cast("bigint").alias("n_above"))
+             .orderBy("event_type"))
+
+
+def sql_dq_tukey_fences() -> str:
+    return """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v_micro, event_id) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+q13 AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+         CAST(max(CASE WHEN rnk = (n - 1) * 25 // 100 + 1
+                  THEN v_micro END) AS BIGINT) AS q1_micro,
+         CAST(max(CASE WHEN rnk = (n - 1) * 75 // 100 + 1
+                  THEN v_micro END) AS BIGINT) AS q3_micro
+  FROM ranked GROUP BY event_type
+),
+f AS (
+  SELECT *, CAST(q3_micro - q1_micro AS BIGINT) AS iqr_micro,
+         2 * q1_micro - 3 * (q3_micro - q1_micro) AS lo2,
+         2 * q3_micro + 3 * (q3_micro - q1_micro) AS hi2
+  FROM q13
+)
+SELECT f.event_type, f.n_events, f.q1_micro, f.q3_micro, f.iqr_micro,
+       CAST(sum(CASE WHEN 2 * v.v_micro < f.lo2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN 2 * v.v_micro > f.hi2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above
+FROM v JOIN f USING (event_type)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY 1"""

@@ -1745,3 +1745,53 @@ SELECT month, CAST(max(n) AS BIGINT) AS n_lines, {picks},
 FROM ranked
 GROUP BY month
 ORDER BY month"""
+
+
+# --- Promo-depth curve (round 7) --------------------------------------------------------
+# Pricing analytics: how quantity and net revenue distribute across
+# discount depths.  One map-side-combined aggregate over the exact
+# integer discount percent; shares in exact ppm of the e4 revenue.
+
+def q_lineitem_discount_curve(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38,0)"
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select(F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+                   .alias("disc_pct"),
+                  F.col("l_quantity").cast("bigint").alias("qty"),
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                         " * (100 - CAST(round(l_discount * 100)"
+                         " AS BIGINT))").alias("rev_e4")))
+    agg = (li.groupBy("disc_pct")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                  F.sum("qty").cast("bigint").alias("total_qty"),
+                  F.sum("rev_e4").cast("bigint").alias("rev_e4")))
+    tot = agg.agg(F.sum("rev_e4").alias("t"))
+    return (agg.crossJoin(F.broadcast(tot))
+               .select("disc_pct", "n_lines", "total_qty", "rev_e4",
+                       F.expr(f"CAST(CAST(rev_e4 AS {dec}) * 1000000"
+                              " div t AS BIGINT)").alias("rev_share_ppm"))
+               .orderBy("disc_pct"))
+
+
+def sql_lineitem_discount_curve() -> str:
+    return """
+WITH li AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem
+),
+agg AS (
+  SELECT disc_pct, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(qty) AS BIGINT) AS total_qty,
+         CAST(sum(rev_e4) AS BIGINT) AS rev_e4
+  FROM li GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev_e4) AS HUGEINT) AS t FROM agg)
+SELECT disc_pct, n_lines, total_qty, rev_e4,
+       CAST(CAST(rev_e4 AS HUGEINT) * 1000000 // tot.t AS BIGINT)
+         AS rev_share_ppm
+FROM agg, tot
+ORDER BY disc_pct"""

@@ -1741,3 +1741,135 @@ SELECT label,
 FROM q, g
 GROUP BY label, g.g_mean_milli
 ORDER BY label"""
+
+
+# --- Triplet-violation rate (round 7) --------------------------------------------
+# The metric-learning sanity gate: for deterministic (anchor, positive,
+# negative) triplets — positive = the next vec_id with the anchor's
+# label, negative = the next vec_id with a different label — how often
+# does cos(a,n) beat cos(a,p)?  A healthy labeled embedding space keeps
+# the violation rate low; a collapsed or mislabeled one doesn't.
+#
+# Exactness: cosines are never materialized.  cos(a,p) < cos(a,n)
+# <=>  dot_ap * |n| < dot_an * |p|   (|a| > 0 cancels), decided in
+# exact integer arithmetic by sign cases + one squared comparison
+# (dot^2 * norm2 products, DECIMAL(38,0) — int8 dots are <= 2^24, so
+# squares x norm2 stay ~2^62, and HUGEINT mirrors it).  Triplet
+# assembly is two as-of-style min-aggregates over the id order — no
+# pair blowup.
+
+def q_embedding_triplet_violations(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    e = quantized_df(spark, sf_dir)
+    norm2 = F.aggregate(F.transform(F.col("qvec"), lambda x: x * x),
+                        F.lit(0).cast("long"), lambda a, x: a + x)
+    v = e.select("vec_id", "label", "qvec", norm2.alias("n2"))
+    a = v.select(F.col("vec_id").alias("aid"),
+                 F.col("label").alias("alabel"),
+                 F.col("qvec").alias("aq"))
+    # positive: next same-label id; negative: next other-label id
+    pos_pick = (v.select(F.col("label").alias("alabel"),
+                         F.col("vec_id").alias("pid"))
+                 .join(a.select("aid", "alabel"), "alabel")
+                 .filter(F.col("pid") > F.col("aid"))
+                 .groupBy("aid").agg(F.min("pid").alias("pid")))
+    neg_pick = (v.select(F.col("label").alias("nlabel"),
+                         F.col("vec_id").alias("nid"))
+                 .join(a.select("aid", "alabel"), F.expr(
+                     "nlabel != alabel"))
+                 .filter(F.col("nid") > F.col("aid"))
+                 .groupBy("aid").agg(F.min("nid").alias("nid")))
+    t = (a.join(pos_pick, "aid").join(neg_pick, "aid")
+          .join(v.select(F.col("vec_id").alias("pid"),
+                         F.col("qvec").alias("pq"),
+                         F.col("n2").alias("p_n2")), "pid")
+          .join(v.select(F.col("vec_id").alias("nid"),
+                         F.col("qvec").alias("nq"),
+                         F.col("n2").alias("n_n2")), "nid"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(x), F.col(y), lambda u, w: u * w),
+        F.lit(0).cast("long"), lambda acc, z: acc + z)
+    dec = "DECIMAL(38,0)"
+    scored = t.select(
+        "aid", "alabel",
+        dot("aq", "pq").alias("dap"), dot("aq", "nq").alias("dan"),
+        "p_n2", "n_n2")
+    # violation := cos(a,p) < cos(a,n)  <=>  dap * |n| < dan * |p|
+    viol = F.expr(f"""CASE
+        WHEN dap >= 0 AND dan < 0 THEN false
+        WHEN dap < 0 AND dan >= 0 THEN true
+        WHEN dap >= 0 AND dan >= 0 THEN
+          CAST(dap AS {dec}) * dap * n_n2 < CAST(dan AS {dec}) * dan * p_n2
+        ELSE
+          CAST(dap AS {dec}) * dap * n_n2 > CAST(dan AS {dec}) * dan * p_n2
+        END""")
+    return (scored.select("alabel", viol.alias("v"))
+            .groupBy(F.col("alabel").alias("label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_triplets"),
+                 F.sum(F.when(F.col("v"), 1).otherwise(0)).cast("bigint")
+                  .alias("n_violations"))
+            .withColumn("violation_ppm", F.expr(
+                "CAST(n_violations * 1000000 div n_triplets AS BIGINT)"))
+            .orderBy("label"))
+
+
+def sql_embedding_triplet_violations() -> str:
+    qx = ("CAST(round(least(greatest(CAST(x AS DOUBLE), -1.0), 1.0)"
+          " * 127) AS BIGINT)")
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list(qq ORDER BY i) AS qvec,
+         CAST(sum(qq * qq) AS BIGINT) AS n2
+  FROM (SELECT vec_id, label, i, {qx} AS qq
+        FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings))
+  GROUP BY vec_id, label
+),
+pos_pick AS (
+  SELECT a.vec_id AS aid, min(p.vec_id) AS pid
+  FROM q a JOIN q p ON p.label = a.label AND p.vec_id > a.vec_id
+  GROUP BY 1
+),
+neg_pick AS (
+  SELECT a.vec_id AS aid, min(n.vec_id) AS nid
+  FROM q a JOIN q n ON n.label <> a.label AND n.vec_id > a.vec_id
+  GROUP BY 1
+),
+t AS (
+  SELECT a.vec_id AS aid, a.label AS alabel,
+         CAST(list_sum(list_transform(list_zip(a.qvec, p.qvec),
+              z -> z[1] * z[2])) AS BIGINT) AS dap,
+         CAST(list_sum(list_transform(list_zip(a.qvec, n.qvec),
+              z -> z[1] * z[2])) AS BIGINT) AS dan,
+         p.n2 AS p_n2, n.n2 AS n_n2
+  FROM q a
+  JOIN pos_pick pp ON pp.aid = a.vec_id
+  JOIN neg_pick np ON np.aid = a.vec_id
+  JOIN q p ON p.vec_id = pp.pid
+  JOIN q n ON n.vec_id = np.nid
+),
+scored AS (
+  SELECT alabel,
+         CASE
+           WHEN dap >= 0 AND dan < 0 THEN false
+           WHEN dap < 0 AND dan >= 0 THEN true
+           WHEN dap >= 0 AND dan >= 0 THEN
+             CAST(dap AS HUGEINT) * dap * n_n2
+               < CAST(dan AS HUGEINT) * dan * p_n2
+           ELSE
+             CAST(dap AS HUGEINT) * dap * n_n2
+               > CAST(dan AS HUGEINT) * dan * p_n2
+         END AS v
+  FROM t
+)
+SELECT alabel AS label,
+       CAST(count(*) AS BIGINT) AS n_triplets,
+       CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS violation_ppm
+FROM scored
+GROUP BY 1
+ORDER BY 1"""

@@ -787,3 +787,83 @@ def test_ship_latency_percentiles_bruteforce(spark):
         assert r.p50_days == ds[(len(ds) - 1) * 50 // 100]
         assert r.p90_days == ds[(len(ds) - 1) * 90 // 100]
         assert r.max_days == ds[-1]
+
+
+# --- wave 29: metric-learning sanity, fences, pricing --------------------------
+
+def test_triplet_violations_bruteforce(spark):
+    from safeascent_spark.operators import similarity as SIM
+    rows = {r.label: r for r in
+            SIM.q_embedding_triplet_violations(spark, SF_SMOKE).collect()}
+    vecs = {}
+    for r in (domain.load_table(spark, SF_SMOKE, "embeddings")
+                    .select("vec_id", "label", "embedding").collect()):
+        q = [round(max(-1.0, min(1.0, float(x))) * 127)
+             for x in r.embedding]
+        vecs[r.vec_id] = (r.label, q)
+    ids = sorted(vecs)
+    stats = defaultdict(lambda: [0, 0])
+    for aid in ids:
+        albl, aq = vecs[aid]
+        pid = next((i for i in ids if i > aid and vecs[i][0] == albl),
+                   None)
+        nid = next((i for i in ids if i > aid and vecs[i][0] != albl),
+                   None)
+        if pid is None or nid is None:
+            continue
+        import math as m
+        dot = lambda x, y: sum(a * b for a, b in zip(x, y))
+        nrm = lambda x: m.sqrt(sum(a * a for a in x))
+        cos_p = dot(aq, vecs[pid][1]) / (nrm(aq) * nrm(vecs[pid][1]))
+        cos_n = dot(aq, vecs[nid][1]) / (nrm(aq) * nrm(vecs[nid][1]))
+        stats[albl][0] += 1
+        if cos_p < cos_n:
+            stats[albl][1] += 1
+    assert set(rows) == set(stats)
+    for lbl, (n, v) in stats.items():
+        r = rows[lbl]
+        assert (r.n_triplets, r.n_violations) == (n, v)
+        assert r.violation_ppm == v * 1_000_000 // n
+
+
+def test_tukey_fences_bruteforce(spark):
+    from safeascent_spark.operators import monitor as MON
+    rows = {r.event_type: r for r in
+            MON.q_dq_tukey_fences(spark, SF_SMOKE).collect()}
+    per = defaultdict(list)
+    for e in (domain.load_table(spark, SF_SMOKE, "events")
+                    .select("event_type", "value").collect()):
+        per[e.event_type].append(math.floor(e.value * 1_000_000))
+    for t, vs in per.items():
+        vs.sort()
+        q1 = vs[(len(vs) - 1) * 25 // 100]
+        q3 = vs[(len(vs) - 1) * 75 // 100]
+        iqr = q3 - q1
+        r = rows[t]
+        assert (r.n_events, r.q1_micro, r.q3_micro, r.iqr_micro) == \
+            (len(vs), q1, q3, iqr)
+        assert r.n_below == sum(1 for v in vs if 2 * v < 2 * q1 - 3 * iqr)
+        assert r.n_above == sum(1 for v in vs if 2 * v > 2 * q3 + 3 * iqr)
+
+
+def test_discount_curve_shares_sum(spark):
+    from safeascent_spark.operators import olap as OL
+    rows = OL.q_lineitem_discount_curve(spark, SF_SMOKE).collect()
+    per = defaultdict(lambda: [0, 0, 0])
+    for li in (domain.load_table(spark, SF_SMOKE, "lineitem")
+                     .select("l_discount", "l_quantity",
+                             "l_extendedprice").collect()):
+        d = round(li.l_discount * 100)
+        s = per[d]
+        s[0] += 1
+        s[1] += int(li.l_quantity)
+        s[2] += math.floor(li.l_extendedprice * 100) * (100 - d)
+    tot = sum(s[2] for s in per.values())
+    assert {r.disc_pct for r in rows} == set(per)
+    for r in rows:
+        n, q, rev = per[r.disc_pct]
+        assert (r.n_lines, r.total_qty, r.rev_e4) == (n, q, rev)
+        assert r.rev_share_ppm == rev * 1_000_000 // tot
+    # ppm shares partition 1e6 up to floor slack
+    s = sum(r.rev_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
