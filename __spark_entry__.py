@@ -680,6 +680,23 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # New r7 queries are tail-registered after the never-checked backlog
 # (saturation rationale unchanged); their evidence rides
 # CORRECTNESS_LOCAL_r07.json until the r8/r9 windows rotate them in.
+#   r8 window (_R8_WINDOW below): the two ADVICE-r7 code-changed
+#     queries first (dq_benford abs-digit rebuild,
+#     text_char_trigram_profile short-doc guard — both already members
+#     of the planned first-14, so window MEMBERSHIP is the VERDICT r7
+#     plan verbatim: all 36 _R7_TAIL_NEVER + the first 14 _R7_NEW),
+#     then the 36 r6-new, then the remaining 12 of the first-14.
+#   after r8 (projected): never-checked = the last 17 r7-new
+#     (_R8_TAIL_NEVER) + the r8-new (_R8_NEW, capped at 15 per VERDICT
+#     r7 item 2).  r9 window = all 17 + the 33 oldest r4-evidence rows
+#     (positions 50..99 of the r8 registration order, ready-made) —
+#     which zeroes the pre-r8 backlog and leaves no driver row older
+#     than 3 rounds.  Standing invariant from r8 on: new-per-round
+#     <= 15, so every window drains >= 35 backlog/stale slots and
+#     nothing stays never-checked past registration round + 2.
+# These numbers are now MACHINE-CHECKED: tests/test_rotation.py
+# recomputes window membership, backlog counts, and staleness ages
+# from the _R*/registration lists and fails if this note drifts.
 
 _R6_WINDOW = [
     # (a) the three r3-stale leave-outs
@@ -783,23 +800,54 @@ _R7_NEW: list = [
 ]
 
 
+# --- Round-8 registration order ----------------------------------------------
+# window (50): the two r8 code-changed queries FIRST (both ADVICE-r7
+# fixes: dq_benford abs-digit rebuild, text_char_trigram_profile
+# short-doc guard — both happen to sit inside the planned first-14
+# anyway, so window MEMBERSHIP is exactly the VERDICT-r7 plan: all 36
+# _R7_TAIL_NEVER + the first 14 _R7_NEW), then the 36 r6-new
+# never-checked, then the remaining 12 of the first-14 r7-new.
+_R8_CODE_CHANGED = ["dq_benford", "text_char_trigram_profile"]
+_R8_WINDOW = (list(_R8_CODE_CHANGED)
+              + list(_R7_TAIL_NEVER)
+              + [n for n in _R7_NEW[:14] if n not in _R8_CODE_CHANGED])
+
+# tail front: the last 17 r7-new, still never driver-checked (the r9
+# window takes all 17 + the 33 oldest r4/r5-evidence rows — zeroing
+# the never-checked backlog AND refreshing the stalest §2-core rows).
+_R8_TAIL_NEVER = list(_R7_NEW[14:])
+
+# queries NEW in round 8 — CAPPED at 15 (VERDICT r7 item 2) so the
+# rotation catches up instead of treadmilling.  Invariant going
+# forward: with new-per-round <= 15 and a 50-slot window, every round
+# drains >= 35 backlog/stale slots, so after r9 the never-checked
+# backlog is exactly the previous round's new registrations (<= 15,
+# checked within 2 rounds of registration) and no driver row is ever
+# older than ceil(N/50) rounds.  Evidence until rotation:
+# CORRECTNESS_LOCAL_r08.json.
+_R8_NEW: list = []
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     b = _builders()
-    order = list(_R7_WINDOW) + list(_R7_TAIL_NEVER) + list(_R7_NEW)
-    taken = set(order)
-    # then everything else, oldest driver evidence first, so the r8
-    # window inherits a ready-made order: r4-row queries (r5-era dict
-    # tail never rotated), then r5-row (the r5 window minus what r6
-    # re-checked), then r6-fresh (_R6_WINDOW).  The r5 window was
-    # exactly the first 50 keys of the (r5-ordered) _builders dict.
+    order = list(_R8_WINDOW) + list(_R8_TAIL_NEVER)
+    taken = set(order) | set(_R8_NEW)  # r8-new are appended LAST below
+    # Then everything else, oldest driver evidence first, so positions
+    # 50..99 are exactly the planned r9 window (17 _R8_TAIL_NEVER + the
+    # 33 oldest r4-evidence rows): r4-row queries (r5-era dict tail
+    # never rotated), then r5-row (the r5 window minus what r6
+    # re-checked), then r6-fresh (_R6_WINDOW), then r7-fresh
+    # (_R7_WINDOW), then the r8-new tail.  The r5 window was exactly
+    # the first 50 keys of the (r5-ordered) _builders dict.
     old_order = list(b)
-    r6_set = set(_R6_WINDOW)
+    r67_set = set(_R6_WINDOW) | set(_R7_WINDOW)
     r5_rest = [n for n in old_order[:50]
-               if n not in taken and n not in r6_set]
+               if n not in taken and n not in r67_set]
     r4_rest = [n for n in old_order[50:]
-               if n not in taken and n not in r6_set]
+               if n not in taken and n not in r67_set]
     r6_rest = [n for n in _R6_WINDOW if n not in taken]
-    order += r4_rest + r5_rest + r6_rest
+    r7_rest = [n for n in _R7_WINDOW if n not in taken]
+    order += r4_rest + r5_rest + r6_rest + r7_rest + list(_R8_NEW)
     assert len(order) == len(b) and set(order) == set(b), (
         len(order), len(b))
     return {n: b[n] for n in order}

@@ -932,11 +932,17 @@ BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
 
 
 def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leading digit from ABS of the cent integer, zero rows dropped
+    # (ADVICE r7 low): a negative price would otherwise put '-' in
+    # front of the string-cast, which Spark CASTs to NULL but DuckDB
+    # raises on — abs() guarantees a digit character in both engines
+    # for every surviving row.  Benford is sign-blind by definition.
     o = (domain.load_table(spark, sf_dir, "orders")
-         .select(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
-                  .alias("price_c")))
+         .select(F.expr("abs(CAST(floor(o_totalprice * 100) AS BIGINT))")
+                  .alias("abs_c"))
+         .filter(F.col("abs_c") > 0))
     digits = (o.select(F.expr(
-                  "CAST(substring(CAST(price_c AS STRING), 1, 1) AS INT)")
+                  "CAST(substring(CAST(abs_c AS STRING), 1, 1) AS INT)")
                   .alias("digit"))
                .groupBy("digit")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs")))
@@ -964,9 +970,10 @@ def sql_dq_benford() -> str:
         f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()) + " END"
     return f"""
 WITH d AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
-                          AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM orders
+  SELECT CAST(substr(CAST(abs_c AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM (SELECT abs(CAST(floor(o_totalprice * 100) AS BIGINT)) AS abs_c
+        FROM orders)
+  WHERE abs_c > 0
 ),
 counts AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1

@@ -2465,11 +2465,17 @@ def q_text_char_trigram_profile(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     from .rankutil import banded_rank
     d = docs_df(spark, sf_dir)
-    tris = d.select(
+    # Guard: Spark sequence(1, 0) DESCENDS to [1, 0] (it never returns
+    # an empty array), so a <3-char doc would emit two bogus 1-2-char
+    # "trigrams" while DuckDB's generate_series(1, 0) is empty.  Filter
+    # short docs out before exploding (ADVICE r7 medium), mirrored in
+    # the oracle, like the sibling window operators.
+    tris = (d.filter(F.length("text") >= 3)
+             .select(
         "lang",
         F.explode(F.expr(
-            "transform(sequence(1, greatest(length(text) - 2, 0)),"
-            " i -> substring(text, i, 3))")).alias("tri"))
+            "transform(sequence(1, length(text) - 2),"
+            " i -> substring(text, i, 3))")).alias("tri")))
     counts = (tris.groupBy("lang", "tri")
                   .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
     ranked = banded_rank(
@@ -2488,9 +2494,9 @@ def sql_text_char_trigram_profile() -> str:
 WITH tris AS (
   SELECT lang, substr(text, i, 3) AS tri
   FROM (SELECT lang, text,
-               unnest(generate_series(1, greatest(length(text) - 2, 0)))
-                 AS i
-        FROM documents)
+               unnest(generate_series(1, length(text) - 2)) AS i
+        FROM documents
+        WHERE length(text) >= 3)
 ),
 counts AS (
   SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt
