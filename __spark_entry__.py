@@ -680,12 +680,13 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # New r7 queries are tail-registered after the never-checked backlog
 # (saturation rationale unchanged); their evidence rides
 # CORRECTNESS_LOCAL_r07.json until the r8/r9 windows rotate them in.
-#   r8 window (_R8_WINDOW below): the two ADVICE-r7 code-changed
-#     queries first (dq_benford abs-digit rebuild,
-#     text_char_trigram_profile short-doc guard — both already members
-#     of the planned first-14, so window MEMBERSHIP is the VERDICT r7
-#     plan verbatim: all 36 _R7_TAIL_NEVER + the first 14 _R7_NEW),
-#     then the 36 r6-new, then the remaining 12 of the first-14.
+#   r8 window (_R8_WINDOW below): the four r8 code-changed queries
+#     first (ADVICE-r7 fixes dq_benford + text_char_trigram_profile;
+#     VERDICT-r7 item-5 scale rebuilds dedup_duplicate_spans +
+#     embedding_pca_power — all four already members of the planned
+#     first-14, so window MEMBERSHIP is the VERDICT r7 plan verbatim:
+#     all 36 _R7_TAIL_NEVER + the first 14 _R7_NEW), then the 36
+#     r6-new, then the remaining 10 of the first-14.
 #   after r8 (projected): never-checked = the last 17 r7-new
 #     (_R8_TAIL_NEVER) + the r8-new (_R8_NEW, capped at 15 per VERDICT
 #     r7 item 2).  r9 window = all 17 + the 33 oldest r4-evidence rows
@@ -801,13 +802,16 @@ _R7_NEW: list = [
 
 
 # --- Round-8 registration order ----------------------------------------------
-# window (50): the two r8 code-changed queries FIRST (both ADVICE-r7
+# window (50): the four r8 code-changed queries FIRST (two ADVICE-r7
 # fixes: dq_benford abs-digit rebuild, text_char_trigram_profile
-# short-doc guard — both happen to sit inside the planned first-14
-# anyway, so window MEMBERSHIP is exactly the VERDICT-r7 plan: all 36
-# _R7_TAIL_NEVER + the first 14 _R7_NEW), then the 36 r6-new
-# never-checked, then the remaining 12 of the first-14 r7-new.
-_R8_CODE_CHANGED = ["dq_benford", "text_char_trigram_profile"]
+# short-doc guard; two VERDICT-r7 item-5 scale rebuilds:
+# dedup_duplicate_spans single-pass hash-keyed plan, embedding_pca_power
+# wide-row one-scan covariance — all four happen to sit inside the
+# planned first-14 anyway, so window MEMBERSHIP is exactly the
+# VERDICT-r7 plan: all 36 _R7_TAIL_NEVER + the first 14 _R7_NEW), then
+# the 36 r6-new never-checked, then the remaining 10 of the first-14.
+_R8_CODE_CHANGED = ["dq_benford", "text_char_trigram_profile",
+                    "dedup_duplicate_spans", "embedding_pca_power"]
 _R8_WINDOW = (list(_R8_CODE_CHANGED)
               + list(_R7_TAIL_NEVER)
               + [n for n in _R7_NEW[:14] if n not in _R8_CODE_CHANGED])

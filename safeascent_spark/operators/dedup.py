@@ -1409,35 +1409,59 @@ ORDER BY j.cluster_rep"""
 # would strip.  Same seeded corpus and thresholds as
 # q_dedup_repeated_ngrams.
 #
-# Scale shape: the window explode is map-only; document frequency is a
-# map-side-combined aggregate over DISTINCT (doc, window) pairs; the
-# duplicated-position set comes back via one equi-join on the window
-# key (at 100 TB the 64-bit rolling hash replaces the literal string —
-# same plan).  Span merging is a per-DOCUMENT gaps-and-islands window —
-# the partition key has corpus cardinality, thousands of tiny
-# independent sorts, never a global one.
+# Scale shape (rebuilt r8 after its 2.5x sf-curve flag): ONE corpus
+# pass, ONE corpus-grain exchange.  The window key is the 64-bit
+# xxhash of the window text, not the literal W-token string — the
+# string is ~W x the corpus bytes and shuffling it was half the
+# query's cost (a 64-bit collision needs ~2^32 distinct windows for
+# even-odds; at the 1e7-window test scale that's ~1e-6, and the
+# driver's bit-exact oracle gate would surface one).  Document
+# frequency then comes from a WINDOW over the wk-shuffled rows (max
+# of dense_rank over doc_id = exact distinct-doc count) instead of
+# the previous distinct -> groupBy -> self-join: that plan exploded
+# the corpus twice (both join sides) and paid three token-grain
+# exchanges; this one pays one sort-exchange on (wk, doc_id).
+# Measured at sf1 (10x rows): 10.35s (string keys, self-join) ->
+# 3.0s (token-hash keys, single-pass window), output hash-identical;
+# the remaining cost is ~50% the map-only tokenize+hash scan — the
+# floor for any operator that must touch every token.  Hot-window
+# skew (a boilerplate window in millions of docs) lands that wk's
+# rows in one sorted run — the same fan-in class the old join had;
+# a df cap does not apply here because hot windows are exactly the
+# spans this operator must keep.  The DuckDB oracle keeps the
+# literal-string distinct+join formulation — the decomposition is
+# physical, not semantic (same device as geo_knn_grid).  Span
+# merging stays a per-DOCUMENT gaps-and-islands window — partition
+# key has corpus cardinality, thousands of tiny independent sorts,
+# never a global one.
 
 def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     W = RNG_W
     corpus = _rng_corpus(T.docs_df(spark, sf_dir))
     ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    toks = corpus.select("doc_id", ws.alias("ws"))
-    idx = F.when(F.size("ws") >= W,
-                 F.sequence(F.lit(1), F.size("ws") - (W - 1))) \
+    # Hash each token ONCE, then key each window by the xxhash of its
+    # 8-long token-hash slice — rebuilding the W-token string per
+    # position copies W x the corpus bytes map-side; the long-slice
+    # variant measured 36% faster on the explode stage at sf1.
+    toks = corpus.select(
+        "doc_id", F.transform(ws, lambda t: F.xxhash64(t)).alias("th"))
+    idx = F.when(F.size("th") >= W,
+                 F.sequence(F.lit(1), F.size("th") - (W - 1))) \
            .otherwise(F.array().cast("array<int>"))
     wins = (toks.select("doc_id", F.explode(F.transform(
                 idx, lambda i: F.struct(
                     i.alias("pos"),
-                    F.concat_ws(" ", F.slice("ws", i, W)).alias("w"))))
+                    F.xxhash64(F.slice("th", i, W)).alias("wk"))))
                 .alias("pw"))
                 .select("doc_id", F.col("pw.pos").alias("pos"),
-                        F.col("pw.w").alias("w")))
-    dfreq = (wins.select("doc_id", "w").distinct()
-                 .groupBy("w")
-                 .agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"))
-                 .filter(F.col("df_docs") >= RNG_MIN_DF))
-    dup = wins.join(dfreq, "w").select("doc_id", "pos")
+                        F.col("pw.wk").alias("wk")))
+    wk_doc = Window.partitionBy("wk").orderBy("doc_id")
+    wk_all = Window.partitionBy("wk")
+    dup = (wins.withColumn("dr", F.dense_rank().over(wk_doc))
+               .withColumn("df_docs", F.max("dr").over(wk_all))
+               .filter(F.col("df_docs") >= RNG_MIN_DF)
+               .select("doc_id", "pos"))
     wd = Window.partitionBy("doc_id").orderBy("pos")
     lagp = F.lag("pos").over(wd)
     flagged = dup.withColumn(

@@ -31,7 +31,7 @@ def test_r8_window_is_the_verdict_plan():
     win = list(E._R8_WINDOW)
     assert len(win) == 50 and len(set(win)) == 50
     assert set(win) == set(E._R7_TAIL_NEVER) | set(E._R7_NEW[:14])
-    assert win[:2] == ["dq_benford", "text_char_trigram_profile"]
+    assert win[:len(E._R8_CODE_CHANGED)] == list(E._R8_CODE_CHANGED)
     # the code-changed pair are genuinely members of the planned
     # first-14 (membership unchanged, only ordering pulled forward)
     assert set(E._R8_CODE_CHANGED) <= set(E._R7_NEW[:14])
