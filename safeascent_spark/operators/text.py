@@ -2464,7 +2464,11 @@ TRIGRAM_TOP_K = 20
 def q_text_char_trigram_profile(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     from .rankutil import banded_rank
-    d = docs_df(spark, sf_dir)
+    # fan_out: the per-CHARACTER substring explode is ~500x the scan
+    # bytes in CPU; an undersplit local parquet (1-2 row groups) would
+    # run it on 1-2 cores.  On a real cluster the input is already
+    # split and this is a no-op (sf1 measured: 9.3s -> 1.5s).
+    d = domain.fan_out(docs_df(spark, sf_dir))
     # Guard: Spark sequence(1, 0) DESCENDS to [1, 0] (it never returns
     # an empty array), so a <3-char doc would emit two bogus 1-2-char
     # "trigrams" while DuckDB's generate_series(1, 0) is empty.  Filter

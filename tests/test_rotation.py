@@ -44,7 +44,9 @@ def test_published_list_sizes():
     assert len(E._R7_TAIL_NEVER) == 36
     assert len(E._R7_WINDOW) == 50
     assert len(E._R8_TAIL_NEVER) == 17
-    assert list(E._R8_TAIL_NEVER) == list(E._R7_NEW[14:])
+    assert set(E._R8_TAIL_NEVER) == set(E._R7_NEW[14:])
+    # r8 code-changed tail query leads the r9 window's re-gate group
+    assert E._R8_TAIL_NEVER[0] == "embedding_triplet_violations"
     # VERDICT r7 item 2: new-per-round cap
     assert len(E._R8_NEW) <= 15
 
