@@ -819,14 +819,17 @@ _R8_WINDOW = (list(_R8_CODE_CHANGED)
 # tail front: the last 17 r7-new, still never driver-checked (the r9
 # window takes all 17 + the 33 oldest r4/r5-evidence rows — zeroing
 # the never-checked backlog AND refreshing the stalest §2-core rows).
-# embedding_triplet_violations is pulled to the FRONT of this list:
-# its code changed in r8 (quadratic pick joins -> block escalation,
-# VERDICT r7 item 5's sf-curve discipline) but the r8 window membership
-# is pinned verbatim to the VERDICT plan, so it leads the r9 window's
-# code-changed re-gate group instead.
-_R8_TAIL_NEVER = (["embedding_triplet_violations"]
+# Queries whose code changed in r8 are pulled to the FRONT of this
+# list (the r8 window membership is pinned verbatim to the VERDICT
+# plan, so they lead the r9 window's code-changed re-gate group
+# instead): embedding_triplet_violations (quadratic pick joins ->
+# block escalation) and events_markov_stationary (pair matrix cached
+# so the corpus is scanned once, not 4x).
+_R9_REGATE_FRONT = ["embedding_triplet_violations",
+                    "events_markov_stationary"]
+_R8_TAIL_NEVER = (list(_R9_REGATE_FRONT)
                   + [n for n in _R7_NEW[14:]
-                     if n != "embedding_triplet_violations"])
+                     if n not in _R9_REGATE_FRONT])
 
 # queries NEW in round 8 — CAPPED at 15 (VERDICT r7 item 2) so the
 # rotation catches up instead of treadmilling.  Invariant going

@@ -2324,12 +2324,17 @@ def q_events_markov_stationary(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     e = domain.load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cache the |types|^2-bounded pair counts: tot is consumed by BOTH
+    # t and the observed-share leg, and without the cache each consumer
+    # re-embedded the corpus scan + per-user lead() window (the r8 plan
+    # snapshot showed 4 parquet scans where the design says one)
     pairs = (e.select("user_id", "ts", "event_id",
                       F.col("event_type").alias("prev_type"),
                       F.lead("event_type").over(w).alias("next_type"))
               .filter(F.col("next_type").isNotNull())
               .groupBy("prev_type", "next_type")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+              .cache())
     tot = pairs.groupBy("prev_type").agg(
         F.sum("n").cast("bigint").alias("n_out"))
     t = (pairs.join(F.broadcast(tot), "prev_type")

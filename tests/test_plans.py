@@ -632,3 +632,40 @@ def test_perplexity_tercile_is_banded_not_per_source(spark):
                for s in specs), specs
     assert "ntile" not in plan
     assert not any(re.match(r"source#\d+, bits", s) for s in specs), specs
+
+
+def test_ship_latency_and_funnel_ttc_percentiles_stay_banded(spark):
+    """VERDICT r7 item 7: the two banded-percentile consumers must keep
+    their order statistics in keyed windows — the month (~84-value) and
+    step-pair (2-value) partitions would otherwise funnel the corpus
+    through a handful of sort tasks.  The data-side rank window must
+    carry a __band key; no cartesian/nested-loop joins; no constant-key
+    (SinglePartition) exchange anywhere; aggregation map-side partial.
+    Snapshots: docs/plan_orders_ship_latency.txt /
+    docs/plan_events_funnel_ttc.txt."""
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark.operators import olap as O
+    for df in (O.q_orders_ship_latency(spark, SF_SMOKE),
+               A.q_events_funnel_ttc(spark, SF_SMOKE)):
+        plan = plan_of(df)
+        assert n_ops(plan, "CartesianProduct") == 0
+        assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+        assert "SinglePartition" not in plan
+        assert "partial_count" in plan or "partial_sum" in plan
+        specs = _data_side_window_specs(plan)
+        assert any("__band#" in s for s in specs), specs
+
+
+def test_markov_iterations_ride_the_cached_pair_matrix(spark):
+    """VERDICT r7 item 7: events_markov_stationary scans the corpus
+    EXACTLY once — the |types|^2 pair matrix is cached, so all 10
+    iteration matvecs and the observed-share leg are InMemoryTableScans;
+    the only SinglePartition exchange is the bounded 1-row grand total.
+    Snapshot: docs/plan_events_markov_stationary.txt."""
+    from safeascent_spark.operators import analytics as A
+    plan = plan_of(A.q_events_markov_stationary(spark, SF_SMOKE))
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, scan_ids
+    assert len(set(re.findall(r"\((\d+)\) InMemoryTableScan", plan))) >= 10
+    assert plan.count("Arguments: SinglePartition") <= 1
+    assert n_ops(plan, "CartesianProduct") == 0

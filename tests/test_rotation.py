@@ -45,8 +45,10 @@ def test_published_list_sizes():
     assert len(E._R7_WINDOW) == 50
     assert len(E._R8_TAIL_NEVER) == 17
     assert set(E._R8_TAIL_NEVER) == set(E._R7_NEW[14:])
-    # r8 code-changed tail query leads the r9 window's re-gate group
-    assert E._R8_TAIL_NEVER[0] == "embedding_triplet_violations"
+    # r8 code-changed tail queries lead the r9 window's re-gate group
+    n_front = len(E._R9_REGATE_FRONT)
+    assert E._R8_TAIL_NEVER[:n_front] == list(E._R9_REGATE_FRONT)
+    assert set(E._R9_REGATE_FRONT) <= set(E._R7_NEW[14:])
     # VERDICT r7 item 2: new-per-round cap
     assert len(E._R8_NEW) <= 15
 
