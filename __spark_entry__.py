@@ -628,6 +628,20 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_tukey_fences": MON.q_dq_tukey_fences,
         # promo-depth revenue/quantity curve in exact ppm shares
         "lineitem_discount_curve": OL.q_lineitem_discount_curve,
+        # --- (i) new in round 8 (wave 30, capped per VERDICT r7 #2) ---
+        # RAG/pretraining token chunker + corpus-wide chunk dedup count
+        "text_chunking": TX.q_text_chunking,
+        # Heaps-law vocabulary-novelty growth by ingest order
+        "text_vocab_novelty": TX.q_text_vocab_novelty,
+        # mT5-style temperature (alpha=1/2) source mixing, exact
+        # largest-remainder quota allocation
+        "sample_temperature": CU.q_sample_temperature,
+        # exact lag-1..7 Pearson autocorrelation of the daily series
+        "events_autocorr": A.q_events_autocorr,
+        # per-type Gini concentration of user activity (banded ranks)
+        "events_user_gini": A.q_events_user_gini,
+        # k-core peeling over the route/location/hub graph
+        "graph_kcore": G.q_graph_kcore,
     }
 
 
@@ -839,7 +853,10 @@ _R8_TAIL_NEVER = (list(_R9_REGATE_FRONT)
 # checked within 2 rounds of registration) and no driver row is ever
 # older than ceil(N/50) rounds.  Evidence until rotation:
 # CORRECTNESS_LOCAL_r08.json.
-_R8_NEW: list = []
+_R8_NEW: list = [
+    "text_chunking", "text_vocab_novelty", "sample_temperature",
+    "events_autocorr", "events_user_gini", "graph_kcore",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1139,4 +1156,10 @@ def oracle_sql() -> dict[str, str]:
             SIM.sql_embedding_triplet_violations(),
         "dq_tukey_fences": MON.sql_dq_tukey_fences(),
         "lineitem_discount_curve": OL.sql_lineitem_discount_curve(),
+        "text_chunking": TX.sql_text_chunking(),
+        "text_vocab_novelty": TX.sql_text_vocab_novelty(),
+        "sample_temperature": CU.sql_sample_temperature(),
+        "events_autocorr": A.sql_events_autocorr(),
+        "events_user_gini": A.sql_events_user_gini(),
+        "graph_kcore": G.sql_graph_kcore(),
     }

@@ -2724,3 +2724,143 @@ SELECT day, max(n) AS n_events,
 FROM terms
 GROUP BY day
 ORDER BY day"""
+
+
+# --- Lag-k autocorrelation of the daily event series (round 8) -------------------
+# The seasonality/trend diagnostic forecasting stacks read first: the
+# exact Pearson autocorrelation of the daily event-count series at lags
+# 1..ACF_MAX_LAG.  One corpus pass builds the bounded |days|-row daily
+# grid (map-side combined); every lag then self-joins that TINY grid —
+# corpus-size-independent work after the first aggregate.
+#
+# Exactness: all sums ride BIGINT/DECIMAL(38,0); the only doubles are
+# the final r = num / sqrt(dx * dy), computed ONCE per bounded lag row
+# with the identical operation order in both engines (round-once rule;
+# sqrt is IEEE-correctly-rounded on both runtimes).
+
+ACF_MAX_LAG = 7
+
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    g = (e.select(_epoch_day("ts").alias("day"))
+          .groupBy("day")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    a = (g.select("day", F.col("c").alias("x"),
+                  F.explode(F.expr(
+                      f"sequence(1, {ACF_MAX_LAG})")).alias("lag"))
+          .withColumn("day2", F.col("day") + F.col("lag")))
+    b = g.select(F.col("day").alias("day2"), F.col("c").alias("y"))
+    dec = "DECIMAL(38,0)"
+    s = (a.join(b, "day2")
+          .groupBy("lag")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+               F.sum("x").cast("bigint").alias("sx"),
+               F.sum("y").cast("bigint").alias("sy"),
+               F.sum(F.expr(f"CAST(x AS {dec}) * y")).alias("sxy"),
+               F.sum(F.expr(f"CAST(x AS {dec}) * x")).alias("sxx"),
+               F.sum(F.expr(f"CAST(y AS {dec}) * y")).alias("syy")))
+    num = f"(CAST(n_pairs AS {dec}) * sxy - CAST(sx AS {dec}) * sy)"
+    dx = f"(CAST(n_pairs AS {dec}) * sxx - CAST(sx AS {dec}) * sx)"
+    dy = f"(CAST(n_pairs AS {dec}) * syy - CAST(sy AS {dec}) * sy)"
+    r = (f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN "
+         f"CAST(floor(CAST({num} AS DOUBLE) * 1000000 / "
+         f"(sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE))))"
+         f" AS BIGINT) ELSE NULL END")
+    return (s.select(F.col("lag").cast("int").alias("lag"), "n_pairs",
+                     F.expr(r).alias("acf_micro"))
+             .orderBy("lag"))
+
+
+def sql_events_autocorr() -> str:
+    num = "(CAST(n_pairs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)"
+    dx = "(CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)"
+    dy = "(CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)"
+    return f"""
+WITH g AS (
+  SELECT {_sql_epoch_day('ts')} AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.c) AS BIGINT) AS sx,
+         CAST(sum(b.c) AS BIGINT) AS sy,
+         sum(CAST(a.c AS HUGEINT) * b.c) AS sxy,
+         sum(CAST(a.c AS HUGEINT) * a.c) AS sxx,
+         sum(CAST(b.c AS HUGEINT) * b.c) AS syy
+  FROM g a
+  CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag)
+  JOIN g b ON b.day = a.day + lag
+  GROUP BY 1
+)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       CASE WHEN {dx} > 0 AND {dy} > 0 THEN
+         CAST(floor(CAST({num} AS DOUBLE) * 1000000 /
+              (sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE))))
+              AS BIGINT)
+       ELSE NULL END AS acf_micro
+FROM s
+ORDER BY lag"""
+
+
+# --- Per-type Gini concentration of user activity (round 8) ----------------------
+# The engagement-inequality readout: per event type, the exact Gini
+# coefficient of per-user event counts — 0 = every user contributes
+# equally, ->1 = a handful of power users generate everything.  The
+# classic rank formula on counts sorted ascending (rank i = 1..n,
+# deterministic user_id tiebreak shared with the oracle):
+#   G_ppm = (2 * sum(i * x_i) - (n + 1) * sum(x)) * 1e6
+#           div (n * sum(x))
+# all BIGINT/DECIMAL-exact; the global-per-type rank rides
+# rankutil.banded_rank over count-magnitude bands — no per-type
+# single-task sort (event_type cardinality ~5).
+
+def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    e = domain.load_table(spark, sf_dir, "events")
+    cnt = (e.groupBy("event_type", "user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("x")))
+    ranked = banded_rank(
+        cnt, ["event_type"],
+        band=F.length(F.expr("CAST(x AS STRING)")),
+        order_cols=[F.col("x").asc(), F.col("user_id").asc()],
+        rank_name="i", total_name="n_users")
+    dec = "DECIMAL(38,0)"
+    return (ranked.groupBy("event_type")
+            .agg(F.max("n_users").cast("bigint").alias("n_users"),
+                 F.sum("x").cast("bigint").alias("total_events"),
+                 F.sum(F.expr(f"CAST(i AS {dec}) * x")).alias("six"))
+            .select("event_type", "n_users", "total_events",
+                    F.expr(f"CAST((2 * six - (CAST(n_users AS {dec}) + 1)"
+                           f" * total_events) * 1000000"
+                           f" div (CAST(n_users AS {dec}) * total_events)"
+                           f" AS BIGINT)").alias("gini_ppm"))
+            .orderBy("event_type"))
+
+
+def sql_events_user_gini() -> str:
+    return """
+WITH cnt AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY x, user_id) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n_users
+  FROM cnt
+)
+SELECT event_type,
+       CAST(max(n_users) AS BIGINT) AS n_users,
+       CAST(sum(x) AS BIGINT) AS total_events,
+       CAST((2 * sum(CAST(i AS HUGEINT) * x)
+             - (CAST(max(n_users) AS HUGEINT) + 1) * sum(x)) * 1000000
+            // (CAST(max(n_users) AS HUGEINT) * sum(x)) AS BIGINT)
+         AS gini_ppm
+FROM ranked
+GROUP BY 1
+ORDER BY 1"""

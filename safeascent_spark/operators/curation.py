@@ -1191,3 +1191,102 @@ SELECT event_type, n_rows, w AS sd_scaled,
             * 1000000 // n_rows AS BIGINT) AS sampling_ppm
 FROM rnk, lo
 ORDER BY event_type"""
+
+
+# --- Temperature-based source mixing with exact largest-remainder allocation ------
+# (round 8)  The mT5/multilingual-pretraining sampler: source sampling
+# weights proportional to n_docs^alpha flatten the natural source
+# imbalance (alpha = 1 keeps it; alpha -> 0 is uniform).  alpha is
+# PINNED at 1/2 so the power is sqrt — the one power function IEEE-754
+# requires correctly rounded, hence bit-identical across the JVM and
+# C runtimes (pow(x, 0.3) carries no such guarantee; the repo's
+# round-once rule would not hold).  The TEMP_BUDGET document quota is
+# then apportioned by the exact largest-remainder (Hamilton) method on
+# BIGINTs: floor quotas + one extra doc to the largest integer
+# remainders, ties broken by source name — sum(alloc) == TEMP_BUDGET
+# exactly (asserted in tests).
+#
+# Scale shape: one map-side-combined count per source, then pure
+# arithmetic on the |sources|-row frame; the remainder rank is a
+# bounded |sources|^2 self-join count, not a window (no constant-key
+# partition anywhere).
+
+TEMP_BUDGET = 100_000
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_df(spark, sf_dir)
+    src = (d.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    w = src.select(
+        "source", "n_docs",
+        F.expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)"
+               " AS BIGINT)").alias("weight_micro"))
+    tot = w.agg(F.sum("weight_micro").cast("bigint").alias("tw"))
+    dec = "DECIMAL(38,0)"
+    base = (w.crossJoin(F.broadcast(tot))
+             .select("source", "n_docs", "weight_micro", "tw",
+                     F.expr(f"CAST(CAST({TEMP_BUDGET} AS {dec})"
+                            f" * weight_micro div tw AS BIGINT)")
+                      .alias("base_alloc"),
+                     F.expr(f"CAST(CAST({TEMP_BUDGET} AS {dec})"
+                            f" * weight_micro % tw AS BIGINT)")
+                      .alias("rem")))
+    left = base.agg(
+        F.expr(f"CAST({TEMP_BUDGET} - sum(base_alloc) AS BIGINT)")
+         .alias("leftover"))
+    other = base.select(F.col("source").alias("o_source"),
+                        F.col("rem").alias("o_rem"))
+    rnk = (base.join(other, F.expr(
+               "o_rem > rem OR (o_rem = rem AND o_source < source)"),
+               "left")
+               .groupBy("source", "n_docs", "weight_micro", "tw",
+                        "base_alloc", "rem")
+               .agg((F.count("o_source") + 1).cast("bigint")
+                     .alias("rnk")))
+    return (rnk.crossJoin(F.broadcast(left))
+               .select("source", "n_docs", "weight_micro",
+                       F.expr("CAST(weight_micro * 1000000 div tw"
+                              " AS BIGINT)").alias("share_ppm"),
+                       F.expr("CAST(base_alloc + CASE WHEN rnk <= leftover"
+                              " THEN 1 ELSE 0 END AS BIGINT)")
+                        .alias("alloc"))
+               .orderBy("source"))
+
+
+def sql_sample_temperature() -> str:
+    return f"""
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+           AS weight_micro
+  FROM src
+),
+tot AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS tw FROM w),
+base AS (
+  SELECT source, n_docs, weight_micro, tw,
+         CAST(CAST({TEMP_BUDGET} AS HUGEINT) * weight_micro // tw
+              AS BIGINT) AS base_alloc,
+         CAST(CAST({TEMP_BUDGET} AS HUGEINT) * weight_micro % tw
+              AS BIGINT) AS rem
+  FROM w, tot
+),
+lft AS (SELECT CAST({TEMP_BUDGET} - sum(base_alloc) AS BIGINT)
+          AS leftover FROM base),
+rnk AS (
+  SELECT b.source, b.n_docs, b.weight_micro, b.tw, b.base_alloc,
+         CAST(1 + count(o.source) AS BIGINT) AS rnk
+  FROM base b LEFT JOIN base o
+    ON o.rem > b.rem OR (o.rem = b.rem AND o.source < b.source)
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT source, n_docs, weight_micro,
+       CAST(weight_micro * 1000000 // tw AS BIGINT) AS share_ppm,
+       CAST(base_alloc + CASE WHEN rnk <= lft.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rnk, lft
+ORDER BY source"""

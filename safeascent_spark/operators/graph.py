@@ -344,3 +344,117 @@ FROM pairs
 GROUP BY 1, 2
 ORDER BY aa_score_ppm DESC, node_a, node_b
 LIMIT {CN_TOP_K}"""
+
+
+# --- k-core decomposition by iterative peeling (round 8) -------------------------
+# The density gate over the same route/location/hub graph: nodes that
+# survive KC_ROUNDS rounds of "drop every node with degree < KC_K
+# among survivors" (KC_K = 2: the 3-core is empty by construction —
+# minus the route layer the graph is the location-parent FOREST, and
+# forests have no 2+-core; the 2-core keeps every route cycle).  Peeling is the textbook k-core algorithm
+# (Matula-Beck); KC_ROUNDS is FIXED and identical in both engines, so
+# the outputs match even before convergence, and the semantic test
+# asserts the fixpoint is reached within the budget on the test graphs
+# (each peel round only removes nodes, so the round count needed is
+# the peel depth, not the diameter).  Scale shape: every round is one
+# degree aggregate over the surviving edge set + two semi-joins — the
+# edge set only shrinks; the alive set is localCheckpointed per round
+# so the plan stays linear in KC_ROUNDS (the 2^K-growth rule from
+# embedding_pca_power applies: alive feeds both the edge restriction
+# and the next degree count).
+#
+# Reference parity: beyond-reference (graph/eval family, BASELINE.json
+# north star); the graph is _pagerank_edges' route->location,
+# route->type-hub, location->parent derivation.
+
+KC_K = 2
+KC_ROUNDS = 8
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _pagerank_edges(spark, sf_dir)
+    und = (edges.select("src", "dst")
+                .unionAll(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct())
+    e = und.coalesce(8).localCheckpoint()
+    n_prev = e.count()
+    for _ in range(KC_ROUNDS):
+        alive = (e.groupBy("src")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+                  .filter(F.col("deg") >= KC_K)
+                  .select("src")
+                  .coalesce(8).localCheckpoint())
+        # checkpoint the restricted edge set too: without it each
+        # round's degree aggregate re-executes the whole join CHAIN of
+        # every prior round (O(R^2) joins) — the pca_power plan-growth
+        # rule.  Early-exit on a stable edge count: peeling only
+        # removes edges, so count-stable == fixpoint, and the skipped
+        # rounds are provable no-ops (output unchanged; the oracle
+        # runs all KC_ROUNDS unrolled and agrees — see tests).
+        e = (e.join(alive, "src")
+              .join(alive.select(F.col("src").alias("dst")), "dst")
+              .select("src", "dst")
+              .coalesce(8).localCheckpoint())
+        n_cur = e.count()
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    core = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("core_deg"))
+    kind = (F.when(F.col("src") >= _HUB_V, F.lit("type_hub"))
+             .when(F.col("src") >= _ROUTE_V, F.lit("route"))
+             .otherwise(F.lit("location")))
+    return (core.filter(F.col("core_deg") >= KC_K)
+                .select(kind.alias("kind"), F.col("src").alias("vid"),
+                        "core_deg")
+                .orderBy("vid"))
+
+
+def sql_graph_kcore() -> str:
+    from .. import domain
+    iters = []
+    prev = "e0"
+    for k in range(1, KC_ROUNDS + 1):
+        iters.append(f"""
+a{k} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, count(*) AS deg FROM {prev} GROUP BY 1)
+  WHERE deg >= {KC_K}
+),
+e{k} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN a{k} s ON e.src = s.src
+  JOIN a{k} t ON e.dst = t.src
+)""")
+        prev = f"e{k}"
+    return f"""
+WITH {domain.ROUTES_CTE.strip()},
+r AS (SELECT route_id, location_id FROM routes),
+edges AS (
+  SELECT route_id + {_ROUTE_V} AS src,
+         CAST(location_id AS BIGINT) AS dst FROM r
+  UNION ALL
+  SELECT route_id + {_ROUTE_V} AS src,
+         route_id % 7 + {_HUB_V} AS dst FROM r
+  UNION ALL
+  SELECT CAST(lid AS BIGINT) AS src, lid // 10 AS dst
+  FROM (SELECT DISTINCT CAST(location_id AS BIGINT) AS lid FROM r)
+  WHERE lid > 0
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL SELECT dst AS src, src AS dst FROM edges)
+  WHERE src <> dst
+),
+{",".join(x.strip() for x in iters)}
+SELECT CASE WHEN src >= {_HUB_V} THEN 'type_hub'
+            WHEN src >= {_ROUTE_V} THEN 'route'
+            ELSE 'location' END AS kind,
+       src AS vid,
+       CAST(count(*) AS BIGINT) AS core_deg
+FROM {prev}
+GROUP BY 2
+HAVING count(*) >= {KC_K}
+ORDER BY vid"""

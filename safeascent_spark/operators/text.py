@@ -2516,3 +2516,185 @@ SELECT lang, CAST(rnk AS INT) AS rnk, tri, cnt
 FROM ranked
 WHERE rnk <= {TRIGRAM_TOP_K}
 ORDER BY lang, rnk"""
+
+
+# --- Training-data chunker with chunk-level dedup (round 8) ----------------------
+# The RAG/pretraining segmentation pass: fixed CHUNK_SIZE-token sliding
+# windows at CHUNK_STRIDE, drop_last semantics (only full-size windows,
+# except a document shorter than one window yields its single short
+# chunk so no document is lost), plus the corpus-wide duplicate count
+# of every chunk — the chunk-grain analog of document dedup, which is
+# what a dedup-before-training pass actually strips.
+#
+# Natural 32-token verbatim chunk recurrence is ~vocab^-32-rare, so (the
+# _rng_corpus device) a deterministic 32-token template is prepended to
+# doc_id % CHK_SEED_MOD == CHK_SEED_REM docs: their first chunk is then
+# IDENTICAL across ~1/5 of the corpus, making n_dup observable and
+# exercising the hot-chunk aggregation path.
+#
+# Scale shape: the window explode is map-only (token-array slices, at
+# most n_tokens/STRIDE rows per doc); the duplicate count groups on the
+# 64-bit xxhash of the chunk text, not the string (the spans lesson:
+# the string is CHUNK_SIZE x the corpus bytes through the exchange; a
+# collision needs ~2^32 distinct chunks for even-odds and the driver's
+# bit-exact gate would surface one).  The oracle keeps the literal
+# string — physical, not semantic, decomposition.
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+CHK_SEED_MOD = 5
+CHK_SEED_REM = 1
+_CHK_TEMPLATE_UNIT = "chunk boilerplate preamble tokens "
+_CHK_TEMPLATE_REPS = 8  # 4 tokens x 8 = 32 template tokens
+
+
+def _chunk_corpus(d: DataFrame) -> DataFrame:
+    seeded = F.concat(
+        F.expr(f"repeat('{_CHK_TEMPLATE_UNIT}', {_CHK_TEMPLATE_REPS})"),
+        F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % CHK_SEED_MOD == CHK_SEED_REM, seeded)
+         .otherwise(F.col("text")).alias("text"))
+
+
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S, ST = CHUNK_SIZE, CHUNK_STRIDE
+    d = _chunk_corpus(docs_df(spark, sf_dir))
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    toks = d.select("doc_id", ws.alias("ws"))
+    starts = F.expr(
+        f"sequence(1, greatest(size(ws) - {S} + 1, 1), {ST})")
+    chunks = (toks.select(
+        "doc_id",
+        F.posexplode(F.transform(starts, lambda st: F.struct(
+            st.alias("tok_start"),
+            F.concat_ws(" ", F.slice("ws", st, S)).alias("ctext"),
+            F.least(F.size("ws") - st + 1, F.lit(S)).cast("bigint")
+             .alias("n_tokens")))).alias("idx", "c"))
+        .select("doc_id",
+                (F.col("idx") + 1).cast("bigint").alias("chunk_idx"),
+                F.col("c.tok_start").cast("bigint").alias("tok_start"),
+                F.col("c.n_tokens").alias("n_tokens"),
+                F.length("c.ctext").cast("bigint").alias("n_chars"),
+                F.xxhash64("c.ctext").alias("ck")))
+    dups = (chunks.groupBy("ck")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup")))
+    return (chunks.join(dups, "ck")
+                  .select("doc_id", "chunk_idx", "tok_start", "n_tokens",
+                          "n_chars", "n_dup")
+                  .orderBy("doc_id", "chunk_idx"))
+
+
+def sql_text_chunking() -> str:
+    S, ST = CHUNK_SIZE, CHUNK_STRIDE
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {CHK_SEED_MOD} = {CHK_SEED_REM}
+              THEN repeat('{_CHK_TEMPLATE_UNIT}', {_CHK_TEMPLATE_REPS})
+                   || text
+              ELSE text END AS text
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st)
+              AS BIGINT) AS chunk_idx,
+         CAST(st AS BIGINT) AS tok_start,
+         CAST(least(len(ws) - st + 1, {S}) AS BIGINT) AS n_tokens,
+         array_to_string(ws[st:st + {S - 1}], ' ') AS ctext
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - {S} + 1, 1),
+                                      {ST})) AS st
+        FROM (SELECT doc_id, {toks} AS ws FROM corpus))
+),
+dups AS (
+  SELECT ctext, CAST(count(*) AS BIGINT) AS n_dup
+  FROM chunks GROUP BY 1
+)
+SELECT c.doc_id, c.chunk_idx, c.tok_start, c.n_tokens,
+       CAST(length(c.ctext) AS BIGINT) AS n_chars, d.n_dup
+FROM chunks c JOIN dups d USING (ctext)
+ORDER BY c.doc_id, c.chunk_idx"""
+
+
+# --- Vocabulary-novelty growth by ingest order (round 8) -------------------------
+# The contamination/diversity readout crawl pipelines watch: bucket the
+# corpus by ingest order (doc_id div NOVELTY_BUCKET docs per bucket)
+# and report, per bucket, how many of its distinct token trigrams are
+# NEW — first seen in that bucket.  A healthy diverse feed keeps the
+# novelty share high; a crawler stuck re-fetching the same sites
+# collapses it.  (Heaps'-law growth read off a real corpus.)
+#
+# Scale shape: one corpus pass explodes trigram HASHES (64-bit, the
+# spans device — the oracle keeps strings); (bucket, gram) pairs are
+# map-side-combine deduped; first-seen bucket is a gram-grain min
+# aggregate; both readouts are vocabulary-grain, corpus-independent
+# outputs.
+
+NOVELTY_BUCKET = 100
+NOVELTY_W = 3
+
+
+def q_text_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = NOVELTY_W
+    # fan_out: per-token explode CPU vastly exceeds the scan bytes (the
+    # text_char_trigram_profile lesson — no-op on well-split inputs)
+    d = domain.fan_out(docs_df(spark, sf_dir))
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    toks = d.select(F.expr(f"doc_id div {NOVELTY_BUCKET}").alias("bkt"),
+                    ws.alias("ws"))
+    idx = F.when(F.size("ws") >= W,
+                 F.sequence(F.lit(1), F.size("ws") - (W - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = (toks.select("bkt", F.explode(F.transform(
+                 idx, lambda i: F.xxhash64(
+                     F.concat_ws(" ", F.slice("ws", i, W)))))
+                 .alias("gk"))
+                 .distinct())
+    per_bkt = (grams.groupBy("bkt")
+                    .agg(F.count(F.lit(1)).cast("bigint")
+                          .alias("n_distinct_grams")))
+    first = (grams.groupBy("gk").agg(F.min("bkt").alias("bkt"))
+                  .groupBy("bkt")
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                        .alias("n_new_grams")))
+    return (per_bkt.join(first, "bkt")
+                   .select(F.col("bkt").cast("bigint").alias("bucket"),
+                           "n_distinct_grams", "n_new_grams",
+                           F.expr("CAST(n_new_grams * 1000000"
+                                  " div n_distinct_grams AS BIGINT)")
+                            .alias("novelty_ppm"))
+                   .orderBy("bucket"))
+
+
+def sql_text_vocab_novelty() -> str:
+    W = NOVELTY_W
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT bkt, gram
+  FROM (SELECT doc_id // {NOVELTY_BUCKET} AS bkt,
+               array_to_string(ws[i:i + {W - 1}], ' ') AS gram
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - {W - 1})) AS i
+              FROM (SELECT doc_id, {toks} AS ws FROM documents)
+              WHERE len(ws) >= {W}))
+),
+per_bkt AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS n_distinct_grams
+  FROM grams GROUP BY 1
+),
+first AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS n_new_grams
+  FROM (SELECT gram, min(bkt) AS bkt FROM grams GROUP BY 1)
+  GROUP BY 1
+)
+SELECT CAST(p.bkt AS BIGINT) AS bucket, p.n_distinct_grams,
+       f.n_new_grams,
+       CAST(f.n_new_grams * 1000000 // p.n_distinct_grams AS BIGINT)
+         AS novelty_ppm
+FROM per_bkt p JOIN first f USING (bkt)
+ORDER BY bucket"""
