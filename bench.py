@@ -50,6 +50,11 @@ HEADLINE = [
     "geo_knn_grid",
     "dedup_duplicate_spans",
     "eval_roc_auc",
+    # round-8 heavies (r9+): the vocabulary-grain novelty curve (work
+    # scales with distinct grams by construction) and the iterative
+    # peel whose first sf curve caught an O(rounds^2) join chain
+    "text_vocab_novelty",
+    "graph_kcore",
 ]
 
 
