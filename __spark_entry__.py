@@ -858,19 +858,31 @@ _R8_NEW: list = [
     "events_autocorr", "events_user_gini", "graph_kcore",
 ]
 
+# --- Round-9 bookkeeping ------------------------------------------------------
+# Queries whose CODE changed in round 9 (ADVICE-r8 vocab-novelty left
+# join; defaultParallelism-derived checkpoint coalesce in k-core/PCA —
+# VERDICT r8 item 3).  Members of the pinned r9 window re-gate this
+# round automatically; the rest lead the r10 window.
+_R9_CODE_CHANGED = ["text_vocab_novelty", "graph_kcore",
+                    "embedding_pca_power"]
+# r8-fresh driver rows whose code changed in r9 → front of r10 window.
+_R10_REGATE_FRONT = ["embedding_pca_power"]
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    b = _builders()
+# queries NEW in round 9 — CAPPED at 15 (standing invariant since
+# VERDICT r7 item 2).  Registered at the very tail; they rotate into
+# the r11 window (registration+2).  Evidence until then:
+# CORRECTNESS_LOCAL_r09.json.
+_R9_NEW: list = []
+
+
+def _r8_order(b: dict) -> list:
+    """The round-8 registration order, reconstructed verbatim (names
+    registered after r8 — ``_R9_NEW`` — are excluded).  The r9 window
+    is DEFINED as positions 50..99 of this order (VERDICT r8 item 1),
+    so the reconstruction is kept rather than inlined."""
     order = list(_R8_WINDOW) + list(_R8_TAIL_NEVER)
-    taken = set(order) | set(_R8_NEW)  # r8-new are appended LAST below
-    # Then everything else, oldest driver evidence first, so positions
-    # 50..99 are exactly the planned r9 window (17 _R8_TAIL_NEVER + the
-    # 33 oldest r4-evidence rows): r4-row queries (r5-era dict tail
-    # never rotated), then r5-row (the r5 window minus what r6
-    # re-checked), then r6-fresh (_R6_WINDOW), then r7-fresh
-    # (_R7_WINDOW), then the r8-new tail.  The r5 window was exactly
-    # the first 50 keys of the (r5-ordered) _builders dict.
-    old_order = list(b)
+    taken = set(order) | set(_R8_NEW) | set(_R9_NEW)
+    old_order = [n for n in b if n not in set(_R9_NEW)]
     r67_set = set(_R6_WINDOW) | set(_R7_WINDOW)
     r5_rest = [n for n in old_order[:50]
                if n not in taken and n not in r67_set]
@@ -879,6 +891,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6_rest = [n for n in _R6_WINDOW if n not in taken]
     r7_rest = [n for n in _R7_WINDOW if n not in taken]
     order += r4_rest + r5_rest + r6_rest + r7_rest + list(_R8_NEW)
+    assert len(order) + len(_R9_NEW) == len(b)
+    return order
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # --- Round-9 registration order ------------------------------------
+    # window (50): positions 50..99 of the r8 order, exactly as pinned
+    # by VERDICT r8 item 1 and tests/test_rotation.py — the two r8
+    # code-changed re-gates first (_R9_REGATE_FRONT), the remaining 15
+    # r7-tail never-checked, then the 33 oldest r4-evidence rows.
+    # This zeroes the pre-r8 never-checked backlog.
+    b = _builders()
+    r8_order = _r8_order(b)
+    window = r8_order[50:100]
+    # Positions 50..99 are the ready-made r10 window: the r9
+    # code-changed re-gates first (queries whose code changed THIS
+    # round but whose window slot was pinned, so they re-gate next
+    # round — same device as _R9_REGATE_FRONT last round), then the 6
+    # r8-new never-checked, then the next-stalest r4/r5-era rows.
+    taken = set(window) | set(_R10_REGATE_FRONT) | set(_R8_NEW)
+    regate = list(_R10_REGATE_FRONT)
+    r8_new = ([n for n in _R9_CODE_CHANGED if n in _R8_NEW]
+              + [n for n in _R8_NEW if n not in _R9_CODE_CHANGED])
+    stale = [n for n in r8_order[100:]
+             if n not in taken and n not in set(_R8_WINDOW)]
+    r8_fresh = [n for n in _R8_WINDOW if n not in taken]
+    order = window + regate + r8_new + stale + r8_fresh + list(_R9_NEW)
     assert len(order) == len(b) and set(order) == set(b), (
         len(order), len(b))
     return {n: b[n] for n in order}
