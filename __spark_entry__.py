@@ -860,13 +860,14 @@ _R8_NEW: list = [
 
 # --- Round-9 bookkeeping ------------------------------------------------------
 # Queries whose CODE changed in round 9 (ADVICE-r8 vocab-novelty left
-# join; defaultParallelism-derived checkpoint coalesce in k-core/PCA —
-# VERDICT r8 item 3).  Members of the pinned r9 window re-gate this
-# round automatically; the rest lead the r10 window.
+# join + Benford abs-inside-floor; defaultParallelism-derived
+# checkpoint coalesce in k-core/PCA — VERDICT r8 item 3).  Members of
+# the pinned r9 window re-gate this round automatically; the rest lead
+# the r10 window.
 _R9_CODE_CHANGED = ["text_vocab_novelty", "graph_kcore",
-                    "embedding_pca_power"]
+                    "embedding_pca_power", "dq_benford"]
 # r8-fresh driver rows whose code changed in r9 → front of r10 window.
-_R10_REGATE_FRONT = ["embedding_pca_power"]
+_R10_REGATE_FRONT = ["embedding_pca_power", "dq_benford"]
 
 # queries NEW in round 9 — CAPPED at 15 (standing invariant since
 # VERDICT r7 item 2).  Registered at the very tail; they rotate into

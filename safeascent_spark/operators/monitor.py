@@ -932,13 +932,15 @@ BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
 
 
 def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Leading digit from ABS of the cent integer, zero rows dropped
-    # (ADVICE r7 low): a negative price would otherwise put '-' in
-    # front of the string-cast, which Spark CASTs to NULL but DuckDB
-    # raises on — abs() guarantees a digit character in both engines
-    # for every surviving row.  Benford is sign-blind by definition.
+    # Leading digit from the cent integer of ABS(price) (ADVICE r7 low
+    # + ADVICE r8 low): abs() must ride INSIDE the floor so the audit
+    # is truly sign-blind — floor-then-abs would count a negative
+    # sub-cent total (floor(-0.4) = -1) as digit 1 while dropping its
+    # positive mirror (floor(0.4) = 0).  abs() also guarantees a digit
+    # character under the string-cast in both engines (Spark CASTs a
+    # '-' prefix to NULL; DuckDB raises).
     o = (domain.load_table(spark, sf_dir, "orders")
-         .select(F.expr("abs(CAST(floor(o_totalprice * 100) AS BIGINT))")
+         .select(F.expr("CAST(floor(abs(o_totalprice) * 100) AS BIGINT)")
                   .alias("abs_c"))
          .filter(F.col("abs_c") > 0))
     digits = (o.select(F.expr(
@@ -971,7 +973,7 @@ def sql_dq_benford() -> str:
     return f"""
 WITH d AS (
   SELECT CAST(substr(CAST(abs_c AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM (SELECT abs(CAST(floor(o_totalprice * 100) AS BIGINT)) AS abs_c
+  FROM (SELECT CAST(floor(abs(o_totalprice) * 100) AS BIGINT) AS abs_c
         FROM orders)
   WHERE abs_c > 0
 ),

@@ -2661,9 +2661,16 @@ def q_text_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .groupBy("bkt")
                   .agg(F.count(F.lit(1)).cast("bigint")
                         .alias("n_new_grams")))
-    return (per_bkt.join(first, "bkt")
+    # LEFT join (ADVICE r8): a bucket whose every trigram was already
+    # seen in earlier buckets must surface as novelty_ppm=0 — the exact
+    # "crawler stuck re-fetching" signal this readout exists to catch —
+    # not vanish from the output.
+    return (per_bkt.join(first, "bkt", "left")
                    .select(F.col("bkt").cast("bigint").alias("bucket"),
-                           "n_distinct_grams", "n_new_grams",
+                           "n_distinct_grams",
+                           F.coalesce("n_new_grams", F.lit(0))
+                            .cast("bigint").alias("n_new_grams"))
+                   .select("bucket", "n_distinct_grams", "n_new_grams",
                            F.expr("CAST(n_new_grams * 1000000"
                                   " div n_distinct_grams AS BIGINT)")
                             .alias("novelty_ppm"))
@@ -2693,8 +2700,8 @@ first AS (
   GROUP BY 1
 )
 SELECT CAST(p.bkt AS BIGINT) AS bucket, p.n_distinct_grams,
-       f.n_new_grams,
-       CAST(f.n_new_grams * 1000000 // p.n_distinct_grams AS BIGINT)
-         AS novelty_ppm
-FROM per_bkt p JOIN first f USING (bkt)
+       CAST(COALESCE(f.n_new_grams, 0) AS BIGINT) AS n_new_grams,
+       CAST(COALESCE(f.n_new_grams, 0) * 1000000 // p.n_distinct_grams
+            AS BIGINT) AS novelty_ppm
+FROM per_bkt p LEFT JOIN first f USING (bkt)
 ORDER BY bucket"""

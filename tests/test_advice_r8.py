@@ -61,9 +61,12 @@ def test_trigram_profile_short_doc_guard(spark, tmp_path):
 
 
 def test_benford_sign_guard(spark, tmp_path):
-    """Negative and zero totals: digit from abs(), zeros dropped, and
-    the oracle runs WITHOUT a conversion error on the same rows."""
-    totals = [123.45, -987.60, 0.0, 0.004, -0.01, 55.0, 5.5]
+    """Sign-blindness (ADVICE r8): abs() rides INSIDE the floor, so a
+    negative sub-cent total (-0.004) is dropped exactly like its
+    positive mirror instead of being counted as digit 1; zeros are
+    dropped; and the oracle runs WITHOUT a conversion error on the
+    same rows."""
+    totals = [123.45, -987.60, 0.0, 0.004, -0.004, -0.01, 55.0, 5.5]
     pdf = pd.DataFrame({
         "o_orderkey": list(range(len(totals))),
         "o_totalprice": totals,
@@ -71,7 +74,8 @@ def test_benford_sign_guard(spark, tmp_path):
     sf = _write_parquet(tmp_path, "orders", pdf)
     rows = {r.digit: r.n_obs for r in
             MON.q_dq_benford(spark, sf).collect()}
-    # abs cents: 12345, 98760, 0 (drop), 0 (drop), 1, 5500, 550
+    # cents of abs: 12345, 98760, 0 (drop), 0 (drop), 0 (drop —
+    # floor-then-abs would have said 1), 1, 5500, 550
     assert rows == {1: 2, 9: 1, 5: 2}
     con = duckdb.connect()
     con.register("orders", pdf)
