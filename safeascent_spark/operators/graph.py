@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as D
 from . import text as T
+from .. import domain
 
 MAX_ROUNDS = 20
 
@@ -378,14 +379,18 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("src").alias("dst")))
                 .filter(F.col("src") != F.col("dst"))
                 .distinct())
-    e = und.coalesce(8).localCheckpoint()
+    # per-round checkpoint width rides defaultParallelism (VERDICT r8
+    # item 3): the edge set is corpus-derived, so a constant here
+    # becomes the per-round task ceiling at 100x routes
+    p = domain.ckpt_parts(spark)
+    e = und.coalesce(p).localCheckpoint()
     n_prev = e.count()
     for _ in range(KC_ROUNDS):
         alive = (e.groupBy("src")
                   .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
                   .filter(F.col("deg") >= KC_K)
                   .select("src")
-                  .coalesce(8).localCheckpoint())
+                  .coalesce(p).localCheckpoint())
         # checkpoint the restricted edge set too: without it each
         # round's degree aggregate re-executes the whole join CHAIN of
         # every prior round (O(R^2) joins) — the pca_power plan-growth
@@ -396,7 +401,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = (e.join(alive, "src")
               .join(alive.select(F.col("src").alias("dst")), "dst")
               .select("src", "dst")
-              .coalesce(8).localCheckpoint())
+              .coalesce(p).localCheckpoint())
         n_cur = e.count()
         if n_cur == n_prev:
             break

