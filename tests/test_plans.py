@@ -669,3 +669,44 @@ def test_markov_iterations_ride_the_cached_pair_matrix(spark):
     assert len(set(re.findall(r"\((\d+)\) InMemoryTableScan", plan))) >= 10
     assert plan.count("Arguments: SinglePartition") <= 1
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_r9_window_debut_plans_stay_distributed(spark):
+    """VERDICT r8 item 6: the four r9-window debutants that lacked a
+    plan snapshot.  Pins per docs/plan_<name>.txt:
+
+    * events_burst_velocity — both range-frame count windows keyed by
+      user_id (never unpartitioned), threshold side broadcast.
+    * events_stickiness / supplier_hhi — pure keyed partial/final
+      hash-aggregate chains with broadcast dims: no SinglePartition
+      exchange, no sort-aggregate funnel, no window at all.
+    * dq_enum_drift — value-grain dedup is a KEYED hash aggregate;
+      the only SinglePartition exchanges carry 4-column per-partition
+      partials (one per profiled column), never raw rows.
+    """
+    from safeascent_spark.operators import analytics as A
+    from safeascent_spark.operators import monitor as MON
+    from safeascent_spark.operators import olap as O
+
+    plan = plan_of(A.q_events_burst_velocity(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\((\w+#\d+L?),", plan)
+    assert specs and all(s.startswith("user_id#") for s in specs), specs
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+
+    for df in (A.q_events_stickiness(spark, SF_SMOKE),
+               O.q_supplier_hhi(spark, SF_SMOKE)):
+        plan = plan_of(df)
+        assert n_ops(plan, "CartesianProduct") == 0
+        assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+        assert "SinglePartition" not in plan
+        assert "windowspecdefinition" not in plan
+
+    plan = plan_of(MON.q_dq_enum_drift(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert plan.count("Arguments: SinglePartition") <= 3
+    # every SinglePartition exchange consumes a 4-column partial
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[(\d+)\]:[^\n]*\n"
+                         r"Arguments: SinglePartition", plan):
+        assert int(m.group(1)) == 4, plan
