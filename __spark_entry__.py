@@ -638,6 +638,9 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": CU.q_sample_temperature,
         # exact lag-1..7 Pearson autocorrelation of the daily series
         "events_autocorr": A.q_events_autocorr,
+        "events_hour_heatmap": A.q_events_hour_heatmap,
+        "events_interarrival": A.q_events_interarrival,
+        "events_peak_concurrency": A.q_events_peak_concurrency,
         # per-type Gini concentration of user activity (banded ranks)
         "events_user_gini": A.q_events_user_gini,
         # k-core peeling over the route/location/hub graph
@@ -873,7 +876,10 @@ _R10_REGATE_FRONT = ["embedding_pca_power", "dq_benford"]
 # VERDICT r7 item 2).  Registered at the very tail; they rotate into
 # the r11 window (registration+2).  Evidence until then:
 # CORRECTNESS_LOCAL_r09.json.
-_R9_NEW: list = []
+_R9_NEW: list = [
+    "events_hour_heatmap", "events_interarrival",
+    "events_peak_concurrency",
+]
 
 
 def _r8_order(b: dict) -> list:
@@ -1200,6 +1206,9 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab_novelty": TX.sql_text_vocab_novelty(),
         "sample_temperature": CU.sql_sample_temperature(),
         "events_autocorr": A.sql_events_autocorr(),
+        "events_hour_heatmap": A.sql_events_hour_heatmap(),
+        "events_interarrival": A.sql_events_interarrival(),
+        "events_peak_concurrency": A.sql_events_peak_concurrency(),
         "events_user_gini": A.sql_events_user_gini(),
         "graph_kcore": G.sql_graph_kcore(),
     }

@@ -2864,3 +2864,231 @@ SELECT event_type,
 FROM ranked
 GROUP BY 1
 ORDER BY 1"""
+
+
+# --- Hour-of-week activity heatmap (round 9) -----------------------------------
+# The (day-of-week x hour) traffic grid every ops dashboard opens with:
+# per event type, the 168-cell activity share in ppm.  Complements the
+# STL dow decomposition (events_seasonality) with the raw intra-day
+# shape the decomposition marginalizes away.
+#
+# Scale shape: ONE corpus scan -> keyed (type, dow, hour) hash
+# aggregate (map-side combine; output bounded at |types| x 168); type
+# totals re-aggregate the bounded grid itself (no second scan) and come
+# back via a broadcast join.  Nothing scales with corpus size except
+# the first partial aggregate.
+
+_HOUR_NS = 3_600 * 1_000_000_000
+
+
+def q_events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = domain.load_table(spark, sf_dir, "events")
+    cell = (e.groupBy("event_type",
+                      F.expr(f"(ts div {_DAY_NS}) % 7").alias("dow"),
+                      F.expr(f"(ts div {_HOUR_NS}) % 24").alias("hour"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = (cell.groupBy("event_type")
+               .agg(F.sum("n").cast("bigint").alias("n_type")))
+    return (cell.join(F.broadcast(tot), "event_type")
+                .select("event_type",
+                        F.col("dow").cast("bigint").alias("dow"),
+                        F.col("hour").cast("bigint").alias("hour"), "n",
+                        F.expr("CAST(n * 1000000 div n_type AS BIGINT)")
+                         .alias("share_ppm"))
+                .orderBy("event_type", "dow", "hour"))
+
+
+def sql_events_hour_heatmap() -> str:
+    return f"""
+WITH cell AS (
+  SELECT event_type,
+         (epoch_ns(ts) // {_DAY_NS}) % 7 AS dow,
+         (epoch_ns(ts) // {_HOUR_NS}) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+  FROM cell GROUP BY 1
+)
+SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+       CAST(c.hour AS BIGINT) AS hour, c.n,
+       CAST(c.n * 1000000 // t.n_type AS BIGINT) AS share_ppm
+FROM cell c JOIN tot t USING (event_type)
+ORDER BY event_type, dow, hour"""
+
+
+# --- Inter-arrival time percentiles (round 9) ----------------------------------
+# Engagement cadence: per event type, exact p50/p90/p99 of the gap (in
+# whole seconds) between a user's consecutive events of that type.
+# The readout behind "how often do users come back to X" — and the
+# denominator for rate-limit / bot-detection thresholds.
+#
+# Scale shape: the lag rides a (user_id, event_type)-keyed window
+# (corpus-cardinality keys — never a global sort); the percentiles ride
+# banded_rank over hour-of-gap bands (band count = time range / 1h,
+# corpus-independent) exactly like events_latency_percentiles.  Order
+# statistics are exact, all integer.
+
+GAP_BAND_S = 3_600
+GAP_PCTS = (50, 90, 99)
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    e = domain.load_table(spark, sf_dir, "events") \
+              .select("event_type", "user_id", "event_id", "ts")
+    w = (Window.partitionBy("user_id", "event_type")
+               .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    gaps = (e.withColumn("prev", F.lag("ts").over(w))
+             .filter(F.col("prev").isNotNull())
+             .select("event_type", "user_id", "ts",
+                     F.expr("(ts - prev) div 1000000000").alias("gap_s")))
+    ranked = banded_rank(
+        gaps, ["event_type"], band=F.expr(f"gap_s div {GAP_BAND_S}"),
+        order_cols=[F.col("gap_s").asc(), F.col("user_id").asc(),
+                    F.col("ts").asc()],
+        rank_name="rnk", total_name="n")
+    picks = [
+        F.expr(f"CAST(max(CASE WHEN rnk = ((n - 1) * {p} div 100 + 1) "
+               f"THEN gap_s END) AS BIGINT)").alias(f"p{p}_s")
+        for p in GAP_PCTS]
+    return (ranked.groupBy("event_type")
+                  .agg(F.max("n").cast("bigint").alias("n_gaps"), *picks)
+                  .orderBy("event_type"))
+
+
+def sql_events_interarrival() -> str:
+    picks = ", ".join(
+        f"CAST(max(CASE WHEN rnk = ((n - 1) * {p} // 100 + 1) "
+        f"THEN gap_s END) AS BIGINT) AS p{p}_s"
+        for p in GAP_PCTS)
+    return f"""
+WITH g AS (
+  SELECT event_type, user_id, epoch_ns(ts) AS tns,
+         lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY epoch_ns(ts), event_id) AS prev
+  FROM events
+),
+gaps AS (
+  SELECT event_type, user_id, tns,
+         (tns - prev) // 1000000000 AS gap_s
+  FROM g WHERE prev IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, gap_s,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY gap_s, user_id, tns)
+              AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM gaps
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps, {picks}
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type"""
+
+
+# --- Peak session concurrency per day (round 9) --------------------------------
+# Capacity planning's first question: how many sessions were open AT
+# ONCE?  Sessions are 1h-gap islands per user (the batch twin of
+# streaming/sessions.py's session_window); concurrency is the classic
+# +1/-1 boundary sweep, evaluated after all boundaries at an instant
+# are applied (ts-grain net deltas, so the running sum is
+# order-unambiguous), and the peak is read per day.
+#
+# Scale shape: islands ride (user)-keyed windows; boundary deltas
+# collapse to ts-grain via a keyed aggregate; the ONLY ordered pass is
+# banded_cumsum over day bands (band count = time range in days,
+# corpus-independent) — no global single-task sort anywhere.  The
+# day-grain peak is a bounded aggregate.
+
+CONC_GAP_NS = 3_600 * 1_000_000_000   # streaming SESSION_GAP = "1 hour"
+
+
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_cumsum
+    e = domain.load_table(spark, sf_dir, "events") \
+              .select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = (e.withColumn("prev", F.lag("ts").over(w))
+                .withColumn("new_s", F.when(
+                    F.col("prev").isNull()
+                    | (F.col("ts") - F.col("prev") > CONC_GAP_NS), 1)
+                    .otherwise(0)))
+    isl = flagged.withColumn(
+        "sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    sess = (isl.groupBy("user_id", "sid")
+               .agg(F.min("ts").alias("start_ns"),
+                    F.max("ts").alias("end_ns")))
+    pts = (sess.select(F.col("start_ns").alias("tns"),
+                       F.lit(1).cast("long").alias("d"))
+               .unionAll(sess.select((F.col("end_ns") + 1).alias("tns"),
+                                     F.lit(-1).cast("long").alias("d")))
+               .groupBy("tns")
+               .agg(F.sum("d").cast("bigint").alias("net")))
+    run = banded_cumsum(pts, [], F.expr(f"tns div {_DAY_NS}"),
+                        [F.col("tns").asc()], "net", "conc",
+                        inclusive=True)
+    peak = (run.groupBy(F.expr(f"tns div {_DAY_NS}").alias("day"))
+               .agg(F.max("conc").cast("bigint").alias("peak_concurrent")))
+    starts = (sess.groupBy(F.expr(f"start_ns div {_DAY_NS}").alias("day"))
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                        .alias("n_sessions_started")))
+    return (peak.join(starts, "day", "left")
+                .select(F.col("day").cast("bigint").alias("day"),
+                        F.coalesce("n_sessions_started", F.lit(0))
+                         .cast("bigint").alias("n_sessions_started"),
+                        "peak_concurrent")
+                .orderBy("day"))
+
+
+def sql_events_peak_concurrency() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, epoch_ns(ts) AS tns,
+         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > {CONC_GAP_NS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+),
+isl AS (
+  SELECT user_id, tns,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tns
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sess AS MATERIALIZED (
+  SELECT user_id, sid, min(tns) AS start_ns, max(tns) AS end_ns
+  FROM isl GROUP BY 1, 2
+),
+pts AS (
+  SELECT tns, CAST(sum(d) AS BIGINT) AS net
+  FROM (SELECT start_ns AS tns, 1 AS d FROM sess
+        UNION ALL
+        SELECT end_ns + 1 AS tns, -1 AS d FROM sess)
+  GROUP BY 1
+),
+run AS (
+  SELECT tns, sum(net) OVER (ORDER BY tns
+                             ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+),
+peak AS (
+  SELECT tns // {_DAY_NS} AS day,
+         CAST(max(conc) AS BIGINT) AS peak_concurrent
+  FROM run GROUP BY 1
+),
+starts AS (
+  SELECT start_ns // {_DAY_NS} AS day,
+         CAST(count(*) AS BIGINT) AS n_sessions_started
+  FROM sess GROUP BY 1
+)
+SELECT CAST(p.day AS BIGINT) AS day,
+       CAST(COALESCE(s.n_sessions_started, 0) AS BIGINT)
+         AS n_sessions_started,
+       p.peak_concurrent
+FROM peak p LEFT JOIN starts s USING (day)
+ORDER BY day"""
