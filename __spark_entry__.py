@@ -553,6 +553,7 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie-corrected Mann-Whitney AUC, one-vs-rest per event type,
         # from banded prefix sums over the bounded distinct-score grid
         "eval_roc_auc": EV.q_eval_roc_auc,
+        "eval_pr_auc": EV.q_eval_pr_auc,
         # Kolmogorov-Smirnov class separation on the same grid
         "eval_ks_statistic": EV.q_eval_ks_statistic,
         # decile gains/lift table via banded global rank (no single sort)
@@ -565,6 +566,7 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantization_error": SIM.q_embedding_quantization_error,
         # per-label squared-norm summary + degenerate low-norm gate
         "embedding_norm_profile": SIM.q_embedding_norm_profile,
+        "embedding_maha_diag": SIM.q_embedding_maha_diag,
         # Neyman-allocated stratified sampling plan, largest-remainder
         # integer allocation with deterministic ties
         "sample_stratified_neyman": CU.q_sample_stratified_neyman,
@@ -878,7 +880,7 @@ _R10_REGATE_FRONT = ["embedding_pca_power", "dq_benford"]
 # CORRECTNESS_LOCAL_r09.json.
 _R9_NEW: list = [
     "events_hour_heatmap", "events_interarrival",
-    "events_peak_concurrency",
+    "events_peak_concurrency", "eval_pr_auc", "embedding_maha_diag",
 ]
 
 
@@ -1170,12 +1172,14 @@ def oracle_sql() -> dict[str, str]:
         "events_forecast_eval": FC.sql_events_forecast_eval(),
         "sample_learnability": CU.sql_sample_learnability(),
         "eval_roc_auc": EV.sql_eval_roc_auc(),
+        "eval_pr_auc": EV.sql_eval_pr_auc(),
         "eval_ks_statistic": EV.sql_eval_ks_statistic(),
         "ml_gains_deciles": EV.sql_ml_gains_deciles(),
         "dq_benford": MON.sql_dq_benford(),
         "embedding_quantization_error":
             SIM.sql_embedding_quantization_error(),
         "embedding_norm_profile": SIM.sql_embedding_norm_profile(),
+        "embedding_maha_diag": SIM.sql_embedding_maha_diag(),
         "sample_stratified_neyman": CU.sql_sample_stratified_neyman(),
         "dedup_duplicate_spans": D.sql_dedup_duplicate_spans(),
         "text_ttr_hapax": TX.sql_text_ttr_hapax(),

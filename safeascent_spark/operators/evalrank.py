@@ -310,3 +310,94 @@ SELECT decile, n_rows, n_pos, cum_pos,
             // (CAST(cum_rows AS HUGEINT) * t_pos) AS BIGINT) AS lift_ppm
 FROM c
 ORDER BY decile"""
+
+
+# --- Average precision (PR-AUC) per class (round 9) ----------------------------
+# The class-imbalance-honest companion to ROC-AUC: sklearn's
+# average_precision, the right-point rectangle sum over the PR curve,
+#   AP = sum over distinct scores s (descending) of
+#          (n_pos(s) / n_pos) * precision(>= s),
+# tie-safe because each distinct score is one block.  Exact integers:
+# the descending cumulatives come from the SAME ascending strict-below
+# prefixes as ROC (P(>=s) = n_pos - cum_pos_below, N(>=s) = n_total -
+# cum_all_below), precision is truncated once per block to ppm
+# (identical div in both engines), and the block sum divides by n_pos
+# once at the end.
+#
+# Scale shape: identical to eval_roc_auc — one corpus pass to the
+# (event_type, s) grid, banded prefix sums over score-cent bands, a
+# bounded-grid join, one keyed aggregate.  Nothing rides corpus order.
+
+def q_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per, tot = _per_and_tot(spark, sf_dir)
+    band = F.expr(f"s div {SCORE_BAND_CENTS}")
+    totc = banded_cumsum(tot, [], band, [F.col("s").asc()],
+                         "n_s", "cum_all_below", inclusive=False)
+    perc = banded_cumsum(per, ["event_type"], band, [F.col("s").asc()],
+                         "n_ts", "cum_t_below", inclusive=False)
+    n_row = tot.agg(F.sum("n_s").cast("bigint").alias("n_total"))
+    npos = (per.groupBy("event_type")
+               .agg(F.sum("n_ts").cast("bigint").alias("n_pos")))
+    j = (perc.join(totc.select("s", "cum_all_below"), "s")
+             .join(F.broadcast(npos), "event_type")
+             .crossJoin(F.broadcast(n_row)))
+    contrib = F.expr(
+        f"CAST(n_ts AS {_DEC})"
+        " * ((n_pos - cum_t_below) * 1000000"
+        "    div (n_total - cum_all_below))")
+    return (j.groupBy("event_type")
+             .agg(F.max("n_pos").cast("bigint").alias("n_pos"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_grid"),
+                  F.sum(contrib).alias("apsum"))
+             .select("event_type", "n_pos", "n_grid",
+                     F.expr("CAST(apsum div n_pos AS BIGINT)")
+                      .alias("ap_ppm"))
+             .orderBy("event_type"))
+
+
+def sql_eval_pr_auc() -> str:
+    return """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS s FROM events
+),
+per AS (
+  SELECT event_type, s, CAST(count(*) AS BIGINT) AS n_ts
+  FROM e GROUP BY 1, 2
+),
+tot AS (SELECT s, CAST(sum(n_ts) AS BIGINT) AS n_s FROM per GROUP BY 1),
+totc AS (
+  SELECT s,
+         CAST(coalesce(sum(n_s) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_all_below
+  FROM tot
+),
+perc AS (
+  SELECT event_type, s, n_ts,
+         CAST(coalesce(sum(n_ts) OVER (PARTITION BY event_type ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_t_below
+  FROM per
+),
+n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM tot),
+npos AS (
+  SELECT event_type, CAST(sum(n_ts) AS BIGINT) AS n_pos
+  FROM per GROUP BY 1
+),
+agg AS (
+  SELECT p.event_type,
+         CAST(max(np.n_pos) AS BIGINT) AS n_pos,
+         CAST(count(*) AS BIGINT) AS n_grid,
+         sum(CAST(p.n_ts AS HUGEINT)
+             * ((np.n_pos - p.cum_t_below) * 1000000
+                // (n.n_total - t.cum_all_below))) AS apsum
+  FROM perc p
+  JOIN totc t ON p.s = t.s
+  JOIN npos np ON p.event_type = np.event_type
+  CROSS JOIN n
+  GROUP BY 1
+)
+SELECT event_type, n_pos, n_grid,
+       CAST(apsum // n_pos AS BIGINT) AS ap_ppm
+FROM agg
+ORDER BY event_type"""

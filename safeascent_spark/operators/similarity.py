@@ -1907,3 +1907,77 @@ SELECT alabel AS label,
 FROM scored
 GROUP BY 1
 ORDER BY 1"""
+
+
+# --- Diagonal-Mahalanobis embedding outliers (round 9) --------------------------
+# Embedding-certification family: the top-MAHA_K vectors by squared
+# Mahalanobis distance under a DIAGONAL covariance — the cheap,
+# dimension-wise whitened outlier score batch curation uses to quarantine
+# encoder glitches (all-zero rows, saturated dims, wrong-normalization
+# batches) before they poison ANN cells or kmeans seeds.
+#
+# Exactness: with integer per-dim sums over the int8-quantized grid,
+# (x - mu)^2 / sigma^2 == (n*x - sx)^2 / (n*sxx - sx^2) exactly (the n^2
+# cancels), so each dim contributes ONE truncated milli-ratio, identical
+# in both engines; DECIMAL(38,0)/HUGEINT guards the squared numerator
+# (n*x is ~1.3e10 at 1e8 vectors; its square overflows BIGINT).
+#
+# Scale shape: one posexplode pass -> 64-row dim-stats aggregate
+# (map-side combine) -> broadcast back over the same exploded frame ->
+# per-vector keyed sum -> global top-MAHA_K via TakeOrdered (never a
+# full sort).  Nothing is quadratic; the only non-linear term is the
+# bounded DIM fan-out.
+
+MAHA_K = 100
+
+
+def q_embedding_maha_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = quantized_df(spark, sf_dir)
+    flat = e.select("vec_id", "label",
+                    F.posexplode("qvec").alias("i", "x"))
+    stats = (flat.groupBy("i")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                      F.sum("x").cast("bigint").alias("sx"),
+                      F.sum(F.expr("x * x")).cast("bigint").alias("sxx")))
+    dec = "DECIMAL(38,0)"
+    contrib = F.expr(
+        f"CAST(n * x - sx AS {dec}) * (n * x - sx) * 1000"
+        f" div greatest(CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx,"
+        f" 1)")
+    scored = (flat.join(F.broadcast(stats), "i")
+                  .groupBy("vec_id", "label")
+                  .agg(F.sum(contrib).alias("m")))
+    return (scored.select("vec_id",
+                          F.col("label").cast("int").alias("label"),
+                          F.expr("CAST(m AS BIGINT)").alias("maha2_milli"))
+                  .orderBy(F.col("maha2_milli").desc(),
+                           F.col("vec_id").asc())
+                  .limit(MAHA_K))
+
+
+def sql_embedding_maha_diag() -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i + 1] AS DOUBLE),"
+          " -1.0), 1.0) * 127) AS BIGINT)")
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, label, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(0, {DIM - 1})) AS i)
+),
+stats AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM qflat GROUP BY 1
+),
+scored AS (
+  SELECT q.vec_id, q.label,
+         sum(CAST(s.n * q.x - s.sx AS HUGEINT) * (s.n * q.x - s.sx) * 1000
+             // greatest(CAST(s.n AS HUGEINT) * s.sxx
+                         - CAST(s.sx AS HUGEINT) * s.sx, 1)) AS m
+  FROM qflat q JOIN stats s USING (i)
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(label AS INT) AS label, CAST(m AS BIGINT) AS maha2_milli
+FROM scored
+ORDER BY maha2_milli DESC, vec_id
+LIMIT {MAHA_K}"""
