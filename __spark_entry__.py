@@ -616,6 +616,7 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hhi": OL.q_supplier_hhi,
         # categorical-domain conformance audit per declared whitelist
         "dq_enum_drift": MON.q_dq_enum_drift,
+        "dq_functional_dependency": MON.q_dq_functional_dependency,
         # --- round-7 wave 28: bursts, entropy drift, fulfillment SLA ---
         # densest 60-second burst per user (range-frame window)
         "events_burst_velocity": A.q_events_burst_velocity,
@@ -635,6 +636,7 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": TX.q_text_chunking,
         # Heaps-law vocabulary-novelty growth by ingest order
         "text_vocab_novelty": TX.q_text_vocab_novelty,
+        "text_oov_rate": TX.q_text_oov_rate,
         # mT5-style temperature (alpha=1/2) source mixing, exact
         # largest-remainder quota allocation
         "sample_temperature": CU.q_sample_temperature,
@@ -881,6 +883,7 @@ _R10_REGATE_FRONT = ["embedding_pca_power", "dq_benford"]
 _R9_NEW: list = [
     "events_hour_heatmap", "events_interarrival",
     "events_peak_concurrency", "eval_pr_auc", "embedding_maha_diag",
+    "dq_functional_dependency", "text_oov_rate",
 ]
 
 
@@ -1199,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stickiness": A.sql_events_stickiness(),
         "supplier_hhi": OL.sql_supplier_hhi(),
         "dq_enum_drift": MON.sql_dq_enum_drift(),
+        "dq_functional_dependency": MON.sql_dq_functional_dependency(),
         "events_burst_velocity": A.sql_events_burst_velocity(),
         "events_entropy_daily": A.sql_events_entropy_daily(),
         "orders_ship_latency": OL.sql_orders_ship_latency(),
@@ -1208,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_discount_curve": OL.sql_lineitem_discount_curve(),
         "text_chunking": TX.sql_text_chunking(),
         "text_vocab_novelty": TX.sql_text_vocab_novelty(),
+        "text_oov_rate": TX.sql_text_oov_rate(),
         "sample_temperature": CU.sql_sample_temperature(),
         "events_autocorr": A.sql_events_autocorr(),
         "events_hour_heatmap": A.sql_events_hour_heatmap(),

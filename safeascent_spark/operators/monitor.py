@@ -1479,3 +1479,71 @@ SELECT f.event_type, f.n_events, f.q1_micro, f.q3_micro, f.iqr_micro,
 FROM v JOIN f USING (event_type)
 GROUP BY 1, 2, 3, 4, 5
 ORDER BY 1"""
+
+
+# --- Functional-dependency conformance profile (round 9) -------------------------
+# Deequ-style FD audit over a PINNED candidate list: for each claimed
+# "determinant -> dependent" rule, how many determinant values map to
+# MORE than one dependent value?  The load gate behind "order status is
+# a function of the order key" / "one supplier per part" assumptions
+# that silently rot when an upstream merge goes wrong.
+#
+# Scale shape: per pair, a two-level keyed aggregate — DISTINCT
+# (det, dep) with map-side combine, then a det-grain count — followed
+# by a scalar rollup; each branch scans only its two columns (pruned at
+# the parquet scan) and nothing is quadratic.  The pair list is a
+# bounded constant, so the union is a bounded plan, not data fan-out.
+
+FD_PAIRS = [
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+]
+
+
+def q_dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, det, dep in FD_PAIRS:
+        per_det = (domain.load_table(spark, sf_dir, tbl)
+                   .select(F.col(det).alias("det"), F.col(dep).alias("dep"))
+                   .distinct()
+                   .groupBy("det")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_deps")))
+        outs.append(per_det.agg(
+            F.lit(tbl).alias("relation"),
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.count(F.lit(1)).cast("bigint").alias("n_det"),
+            F.sum(F.when(F.col("n_deps") > 1, 1).otherwise(0))
+             .cast("bigint").alias("n_violating"),
+            F.max("n_deps").cast("bigint").alias("max_distinct_dep")))
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return (u.select("relation", "determinant", "dependent", "n_det",
+                     "n_violating",
+                     F.expr("CAST(n_violating * 1000000 div n_det"
+                            " AS BIGINT)").alias("violation_ppm"),
+                     "max_distinct_dep")
+             .orderBy("relation", "determinant", "dependent"))
+
+
+def sql_dq_functional_dependency() -> str:
+    parts = []
+    for tbl, det, dep in FD_PAIRS:
+        parts.append(f"""
+SELECT '{tbl}' AS relation, '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(count(*) AS BIGINT) AS n_det,
+       CAST(sum(CASE WHEN n_deps > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(sum(CASE WHEN n_deps > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS violation_ppm,
+       CAST(max(n_deps) AS BIGINT) AS max_distinct_dep
+FROM (SELECT det, CAST(count(*) AS BIGINT) AS n_deps
+      FROM (SELECT DISTINCT {det} AS det, {dep} AS dep FROM {tbl})
+      GROUP BY 1)""")
+    return ("\nUNION ALL\n".join(parts)
+            + "\nORDER BY relation, determinant, dependent")

@@ -2705,3 +2705,81 @@ SELECT CAST(p.bkt AS BIGINT) AS bucket, p.n_distinct_grams,
             AS BIGINT) AS novelty_ppm
 FROM per_bkt p LEFT JOIN first f USING (bkt)
 ORDER BY bucket"""
+
+
+# --- Tokenizer / vocabulary coverage per source (round 9) ------------------------
+# The OOV readout tokenizer teams watch per ingest source: with the
+# production vocabulary pinned to the top-OOV_VOCAB_K tokens by global
+# frequency (count DESC, token ASC — fully deterministic), report per
+# source how much of its token MASS and how much of its DISTINCT
+# vocabulary falls outside — a source whose oov_ppm spikes is feeding
+# text the tokenizer fragments into bytes.
+#
+# Scale shape: corpus pass -> (source, token) keyed counts (map-side
+# combine; output is vocabulary-grain x |sources|); the global top-K
+# rank rides banded_rank over log2(count) bands on the VOCABULARY-grain
+# count table (never the corpus), and the K-row vocab comes back as a
+# broadcast.  The oracle ranks the same grain with a plain window.
+
+OOV_VOCAB_K = 16
+
+
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    d = docs_df(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    st = (d.select("source", F.explode(ws).alias("tok"))
+           .groupBy("source", "tok")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    gt = (st.groupBy("tok")
+            .agg(F.sum("cnt").cast("bigint").alias("gcnt")))
+    ranked = banded_rank(
+        gt, [], band=F.expr("CAST(floor(log2(gcnt)) AS BIGINT)"),
+        order_cols=[F.col("gcnt").desc(), F.col("tok").asc()],
+        rank_name="rnk", descending_bands=True)
+    vocab = ranked.filter(F.col("rnk") <= OOV_VOCAB_K) \
+                  .select("tok", F.lit(1).alias("in_vocab"))
+    j = st.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (j.groupBy("source")
+             .agg(F.sum("cnt").cast("bigint").alias("n_tokens"),
+                  F.sum(F.col("cnt") * oov).cast("bigint")
+                   .alias("n_oov_tokens"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                  F.sum(oov).cast("bigint").alias("n_distinct_oov"))
+             .select("source", "n_tokens", "n_oov_tokens",
+                     F.expr("CAST(n_oov_tokens * 1000000 div n_tokens"
+                            " AS BIGINT)").alias("oov_ppm"),
+                     "n_distinct", "n_distinct_oov")
+             .orderBy("source"))
+
+
+def sql_text_oov_rate() -> str:
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH st AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest({toks}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+gt AS (
+  SELECT tok, CAST(sum(cnt) AS BIGINT) AS gcnt FROM st GROUP BY 1
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY gcnt DESC, tok) AS rnk
+    FROM gt)
+  WHERE rnk <= {OOV_VOCAB_K}
+)
+SELECT s.source,
+       CAST(sum(s.cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN s.cnt ELSE 0 END) AS BIGINT)
+         AS n_oov_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN s.cnt ELSE 0 END) * 1000000
+            // sum(s.cnt) AS BIGINT) AS oov_ppm,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_distinct_oov
+FROM st s LEFT JOIN vocab v USING (tok)
+GROUP BY 1
+ORDER BY 1"""
