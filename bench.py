@@ -55,6 +55,11 @@ HEADLINE = [
     # peel whose first sf curve caught an O(rounds^2) join chain
     "text_vocab_novelty",
     "graph_kcore",
+    # round-9 heavies (r10+): the boundary-sweep concurrency pass (two
+    # window families + a global banded prefix) and the full
+    # distinct-score-grid rank statistic with per-block truncation
+    "events_peak_concurrency",
+    "eval_pr_auc",
 ]
 
 

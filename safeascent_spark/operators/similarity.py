@@ -1922,37 +1922,48 @@ ORDER BY 1"""
 # in both engines; DECIMAL(38,0)/HUGEINT guards the squared numerator
 # (n*x is ~1.3e10 at 1e8 vectors; its square overflows BIGINT).
 #
-# Scale shape: one posexplode pass -> 64-row dim-stats aggregate
-# (map-side combine) -> broadcast back over the same exploded frame ->
-# per-vector keyed sum -> global top-MAHA_K via TakeOrdered (never a
-# full sort).  Nothing is quadratic; the only non-linear term is the
-# bounded DIM fan-out.
+# Scale shape: one posexplode pass feeds ONLY the 64-row dim-stats
+# aggregate (map-side combine collapses it to DIM rows per partition);
+# the stats come back as a single broadcast row of DIM-aligned arrays
+# and the score is a zip_with/aggregate fold over the original qvec —
+# the corpus is scanned twice but never exploded through an exchange,
+# and the second pass emits one row per vector straight into the
+# TakeOrdered top-MAHA_K (never a full sort).  Per-dim contributions
+# are integers, so the fold order is irrelevant and the output is
+# bit-identical to the exploded formulation the oracle keeps.
 
 MAHA_K = 100
 
 
 def q_embedding_maha_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = quantized_df(spark, sf_dir)
-    flat = e.select("vec_id", "label",
-                    F.posexplode("qvec").alias("i", "x"))
-    stats = (flat.groupBy("i")
-                 .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
-                      F.sum("x").cast("bigint").alias("sx"),
-                      F.sum(F.expr("x * x")).cast("bigint").alias("sxx")))
+    stats = (e.select(F.posexplode("qvec").alias("i", "x"))
+              .groupBy("i")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                   F.sum("x").cast("bigint").alias("sx"),
+                   F.sum(F.expr("x * x")).cast("bigint").alias("sxx")))
+    srow = stats.agg(
+        F.array_sort(F.collect_list(F.struct("i", "n", "sx", "sxx")))
+         .alias("st"))
     dec = "DECIMAL(38,0)"
-    contrib = F.expr(
-        f"CAST(n * x - sx AS {dec}) * (n * x - sx) * 1000"
-        f" div greatest(CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx,"
-        f" 1)")
-    scored = (flat.join(F.broadcast(stats), "i")
-                  .groupBy("vec_id", "label")
-                  .agg(F.sum(contrib).alias("m")))
-    return (scored.select("vec_id",
-                          F.col("label").cast("int").alias("label"),
-                          F.expr("CAST(m AS BIGINT)").alias("maha2_milli"))
-                  .orderBy(F.col("maha2_milli").desc(),
-                           F.col("vec_id").asc())
-                  .limit(MAHA_K))
+    score = F.expr(
+        "aggregate(zip_with(qvec, st, (x, s) ->"
+        f" CAST(CAST(s.n * x - s.sx AS {dec}) * (s.n * x - s.sx) * 1000"
+        f"      div greatest(CAST(s.n AS {dec}) * s.sxx"
+        f"                   - CAST(s.sx AS {dec}) * s.sx, 1)"
+        "       AS BIGINT)),"
+        " 0L, (acc, c) -> acc + c)")
+    # fan_out: the fold is ~DIM integer ops per row — CPU far beyond
+    # the scan bytes, so an undersplit local parquet would pin the
+    # pass to 1-2 cores (the trigram-profile lesson; no-op on
+    # well-split cluster inputs)
+    from .. import domain
+    return (domain.fan_out(e).crossJoin(F.broadcast(srow))
+             .select("vec_id", F.col("label").cast("int").alias("label"),
+                     score.alias("maha2_milli"))
+             .orderBy(F.col("maha2_milli").desc(),
+                      F.col("vec_id").asc())
+             .limit(MAHA_K))
 
 
 def sql_embedding_maha_diag() -> str:
