@@ -567,6 +567,7 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-label squared-norm summary + degenerate low-norm gate
         "embedding_norm_profile": SIM.q_embedding_norm_profile,
         "embedding_maha_diag": SIM.q_embedding_maha_diag,
+        "embedding_cell_balance": SIM.q_embedding_cell_balance,
         # Neyman-allocated stratified sampling plan, largest-remainder
         # integer allocation with deterministic ties
         "sample_stratified_neyman": CU.q_sample_stratified_neyman,
@@ -645,10 +646,12 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hour_heatmap": A.q_events_hour_heatmap,
         "events_interarrival": A.q_events_interarrival,
         "events_peak_concurrency": A.q_events_peak_concurrency,
+        "events_new_vs_returning": A.q_events_new_vs_returning,
         # per-type Gini concentration of user activity (banded ranks)
         "events_user_gini": A.q_events_user_gini,
         # k-core peeling over the route/location/hub graph
         "graph_kcore": G.q_graph_kcore,
+        "graph_assortativity": G.q_graph_assortativity,
     }
 
 
@@ -884,6 +887,8 @@ _R9_NEW: list = [
     "events_hour_heatmap", "events_interarrival",
     "events_peak_concurrency", "eval_pr_auc", "embedding_maha_diag",
     "dq_functional_dependency", "text_oov_rate",
+    "graph_assortativity", "embedding_cell_balance",
+    "events_new_vs_returning",
 ]
 
 
@@ -1183,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
             SIM.sql_embedding_quantization_error(),
         "embedding_norm_profile": SIM.sql_embedding_norm_profile(),
         "embedding_maha_diag": SIM.sql_embedding_maha_diag(),
+        "embedding_cell_balance": SIM.sql_embedding_cell_balance(),
         "sample_stratified_neyman": CU.sql_sample_stratified_neyman(),
         "dedup_duplicate_spans": D.sql_dedup_duplicate_spans(),
         "text_ttr_hapax": TX.sql_text_ttr_hapax(),
@@ -1218,6 +1224,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hour_heatmap": A.sql_events_hour_heatmap(),
         "events_interarrival": A.sql_events_interarrival(),
         "events_peak_concurrency": A.sql_events_peak_concurrency(),
+        "events_new_vs_returning": A.sql_events_new_vs_returning(),
         "events_user_gini": A.sql_events_user_gini(),
         "graph_kcore": G.sql_graph_kcore(),
+        "graph_assortativity": G.sql_graph_assortativity(),
     }

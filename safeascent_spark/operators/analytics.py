@@ -3092,3 +3092,72 @@ SELECT CAST(p.day AS BIGINT) AS day,
        p.peak_concurrent
 FROM peak p LEFT JOIN starts s USING (day)
 ORDER BY day"""
+
+
+# --- New vs returning daily traffic split (round 9) ------------------------------
+# The growth dashboard's first split: per day, events from users on
+# their FIRST active day versus returning users, plus the count of
+# users acquired that day.  Complements events_retention (cohort
+# decay) and events_stickiness (DAU/MAU) with the acquisition-vs-
+# habit mix.
+#
+# Scale shape: first-seen day is a min over a (user)-keyed aggregate;
+# the per-event new/returning label comes back via an equi-join on
+# user_id (corpus-cardinality keys, AQE-splittable); the readout is a
+# bounded day-grain aggregate.  No windows, nothing quadratic.
+
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (domain.load_table(spark, sf_dir, "events")
+         .select(F.expr(f"ts div {_DAY_NS}").alias("day"), "user_id"))
+    first = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = e.join(first, "user_id")
+    daily = (j.groupBy("day")
+              .agg(F.sum(F.when(F.col("day") == F.col("first_day"), 1)
+                          .otherwise(0)).cast("bigint")
+                    .alias("n_events_new"),
+                   F.sum(F.when(F.col("day") > F.col("first_day"), 1)
+                          .otherwise(0)).cast("bigint")
+                    .alias("n_events_returning")))
+    acq = (first.groupBy(F.col("first_day").alias("day"))
+                .agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("n_new_users")))
+    return (daily.join(acq, "day", "left")
+                 .select(F.col("day").cast("bigint").alias("day"),
+                         F.coalesce("n_new_users", F.lit(0))
+                          .cast("bigint").alias("n_new_users"),
+                         "n_events_new", "n_events_returning",
+                         F.expr("CAST(n_events_new * 1000000"
+                                " div (n_events_new + n_events_returning)"
+                                " AS BIGINT)").alias("new_share_ppm"))
+                 .orderBy("day"))
+
+
+def sql_events_new_vs_returning() -> str:
+    return f"""
+WITH e AS (
+  SELECT epoch_ns(ts) // {_DAY_NS} AS day, user_id FROM events
+),
+first AS MATERIALIZED (
+  SELECT user_id, min(day) AS first_day FROM e GROUP BY 1
+),
+daily AS (
+  SELECT e.day,
+         CAST(sum(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_events_new,
+         CAST(sum(CASE WHEN e.day > f.first_day THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_events_returning
+  FROM e JOIN first f USING (user_id)
+  GROUP BY 1
+),
+acq AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new_users
+  FROM first GROUP BY 1
+)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(COALESCE(a.n_new_users, 0) AS BIGINT) AS n_new_users,
+       d.n_events_new, d.n_events_returning,
+       CAST(d.n_events_new * 1000000
+            // (d.n_events_new + d.n_events_returning) AS BIGINT)
+         AS new_share_ppm
+FROM daily d LEFT JOIN acq a USING (day)
+ORDER BY day"""

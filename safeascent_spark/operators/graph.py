@@ -463,3 +463,103 @@ FROM {prev}
 GROUP BY 2
 HAVING count(*) >= {KC_K}
 ORDER BY vid"""
+
+
+# --- Degree assortativity (round 9) -------------------------------------------
+# Newman's r: the Pearson correlation of endpoint degrees over the
+# undirected edge list (each edge counted in both orientations, which
+# makes the marginals symmetric).  Hub-to-hub wiring (r > 0) versus
+# hub-to-leaf (r < 0) decides whether hot-vertex mitigations (hub caps,
+# salting) pay off — the one-scalar summary of the skew profile the
+# dedup/similarity blocking devices already assume.
+#
+# Exactness: all six sufficient statistics are exact integers on
+# DECIMAL(38,0) (an edge count x deg^2 product overflows BIGINT at
+# ~1e12 edges); the single float step is the round-once
+# floor(num * 1e6 / (sqrt(dx) * sqrt(dy))) — the events_autocorr
+# device (sqrt is IEEE-correctly-rounded in both engines).
+#
+# Scale shape: degree = one keyed aggregate over edges; endpoint
+# degrees come back via two equi-joins on the (node)-keyed degree
+# table; the rollup is a scalar aggregate with map-side partials.
+# Nothing quadratic, no windows.
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _pagerank_edges(spark, sf_dir)
+    und = (edges.select("src", "dst")
+                .unionAll(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct())
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("deg"))
+    j = (und.join(deg.select(F.col("src"), F.col("deg").alias("x")),
+                  "src")
+            .join(deg.select(F.col("src").alias("dst"),
+                             F.col("deg").alias("y")), "dst"))
+    dec = "DECIMAL(38,0)"
+    s = j.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum("y").cast("bigint").alias("sy"),
+              F.sum(F.expr(f"CAST(x AS {dec}) * y")).alias("sxy"),
+              F.sum(F.expr(f"CAST(x AS {dec}) * x")).alias("sxx"),
+              F.sum(F.expr(f"CAST(y AS {dec}) * y")).alias("syy"))
+    num = f"(CAST(n_pairs AS {dec}) * sxy - CAST(sx AS {dec}) * sy)"
+    dx = f"(CAST(n_pairs AS {dec}) * sxx - CAST(sx AS {dec}) * sx)"
+    dy = f"(CAST(n_pairs AS {dec}) * syy - CAST(sy AS {dec}) * sy)"
+    r = (f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN "
+         f"CAST(floor(CAST({num} AS DOUBLE) * 1000000 / "
+         f"(sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE))))"
+         f" AS BIGINT) ELSE NULL END")
+    return s.select("n_pairs", F.expr(r).alias("assortativity_micro"))
+
+
+def sql_graph_assortativity() -> str:
+    from .. import domain
+    num = "(CAST(n_pairs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)"
+    dx = "(CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)"
+    dy = "(CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)"
+    return f"""
+WITH {domain.ROUTES_CTE.strip()},
+r AS (SELECT route_id, location_id FROM routes),
+edges AS (
+  SELECT route_id + {_ROUTE_V} AS src,
+         CAST(location_id AS BIGINT) AS dst FROM r
+  UNION ALL
+  SELECT route_id + {_ROUTE_V} AS src,
+         route_id % 7 + {_HUB_V} AS dst FROM r
+  UNION ALL
+  SELECT CAST(lid AS BIGINT) AS src, lid // 10 AS dst
+  FROM (SELECT DISTINCT CAST(location_id AS BIGINT) AS lid FROM r)
+  WHERE lid > 0
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges)
+  WHERE src <> dst
+),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1
+),
+j AS (
+  SELECT a.deg AS x, b.deg AS y
+  FROM und u
+  JOIN deg a ON u.src = a.src
+  JOIN deg b ON u.dst = b.src
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM j
+)
+SELECT n_pairs,
+       CASE WHEN {dx} > 0 AND {dy} > 0 THEN
+         CAST(floor(CAST({num} AS DOUBLE) * 1000000 /
+              (sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE))))
+           AS BIGINT) ELSE NULL END AS assortativity_micro
+FROM s"""

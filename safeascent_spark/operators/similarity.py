@@ -1992,3 +1992,82 @@ SELECT vec_id, CAST(label AS INT) AS label, CAST(m AS BIGINT) AS maha2_milli
 FROM scored
 ORDER BY maha2_milli DESC, vec_id
 LIMIT {MAHA_K}"""
+
+
+# --- ANN cell-occupancy balance (round 9) ---------------------------------------
+# Index-health readout for every cell-bucketed device in this module
+# (SRP cells, IVF lists, LSH bands): the occupancy histogram of the
+# band-0 SRP cell assignment over the real corpus, bucketed by
+# log2(cell size).  A healthy index has its vector mass spread across
+# many mid-sized cells; mass pooling in a few huge cells (the top
+# log2 buckets) is exactly the skew that turns the in-cell pair scans
+# of dedup_semantic / the cell-probe joins of ann_ivf into hot
+# partitions at 100 TB.
+#
+# Scale shape: the signature pass is the linear Arrow matmul scan
+# (band_signatures_df — no shuffle); occupancy is a keyed aggregate on
+# the bounded 2^16 cell key; the histogram re-aggregates the bounded
+# cell table.  Corpus appears exactly once.
+
+def q_embedding_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fan_out: measured A/B at sf0.1/sf1 showed the repartition +
+    # extra Arrow worker batches cost MORE than the widened matmul
+    # saves at both scales (0.55s -> 1.59s / 1.11s -> 1.50s) — the
+    # vectorized signature matmul is cheap per row, unlike the
+    # trigram/maha per-element folds where fan_out pays.
+    e = embeddings_df(spark, sf_dir)
+    cells = (band_signatures_df(e)
+             .filter(F.col("band") == 0)
+             .groupBy("sig")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("sz")))
+    tot = cells.agg(F.sum("sz").cast("bigint").alias("n_vecs_total"))
+    return (cells.groupBy(F.expr("CAST(floor(log2(sz)) AS BIGINT)")
+                           .alias("size_log2"))
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                      F.sum("sz").cast("bigint").alias("n_vecs"),
+                      F.max("sz").cast("bigint").alias("max_cell"))
+                 .crossJoin(F.broadcast(tot))
+                 .select("size_log2", "n_cells", "n_vecs", "max_cell",
+                         F.expr("CAST(n_vecs * 1000000 div n_vecs_total"
+                                " AS BIGINT)").alias("vec_share_ppm"))
+                 .orderBy("size_log2"))
+
+
+def sql_embedding_cell_balance() -> str:
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, i,
+         CAST(round(least(greatest(CAST(embedding[i + 1] AS DOUBLE),
+                                   -1.0), 1.0) * 127) AS BIGINT) AS qx
+  FROM embeddings, (SELECT unnest(generate_series(0, {DIM - 1})) AS i)
+),
+planes AS (
+  SELECT js.j, ds.d,
+         ((js.j * 73856093 + ds.d * 19349663) % 131) % 7 - 3 AS p
+  FROM (SELECT unnest(generate_series(0, {BAND_BITS - 1})) AS j) js,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS d) ds
+),
+proj AS (
+  SELECT q.vec_id, pl.j, CAST(sum(q.qx * pl.p) AS BIGINT) AS pr
+  FROM qflat q JOIN planes pl ON q.i = pl.d
+  GROUP BY q.vec_id, pl.j
+),
+cells AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN pr > 0
+                         THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+             AS cell
+    FROM proj GROUP BY vec_id)
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n_vecs_total FROM cells)
+SELECT CAST(floor(log2(sz)) AS BIGINT) AS size_log2,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(sz) AS BIGINT) AS n_vecs,
+       CAST(max(sz) AS BIGINT) AS max_cell,
+       CAST(sum(sz) * 1000000 // max(t.n_vecs_total) AS BIGINT)
+         AS vec_share_ppm
+FROM cells, tot t
+GROUP BY 1
+ORDER BY 1"""

@@ -216,3 +216,70 @@ def test_oov_rate_matches_bruteforce(spark):
         assert r.oov_ppm == n_oov * 1_000_000 // n_tok
     # with a 31-token universe and K=16, OOV is nonzero somewhere
     assert any(r.n_oov_tokens > 0 for r in got.values())
+
+
+def test_assortativity_matches_bruteforce(spark):
+    from safeascent_spark.operators import graph as G
+    edges = {(r.src, r.dst) for r in
+             G._pagerank_edges(spark, SF_SMOKE).collect()}
+    und = {(a, b) for a, b in edges | {(b, a) for a, b in edges}
+           if a != b}
+    deg = Counter(a for a, _ in und)
+    xs = [(deg[a], deg[b]) for a, b in und]
+    n = len(xs)
+    sx = sum(x for x, _ in xs); sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs); syy = sum(y * y for _, y in xs)
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    want = math.floor(float(num) * 1e6
+                      / (math.sqrt(float(dx)) * math.sqrt(float(dy))))
+    r = G.q_graph_assortativity(spark, SF_SMOKE).collect()[0]
+    assert r.n_pairs == n
+    assert r.assortativity_micro == want
+    # the route->location/hub star topology is disassortative
+    assert r.assortativity_micro < 0
+
+
+def test_cell_balance_matches_bruteforce(spark):
+    from safeascent_spark.operators import similarity as SIM2
+    e = SIM2.embeddings_df(spark, SF_SMOKE)
+    sigs = SIM2.band_signatures_df(e).collect()
+    occ = Counter(r.sig for r in sigs if r.band == 0)
+    n_total = sum(occ.values())
+    buckets = defaultdict(lambda: [0, 0, 0])
+    for _, sz in occ.items():
+        b = buckets[int(math.floor(math.log2(sz)))]
+        b[0] += 1
+        b[1] += sz
+        b[2] = max(b[2], sz)
+    got = SIM2.q_embedding_cell_balance(spark, SF_SMOKE).collect()
+    assert {r.size_log2: (r.n_cells, r.n_vecs, r.max_cell) for r in got} \
+        == {k: tuple(v) for k, v in buckets.items()}
+    for r in got:
+        assert r.vec_share_ppm == r.n_vecs * 1_000_000 // n_total
+    assert sum(r.n_vecs for r in got) == n_total
+
+
+def test_new_vs_returning_matches_bruteforce(spark):
+    ev = _events(spark)
+    first = {}
+    for r in ev:
+        d = r.ts // DAY_NS
+        first[r.user_id] = min(first.get(r.user_id, d), d)
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        d = r.ts // DAY_NS
+        daily[d][0 if d == first[r.user_id] else 1] += 1
+    acq = Counter(first.values())
+    got = A.q_events_new_vs_returning(spark, SF_SMOKE).collect()
+    assert {r.day: (r.n_events_new, r.n_events_returning)
+            for r in got} == {d: tuple(v) for d, v in daily.items()}
+    for r in got:
+        assert r.n_new_users == acq.get(r.day, 0)
+        assert r.new_share_ppm == (r.n_events_new * 1_000_000
+                                   // (r.n_events_new
+                                       + r.n_events_returning))
+    # acquisition concentrates at the start of the fixture window
+    days = sorted(daily)
+    assert got[0].day == days[0] and got[0].n_events_new > 0
