@@ -618,6 +618,7 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # categorical-domain conformance audit per declared whitelist
         "dq_enum_drift": MON.q_dq_enum_drift,
         "dq_functional_dependency": MON.q_dq_functional_dependency,
+        "dq_error_budget": MON.q_dq_error_budget,
         # --- round-7 wave 28: bursts, entropy drift, fulfillment SLA ---
         # densest 60-second burst per user (range-frame window)
         "events_burst_velocity": A.q_events_burst_velocity,
@@ -638,6 +639,8 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Heaps-law vocabulary-novelty growth by ingest order
         "text_vocab_novelty": TX.q_text_vocab_novelty,
         "text_oov_rate": TX.q_text_oov_rate,
+        "text_idf_drift": TX.q_text_idf_drift,
+        "text_burstiness": TX.q_text_burstiness,
         # mT5-style temperature (alpha=1/2) source mixing, exact
         # largest-remainder quota allocation
         "sample_temperature": CU.q_sample_temperature,
@@ -888,7 +891,8 @@ _R9_NEW: list = [
     "events_peak_concurrency", "eval_pr_auc", "embedding_maha_diag",
     "dq_functional_dependency", "text_oov_rate",
     "graph_assortativity", "embedding_cell_balance",
-    "events_new_vs_returning",
+    "events_new_vs_returning", "text_idf_drift", "text_burstiness",
+    "dq_error_budget",
 ]
 
 
@@ -1209,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_hhi": OL.sql_supplier_hhi(),
         "dq_enum_drift": MON.sql_dq_enum_drift(),
         "dq_functional_dependency": MON.sql_dq_functional_dependency(),
+        "dq_error_budget": MON.sql_dq_error_budget(),
         "events_burst_velocity": A.sql_events_burst_velocity(),
         "events_entropy_daily": A.sql_events_entropy_daily(),
         "orders_ship_latency": OL.sql_orders_ship_latency(),
@@ -1219,6 +1224,8 @@ def oracle_sql() -> dict[str, str]:
         "text_chunking": TX.sql_text_chunking(),
         "text_vocab_novelty": TX.sql_text_vocab_novelty(),
         "text_oov_rate": TX.sql_text_oov_rate(),
+        "text_idf_drift": TX.sql_text_idf_drift(),
+        "text_burstiness": TX.sql_text_burstiness(),
         "sample_temperature": CU.sql_sample_temperature(),
         "events_autocorr": A.sql_events_autocorr(),
         "events_hour_heatmap": A.sql_events_hour_heatmap(),

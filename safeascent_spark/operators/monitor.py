@@ -1547,3 +1547,71 @@ FROM (SELECT det, CAST(count(*) AS BIGINT) AS n_deps
       GROUP BY 1)""")
     return ("\nUNION ALL\n".join(parts)
             + "\nORDER BY relation, determinant, dependent")
+
+
+# --- SLO error-budget burn rate (round 9) ----------------------------------------
+# The SRE load gate: per day, the error share of events against a
+# pinned SLO, the burn-rate multiple (rate / SLO, milli), and the
+# month-to-date cumulative error rate — the three numbers an
+# error-budget policy pages on.  Pure integers throughout; the
+# cumulative rides the banded day-band prefix device, never a global
+# single-task sort.
+
+SLO_ERR_PPM = 250_000          # budget: <= 25% error events (fixture-scaled)
+
+
+def q_dq_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_cumsum
+    day_ns = 86_400 * 1_000_000_000
+    e = domain.load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.expr(f"ts div {day_ns}").alias("day"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                   F.sum(F.when(F.col("event_type") == "error", 1)
+                          .otherwise(0)).cast("bigint").alias("n_errors")))
+    c1 = banded_cumsum(daily, [], F.expr("day div 7"),
+                       [F.col("day").asc()], "n_events", "cum_n",
+                       inclusive=True)
+    c2 = banded_cumsum(daily, [], F.expr("day div 7"),
+                       [F.col("day").asc()], "n_errors", "cum_err",
+                       inclusive=True)
+    j = c1.join(c2.select("day", "cum_err"), "day")
+    return (j.select(F.col("day").cast("bigint").alias("day"),
+                     "n_events", "n_errors",
+                     F.expr("CAST(n_errors * 1000000 div n_events"
+                            " AS BIGINT)").alias("err_ppm"),
+                     F.expr(f"CAST(n_errors * 1000000 div n_events"
+                            f" * 1000 div {SLO_ERR_PPM} AS BIGINT)")
+                      .alias("burn_milli"),
+                     F.expr(f"(n_errors * 1000000 div n_events"
+                            f" > {SLO_ERR_PPM})").alias("breach"),
+                     F.expr("CAST(cum_err * 1000000 div cum_n AS BIGINT)")
+                      .alias("cum_err_ppm"))
+             .orderBy("day"))
+
+
+def sql_dq_error_budget() -> str:
+    day_ns = 86_400 * 1_000_000_000
+    return f"""
+WITH daily AS (
+  SELECT epoch_ns(ts) // {day_ns} AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT day, n_events, n_errors,
+         CAST(sum(n_events) OVER (ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         CAST(sum(n_errors) OVER (ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_err
+  FROM daily
+)
+SELECT CAST(day AS BIGINT) AS day, n_events, n_errors,
+       CAST(n_errors * 1000000 // n_events AS BIGINT) AS err_ppm,
+       CAST(n_errors * 1000000 // n_events * 1000 // {SLO_ERR_PPM}
+            AS BIGINT) AS burn_milli,
+       (n_errors * 1000000 // n_events > {SLO_ERR_PPM}) AS breach,
+       CAST(cum_err * 1000000 // cum_n AS BIGINT) AS cum_err_ppm
+FROM c
+ORDER BY day"""

@@ -2783,3 +2783,177 @@ SELECT s.source,
 FROM st s LEFT JOIN vocab v USING (tok)
 GROUP BY 1
 ORDER BY 1"""
+
+
+# --- Document-frequency drift between crawl halves (round 9) ---------------------
+# The "did the crawl distribution shift" readout, log-free: split the
+# corpus by ingest parity (doc_id % 2 — the deterministic stand-in for
+# crawl A/B), compute each token's document-frequency rate in ppm on
+# both sides, and report the top-DRIFT_K tokens by absolute rate delta
+# (ties by token).  A token whose df_ppm moves sharply between halves
+# is a template, a new boilerplate, or a topic shift — the
+# retrieval-side twin of dq_psi_drift, kept in pure integers (no
+# micro-nat logs, so no JVM-vs-C libm exposure).
+#
+# Scale shape: one corpus pass to (half, token, df) via a two-level
+# keyed distinct (doc, token) aggregate; the vocabulary-grain join +
+# banded top-K rank never touch the corpus again.
+
+DRIFT_K = 20
+
+
+def q_text_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    d = docs_df(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    dt = (d.select(F.expr("doc_id % 2").alias("half"), "doc_id",
+                   F.explode(ws).alias("tok"))
+           .distinct())
+    ndocs = (dt.select("half", "doc_id").distinct()
+               .groupBy("half")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    df_ = (dt.groupBy("half", "tok")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+             .join(F.broadcast(ndocs), "half")
+             .select("half", "tok",
+                     F.expr("CAST(df * 1000000 div n AS BIGINT)")
+                      .alias("df_ppm")))
+    a = (df_.filter(F.col("half") == 0)
+            .select("tok", F.col("df_ppm").alias("df_a_ppm")))
+    b = (df_.filter(F.col("half") == 1)
+            .select("tok", F.col("df_ppm").alias("df_b_ppm")))
+    j = (a.join(b, "tok", "full")
+          .select("tok",
+                  F.coalesce("df_a_ppm", F.lit(0)).cast("bigint")
+                   .alias("df_a_ppm"),
+                  F.coalesce("df_b_ppm", F.lit(0)).cast("bigint")
+                   .alias("df_b_ppm"))
+          .withColumn("delta_ppm",
+                      F.expr("CAST(abs(df_a_ppm - df_b_ppm) AS BIGINT)")))
+    ranked = banded_rank(
+        j, [], band=F.expr("delta_ppm div 1000"),
+        order_cols=[F.col("delta_ppm").desc(), F.col("tok").asc()],
+        rank_name="rnk", descending_bands=True)
+    return (ranked.filter(F.col("rnk") <= DRIFT_K)
+                  .select("tok", "df_a_ppm", "df_b_ppm", "delta_ppm")
+                  .orderBy(F.col("delta_ppm").desc(), F.col("tok")))
+
+
+def sql_text_idf_drift() -> str:
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id % 2 AS half, doc_id, tok
+  FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+),
+ndocs AS (
+  SELECT half, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+  FROM dt GROUP BY 1
+),
+df AS (
+  SELECT d.half, d.tok,
+         CAST(CAST(count(*) AS BIGINT) * 1000000 // max(n.n) AS BIGINT)
+           AS df_ppm
+  FROM dt d JOIN ndocs n USING (half)
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT COALESCE(a.tok, b.tok) AS tok,
+         CAST(COALESCE(a.df_ppm, 0) AS BIGINT) AS df_a_ppm,
+         CAST(COALESCE(b.df_ppm, 0) AS BIGINT) AS df_b_ppm
+  FROM (SELECT tok, df_ppm FROM df WHERE half = 0) a
+  FULL JOIN (SELECT tok, df_ppm FROM df WHERE half = 1) b USING (tok)
+),
+ranked AS (
+  SELECT tok, df_a_ppm, df_b_ppm,
+         CAST(abs(df_a_ppm - df_b_ppm) AS BIGINT) AS delta_ppm,
+         row_number() OVER (ORDER BY abs(df_a_ppm - df_b_ppm) DESC, tok)
+           AS rnk
+  FROM j
+)
+SELECT tok, df_a_ppm, df_b_ppm, delta_ppm
+FROM ranked WHERE rnk <= {DRIFT_K}
+ORDER BY delta_ppm DESC, tok"""
+
+
+# --- Token burstiness (round 9) ---------------------------------------------------
+# Church-Gale burstiness for the top-OOV_VOCAB_K tokens: the
+# variance-to-mean ratio of per-document counts (zeros included).
+# VMR == 1 is Poisson scatter; VMR >> 1 marks tokens that pile into
+# few documents (templates, boilerplate, topic jargon) even when
+# their corpus frequency looks ordinary — a curation signal Zipf
+# slopes and heavy-hitter lists both miss.
+#
+# Exactness: with N docs, total count tc and per-doc sum of squares
+# ssq (zero docs contribute zero), VMR = (N*ssq - tc^2) / (N*tc)
+# exactly — one milli-truncation per token.  DECIMAL(38,0) guards
+# N*ssq (1e11 docs x counts^2 overflows BIGINT at 100 TB).
+#
+# Scale shape: corpus pass -> (doc, tok) keyed counts restricted to
+# the broadcast K-token vocab; token-grain rollup; the N scalar rides
+# a broadcast.  The top-K vocab reuses the banded log2(count) rank on
+# the vocabulary-grain table (text_oov_rate's device).
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    d = docs_df(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    dtok = d.select("doc_id", F.explode(ws).alias("tok"))
+    gt = (dtok.groupBy("tok")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("gcnt")))
+    ranked = banded_rank(
+        gt, [], band=F.expr("CAST(floor(log2(gcnt)) AS BIGINT)"),
+        order_cols=[F.col("gcnt").desc(), F.col("tok").asc()],
+        rank_name="rnk", descending_bands=True)
+    vocab = ranked.filter(F.col("rnk") <= OOV_VOCAB_K).select("tok")
+    per_doc = (dtok.join(F.broadcast(vocab), "tok")
+                   .groupBy("tok", "doc_id")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    ndocs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    dec = "DECIMAL(38,0)"
+    return (per_doc.groupBy("tok")
+                   .agg(F.sum("c").cast("bigint").alias("total_cnt"),
+                        F.count(F.lit(1)).cast("bigint").alias("df_docs"),
+                        F.sum(F.expr("c * c")).cast("bigint").alias("ssq"))
+                   .crossJoin(F.broadcast(ndocs))
+                   .select("tok", "total_cnt", "df_docs",
+                           F.expr(
+                               f"CAST((CAST(n_docs AS {dec}) * ssq"
+                               f" - CAST(total_cnt AS {dec}) * total_cnt)"
+                               " * 1000"
+                               f" div (CAST(n_docs AS {dec}) * total_cnt)"
+                               " AS BIGINT)").alias("vmr_milli"))
+                   .orderBy("tok"))
+
+
+def sql_text_burstiness() -> str:
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH dtok AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+),
+gt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS gcnt FROM dtok GROUP BY 1
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY gcnt DESC, tok) AS rnk
+    FROM gt)
+  WHERE rnk <= {OOV_VOCAB_K}
+),
+per_doc AS (
+  SELECT d.tok, d.doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM dtok d JOIN vocab v USING (tok)
+  GROUP BY 1, 2
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT tok,
+       CAST(sum(c) AS BIGINT) AS total_cnt,
+       CAST(count(*) AS BIGINT) AS df_docs,
+       CAST((CAST(max(nd.n_docs) AS HUGEINT) * sum(c * c)
+             - CAST(sum(c) AS HUGEINT) * sum(c)) * 1000
+            // (CAST(max(nd.n_docs) AS HUGEINT) * sum(c)) AS BIGINT)
+         AS vmr_milli
+FROM per_doc, nd
+GROUP BY tok
+ORDER BY tok"""

@@ -283,3 +283,78 @@ def test_new_vs_returning_matches_bruteforce(spark):
     # acquisition concentrates at the start of the fixture window
     days = sorted(daily)
     assert got[0].day == days[0] and got[0].n_events_new > 0
+
+
+def test_idf_drift_matches_bruteforce(spark):
+    docs = (domain.load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id", "text").collect())
+    halves = defaultdict(set)
+    ndocs = Counter()
+    seen = set()
+    for r in docs:
+        h = r.doc_id % 2
+        if r.doc_id not in seen:
+            seen.add(r.doc_id)
+            ndocs[h] += 1
+        for tok in set(t for t in r.text.split(" ") if t):
+            halves[(h, tok)].add(r.doc_id)
+    toks = {t for _, t in halves}
+    rate = {}
+    for t in toks:
+        a = len(halves.get((0, t), ())) * 1_000_000 // ndocs[0]
+        b = len(halves.get((1, t), ())) * 1_000_000 // ndocs[1]
+        rate[t] = (a, b, abs(a - b))
+    want = sorted(rate.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    want = [(t, a, b, d) for t, (a, b, d) in want[:TX.DRIFT_K]]
+    got = [(r.tok, r.df_a_ppm, r.df_b_ppm, r.delta_ppm) for r in
+           TX.q_text_idf_drift(spark, SF_SMOKE).collect()]
+    assert got == want
+
+
+def test_burstiness_matches_bruteforce(spark):
+    docs = (domain.load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id", "text").collect())
+    n_docs = len(docs)
+    per = defaultdict(Counter)
+    gt = Counter()
+    for r in docs:
+        for tok in (t for t in r.text.split(" ") if t):
+            per[tok][r.doc_id] += 1
+            gt[tok] += 1
+    vocab = [t for t, _ in sorted(gt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))
+             [:TX.OOV_VOCAB_K]]
+    got = {r.tok: r for r in
+           TX.q_text_burstiness(spark, SF_SMOKE).collect()}
+    assert sorted(got) == sorted(vocab)
+    for t in vocab:
+        cs = per[t]
+        tc = sum(cs.values())
+        ssq = sum(c * c for c in cs.values())
+        vmr = (n_docs * ssq - tc * tc) * 1000 // (n_docs * tc)
+        r = got[t]
+        assert (r.total_cnt, r.df_docs, r.vmr_milli) == (tc, len(cs), vmr)
+    # common tokens in a near-uniform synthetic corpus scatter close
+    # to Poisson: VMR must sit in a sane band, not explode
+    assert all(0 <= r.vmr_milli < 10_000 for r in got.values())
+
+
+def test_error_budget_matches_bruteforce(spark):
+    ev = _events(spark)
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        d = r.ts // DAY_NS
+        daily[d][0] += 1
+        daily[d][1] += 1 if r.event_type == "error" else 0
+    got = MON.q_dq_error_budget(spark, SF_SMOKE).collect()
+    assert [r.day for r in got] == sorted(daily)
+    cum_n = cum_e = 0
+    for r in got:
+        n, err = daily[r.day]
+        cum_n += n
+        cum_e += err
+        ppm = err * 1_000_000 // n
+        assert (r.n_events, r.n_errors, r.err_ppm) == (n, err, ppm)
+        assert r.burn_milli == ppm * 1000 // MON.SLO_ERR_PPM
+        assert r.breach == (ppm > MON.SLO_ERR_PPM)
+        assert r.cum_err_ppm == cum_e * 1_000_000 // cum_n
