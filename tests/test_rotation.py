@@ -158,3 +158,18 @@ def test_oracle_coverage_of_registered_queries():
     missing = [q for q in order if q not in oracles]
     assert missing == [], missing
     assert not set(oracles) - set(order)
+
+
+def test_every_registered_query_has_a_plan_snapshot():
+    """Round-9 invariant: 100% plan-snapshot coverage, and no snapshot
+    contains a CartesianProduct (the one operator that is never the
+    right answer at 100 TB — bounded cross joins plan as
+    BroadcastNestedLoopJoin and are separately allowlisted by the
+    plan-invariant suite)."""
+    docs = REPO / "docs"
+    missing = [n for n in _order()
+               if not (docs / f"plan_{n}.txt").exists()]
+    assert missing == [], missing
+    offenders = [p.name for p in docs.glob("plan_*.txt")
+                 if "CartesianProduct" in p.read_text()]
+    assert offenders == [], offenders
