@@ -641,6 +641,12 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_oov_rate": TX.q_text_oov_rate,
         "text_idf_drift": TX.q_text_idf_drift,
         "text_burstiness": TX.q_text_burstiness,
+        # Q2 shape: correlated min-per-part over a 5-table dim join,
+        # cost relation derived from lineitem (no partsupp in fixture)
+        "tpch_q2_mincost": OL.q_tpch_q2_mincost,
+        # Q16 shape: distinct-pair relation + broadcast anti exclusion
+        # + COUNT(DISTINCT) at bounded attribute grain
+        "tpch_q16_supplier_cnt": OL.q_tpch_q16_supplier_cnt,
         # mT5-style temperature (alpha=1/2) source mixing, exact
         # largest-remainder quota allocation
         "sample_temperature": CU.q_sample_temperature,
@@ -892,7 +898,7 @@ _R9_NEW: list = [
     "dq_functional_dependency", "text_oov_rate",
     "graph_assortativity", "embedding_cell_balance",
     "events_new_vs_returning", "text_idf_drift", "text_burstiness",
-    "dq_error_budget",
+    "dq_error_budget", "tpch_q2_mincost", "tpch_q16_supplier_cnt",
 ]
 
 
@@ -1226,6 +1232,8 @@ def oracle_sql() -> dict[str, str]:
         "text_oov_rate": TX.sql_text_oov_rate(),
         "text_idf_drift": TX.sql_text_idf_drift(),
         "text_burstiness": TX.sql_text_burstiness(),
+        "tpch_q2_mincost": OL.sql_tpch_q2_mincost(),
+        "tpch_q16_supplier_cnt": OL.sql_tpch_q16_supplier_cnt(),
         "sample_temperature": CU.sql_sample_temperature(),
         "events_autocorr": A.sql_events_autocorr(),
         "events_hour_heatmap": A.sql_events_hour_heatmap(),

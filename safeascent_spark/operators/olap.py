@@ -1815,3 +1815,161 @@ SELECT disc_pct, n_lines, total_qty, rev_e4,
          AS rev_share_ppm
 FROM agg, tot
 ORDER BY disc_pct"""
+
+
+# --- TPC-H Q2 (adapted): minimum-cost supplier per part ----------------------
+# The last classic TPC-H plan shape the repo lacked: a correlated MIN
+# subquery ("the supplier whose cost IS the minimum cost for that part,
+# among suppliers of a region"), decorrelated into a bounded per-part
+# aggregate + equality join back — the same argmin device as
+# dedup_canonical, here over a 5-table dimensional join.  The fixture
+# has no partsupp table, so the part-supplier cost relation is DERIVED
+# from lineitem: supply cost of (part, supplier) := the minimum
+# observed unit price, in exact milli-cents
+#     cost_mc = floor(floor(l_extendedprice * 100) * 1000 / l_quantity)
+# (quantity is integral in this fixture; BIGINT floor-division is
+# engine-exact, no double is ever divided).
+#
+# Scale shape: the (part, supplier) min-aggregate is ONE map-side-
+# combined shuffle of the fact table; region/nation/supplier and the
+# filtered part slice are broadcast; the per-part MIN re-aggregates the
+# already part-grain candidate set (bounded by the part filter) and
+# joins back broadcast.  Nothing is ever all-pairs, and the top-100 is
+# a TakeOrdered, not a global sort.
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+Q2_SIZE_LO, Q2_SIZE_HI = 10, 20
+
+
+def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = (domain.load_table(spark, sf_dir, "region")
+           .filter(F.col("r_name") == Q2_REGION).select("r_regionkey"))
+    nat = (domain.load_table(spark, sf_dir, "nation")
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    supp = (domain.load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name",
+                    F.expr("CAST(floor(s_acctbal * 100) AS BIGINT)")
+                     .alias("bal_c"),
+                    "n_name"))
+    part = (domain.load_table(spark, sf_dir, "part")
+            .filter((F.col("p_type") == Q2_TYPE)
+                    & F.col("p_size").between(Q2_SIZE_LO, Q2_SIZE_HI))
+            .select("p_partkey", "p_brand"))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                         " * 1000 div CAST(l_quantity AS BIGINT)")
+                   .alias("unit_mc")))
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min("unit_mc").alias("cost_mc")))
+    cand = (ps.join(F.broadcast(part),
+                    ps.l_partkey == part.p_partkey)
+              .join(F.broadcast(supp),
+                    ps.l_suppkey == supp.s_suppkey)
+              .select("p_partkey", "p_brand", "cost_mc",
+                      "s_name", "bal_c", "n_name"))
+    min_pp = (cand.groupBy("p_partkey")
+                  .agg(F.min("cost_mc").alias("min_mc")))
+    return (cand.join(F.broadcast(min_pp), "p_partkey")
+                .filter(F.col("cost_mc") == F.col("min_mc"))
+                .select("bal_c", "s_name", "n_name",
+                        "p_partkey", "p_brand", "cost_mc")
+                .orderBy(F.col("bal_c").desc(), "n_name", "s_name",
+                         "p_partkey")
+                .limit(100))
+
+
+def sql_tpch_q2_mincost() -> str:
+    return f"""
+WITH eur_supp AS (
+  SELECT s.s_suppkey, s.s_name,
+         CAST(floor(s.s_acctbal * 100) AS BIGINT) AS bal_c, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{Q2_REGION}'
+),
+ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(floor(l_extendedprice * 100) AS BIGINT) * 1000
+             // CAST(l_quantity AS BIGINT)) AS cost_mc
+  FROM lineitem GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.p_partkey, p.p_brand, ps.cost_mc,
+         es.s_name, es.bal_c, es.n_name
+  FROM ps
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  JOIN eur_supp es ON ps.l_suppkey = es.s_suppkey
+  WHERE p.p_type = '{Q2_TYPE}'
+    AND p.p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI}
+)
+SELECT bal_c, s_name, n_name, p_partkey, p_brand, cost_mc
+FROM cand c
+WHERE cost_mc = (SELECT min(cost_mc) FROM cand m
+                 WHERE m.p_partkey = c.p_partkey)
+ORDER BY bal_c DESC, n_name, s_name, p_partkey
+LIMIT 100"""
+
+
+# --- TPC-H Q16 (adapted): supplier count by part attributes ------------------
+# The Q16 plan shape: a DISTINCT-pair relation, a NOT-IN supplier
+# exclusion (decorrelated to a broadcast LEFT ANTI join), a dimensional
+# filter with an IN-list + two negations, and COUNT(DISTINCT) at a
+# bounded (brand, type, size) grain.  Adaptations for this fixture: the
+# part-supplier relation is the DISTINCT (l_partkey, l_suppkey) pairs
+# observed in lineitem (no partsupp table), and the "customer
+# complaints" exclusion becomes s_acctbal < 0 (no s_comment column) —
+# same shape, honest columns.
+#
+# Scale shape: the pair-distinct is ONE shuffle of the fact projection
+# (map-side partial distinct); the exclusion and the filtered part
+# slice are broadcast; COUNT(DISTINCT s_suppkey) re-shuffles only the
+# already-distinct pair relation at group grain.  Output is bounded by
+# |brands| x |types| x |sizes|.
+
+Q16_BRAND_NOT = "Brand#13"
+Q16_TYPE_NOT = "PROMO"
+Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (domain.load_table(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    bad = (domain.load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    part = (domain.load_table(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != Q16_BRAND_NOT)
+                    & (F.col("p_type") != Q16_TYPE_NOT)
+                    & F.col("p_size").isin(*Q16_SIZES))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (pairs.join(F.broadcast(bad),
+                       pairs.l_suppkey == bad.s_suppkey, "left_anti")
+                 .join(F.broadcast(part),
+                       F.col("l_partkey") == part.p_partkey)
+                 .groupBy("p_brand", "p_type", "p_size")
+                 .agg(F.countDistinct("l_suppkey").cast("bigint")
+                       .alias("supplier_cnt"))
+                 .orderBy(F.col("supplier_cnt").desc(), "p_brand",
+                          "p_type", "p_size"))
+
+
+def sql_tpch_q16_supplier_cnt() -> str:
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{Q16_BRAND_NOT}'
+  AND p.p_type <> '{Q16_TYPE_NOT}'
+  AND p.p_size IN ({sizes})
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                           WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
