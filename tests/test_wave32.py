@@ -92,3 +92,89 @@ def test_tpch_q16_supplier_cnt_matches_bruteforce(spark):
                                                SF_SMOKE).collect()]
     assert got == exp
     assert len(got) > 0
+
+
+# --- Hostile fixtures: edges the driver corpus never exercises ----------------
+# The sf0.01/sf0.1 corpora have no min-cost TIES (probed: 0 parts with
+# >1 achiever), so the Q2 tie path — every supplier achieving the
+# per-part minimum must surface, ordered by the total bal_c DESC key —
+# and the Q16 boundary exclusions (acctbal exactly 0 kept, duplicate
+# (part, supplier) lineitems collapsing to one) get tmp-parquet
+# fixtures that run the REAL operators and cross-check DuckDB.
+
+import duckdb
+import pandas as pd
+
+from safeascent_spark.operators import olap as OL2
+
+
+def _write(tmp_path, **tables):
+    for name, pdf in tables.items():
+        pdf.to_parquet(f"{tmp_path}/{name}.parquet", index=False)
+    return str(tmp_path)
+
+
+def _q2_fixture(tmp_path):
+    return _write(
+        tmp_path,
+        region=pd.DataFrame({"r_regionkey": [0, 1],
+                             "r_name": ["EUROPE", "ASIA"]}),
+        nation=pd.DataFrame({"n_nationkey": [0, 1, 2],
+                             "n_name": ["FRANCE", "GERMANY", "CHINA"],
+                             "n_regionkey": [0, 0, 1]}),
+        supplier=pd.DataFrame({"s_suppkey": [10, 11, 12],
+                               "s_name": ["S_A", "S_B", "S_C"],
+                               "s_nationkey": [0, 1, 2],
+                               "s_acctbal": [50.0, 10.0, 99.0]}),
+        part=pd.DataFrame({"p_partkey": [1, 2, 3],
+                           "p_brand": ["Brand#1"] * 3,
+                           "p_type": ["STANDARD", "PROMO", "STANDARD"],
+                           "p_size": [15, 15, 50]}),
+        lineitem=pd.DataFrame({
+            "l_partkey": [1, 1, 1, 1, 2, 3],
+            "l_suppkey": [10, 10, 11, 12, 10, 11],
+            "l_extendedprice": [20.0, 30.0, 10.0, 5.0, 1.0, 1.0],
+            "l_quantity": [2.0, 2.0, 1.0, 1.0, 1.0, 1.0]}))
+
+
+def test_tpch_q2_tie_and_region_exclusion(spark, tmp_path):
+    """Two EUROPE suppliers tie at the per-part min (1,000,000 mc) and
+    BOTH surface, bal_c DESC first; the cheaper ASIA supplier
+    (500,000 mc) is excluded by the region join, not by the min."""
+    sf = _q2_fixture(tmp_path)
+    got = [tuple(r) for r in OL2.q_tpch_q2_mincost(spark, sf).collect()]
+    assert got == [(5000, "S_A", "FRANCE", 1, "Brand#1", 1000000),
+                   (1000, "S_B", "GERMANY", 1, "Brand#1", 1000000)]
+    con = duckdb.connect()
+    for t in ["region", "nation", "supplier", "part", "lineitem"]:
+        con.register(t, pd.read_parquet(f"{sf}/{t}.parquet"))
+    assert [tuple(r) for r in
+            con.execute(OL2.sql_tpch_q2_mincost()).fetchall()] == got
+
+
+def test_tpch_q16_boundary_exclusions(spark, tmp_path):
+    """acctbal < 0 excludes, acctbal == 0 keeps; duplicate (part,
+    supplier) lineitems collapse to one distinct pair."""
+    sf = _write(
+        tmp_path,
+        supplier=pd.DataFrame({"s_suppkey": [10, 11, 12],
+                               "s_name": ["S_A", "S_B", "S_C"],
+                               "s_nationkey": [0, 0, 0],
+                               "s_acctbal": [5.0, -1.0, 0.0]}),
+        part=pd.DataFrame({"p_partkey": [1, 2, 3],
+                           "p_brand": ["Brand#1", "Brand#13", "Brand#1"],
+                           "p_type": ["STANDARD"] * 3,
+                           "p_size": [4, 4, 5]}),
+        lineitem=pd.DataFrame({
+            "l_partkey": [1, 1, 1, 1, 2, 3],
+            "l_suppkey": [10, 10, 11, 12, 10, 12],
+            "l_extendedprice": [1.0] * 6,
+            "l_quantity": [1.0] * 6}))
+    got = [tuple(r) for r in
+           OL2.q_tpch_q16_supplier_cnt(spark, sf).collect()]
+    assert got == [("Brand#1", "STANDARD", 4, 2)]
+    con = duckdb.connect()
+    for t in ["supplier", "part", "lineitem"]:
+        con.register(t, pd.read_parquet(f"{sf}/{t}.parquet"))
+    assert [tuple(r) for r in
+            con.execute(OL2.sql_tpch_q16_supplier_cnt()).fetchall()] == got
