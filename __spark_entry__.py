@@ -884,9 +884,32 @@ _R8_NEW: list = [
 # the pinned r9 window re-gate this round automatically; the rest lead
 # the r10 window.
 _R9_CODE_CHANGED = ["text_vocab_novelty", "graph_kcore",
-                    "embedding_pca_power", "dq_benford"]
-# r8-fresh driver rows whose code changed in r9 → front of r10 window.
-_R10_REGATE_FRONT = ["embedding_pca_power", "dq_benford"]
+                    "embedding_pca_power", "dq_benford",
+                    # late-r9 sf0.1 bit-exact audit fallout: the
+                    # quality readout moved to exact integer units
+                    # (round(double,6) diverged at a 6-decimal half-
+                    # boundary at sf0.1), its band/filter consumers
+                    # follow, and PQ_SHORTLIST widened 5 -> 10 so the
+                    # 0.7 recall floor holds at sf0.1 too.  ann_pq_topk
+                    # and text_quality_score sit in the r9/r10 windows
+                    # (gated with the new code automatically); the two
+                    # r4-era consumers are pulled into the r10 front.
+                    "ann_pq_topk", "text_quality_score",
+                    "curation_funnel", "sample_softdedup",
+                    # + the ridge surrogate pair: second-order moment
+                    # sums moved to DECIMAL(38,0)/HUGEINT (sum(yi*yi)
+                    # overflowed int64 at sf0.1), R2 emits NULL for
+                    # zero-variance groups (risk saturates at 100.0
+                    # across whole route types at sf0.1), sse clamped
+                    # at 0 before sqrt (cancellation goes ulp-negative
+                    # on exactly-fit groups; DuckDB raises).
+                    "ml_risk_model", "ml_risk_model_cv"]
+# rows whose code changed in r9 after (or outside) their window slot
+# → front of r10 window.
+_R10_REGATE_FRONT = ["embedding_pca_power", "dq_benford",
+                     "text_quality_score", "curation_funnel",
+                     "sample_softdedup", "ml_risk_model",
+                     "ml_risk_model_cv"]
 
 # queries NEW in round 9 — CAPPED at 15 (standing invariant since
 # VERDICT r7 item 2).  Registered at the very tail; they rotate into

@@ -94,10 +94,12 @@ def q_ml_risk_model_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 # system.  Why this is hash-exact against DuckDB where MLlib's LBFGS/WLS
 # cannot be:
 #
-# * every sufficient statistic is an EXACT int64 sum — elevation is
-#   integer-valued, popularity has 2 decimals (x100), the label is the
-#   engine's own risk_score rounded to 6 decimals (x1e6) — so the grouped
-#   aggregation is order-independent and bitwise-identical in both engines;
+# * every sufficient statistic is an EXACT integer sum (first-order on
+#   int64, second-order on DECIMAL(38,0)/HUGEINT — see _moment_aggs) —
+#   elevation is integer-valued, popularity has 2 decimals (x100), the
+#   label is the engine's own risk_score rounded to 6 decimals (x1e6) —
+#   so the grouped aggregation is order-independent and bitwise-identical
+#   in both engines;
 # * the per-group solve is scalar double arithmetic over those identical
 #   integers, written with the same expression tree on both sides, so the
 #   coefficients, predictions, and per-group RMSE/R2 agree bitwise.
@@ -117,6 +119,34 @@ def _det3(a, b, c, d, e, f, g, h, i):
     return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
 
 
+def _moment_aggs() -> list:
+    """The ten exact sufficient-statistic aggregates over (ei, pi, yi).
+
+    Second-order sums accumulate on DECIMAL(38,0) (HUGEINT in the
+    oracle), NOT BIGINT: yi is the micro-unit label of the UNCAPPED
+    influence sum, which grows with corpus size, so sum(yi*yi) rides
+    ~n * risk^2 — it blew past int64 at sf0.1 (caught by the late-r9
+    cross-SF bit-exact audit; ANSI mode made it a hard error, not a
+    silent wrap), and ei*yi / pi*yi follow at ~100x.  The per-row
+    product is computed in decimal too (yi^2 alone can exceed int64).
+    First-order sums stay BIGINT: linear in n, safe by range.  Both
+    engines convert the exact integer statistic to double once, in
+    the unscale step — identical correctly-rounded conversions."""
+    ei, pi, yi = F.col("ei"), F.col("pi"), F.col("yi")
+    dec = "decimal(19,0)"
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ei").alias("s1"), F.sum("pi").alias("s2"),
+        F.sum(ei.cast(dec) * ei).alias("s11"),
+        F.sum(pi.cast(dec) * pi).alias("s22"),
+        F.sum(ei.cast(dec) * pi).alias("s12"),
+        F.sum("yi").alias("sy0"),
+        F.sum(ei.cast(dec) * yi).alias("s1y"),
+        F.sum(pi.cast(dec) * yi).alias("s2y"),
+        F.sum(yi.cast(dec) * yi).alias("syy0"),
+    ]
+
+
 def q_ml_risk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _route_features(spark, sf_dir)
     labels = scoring.risk_scores_df(spark, sf_dir).select(
@@ -127,16 +157,7 @@ def q_ml_risk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("popularity") * POP_SCALE, 0).cast("long").alias("pi"),
         F.round(F.col("risk_score") * LABEL_SCALE, 0).cast("long").alias("yi"),
     )
-    ei, pi, yi = F.col("ei"), F.col("pi"), F.col("yi")
-    stats = data.groupBy("route_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("ei").alias("s1"), F.sum("pi").alias("s2"),
-        F.sum(ei * ei).alias("s11"), F.sum(pi * pi).alias("s22"),
-        F.sum(ei * pi).alias("s12"),
-        F.sum("yi").alias("sy0"),
-        F.sum(ei * yi).alias("s1y"), F.sum(pi * yi).alias("s2y"),
-        F.sum(yi * yi).alias("syy0"),
-    )
+    stats = data.groupBy("route_type").agg(*_moment_aggs())
     # unscale the exact integer stats to doubles (identical ops in SQL)
     lam = F.lit(RIDGE_LAMBDA)
     unscaled = stats.select(
@@ -175,10 +196,18 @@ def q_ml_risk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
               + 2 * (we * wp * c["sep"] + we * b0 * c["se"]
                      + wp * b0 * c["sp"])))
     sst = c["syy"] - c["sy"] * c["sy"] / c["nd"]
+    # R2 is UNDEFINED for a zero-variance group (sst == 0) — at sf0.1
+    # the uncapped influence sum saturates the 0-100 risk normalization
+    # for entire route types, so every label in the group is 100.000000
+    # exactly.  ANSI mode turns the unguarded division into a hard
+    # error; emit NULL instead (mirrored CASE in the oracle).
+    # sse is a catastrophic-cancellation difference; on an exactly-fit
+    # (zero-variance) group it lands a few ulp NEGATIVE — clamp at 0
+    # (Spark would yield NaN, DuckDB raises on sqrt(<0)).
     model = coefs.select(
         "route_type", "we", "wp", "b0",
-        F.sqrt(sse / c["nd"]).alias("rmse_g"),
-        (1.0 - sse / sst).alias("r2_g"),
+        F.sqrt(F.greatest(sse, F.lit(0.0)) / c["nd"]).alias("rmse_g"),
+        F.when(sst > 0, 1.0 - sse / sst).alias("r2_g"),
     )
     return (data.join(F.broadcast(model), "route_type")
                 .select("route_id", "route_type", "risk_score",
@@ -223,13 +252,13 @@ data AS (
 stats AS (
   SELECT route_type, count(*) AS n,
          CAST(sum(ei) AS BIGINT) AS s1, CAST(sum(pi) AS BIGINT) AS s2,
-         CAST(sum(ei * ei) AS BIGINT) AS s11,
-         CAST(sum(pi * pi) AS BIGINT) AS s22,
-         CAST(sum(ei * pi) AS BIGINT) AS s12,
+         sum(CAST(ei AS HUGEINT) * ei) AS s11,
+         sum(CAST(pi AS HUGEINT) * pi) AS s22,
+         sum(CAST(ei AS HUGEINT) * pi) AS s12,
          CAST(sum(yi) AS BIGINT) AS sy0,
-         CAST(sum(ei * yi) AS BIGINT) AS s1y,
-         CAST(sum(pi * yi) AS BIGINT) AS s2y,
-         CAST(sum(yi * yi) AS BIGINT) AS syy0
+         sum(CAST(ei AS HUGEINT) * yi) AS s1y,
+         sum(CAST(pi AS HUGEINT) * yi) AS s2y,
+         sum(CAST(yi AS HUGEINT) * yi) AS syy0
   FROM data GROUP BY route_type
 ),
 unscaled AS (
@@ -258,14 +287,17 @@ coefs AS (
 ),
 model AS (
   SELECT route_type, we, wp, b0,
-         sqrt((syy - 2 * (we * sey + wp * spy + b0 * sy)
-               + (we * we * see + wp * wp * spp + b0 * b0 * nd
-                  + 2 * (we * wp * sep + we * b0 * se + wp * b0 * sp)))
+         sqrt(greatest(syy - 2 * (we * sey + wp * spy + b0 * sy)
+                       + (we * we * see + wp * wp * spp + b0 * b0 * nd
+                          + 2 * (we * wp * sep + we * b0 * se
+                                 + wp * b0 * sp)), 0.0)
               / nd) AS rmse_g,
-         1.0 - (syy - 2 * (we * sey + wp * spy + b0 * sy)
-                + (we * we * see + wp * wp * spp + b0 * b0 * nd
-                   + 2 * (we * wp * sep + we * b0 * se + wp * b0 * sp)))
-               / (syy - sy * sy / nd) AS r2_g
+         CASE WHEN (syy - sy * sy / nd) > 0 THEN
+           1.0 - (syy - 2 * (we * sey + wp * spy + b0 * sy)
+                  + (we * we * see + wp * wp * spp + b0 * b0 * nd
+                     + 2 * (we * wp * sep + we * b0 * se + wp * b0 * sp)))
+                 / (syy - sy * sy / nd)
+         END AS r2_g
   FROM coefs
 )
 SELECT d.route_id, d.route_type, d.risk_score,
@@ -476,7 +508,12 @@ FROM embeddings"""
 # pytest floor, like IVF.
 
 PQ_M = 16       # subspaces of DIM // PQ_M dims, 16 centroids each
-PQ_SHORTLIST = 5  # exact-rerank shortlist = PQ_SHORTLIST * topk
+# exact-rerank shortlist = PQ_SHORTLIST * topk.  10, not 5: the 0.7
+# per-query recall floor must hold at EVERY gate SF, and at sf0.1 the
+# 5x shortlist bottomed out at 0.6 (sf0.01 was fixture-lucky at 0.8) —
+# measured sf0.1 per-query min is 0.8 at 10x, 0.9 at sf0.01.  The
+# rerank stays k-row-bounded per query either way.
+PQ_SHORTLIST = 10
 
 
 def pq_codebooks(spark: SparkSession, sf_dir: str):
@@ -903,16 +940,7 @@ def q_ml_risk_model_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("popularity") * POP_SCALE, 0).cast("long").alias("pi"),
         F.round(F.col("risk_score") * LABEL_SCALE, 0).cast("long").alias("yi"),
     )
-    ei, pi, yi = F.col("ei"), F.col("pi"), F.col("yi")
-    fstats = data.groupBy("route_type", "fold").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("ei").alias("s1"), F.sum("pi").alias("s2"),
-        F.sum(ei * ei).alias("s11"), F.sum(pi * pi).alias("s22"),
-        F.sum(ei * pi).alias("s12"),
-        F.sum("yi").alias("sy0"),
-        F.sum(ei * yi).alias("s1y"), F.sum(pi * yi).alias("s2y"),
-        F.sum(yi * yi).alias("syy0"),
-    )
+    fstats = data.groupBy("route_type", "fold").agg(*_moment_aggs())
     moment_cols = ["n", "s1", "s2", "s11", "s22", "s12",
                    "sy0", "s1y", "s2y", "syy0"]
     totals = fstats.groupBy("route_type").agg(
@@ -961,7 +989,8 @@ def q_ml_risk_model_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "route_type", "fold",
                 F.col("tr_n").cast("bigint").alias("n_train"),
                 F.col("te_n").cast("bigint").alias("n_test"),
-                F.round(F.sqrt(sse_te / t["nd"]), 4).alias("rmse_cv"))
+                F.round(F.sqrt(F.greatest(sse_te, F.lit(0.0)) / t["nd"]),
+                        4).alias("rmse_cv"))
               .orderBy("route_type", "fold"))
 
 
@@ -1002,13 +1031,13 @@ data AS (
 fstats AS (
   SELECT route_type, fold, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(ei) AS BIGINT) AS s1, CAST(sum(pi) AS BIGINT) AS s2,
-         CAST(sum(ei * ei) AS BIGINT) AS s11,
-         CAST(sum(pi * pi) AS BIGINT) AS s22,
-         CAST(sum(ei * pi) AS BIGINT) AS s12,
+         sum(CAST(ei AS HUGEINT) * ei) AS s11,
+         sum(CAST(pi AS HUGEINT) * pi) AS s22,
+         sum(CAST(ei AS HUGEINT) * pi) AS s12,
          CAST(sum(yi) AS BIGINT) AS sy0,
-         CAST(sum(ei * yi) AS BIGINT) AS s1y,
-         CAST(sum(pi * yi) AS BIGINT) AS s2y,
-         CAST(sum(yi * yi) AS BIGINT) AS syy0
+         sum(CAST(ei AS HUGEINT) * yi) AS s1y,
+         sum(CAST(pi AS HUGEINT) * yi) AS s2y,
+         sum(CAST(yi AS HUGEINT) * yi) AS syy0
   FROM data GROUP BY route_type, fold
 ),
 totals AS (
@@ -1053,11 +1082,12 @@ coefs AS (
   FROM tr
 )
 SELECT route_type, fold, n_train, n_test,
-       round(sqrt((te_syy
-                   - 2 * (we * te_sey + wp * te_spy + b0 * te_sy)
-                   + (we * we * te_see + wp * wp * te_spp
-                      + b0 * b0 * te_nd
-                      + 2 * (we * wp * te_sep + we * b0 * te_se
-                             + wp * b0 * te_sp))) / te_nd), 4) AS rmse_cv
+       round(sqrt(greatest(te_syy
+                           - 2 * (we * te_sey + wp * te_spy + b0 * te_sy)
+                           + (we * we * te_see + wp * wp * te_spp
+                              + b0 * b0 * te_nd
+                              + 2 * (we * wp * te_sep + we * b0 * te_se
+                                     + wp * b0 * te_sp)), 0.0)
+                  / te_nd), 4) AS rmse_cv
 FROM coefs
 ORDER BY route_type, fold"""

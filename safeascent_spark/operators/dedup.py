@@ -557,7 +557,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = T.docs_df(spark, sf_dir)
     quality_ids = (T.q_quality_score(spark, sf_dir)
-                   .where(F.col("quality") >= 0.5).select("doc_id"))
+                   .where(F.col("quality_u") >= 500000).select("doc_id"))
     exact_ids = (d.join(quality_ids, "doc_id", "left_semi")
                   .groupBy(F.md5(F.col("text")))
                   .agg(F.min("doc_id").alias("doc_id"))
@@ -591,7 +591,7 @@ def sql_curation_funnel() -> str:
     decon = sql_text_decontamination().strip()
     return f"""
 WITH q AS (
-  SELECT doc_id FROM ({quality}) WHERE quality >= 0.5
+  SELECT doc_id FROM ({quality}) WHERE quality_u >= 500000
 ),
 e AS (
   SELECT min(d.doc_id) AS doc_id

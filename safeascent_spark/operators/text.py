@@ -195,49 +195,56 @@ ORDER BY p.doc_id"""
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length + stopword-ratio + mean-word-length quality heuristic with a
-    banded verdict — the shape of an LLM-data quality filter."""
+    banded verdict — the shape of an LLM-data quality filter.
+
+    All outputs are EXACT integer units (ppm / milli-chars / micro-unit
+    quality, the ``quality_u_df`` formula).  The readout used to emit
+    ``round(<composed double>, 6)`` columns, which diverge between Spark
+    and DuckDB in the last ulp when the true rational lands exactly on a
+    6-decimal half-boundary — caught at sf0.1 (doc 819's quality is
+    exactly 0.5060625: Spark HALF_UP → 0.506063, DuckDB → 0.506062).
+    Same divergence class as ADVICE r6 high; same integer-unit fix."""
     d = docs_df(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    ntok = F.size(toks).cast("double")
-    nstop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
-    mean_wlen = (F.col("n_chars").cast("double") - (ntok - 1)) / ntok
-    stop_ratio = nstop / ntok
-    len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
-    # quality in [0,1]: length presence + moderate stopword rate + word length
-    quality = (F.lit(0.4) * len_score
-               + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0))
-               + F.lit(0.3) * F.least(mean_wlen / F.lit(8.0), F.lit(1.0)))
-    band = (F.when(quality >= 0.75, "high")
-             .when(quality >= 0.5, "medium")
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("nch"),
+        F.size(toks).cast("bigint").alias("ntok"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+         .cast("bigint").alias("nstop"))
+    scored = base.select(
+        "doc_id",
+        F.col("ntok").alias("n_tokens"),
+        F.expr("(1000000 * nstop) div greatest(ntok, 1)").cast("bigint")
+         .alias("stopword_ppm"),
+        F.expr("(1000 * (nch - ntok + 1)) div greatest(ntok, 1)")
+         .cast("bigint").alias("mean_word_len_milli"),
+        F.expr(
+            "least(4000 * ntok, 400000)"
+            " + least((1200000 * nstop) div greatest(ntok, 1), 300000)"
+            " + least((300000 * (nch - ntok + 1)) div (8 * greatest(ntok, 1)),"
+            "         300000)"
+        ).cast("bigint").alias("quality_u"))
+    band = (F.when(F.col("quality_u") >= 750000, "high")
+             .when(F.col("quality_u") >= 500000, "medium")
              .otherwise("low"))
-    return d.select("doc_id",
-                    ntok.cast("bigint").alias("n_tokens"),
-                    F.round(stop_ratio, 6).alias("stopword_ratio"),
-                    F.round(mean_wlen, 6).alias("mean_word_len"),
-                    F.round(quality, 6).alias("quality"),
-                    band.alias("quality_band")).orderBy("doc_id")
+    return scored.select("doc_id", "n_tokens", "stopword_ppm",
+                         "mean_word_len_milli", "quality_u",
+                         band.alias("quality_band")).orderBy("doc_id")
 
 
 def sql_quality_score() -> str:
-    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
-    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
-    ntok = f"CAST(len({toks}) AS DOUBLE)"
-    nstop = f"CAST(len(list_filter({toks}, x -> x IN ({stop_in}))) AS DOUBLE)"
-    mean_wlen = f"((CAST(n_chars AS DOUBLE) - ({ntok} - 1)) / {ntok})"
-    stop_ratio = f"({nstop} / {ntok})"
-    quality = (f"(0.4 * least({ntok} / 100.0, 1.0)"
-               f" + 0.3 * least({stop_ratio} * 4.0, 1.0)"
-               f" + 0.3 * least({mean_wlen} / 8.0, 1.0))")
     return f"""
-SELECT doc_id,
-       CAST({ntok} AS BIGINT) AS n_tokens,
-       round({stop_ratio}, 6) AS stopword_ratio,
-       round({mean_wlen}, 6) AS mean_word_len,
-       round({quality}, 6) AS quality,
-       CASE WHEN {quality} >= 0.75 THEN 'high'
-            WHEN {quality} >= 0.5 THEN 'medium'
+WITH q AS ({sql_quality_u_parts_cte()})
+SELECT doc_id, ntok AS n_tokens,
+       (1000000 * nstop) // greatest(ntok, 1) AS stopword_ppm,
+       (1000 * (nch - ntok + 1)) // greatest(ntok, 1)
+         AS mean_word_len_milli,
+       quality_u,
+       CASE WHEN quality_u >= 750000 THEN 'high'
+            WHEN quality_u >= 500000 THEN 'medium'
             ELSE 'low' END AS quality_band
-FROM documents ORDER BY doc_id"""
+FROM q ORDER BY doc_id"""
 
 
 def quality_u_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,13 +283,15 @@ def quality_u_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("quality_u"))
 
 
-def sql_quality_u_cte() -> str:
-    """DuckDB CTE body mirroring ``quality_u_df`` verbatim (DuckDB ``//``
-    and Spark ``div`` both truncate toward zero on this runtime pair)."""
+def sql_quality_u_parts_cte() -> str:
+    """DuckDB CTE body: (doc_id, nch, ntok, nstop, quality_u) — the
+    ``quality_u_df`` formula with its integer inputs exposed, for
+    readouts that also report the component ratios (DuckDB ``//`` and
+    Spark ``div`` both truncate toward zero on this runtime pair)."""
     stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
     toks = "list_filter(string_split(text, ' '), x -> x <> '')"
     return f"""
-  SELECT doc_id,
+  SELECT doc_id, nch, ntok, nstop,
          least(4000 * ntok, 400000)
          + least((1200000 * nstop) // greatest(ntok, 1), 300000)
          + least((300000 * (nch - ntok + 1)) // (8 * greatest(ntok, 1)),
@@ -294,37 +303,43 @@ def sql_quality_u_cte() -> str:
         FROM documents)"""
 
 
+def sql_quality_u_cte() -> str:
+    """DuckDB CTE body mirroring ``quality_u_df`` verbatim: the
+    (doc_id, quality_u) projection of ``sql_quality_u_parts_cte``."""
+    return f"""
+  SELECT doc_id, quality_u FROM ({sql_quality_u_parts_cte()})"""
+
+
 def quality_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, quality_band) — the band leg of ``q_quality_score``, as a
     composable input for reweighting operators (``dedup.py
-    q_sample_softdedup``).  Same formula, same thresholds."""
-    d = docs_df(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    ntok = F.size(toks).cast("double")
-    nstop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
-    mean_wlen = (F.col("n_chars").cast("double") - (ntok - 1)) / ntok
-    quality = (F.lit(0.4) * F.least(ntok / F.lit(100.0), F.lit(1.0))
-               + F.lit(0.3) * F.least(nstop / ntok * 4.0, F.lit(1.0))
-               + F.lit(0.3) * F.least(mean_wlen / F.lit(8.0), F.lit(1.0)))
-    band = (F.when(quality >= 0.75, "high")
-             .when(quality >= 0.5, "medium")
+    q_sample_softdedup``).  Thresholds compare the exact micro-unit
+    ``quality_u`` (>= 750000 high, >= 500000 medium) so the band is the
+    SAME integer-exact verdict everywhere quality is consumed — the
+    composed-double compare this used to carry was deterministic but
+    could disagree with the integer readout within 3 micro-units of a
+    threshold."""
+    q = quality_u_df(spark, sf_dir)
+    band = (F.when(F.col("quality_u") >= 750000, "high")
+             .when(F.col("quality_u") >= 500000, "medium")
              .otherwise("low"))
-    return d.select("doc_id", band.alias("quality_band"))
+    return q.select("doc_id", band.alias("quality_band"))
 
 
 def sql_quality_band_expr() -> str:
-    """DuckDB CASE expression mirroring ``quality_band_df`` (over a row of
-    ``documents``), for composition into other oracles."""
+    """DuckDB scalar-subquery-free CASE expression mirroring
+    ``quality_band_df`` over a row of ``documents`` (inline quality_u)."""
     stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
     toks = "list_filter(string_split(text, ' '), x -> x <> '')"
-    ntok = f"CAST(len({toks}) AS DOUBLE)"
-    nstop = f"CAST(len(list_filter({toks}, x -> x IN ({stop_in}))) AS DOUBLE)"
-    mean_wlen = f"((CAST(n_chars AS DOUBLE) - ({ntok} - 1)) / {ntok})"
-    quality = (f"(0.4 * least({ntok} / 100.0, 1.0)"
-               f" + 0.3 * least(({nstop} / {ntok}) * 4.0, 1.0)"
-               f" + 0.3 * least({mean_wlen} / 8.0, 1.0))")
-    return (f"CASE WHEN {quality} >= 0.75 THEN 'high' "
-            f"WHEN {quality} >= 0.5 THEN 'medium' ELSE 'low' END")
+    ntok = f"CAST(len({toks}) AS BIGINT)"
+    nstop = f"CAST(len(list_filter({toks}, x -> x IN ({stop_in}))) AS BIGINT)"
+    nch = "CAST(n_chars AS BIGINT)"
+    qu = (f"(least(4000 * {ntok}, 400000)"
+          f" + least((1200000 * {nstop}) // greatest({ntok}, 1), 300000)"
+          f" + least((300000 * ({nch} - {ntok} + 1))"
+          f" // (8 * greatest({ntok}, 1)), 300000))")
+    return (f"CASE WHEN {qu} >= 750000 THEN 'high' "
+            f"WHEN {qu} >= 500000 THEN 'medium' ELSE 'low' END")
 
 
 # --- Document fingerprint (rolling hash over leading tokens) -----------------
