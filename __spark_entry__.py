@@ -924,6 +924,35 @@ _R9_NEW: list = [
     "dq_error_budget", "tpch_q2_mincost", "tpch_q16_supplier_cnt",
 ]
 
+# --- Round-10 bookkeeping ------------------------------------------------------
+# Queries whose CODE changed in round 10 (the three ADVICE-r9 low
+# fixes): tpch_q2_mincost's unit-cost divisor now floors l_quantity
+# inside the cast on both sides (Spark truncating vs DuckDB half-even
+# on a non-integral qty was a latent divergence), and the
+# ml_risk_model pair's second-order moment products are cast to
+# DECIMAL(38,0) EXPLICITLY instead of riding the implicit
+# decimal(19,0)*bigint widening rule.  ml_risk_model /
+# ml_risk_model_cv sit at the FRONT of the pinned r10 window
+# (_R10_REGATE_FRONT) and re-gate this round with the new code
+# automatically; tpch_q2_mincost is r9-new and leads the staged r11
+# window instead.  (curation_funnel's ADVICE fix was docstring-only —
+# not a code change.)
+_R10_CODE_CHANGED = ["tpch_q2_mincost", "ml_risk_model",
+                     "ml_risk_model_cv"]
+# rows whose code changed in r10 outside the r10 window → front of
+# the staged r11 window.
+_R11_REGATE_FRONT = ["tpch_q2_mincost"]
+
+# queries NEW in round 10 — CAPPED at 15 (standing invariant since
+# VERDICT r7 item 2).  Registered at the very tail; they rotate into
+# the r12 window (registration+2).  Evidence until then:
+# CORRECTNESS_LOCAL_r10.json + the dual-SF bit-exact artifact
+# CROSSSF_r10.json (the round-10 institutionalization of the r9
+# cross-SF audit: every new wave gates bit-exact at sf0.01 AND sf0.1
+# BEFORE registration, machine-checked by tests/test_crosssf_gate.py).
+_R10_NEW: list = [
+]
+
 
 def _r8_order(b: dict) -> list:
     """The round-8 registration order, reconstructed verbatim (names
@@ -931,8 +960,9 @@ def _r8_order(b: dict) -> list:
     is DEFINED as positions 50..99 of this order (VERDICT r8 item 1),
     so the reconstruction is kept rather than inlined."""
     order = list(_R8_WINDOW) + list(_R8_TAIL_NEVER)
-    taken = set(order) | set(_R8_NEW) | set(_R9_NEW)
-    old_order = [n for n in b if n not in set(_R9_NEW)]
+    post_r8 = set(_R9_NEW) | set(_R10_NEW)
+    taken = set(order) | set(_R8_NEW) | post_r8
+    old_order = [n for n in b if n not in post_r8]
     r67_set = set(_R6_WINDOW) | set(_R7_WINDOW)
     r5_rest = [n for n in old_order[:50]
                if n not in taken and n not in r67_set]
@@ -941,25 +971,22 @@ def _r8_order(b: dict) -> list:
     r6_rest = [n for n in _R6_WINDOW if n not in taken]
     r7_rest = [n for n in _R7_WINDOW if n not in taken]
     order += r4_rest + r5_rest + r6_rest + r7_rest + list(_R8_NEW)
-    assert len(order) + len(_R9_NEW) == len(b)
+    assert len(order) + len(post_r8) == len(b)
     return order
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # --- Round-9 registration order ------------------------------------
-    # window (50): positions 50..99 of the r8 order, exactly as pinned
-    # by VERDICT r8 item 1 and tests/test_rotation.py — the two r8
-    # code-changed re-gates first (_R9_REGATE_FRONT), the remaining 15
-    # r7-tail never-checked, then the 33 oldest r4-evidence rows.
-    # This zeroes the pre-r8 never-checked backlog.
-    b = _builders()
+def _r9_order(b: dict) -> list:
+    """The round-9 registration order, reconstructed verbatim (names
+    registered after r9 — ``_R10_NEW`` — are excluded).  The r10 window
+    is DEFINED as positions 50..99 of this order (VERDICT r9 item 1),
+    so the reconstruction is kept rather than inlined: the r9 window
+    (positions 0..49 of the r8 order's tail = r8_order[50:100]) first,
+    then the staged r10 window — the 7 r9 code-changed re-gates
+    (_R10_REGATE_FRONT), the 6 r8-new never-checked, the next-stalest
+    r4/r5-era rows — then the rest in staleness order, the r8-fresh
+    rows, and the 15 r9-new at the tail."""
     r8_order = _r8_order(b)
     window = r8_order[50:100]
-    # Positions 50..99 are the ready-made r10 window: the r9
-    # code-changed re-gates first (queries whose code changed THIS
-    # round but whose window slot was pinned, so they re-gate next
-    # round — same device as _R9_REGATE_FRONT last round), then the 6
-    # r8-new never-checked, then the next-stalest r4/r5-era rows.
     taken = set(window) | set(_R10_REGATE_FRONT) | set(_R8_NEW)
     regate = list(_R10_REGATE_FRONT)
     r8_new = ([n for n in _R9_CODE_CHANGED if n in _R8_NEW]
@@ -968,6 +995,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              if n not in taken and n not in set(_R8_WINDOW)]
     r8_fresh = [n for n in _R8_WINDOW if n not in taken]
     order = window + regate + r8_new + stale + r8_fresh + list(_R9_NEW)
+    assert len(order) + len(_R10_NEW) == len(b)
+    return order
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # --- Round-10 registration order -----------------------------------
+    # window (50): positions 50..99 of the r9 order, exactly as staged
+    # in round 9 and pinned by VERDICT r9 item 1 / tests/test_rotation.py
+    # — the 7 r9 code-changed re-gates first (_R10_REGATE_FRONT: the
+    # cross-SF audit fallout, which this round also re-gates the
+    # ADVICE-r9 explicit-DECIMAL(38,0) fix riding ml_risk_model /
+    # ml_risk_model_cv), then the 6 r8-new never-checked (zeroing that
+    # backlog), then the 37 next-stalest r4/r5-era rows.
+    b = _builders()
+    r9_order = _r9_order(b)
+    window = r9_order[50:100]
+    # Positions 50..99 are the ready-made r11 window: the r10
+    # code-changed rows OUTSIDE this round's window first
+    # (_R11_REGATE_FRONT — the ADVICE-r9 Q2 floor guard; same device
+    # as _R10_REGATE_FRONT last round), then the rest of the 15 r9-new
+    # never-checked (they hit their registration+2 deadline at r11),
+    # then the next-stalest r4/r5-era rows.
+    front = list(_R11_REGATE_FRONT)
+    r9_new = front + [n for n in _R9_NEW if n not in front]
+    taken = set(window) | set(r9_new)
+    rest = [n for n in r9_order[100:] if n not in taken]
+    order = window + r9_new + rest + r9_order[:50] + list(_R10_NEW)
     assert len(order) == len(b) and set(order) == set(b), (
         len(order), len(b))
     return {n: b[n] for n in order}

@@ -131,19 +131,26 @@ def _moment_aggs() -> list:
     product is computed in decimal too (yi^2 alone can exceed int64).
     First-order sums stay BIGINT: linear in n, safe by range.  Both
     engines convert the exact integer statistic to double once, in
-    the unscale step — identical correctly-rounded conversions."""
+    the unscale step — identical correctly-rounded conversions.
+
+    The per-row product is cast to DECIMAL(38,0) EXPLICITLY (ADVICE
+    r9): decimal(19,0) * bigint does widen to (38,0) under Spark's
+    multiply rule, but the product (yi^2 ~ 1.6e19 at sf0.1) does not
+    fit decimal(19,0) itself, so correctness must not hinge on the
+    implicit promotion surviving a refactor or a type-rule change."""
     ei, pi, yi = F.col("ei"), F.col("pi"), F.col("yi")
     dec = "decimal(19,0)"
+    wide = "decimal(38,0)"
     return [
         F.count(F.lit(1)).alias("n"),
         F.sum("ei").alias("s1"), F.sum("pi").alias("s2"),
-        F.sum(ei.cast(dec) * ei).alias("s11"),
-        F.sum(pi.cast(dec) * pi).alias("s22"),
-        F.sum(ei.cast(dec) * pi).alias("s12"),
+        F.sum((ei.cast(dec) * ei).cast(wide)).alias("s11"),
+        F.sum((pi.cast(dec) * pi).cast(wide)).alias("s22"),
+        F.sum((ei.cast(dec) * pi).cast(wide)).alias("s12"),
         F.sum("yi").alias("sy0"),
-        F.sum(ei.cast(dec) * yi).alias("s1y"),
-        F.sum(pi.cast(dec) * yi).alias("s2y"),
-        F.sum(yi.cast(dec) * yi).alias("syy0"),
+        F.sum((ei.cast(dec) * yi).cast(wide)).alias("s1y"),
+        F.sum((pi.cast(dec) * yi).cast(wide)).alias("s2y"),
+        F.sum((yi.cast(dec) * yi).cast(wide)).alias("syy0"),
     ]
 
 

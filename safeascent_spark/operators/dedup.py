@@ -538,7 +538,9 @@ ORDER BY w.doc_id"""
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor counts through the full curation pipeline — the monitoring
     query every training-data run reports: raw -> quality filter
-    (quality >= 0.5) -> exact dedup (min doc_id per md5 among quality
+    (quality_u >= 500000, the integer micro-unit threshold — the
+    round-9 cross-SF audit moved quality to exact integer units) ->
+    exact dedup (min doc_id per md5 among quality
     survivors) -> near-dup clustering (global cluster representative) ->
     decontamination (drop docs with >50% shingle overlap vs the benchmark
     subset).  Composed ENTIRELY from the individually-oracle-verified

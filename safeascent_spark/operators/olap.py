@@ -1862,8 +1862,15 @@ def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", "p_brand"))
     li = (domain.load_table(spark, sf_dir, "lineitem")
           .select("l_partkey", "l_suppkey",
+                  # floor() inside the cast (ADVICE r9): Spark's
+                  # double->bigint cast truncates while DuckDB's CAST
+                  # rounds half-even, so a non-integral quantity would
+                  # silently diverge between engine and oracle.  The
+                  # fixture IS integral (asserted in
+                  # tests/test_advice_r10.py), but the guard makes the
+                  # idiom self-defending — same device as floor(x*100).
                   F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"
-                         " * 1000 div CAST(l_quantity AS BIGINT)")
+                         " * 1000 div CAST(floor(l_quantity) AS BIGINT)")
                    .alias("unit_mc")))
     ps = (li.groupBy("l_partkey", "l_suppkey")
             .agg(F.min("unit_mc").alias("cost_mc")))
@@ -1897,7 +1904,7 @@ WITH eur_supp AS (
 ps AS (
   SELECT l_partkey, l_suppkey,
          min(CAST(floor(l_extendedprice * 100) AS BIGINT) * 1000
-             // CAST(l_quantity AS BIGINT)) AS cost_mc
+             // CAST(floor(l_quantity) AS BIGINT)) AS cost_mc
   FROM lineitem GROUP BY 1, 2
 ),
 cand AS (

@@ -1,7 +1,7 @@
 """Machine-check of the driver-window rotation bookkeeping (VERDICT r7
-item 3, extended each round per VERDICT r8 item 2).
+item 3, extended each round — r10 per VERDICT r9 items 1 and 6).
 
-The registration-order machinery in ``__spark_entry__.py`` is ~120
+The registration-order machinery in ``__spark_entry__.py`` is ~150
 lines of list arithmetic whose invariants previously lived only in
 comments — and drifted once (ADVICE r6 low).  This test recomputes
 window membership, backlog counts, and staleness ages from the ``_R*``
@@ -29,25 +29,46 @@ def _r8_order():
     return E._r8_order(E._builders())
 
 
-def test_r9_window_is_the_verdict_plan():
-    """The r9 window is EXACTLY positions 50..99 of the r8
-    registration order (VERDICT r8 item 1): the two r8 code-changed
-    re-gates first, the remaining 15 r7-tail never-checked, then the
-    33 oldest r4-evidence rows."""
+def _r9_order():
+    return E._r9_order(E._builders())
+
+
+def test_r10_window_is_the_verdict_plan():
+    """The r10 window is EXACTLY positions 50..99 of the r9
+    registration order (VERDICT r9 item 1, staged in-round by r9): the
+    7 r9 code-changed re-gates first (the cross-SF audit fallout),
+    then the 6 r8-new never-checked (zeroing that backlog), then the
+    37 next-stalest r4/r5-era rows."""
     order = _order()
     win = order[:50]
     assert len(set(win)) == 50
+    assert win == _r9_order()[50:100]
+    # the 7 r9 code-changed re-gates lead
+    assert win[:7] == list(E._R10_REGATE_FRONT)
+    # all 6 r8-new never-checked are in (backlog zeroed)
+    assert set(E._R8_NEW) == set(win[7:13])
+    # the 37 stale rows saw no driver row in r7/r8/r9
+    stale = win[13:]
+    recent = (set(E._R7_WINDOW) | set(E._R8_WINDOW)
+              | set(_r9_order()[:50]))
+    assert not set(stale) & recent
+    assert not set(stale) & (set(E._R9_NEW) | set(E._R10_NEW))
+
+
+def test_r9_window_is_the_verdict_plan():
+    """Historical pin: the r9 window was positions 50..99 of the r8
+    order (two r8 code-changed re-gates first, the 17 r8-tail
+    never-checked, then the 33 oldest r4-evidence rows) — and the
+    recorded driver artifact matches it exactly."""
+    win = _r9_order()[:50]
+    assert len(set(win)) == 50
     assert win == _r8_order()[50:100]
-    # the two r8 code-changed queries lead
     assert win[:2] == list(E._R9_REGATE_FRONT)
-    # all 17 r8-tail never-checked are in (backlog zeroed)
     assert set(E._R8_TAIL_NEVER) <= set(win)
     assert win[:17] == list(E._R8_TAIL_NEVER)
-    # the 33 stale rows saw no driver row in r6/r7/r8
-    stale = win[17:]
-    recent = set(E._R6_WINDOW) | set(E._R7_WINDOW) | set(E._R8_WINDOW)
-    assert not set(stale) & recent
-    assert not set(stale) & set(E._R8_NEW) and not set(stale) & set(E._R9_NEW)
+    r9 = json.loads((REPO / "CORRECTNESS_r09.json").read_text())
+    assert set(r9) == set(win)
+    assert all(v["hash_match"] for v in r9.values())
 
 
 def test_r8_window_is_the_verdict_plan():
@@ -76,76 +97,94 @@ def test_published_list_sizes():
     # VERDICT r7 item 2 (standing): new-per-round cap
     assert len(E._R8_NEW) <= 15
     assert len(E._R9_NEW) <= 15
-    # r9 code-changed bookkeeping: window members re-gate this round
-    # automatically; every non-member leads the r10 window
-    in_window = set(E._R9_CODE_CHANGED) & set(_order()[:50])
-    rest = set(E._R9_CODE_CHANGED) - in_window - set(E._R8_NEW) - set(E._R9_NEW)
-    assert rest == set(E._R10_REGATE_FRONT)
+    assert len(E._R10_NEW) <= 15
+    # r9 code-changed bookkeeping: r9-window members re-gated in r9
+    # automatically; every non-member led the r10 window
+    win9 = set(_r9_order()[:50])
+    rest9 = (set(E._R9_CODE_CHANGED) - win9
+             - set(E._R8_NEW) - set(E._R9_NEW))
+    assert rest9 == set(E._R10_REGATE_FRONT) - set(E._R8_NEW)
+    assert set(E._R10_REGATE_FRONT) <= set(E._R9_CODE_CHANGED)
+    # r10 code-changed bookkeeping: r10-window members re-gate this
+    # round automatically; every non-member leads the staged r11
+    # window (all r10 code changes were ADVICE fixes to r9-new or
+    # r10-window rows, so the front is a subset of _R9_NEW)
+    rest10 = set(E._R10_CODE_CHANGED) - set(_order()[:50])
+    assert rest10 == set(E._R11_REGATE_FRONT)
+    assert set(E._R11_REGATE_FRONT) <= set(E._R9_NEW)
 
 
 def test_windows_partition_history():
-    """No query is in two consecutive windows unless code-changed, and
-    the historical r7 window matches the recorded driver artifact."""
+    """No query is in two CONSECUTIVE windows unless code-changed, and
+    the recorded driver artifacts match the reconstructed windows."""
     assert not set(E._R7_WINDOW) & set(E._R8_WINDOW)
-    win9 = set(_order()[:50])
+    win9 = set(_r9_order()[:50])
     assert not win9 & set(E._R8_WINDOW)
+    win10 = set(_order()[:50])
+    assert not win10 & win9
     r7 = json.loads((REPO / "CORRECTNESS_r07.json").read_text())
     assert set(r7) == set(E._R7_WINDOW)
     assert all(v["hash_match"] for v in r7.values())
 
 
-def test_registration_order_and_r10_readiness():
+def test_registration_order_and_r11_readiness():
     order = _order()
     n = len(order)
     assert len(set(order)) == n
-    # r9-new are registered at the very tail (rotate in by r11)
-    k = len(E._R9_NEW)
+    # r10-new are registered at the very tail (rotate in by r12)
+    k = len(E._R10_NEW)
     if k:
-        assert order[n - k:] == list(E._R9_NEW)
-    # positions 50..99 are the ready-made r10 window: the r9
-    # code-changed re-gates first (r8-fresh rows changed this round,
-    # then the code-changed members of _R8_NEW), then the rest of the
-    # 6 r8-new never-checked, then the next-stalest r4/r5-era rows.
-    r10 = order[50:100]
-    front = list(E._R10_REGATE_FRONT)
-    assert r10[:len(front)] == front
-    assert set(E._R8_NEW) <= set(r10[:len(front) + len(E._R8_NEW)])
-    rest = r10[len(front) + len(E._R8_NEW):]
-    recent = (set(E._R6_WINDOW) | set(E._R7_WINDOW) | set(E._R8_WINDOW)
-              | set(order[:50]))
+        assert order[n - k:] == list(E._R10_NEW)
+    # positions 50..99 are the ready-made r11 window: the r10
+    # code-changed non-window regates first, then the rest of the 15
+    # r9-new (their registration+2 deadline IS r11), then the
+    # next-stalest rows — which, with the r4/r5-era pool nearly
+    # drained, now legitimately includes r6-era evidence (4 rounds
+    # old) but nothing from windows r7/r8/r9/r10.
+    r11 = order[50:100]
+    front = list(E._R11_REGATE_FRONT)
+    assert r11[:len(front)] == front
+    assert set(r11[:15]) == set(E._R9_NEW)
+    rest = r11[15:]
+    recent = (set(E._R7_WINDOW) | set(E._R8_WINDOW)
+              | set(_r9_order()[:50]) | set(order[:50]))
     assert not set(rest) & recent
+    assert not set(rest) & set(E._R10_NEW)
 
 
 def test_staleness_ages_match_note():
-    """Recompute the projected after-r9 evidence ages from the lists:
-    50 r9-fresh / 49 r8 (minus the r10 regate pull-forward is still
-    r8-evidence, so 50) / 50 r7 / 50 r6 / never = |_R8_NEW| + |_R9_NEW|,
-    remainder r4/r5-era; total matches the registered surface."""
+    """Recompute the projected after-r10 evidence ages from the lists:
+    50 r10-fresh / 50 r9-fresh / r8- and r7-fresh minus the rows the
+    r10 window pulled forward / never = |_R9_NEW| + |_R10_NEW|;
+    remainder r4/r5/r6-era; total matches the registered surface, and
+    the never-checked backlog older than registration+1 is ZERO."""
     order = _order()
     n = len(order)
-    never = set(E._R8_NEW) | set(E._R9_NEW)
+    win10 = set(order[:50])
+    never = set(E._R9_NEW) | set(E._R10_NEW)
     ages = {
-        "r9": set(order[:50]),
-        "r8": set(E._R8_WINDOW),
-        "r7": set(E._R7_WINDOW) - set(order[:50]),
-        "r6": set(E._R6_WINDOW) - set(order[:50]),
+        "r10": win10,
+        "r9": set(_r9_order()[:50]),
+        "r8": set(E._R8_WINDOW) - win10,
+        "r7": set(E._R7_WINDOW) - win10 - set(E._R8_WINDOW),
         "never": never,
     }
     seen: set = set()
     for k, s in ages.items():
         assert not s & seen, k
         seen |= s
+    assert len(ages["r10"]) == 50
     assert len(ages["r9"]) == 50
-    assert len(ages["r8"]) == 50
-    assert len(ages["r7"]) == 50
-    assert len(ages["r6"]) == 50
-    assert len(ages["never"]) == len(E._R8_NEW) + len(E._R9_NEW)
-    # everything else carries r4/r5-era evidence
+    # the r10 window pulled 2 r8-fresh + 1 r7-fresh regates forward
+    assert len(ages["r8"]) == 48
+    assert len(ages["r7"]) == 49
+    assert len(ages["never"]) == len(E._R9_NEW) + len(E._R10_NEW)
+    # everything else carries r4/r5/r6-era evidence
     rest = set(order) - seen
-    assert len(rest) == n - 200 - len(never)
-    # after r9 the pre-r8 never-checked backlog is ZERO: every name
-    # outside `never` appears in some recorded window
-    assert rest <= set(_r8_order()[100:])
+    assert len(rest) == n - 197 - len(never)
+    # the pre-r9 never-checked backlog stays ZERO: every name outside
+    # `never` appears in some recorded window or the r4/r5 local era
+    assert rest <= set(_r9_order()[100:])
     # cycle-length invariant quoted in the note: ceil(N/50)
     assert -(-n // 50) == (n + 49) // 50
 
