@@ -661,6 +661,26 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-core peeling over the route/location/hub graph
         "graph_kcore": G.q_graph_kcore,
         "graph_assortativity": G.q_graph_assortativity,
+        # --- round-10 wave 33 ------------------------------------------
+        # log2-binned degree distribution + exact tail moments
+        "graph_degree_histogram": G.q_graph_degree_histogram,
+        # TPC-H Q11 adapted: global-scalar HAVING over derived part value
+        "tpch_q11_value_parts": OL.q_tpch_q11_value_parts,
+        # TPC-H Q20 adapted: nested semi-join chain w/ decorrelated
+        # surplus condition
+        "tpch_q20_qty_surplus": OL.q_tpch_q20_qty_surplus,
+        # exact-integer Pearson matrix over lineitem numerics
+        "dq_column_correlation": MON.q_dq_column_correlation,
+        # day-of-week-adjusted MAD anomaly days
+        "dq_seasonal_mad_anomaly": MON.q_dq_seasonal_mad_anomaly,
+        # per-source character-digram entropy (micro-nats)
+        "text_digram_entropy": TX.q_text_digram_entropy,
+        # per-source centroid drift over the int8 grid
+        "embedding_source_drift": SIM.q_embedding_source_drift,
+        # Murphy decomposition of the surrogate's Brier score
+        "eval_brier_decomposition": EV.q_eval_brier_decomposition,
+        # capped per-image top-K pHash neighbors (pair-mining contract)
+        "multimodal_phash_knn": MM.q_multimodal_phash_knn,
     }
 
 
@@ -951,6 +971,11 @@ _R11_REGATE_FRONT = ["tpch_q2_mincost"]
 # cross-SF audit: every new wave gates bit-exact at sf0.01 AND sf0.1
 # BEFORE registration, machine-checked by tests/test_crosssf_gate.py).
 _R10_NEW: list = [
+    "graph_degree_histogram", "tpch_q11_value_parts",
+    "tpch_q20_qty_surplus", "dq_column_correlation",
+    "dq_seasonal_mad_anomaly", "text_digram_entropy",
+    "embedding_source_drift", "eval_brier_decomposition",
+    "multimodal_phash_knn",
 ]
 
 
@@ -1320,4 +1345,13 @@ def oracle_sql() -> dict[str, str]:
         "events_user_gini": A.sql_events_user_gini(),
         "graph_kcore": G.sql_graph_kcore(),
         "graph_assortativity": G.sql_graph_assortativity(),
+        "graph_degree_histogram": G.sql_graph_degree_histogram(),
+        "tpch_q11_value_parts": OL.sql_tpch_q11_value_parts(),
+        "tpch_q20_qty_surplus": OL.sql_tpch_q20_qty_surplus(),
+        "dq_column_correlation": MON.sql_dq_column_correlation(),
+        "dq_seasonal_mad_anomaly": MON.sql_dq_seasonal_mad_anomaly(),
+        "text_digram_entropy": TX.sql_text_digram_entropy(),
+        "embedding_source_drift": SIM.sql_embedding_source_drift(),
+        "eval_brier_decomposition": EV.sql_eval_brier_decomposition(),
+        "multimodal_phash_knn": MM.sql_multimodal_phash_knn(),
     }

@@ -60,6 +60,10 @@ HEADLINE = [
     # distinct-score-grid rank statistic with per-block truncation
     "events_peak_concurrency",
     "eval_pr_auc",
+    # round-10 (r10+): the wave-32 TPC-H canonical warehouse shapes
+    # join the headline (VERDICT r9 item 7) — Q21 is already tracked
+    "tpch_q2_mincost",
+    "tpch_q16_supplier_cnt",
 ]
 
 

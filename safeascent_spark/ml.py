@@ -158,7 +158,15 @@ def q_ml_risk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _route_features(spark, sf_dir)
     labels = scoring.risk_scores_df(spark, sf_dir).select(
         "route_id", "risk_score")
-    data = feats.join(labels, "route_id").select(
+    # cache: `data` is consumed TWICE (the moment aggregate AND the
+    # final scored join-back), and the label upstream is the FULL
+    # uncapped influence-scoring pipeline — without the cache the
+    # whole scoring run executes twice per query (caught by
+    # eval_brier_decomposition's first sf1 curve; the MLlib sibling
+    # above already caches for the same reason).  Route-grain rows,
+    # bounded by |routes| — safe to pin.
+    data = feats.join(labels, "route_id").cache()
+    data = data.select(
         "route_id", "route_type", "elevation_m", "popularity", "risk_score",
         F.col("elevation_m").cast("long").alias("ei"),
         F.round(F.col("popularity") * POP_SCALE, 0).cast("long").alias("pi"),

@@ -563,3 +563,93 @@ SELECT n_pairs,
               (sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE))))
            AS BIGINT) ELSE NULL END AS assortativity_micro
 FROM s"""
+
+
+# --- Degree distribution histogram (round 10) ----------------------------------
+# The first readout any graph-health dashboard wants over the derived
+# route/location/hub graph: the log2-binned degree distribution plus
+# exact per-bin tail moments (sum deg, sum deg^2, max deg) — heavy-tail
+# diagnosis for every hot-key decision this module makes (the
+# CN_MAX_DEG wedge cap, the k-core peel width, the assortativity
+# interpretation all key off where the degree mass sits).
+#
+# Exactness: the bin index is floor(log2(deg)) computed WITHOUT libm as
+# length(bin(deg)) - 1 — the base-2 digit count of a positive BIGINT is
+# exact in both engines (Spark `bin` and DuckDB `bin` both render
+# without leading zeros), so no float ever enters the key.  Moments
+# accumulate on DECIMAL(38,0)/HUGEINT and surface as BIGINT (bounded:
+# sum(deg^2) <= max_deg * 2|E| — at 1e12 edges with 1e6-degree hubs
+# that is 2e24, inside DECIMAL(38,0); the BIGINT surface holds to
+# sum(deg^2) < 9.2e18, i.e. any graph this fixture's generator scales
+# to — re-surface as DECIMAL if a real corpus crosses it).
+#
+# Scale shape: ONE shuffle builds the undirected-distinct edge set,
+# one map-side-combined count produces |V| degree rows, and the
+# histogram re-aggregates those to <= 64 bins.  Nothing is ever joined
+# back to the corpus; the output is corpus-size-independent.
+# Reference parity: the degree-profile role of the location hierarchy
+# stats (backend/app/api/v1/mp_routes.py:49-106 breadcrumb fan-out).
+
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _pagerank_edges(spark, sf_dir)
+    und = (edges.select("src", "dst")
+                .unionAll(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct())
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("deg"))
+    dec = "DECIMAL(38,0)"
+    return (deg.withColumn("deg_bin",
+                           (F.length(F.expr("bin(deg)")) - 1)
+                           .cast("int"))
+               .groupBy("deg_bin")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                    F.sum("deg").cast("bigint").alias("sum_deg"),
+                    F.expr(f"CAST(sum(CAST(deg AS {dec}) * deg) AS BIGINT)")
+                     .alias("sum_deg2"),
+                    F.max("deg").cast("bigint").alias("max_deg"))
+               .select("deg_bin",
+                       F.expr("CAST(1 AS BIGINT) << deg_bin").alias("deg_lo"),
+                       F.expr("(CAST(1 AS BIGINT) << (deg_bin + 1)) - 1")
+                        .alias("deg_hi"),
+                       "n_nodes", "sum_deg", "sum_deg2", "max_deg")
+               .orderBy("deg_bin"))
+
+
+def sql_graph_degree_histogram() -> str:
+    from .. import domain
+    return f"""
+WITH {domain.ROUTES_CTE.strip()},
+r AS (SELECT route_id, location_id FROM routes),
+edges AS (
+  SELECT route_id + {_ROUTE_V} AS src,
+         CAST(location_id AS BIGINT) AS dst FROM r
+  UNION ALL
+  SELECT route_id + {_ROUTE_V} AS src,
+         route_id % 7 + {_HUB_V} AS dst FROM r
+  UNION ALL
+  SELECT CAST(lid AS BIGINT) AS src, lid // 10 AS dst
+  FROM (SELECT DISTINCT CAST(location_id AS BIGINT) AS lid FROM r)
+  WHERE lid > 0
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges)
+  WHERE src <> dst
+),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1
+)
+SELECT CAST(length(bin(deg)) - 1 AS INT) AS deg_bin,
+       CAST(1 << (length(bin(deg)) - 1) AS BIGINT) AS deg_lo,
+       CAST((1 << length(bin(deg))) - 1 AS BIGINT) AS deg_hi,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(deg) AS BIGINT) AS sum_deg,
+       CAST(sum(CAST(deg AS HUGEINT) * deg) AS BIGINT) AS sum_deg2,
+       CAST(max(deg) AS BIGINT) AS max_deg
+FROM deg
+GROUP BY 1, 2, 3
+ORDER BY deg_bin"""

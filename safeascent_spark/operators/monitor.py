@@ -1615,3 +1615,200 @@ SELECT CAST(day AS BIGINT) AS day, n_events, n_errors,
        CAST(cum_err * 1000000 // cum_n AS BIGINT) AS cum_err_ppm
 FROM c
 ORDER BY day"""
+
+
+# --- Pearson correlation matrix over table numerics (round 10) ----------------
+# The classic Deequ/profiler readout dq_column_profile stops short of:
+# the pairwise Pearson matrix over lineitem's four numeric columns
+# (quantity, extended price, discount, tax) in exact integer units —
+# the multicollinearity check a feature pipeline runs before training,
+# and the redundant-column detector a warehouse runs before wide scans.
+#
+# Exactness: the same sufficient-statistic device as
+# graph_assortativity / ml_risk_model — every sum and cross-product
+# accumulates on DECIMAL(38,0)/HUGEINT over exact integer projections
+# (floor-cents / round-cents per the repo idiom), the correlation is
+# ONE floor(double * 1e6) over identical expression trees, and
+# zero-variance columns surface NULL instead of dividing by zero.
+# Bounds: price cents <= ~1.1e7, so sum(price^2) <= 1.2e14 * n — the
+# n * sxy cross-term stays inside DECIMAL(38,0) to n ~ 1e12 rows.
+#
+# Scale shape: ONE map-side-combined global aggregate over the fact
+# scan (a single 1-row result — no shuffle wider than the partial
+# buffers), then a 6-row unpivot of the scalar.  Corpus appears once.
+
+_CORR_COLS = [
+    ("l_quantity", "CAST(floor(l_quantity) AS BIGINT)"),
+    ("l_extendedprice", "CAST(floor(l_extendedprice * 100) AS BIGINT)"),
+    ("l_discount", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("l_tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+]
+
+
+def _corr_micro_expr(a: str, b: str, hugeint: bool = False) -> str:
+    """floor(1e6 * pearson(a, b)) from the exact integer sums — the
+    SAME expression tree in Spark (DECIMAL(38,0)) and DuckDB (HUGEINT)."""
+    dec = "HUGEINT" if hugeint else "DECIMAL(38,0)"
+    num = f"(CAST(n AS {dec}) * s_{a}_{b} - CAST(s_{a} AS {dec}) * s_{b})"
+    dx = f"(CAST(n AS {dec}) * s_{a}_{a} - CAST(s_{a} AS {dec}) * s_{a})"
+    dy = f"(CAST(n AS {dec}) * s_{b}_{b} - CAST(s_{b} AS {dec}) * s_{b})"
+    return (f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN "
+            f"CAST(floor(CAST({num} AS DOUBLE) * 1000000 / "
+            f"(sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE))))"
+            f" AS BIGINT) ELSE NULL END")
+
+
+def q_dq_column_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = domain.load_table(spark, sf_dir, "lineitem")
+    names = [n for n, _ in _CORR_COLS]
+    ints = li.select(*[F.expr(e).alias(n) for n, e in _CORR_COLS])
+    dec = "DECIMAL(38,0)"
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for n, _ in _CORR_COLS:
+        aggs.append(F.sum(n).cast("bigint").alias(f"s_{n}"))
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _e in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum(F.expr(f"CAST({a} AS {dec}) * {b}"))
+                 .cast(dec).alias(f"s_{a}_{b}"))
+    s = ints.agg(*aggs)
+    pairs = [(a, b) for i, (a, _) in enumerate(_CORR_COLS)
+             for b, _e in _CORR_COLS[i + 1:]]
+    stack = ", ".join(
+        f"'{a}', '{b}', {_corr_micro_expr(a, b)}" for a, b in pairs)
+    return (s.select(F.col("n").alias("n_rows"),
+                     F.expr(f"stack({len(pairs)}, {stack}) "
+                            "AS (col_a, col_b, corr_micro)"))
+             .select("col_a", "col_b", "n_rows", "corr_micro")
+             .orderBy("col_a", "col_b"))
+
+
+def sql_dq_column_correlation() -> str:
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for n, e in _CORR_COLS:
+        sums.append(f"CAST(sum({e}) AS BIGINT) AS s_{n}")
+    for i, (a, ea) in enumerate(_CORR_COLS):
+        for b, eb in _CORR_COLS[i:]:
+            sums.append(f"sum(CAST({ea} AS HUGEINT) * ({eb})) AS s_{a}_{b}")
+    pairs = [(a, b) for i, (a, _) in enumerate(_CORR_COLS)
+             for b, _e in _CORR_COLS[i + 1:]]
+    sel = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_rows,\n"
+        f"       {_corr_micro_expr(a, b, hugeint=True)} AS corr_micro\n"
+        f"FROM s"
+        for a, b in pairs)
+    return f"""
+WITH s AS (
+  SELECT {", ".join(sums)}
+  FROM lineitem
+)
+{sel}
+ORDER BY col_a, col_b"""
+
+
+# --- Seasonality-adjusted MAD anomaly days (round 10) --------------------------
+# events_mad_outliers flags raw VALUES; volume anomalies need the
+# day-of-week effect removed first or every weekend reads as an outlier
+# (the classic pager-fatigue bug).  Per event type: daily counts, the
+# per-(type, day-of-week) LOWER MEDIAN as the seasonal baseline, then
+# a MAD fence over the RESIDUALS — flag days |count - dow_median| >
+# K * MAD(residuals).  Composes the events_seasonality decomposition
+# idea with the events_mad_outliers robust fence at day grain.
+#
+# Exactness: counts, medians, residuals, and the fence are all exact
+# integers; medians are lower-median row_number picks (never the
+# averaged even-count median, which would be fractional).
+#
+# Scale shape: the corpus collapses to the (type, day) daily table in
+# ONE map-side-combined aggregate; every window after that runs on
+# the bounded daily table (|types| x |days| rows — at 100 TB with 10
+# years of days and 1e4 types that is 4e7 rows, still window-safe at
+# (type, dow) grain ~ 520 rows per partition).  Output is only the
+# flagged days.
+
+SMAD_K = 3
+
+
+def q_dq_seasonal_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    e = domain.load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("event_type"),
+                       F.expr(f"ts div {_DAY_NS}").alias("day"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+              .withColumn("dow", F.expr("(day + 4) % 7").cast("int")))
+    # lower median of n_events per (type, dow): row_number pick over the
+    # BOUNDED daily table (see scale note above)
+    w = Window.partitionBy("event_type", "dow").orderBy("n_events", "day")
+    cw = Window.partitionBy("event_type", "dow")
+    med = (daily.withColumn("rnk", F.row_number().over(w))
+                .withColumn("cnt", F.count(F.lit(1)).over(cw))
+                .groupBy("event_type", "dow")
+                .agg(F.expr("CAST(max(CASE WHEN rnk = (cnt - 1) div 2 + 1 "
+                            "THEN n_events END) AS BIGINT)")
+                      .alias("dow_median")))
+    resid = (daily.join(med, ["event_type", "dow"])
+                  .withColumn("resid", F.col("n_events")
+                              - F.col("dow_median"))
+                  .withColumn("aresid", F.abs("resid")))
+    rw = Window.partitionBy("event_type").orderBy("aresid", "day")
+    rcw = Window.partitionBy("event_type")
+    mad = (resid.withColumn("rrnk", F.row_number().over(rw))
+                .withColumn("rcnt", F.count(F.lit(1)).over(rcw))
+                .groupBy("event_type")
+                .agg(F.expr("CAST(max(CASE WHEN rrnk = (rcnt - 1) div 2 + 1 "
+                            "THEN aresid END) AS BIGINT)")
+                      .alias("mad_resid")))
+    return (resid.join(F.broadcast(mad), "event_type")
+                 .filter(F.col("aresid") > SMAD_K * F.col("mad_resid"))
+                 .select("event_type", "day", F.col("dow"),
+                         "n_events", "dow_median",
+                         F.col("resid").cast("bigint").alias("resid"),
+                         "mad_resid")
+                 .orderBy("event_type", "day"))
+
+
+def sql_dq_seasonal_mad_anomaly() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // {_DAY_NS} AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, day, n_events,
+         CAST((day + 4) % 7 AS INT) AS dow
+  FROM daily
+),
+med AS (
+  SELECT event_type, dow,
+         CAST(max(CASE WHEN rnk = (cnt - 1) // 2 + 1
+                       THEN n_events END) AS BIGINT) AS dow_median
+  FROM (SELECT event_type, dow, n_events,
+               row_number() OVER (PARTITION BY event_type, dow
+                                  ORDER BY n_events, day) AS rnk,
+               count(*) OVER (PARTITION BY event_type, dow) AS cnt
+        FROM d)
+  GROUP BY 1, 2
+),
+resid AS (
+  SELECT d.event_type, d.day, d.dow, d.n_events, m.dow_median,
+         d.n_events - m.dow_median AS resid,
+         abs(d.n_events - m.dow_median) AS aresid
+  FROM d JOIN med m ON d.event_type = m.event_type AND d.dow = m.dow
+),
+mad AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN rrnk = (rcnt - 1) // 2 + 1
+                       THEN aresid END) AS BIGINT) AS mad_resid
+  FROM (SELECT event_type, aresid, day,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY aresid, day) AS rrnk,
+               count(*) OVER (PARTITION BY event_type) AS rcnt
+        FROM resid)
+  GROUP BY 1
+)
+SELECT r.event_type, r.day, r.dow, r.n_events, r.dow_median,
+       CAST(r.resid AS BIGINT) AS resid, m.mad_resid
+FROM resid r JOIN mad m ON r.event_type = m.event_type
+WHERE r.aresid > {SMAD_K} * m.mad_resid
+ORDER BY r.event_type, r.day"""

@@ -1172,3 +1172,86 @@ SELECT media_id,
        n_frames, energy_sum
 FROM segs
 ORDER BY media_id, seg_idx"""
+
+
+# --- Capped pHash neighbors: per-image top-K (round 10) -------------------------
+# The CAPPED variant of q_multimodal_phash_pairs, closing the
+# pair-mining output contract (ARCHITECTURE "pair-mining output
+# bounds"): the uncapped pairs query is output-bound — measured 101x
+# pair growth for 10x corpus — so at a real 100x the OUTPUT is the
+# cost.  This form bounds it by construction: for every image, at most
+# PHASH_KNN_K nearest neighbors (smallest 64-bit Hamming distance, tie
+# by neighbor id) within the same PHASH_HAMMING_MAX radius, making the
+# result linear in the corpus no matter how dense the near-dup
+# clusters get.  Directional on purpose: every image sees its own
+# neighbor list (both twins list each other), which is what the
+# dedup-canonicalization consumer actually joins against.
+#
+# Scale shape: candidates come from the SAME banded 16-bit LSH
+# equi-joins (never all-pairs); the per-image cut uses
+# rankutil.banded_rank with the Hamming distance itself as the band
+# (0..64 — monotone in the order key by definition), so no unbanded
+# per-image sort materializes even for a pathological hub image.
+
+PHASH_KNN_K = 3
+
+
+def q_multimodal_phash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_rank
+    hashes = extract_png_ahash(png_media_grad_df(spark, sf_dir))
+    bands = hashes.select(
+        "media_id", "b0", "b1", "b2", "b3",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.col(f"b{i}").alias("val"))
+            for i in range(PHASH_BANDS)])).alias("bv")) \
+        .select("media_id", "b0", "b1", "b2", "b3",
+                F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(*[F.col(c).alias(f"a_{c}") for c in bands.columns])
+    b = bands.select(*[F.col(c).alias(f"b_{c}") for c in bands.columns])
+    cand = (a.join(b, (F.col("a_band") == F.col("b_band"))
+                   & (F.col("a_val") == F.col("b_val"))
+                   & (F.col("a_media_id") != F.col("b_media_id")))
+             .select(F.col("a_media_id").alias("media_id"),
+                     F.col("b_media_id").alias("neighbor_id"),
+                     *[F.col(f"a_b{i}") for i in range(PHASH_BANDS)],
+                     *[F.col(f"b_b{i}") for i in range(PHASH_BANDS)])
+             .distinct())
+    ham = sum(F.bit_count(F.col(f"a_b{i}").bitwiseXOR(F.col(f"b_b{i}")))
+              for i in range(PHASH_BANDS))
+    near = (cand.select("media_id", "neighbor_id",
+                        ham.cast("int").alias("hamming"))
+                .filter(F.col("hamming") <= PHASH_HAMMING_MAX))
+    ranked = banded_rank(
+        near, ["media_id"], band=F.col("hamming"),
+        order_cols=[F.col("hamming").asc(), F.col("neighbor_id").asc()],
+        rank_name="rnk")
+    return (ranked.filter(F.col("rnk") <= PHASH_KNN_K)
+                  .select("media_id", F.col("rnk").cast("int").alias("rnk"),
+                          "neighbor_id", "hamming")
+                  .orderBy("media_id", "rnk"))
+
+
+def sql_multimodal_phash_knn() -> str:
+    anyband = " OR ".join(f"a.b{i} = b.b{i}" for i in range(PHASH_BANDS))
+    ham = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))"
+                     for i in range(PHASH_BANDS))
+    return f"""
+WITH {_sql_phash_cte().strip()},
+near AS (
+  SELECT a.media_id, b.media_id AS neighbor_id,
+         CAST({ham} AS INT) AS hamming
+  FROM hashes a JOIN hashes b
+    ON a.media_id <> b.media_id AND ({anyband})
+  WHERE {ham} <= {PHASH_HAMMING_MAX}
+),
+ranked AS (
+  SELECT media_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY media_id
+                            ORDER BY hamming, neighbor_id) AS rnk
+  FROM near
+)
+SELECT media_id, CAST(rnk AS INT) AS rnk, neighbor_id, hamming
+FROM ranked
+WHERE rnk <= {PHASH_KNN_K}
+ORDER BY media_id, rnk"""

@@ -1980,3 +1980,185 @@ WHERE p.p_brand <> '{Q16_BRAND_NOT}'
                            WHERE s_acctbal < 0)
 GROUP BY 1, 2, 3
 ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
+
+
+# --- TPC-H Q11 (adapted): above-average part value held by a region ----------
+# The Q11 plan shape the matrix still lacked: a grouped aggregate
+# filtered by a GLOBAL scalar subquery (HAVING value > fraction *
+# sum-over-everything) — distinct from supplier_hhi, which compares
+# each supplier only against its own brand's total, never a global.
+# Adaptations for this fixture (cited in SURVEY §2.5 terms): the
+# part-supplier value relation is DERIVED from lineitem (no partsupp),
+# value := exact cents of extended price, and the nation pin becomes a
+# region pin (r_name = 'ASIA') because the synthetic nations are
+# uniform 1/25 slivers.  The TPC-H "fraction" is self-scaling here:
+# keep parts whose value exceeds Q11_MULT x the MEAN part value —
+# fraction-of-total thresholds need 1/SF retuning per scale (the
+# spec's own footnote), while above-average is scale-free, so the
+# query stays meaningful from sf0.001 to 100 TB unchanged.
+#
+# Scale shape: the ASIA supplier set broadcasts into the fact scan;
+# ONE map-side-combined groupBy(partkey) shuffle; the (total, n_parts)
+# scalar re-aggregates the bounded part-grain table and broadcasts
+# back as a 1-row cross join; top-100 is TakeOrderedAndProject.
+# Everything after the single fact shuffle is part-grain.
+
+Q11_REGION = "ASIA"
+Q11_MULT = 2          # keep parts with value > MULT x mean part value
+
+
+def q_tpch_q11_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = (domain.load_table(spark, sf_dir, "region")
+           .filter(F.col("r_name") == Q11_REGION).select("r_regionkey"))
+    nat = (domain.load_table(spark, sf_dir, "nation")
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey"))
+    supp = (domain.load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                   .alias("val_c")))
+    pv = (li.join(F.broadcast(supp),
+                  li.l_suppkey == supp.s_suppkey)
+            .groupBy("l_partkey")
+            .agg(F.sum("val_c").cast("bigint").alias("value_c")))
+    tot = pv.agg(F.sum("value_c").cast("bigint").alias("total_c"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    dec = "DECIMAL(38,0)"
+    return (pv.crossJoin(F.broadcast(tot))
+              # value > MULT * mean  <=>  value * n_parts > MULT * total
+              # (exact integer cross-multiplication, no division)
+              .filter(F.expr(f"CAST(value_c AS {dec}) * n_parts"
+                             f" > {Q11_MULT} * CAST(total_c AS {dec})"))
+              .select(F.col("l_partkey").alias("p_partkey"), "value_c",
+                      F.expr(f"CAST(CAST(value_c AS {dec}) * 1000000"
+                             " div total_c AS BIGINT)").alias("share_ppm"))
+              .orderBy(F.col("value_c").desc(), "p_partkey")
+              .limit(100))
+
+
+def sql_tpch_q11_value_parts() -> str:
+    return f"""
+WITH asia_supp AS (
+  SELECT s.s_suppkey
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{Q11_REGION}'
+),
+pv AS (
+  SELECT l.l_partkey AS p_partkey,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS value_c
+  FROM lineitem l
+  JOIN asia_supp s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+               CAST(count(*) AS BIGINT) AS n_parts FROM pv)
+SELECT pv.p_partkey, pv.value_c,
+       CAST(CAST(pv.value_c AS HUGEINT) * 1000000 // tot.total_c
+            AS BIGINT) AS share_ppm
+FROM pv, tot
+WHERE CAST(pv.value_c AS HUGEINT) * tot.n_parts
+      > {Q11_MULT} * CAST(tot.total_c AS HUGEINT)
+ORDER BY pv.value_c DESC, pv.p_partkey
+LIMIT 100"""
+
+
+# --- TPC-H Q20 (adapted): suppliers with surplus stock of a part class -------
+# The last TPC-H plan shape the matrix lacked: a NESTED SEMI-JOIN
+# CHAIN — suppliers ⋉ (part-supplier pairs ⋉ filtered parts) with a
+# correlated per-pair quantity condition — distinct from Q21 (whose
+# inner predicates are EXISTS/NOT-EXISTS against the SAME fact table)
+# and from Q16 (plain distinct-pair counting, no correlated
+# threshold).  Adaptations: availqty := total quantity ever shipped
+# for the (part, supplier) pair (no partsupp table), the "half of one
+# year's shipments" condition becomes qty_total > Q20_SURPLUS_MULT x
+# qty shipped in Q20_YEAR (same correlated shape, decorrelated into
+# one conditional aggregate), the p_name LIKE prefix becomes p_type =
+# 'SMALL', and the nation pin becomes region EUROPE's suppliers.
+#
+# Scale shape: the filtered part slice broadcasts into the fact scan;
+# both quantity sums come out of ONE map-side-combined
+# groupBy(partkey, suppkey) pass (the decorrelation — no second fact
+# scan, no per-row subquery); the surviving supplier keys collapse
+# via distinct at supplier grain and semi-join the supplier dim
+# broadcast.  The fact table is read exactly once.
+
+Q20_TYPE = "SMALL"
+Q20_REGION = "EUROPE"
+Q20_YEAR_FROM = "1997-01-01"
+Q20_YEAR_TO = "1998-01-01"
+Q20_SURPLUS_MULT = 2
+
+
+def q_tpch_q20_qty_surplus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (domain.load_table(spark, sf_dir, "part")
+            .filter(F.col("p_type") == Q20_TYPE).select("p_partkey"))
+    in_year = (F.expr(f"CAST(l_shipdate AS DATE) >= DATE '{Q20_YEAR_FROM}'")
+               & F.expr(f"CAST(l_shipdate AS DATE) < DATE '{Q20_YEAR_TO}'"))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+                  in_year.alias("in_year")))
+    ps = (li.join(F.broadcast(part),
+                  li.l_partkey == part.p_partkey)
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("qty").cast("bigint").alias("qty_total"),
+                 F.sum(F.when(F.col("in_year"), F.col("qty"))
+                        .otherwise(F.lit(0))).cast("bigint")
+                  .alias("qty_year")))
+    surplus_supp = (ps.filter(F.col("qty_total")
+                              > Q20_SURPLUS_MULT * F.col("qty_year"))
+                      .select("l_suppkey").distinct())
+    reg = (domain.load_table(spark, sf_dir, "region")
+           .filter(F.col("r_name") == Q20_REGION).select("r_regionkey"))
+    nat = (domain.load_table(spark, sf_dir, "nation")
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    supp = (domain.load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+    # the surplus key set is DISTINCT supplier keys — bounded by the
+    # supplier dim no matter the fact size, so broadcast the semi-join
+    # probe side (plan-pinned: BroadcastHashJoin LeftSemi, no SMJ)
+    return (supp.join(F.broadcast(surplus_supp),
+                      supp.s_suppkey == surplus_supp.l_suppkey,
+                      "left_semi")
+                .select("s_suppkey", "s_name", "n_name")
+                .orderBy("s_suppkey"))
+
+
+def sql_tpch_q20_qty_surplus() -> str:
+    return f"""
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT)
+           AS qty_total,
+         CAST(sum(CASE WHEN CAST(l.l_shipdate AS DATE)
+                            >= DATE '{Q20_YEAR_FROM}'
+                        AND CAST(l.l_shipdate AS DATE)
+                            < DATE '{Q20_YEAR_TO}'
+                       THEN CAST(floor(l.l_quantity) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS qty_year
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = '{Q20_TYPE}'
+  GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q20_REGION}'
+  AND s.s_suppkey IN (
+    SELECT l_suppkey FROM ps
+    WHERE qty_total > {Q20_SURPLUS_MULT} * qty_year)
+ORDER BY s.s_suppkey"""

@@ -2071,3 +2071,88 @@ SELECT CAST(floor(log2(sz)) AS BIGINT) AS size_log2,
 FROM cells, tot t
 GROUP BY 1
 ORDER BY 1"""
+
+
+# --- Per-source embedding centroid drift (round 10) ----------------------------
+# The embedding-space twin of events_psi_drift: per SOURCE (documents
+# joined 1:1 on vec_id = doc_id), the squared distance between the
+# source's centroid and the global centroid, in exact integer
+# micro-units over the int8-quantized grid.  A crawler source whose
+# embedding mass wanders (format change, spam injection, language
+# shift) shows here before any downstream dedup/ANN index degrades —
+# the per-source drift alarm a 100 TB ingest pipeline pages on.
+#
+# Exactness: per-dim centroid coordinates are floor(1e6 * sx / n)
+# computed as a floored DOUBLE ratio (sx can be negative; Spark `div`
+# truncates while DuckDB `//` floors, so integer division is NOT
+# engine-portable here — the ml_calibration device; exact while
+# |sx| * 1e6 < 2^53, i.e. to ~7e7 vectors per source at |q| <= 127).
+# The drift is then an exact BIGINT sum of squared micro-unit deltas
+# (<= DIM * (254e6)^2 ~ 4.1e18, inside int64).
+#
+# Scale shape: ONE posexplode + map-side-combined groupBy collapses
+# the corpus to (source, dim) grain — bounded by |sources| * DIM — and
+# the global centroid re-aggregates that bounded table; the join back
+# is a broadcast of DIM rows.  The corpus is scanned once; nothing
+# all-pairs, nothing corpus-sized after the first aggregate.
+
+def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import docs_df
+    q = quantized_df(spark, sf_dir)
+    src = docs_df(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "source")
+    per = (q.join(src, "vec_id")
+            .select("source", F.posexplode("qvec").alias("i", "x"))
+            .groupBy("source", "i")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_s"),
+                 F.sum("x").cast("bigint").alias("sx_s")))
+    glob = (per.groupBy("i")
+               .agg(F.sum("n_s").cast("bigint").alias("n_g"),
+                    F.sum("sx_s").cast("bigint").alias("sx_g")))
+    mean_mu = ("CAST(floor(CAST({sx} AS DOUBLE) * 1000000 / {n}) "
+               "AS BIGINT)")
+    d = (per.join(F.broadcast(glob), "i")
+            .select("source", "n_s",
+                    (F.expr(mean_mu.format(sx="sx_s", n="n_s"))
+                     - F.expr(mean_mu.format(sx="sx_g", n="n_g")))
+                    .alias("dmu")))
+    return (d.groupBy("source")
+             .agg(F.max("n_s").cast("bigint").alias("n_vecs"),
+                  F.sum(F.expr("dmu * dmu")).cast("bigint")
+                   .alias("drift_mu2"))
+             .orderBy("source"))
+
+
+def sql_embedding_source_drift() -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i + 1] AS DOUBLE),"
+          " -1.0), 1.0) * 127) AS BIGINT)")
+    return f"""
+WITH qflat AS (
+  SELECT e.vec_id, d.source, g.i, {qx} AS x
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS i) g
+),
+per AS (
+  SELECT source, i, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(x) AS BIGINT) AS sx_s
+  FROM qflat GROUP BY 1, 2
+),
+gtot AS (
+  SELECT i, CAST(sum(n_s) AS BIGINT) AS n_g,
+         CAST(sum(sx_s) AS BIGINT) AS sx_g
+  FROM per GROUP BY 1
+),
+d AS (
+  SELECT p.source, p.n_s,
+         CAST(floor(CAST(p.sx_s AS DOUBLE) * 1000000 / p.n_s) AS BIGINT)
+         - CAST(floor(CAST(t.sx_g AS DOUBLE) * 1000000 / t.n_g) AS BIGINT)
+           AS dmu
+  FROM per p JOIN gtot t USING (i)
+)
+SELECT source,
+       CAST(max(n_s) AS BIGINT) AS n_vecs,
+       CAST(sum(dmu * dmu) AS BIGINT) AS drift_mu2
+FROM d
+GROUP BY source
+ORDER BY source"""

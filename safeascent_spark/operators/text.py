@@ -2972,3 +2972,84 @@ SELECT tok,
 FROM per_doc, nd
 GROUP BY tok
 ORDER BY tok"""
+
+
+# --- Character-digram entropy per source (round 10) ----------------------------
+# The compression-proxy quality score DSIR/Gopher pipelines use as a
+# cheap perplexity stand-in: the Shannon entropy of the character
+# DIGRAM distribution per source, in integer micro-nats.  Machine-
+# generated or template text shows collapsed digram entropy long
+# before a model-based filter runs; natural prose sits near the
+# language's characteristic value — so this is the first-pass router
+# of a 100 TB curation funnel (cheap, model-free, source-grain).
+#
+# Exactness: the events_entropy_daily device — H = sum(c_g * w_g) / n
+# with w_g = floor(1e6 * ln(n / c_g)) evaluated once per DISTINCT
+# digram on identical integer-derived doubles in both engines, and
+# the final division an exact BIGINT floor-div of nonnegative ints.
+#
+# Scale shape: the per-character substring explode is the corpus pass
+# (fan_out: ~2x n_chars rows of CPU per scan byte — the trigram-
+# profile lesson); ONE map-side-combined groupBy(source, digram)
+# collapses it to vocabulary grain (digrams <= alphabet^2, so the
+# per-source total re-join is a broadcast of a bounded table).
+# Nothing returns to the corpus after the first aggregate.
+# Reference parity: the quality-scoring role of text filters in the
+# curation family (SURVEY §2 beyond-reference block).
+
+def q_text_digram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Guard: Spark sequence(1, 0) descends (never empty), so a <2-char
+    # doc would emit a bogus "digram" while DuckDB generate_series(1, 0)
+    # is empty — filter short docs out first, mirrored in the oracle
+    # (same device as text_char_trigram_profile, ADVICE r7).
+    d = domain.fan_out(docs_df(spark, sf_dir))
+    digs = (d.filter(F.length("text") >= 2)
+             .select("source",
+                     F.explode(F.expr(
+                         "transform(sequence(1, length(text) - 1),"
+                         " i -> substring(text, i, 2))")).alias("dig")))
+    counts = (digs.groupBy("source", "dig")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tot = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (counts.join(F.broadcast(tot), "source")
+                   .select("source", "n", "c",
+                           F.floor(F.lit(1e6) * F.log(
+                               F.col("n").cast("double")
+                               / F.col("c").cast("double")))
+                            .cast("bigint").alias("w")))
+    return (terms.groupBy("source")
+                 .agg(F.max("n").cast("bigint").alias("n_digrams"),
+                      F.count(F.lit(1)).cast("bigint")
+                       .alias("n_distinct_digrams"),
+                      F.expr("CAST(sum(c * w) div max(n) AS BIGINT)")
+                       .alias("entropy_micro_nats"))
+                 .orderBy("source"))
+
+
+def sql_text_digram_entropy() -> str:
+    return """
+WITH digs AS (
+  SELECT source, substr(text, i, 2) AS dig
+  FROM (SELECT source, text,
+               unnest(generate_series(1, length(text) - 1)) AS i
+        FROM documents
+        WHERE length(text) >= 2)
+),
+counts AS (
+  SELECT source, dig, CAST(count(*) AS BIGINT) AS c
+  FROM digs GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+terms AS (
+  SELECT c.source, t.n, c.c,
+         CAST(floor(1e6 * ln(CAST(t.n AS DOUBLE)
+                             / CAST(c.c AS DOUBLE))) AS BIGINT) AS w
+  FROM counts c JOIN tot t USING (source)
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_digrams,
+       CAST(count(*) AS BIGINT) AS n_distinct_digrams,
+       CAST(sum(c * w) // max(n) AS BIGINT) AS entropy_micro_nats
+FROM terms
+GROUP BY source
+ORDER BY source"""
