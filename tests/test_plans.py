@@ -183,6 +183,9 @@ def test_no_unpartitioned_windows_anywhere(spark):
 # distinguish bounded from unbounded constant-key windows, so any NEW site
 # must be reviewed for boundedness and added here — an unlisted one fails.
 CONSTANT_KEY_WINDOW_ALLOWLIST = {
+    # brier global totals: input is the <= BRIER_BINS-row bin aggregate
+    # (bounded by construction — the orders_pareto device)
+    ("safeascent_spark/operators/evalrank.py", 'F.col("bin") % 1'),
     ("safeascent_spark/operators/relational.py", 'F.col("route_id") % 1'),
     ("safeascent_spark/operators/text.py", 'F.length("bkt") % 1'),
     ("safeascent_spark/operators/text.py", 'F.length("word") % 1'),
