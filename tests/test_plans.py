@@ -713,3 +713,56 @@ def test_r9_window_debut_plans_stay_distributed(spark):
     for m in re.finditer(r"\(\d+\) Exchange\nInput \[(\d+)\]:[^\n]*\n"
                          r"Arguments: SinglePartition", plan):
         assert int(m.group(1)) == 4, plan
+
+
+def test_wave33_plans_hold_their_scale_claims(spark):
+    """Round-10 wave-33 plan pins (each mirrors the operator's
+    docstring scale claim):
+
+    * dq_column_correlation — ONE global aggregate: the only
+      SinglePartition exchange carries the partial moment buffer (a
+      fixed-width scalar row), and there is no join of any kind.
+    * tpch_q11_value_parts — all dims broadcast, no SMJ; the global
+      scalar re-aggregate is allowed its bounded broadcast NLJ (1-row
+      side), and the top-100 is a TakeOrdered, not a global sort.
+    * tpch_q20_qty_surplus — the final supplier semi-join is a
+      BroadcastHashJoin LeftSemi (the surplus key set is bounded by
+      the supplier dim); no SortMergeJoin anywhere.
+    * graph_degree_histogram — keyed hash aggregates only: no window,
+      no join, no cartesian.
+    * dq_seasonal_mad_anomaly — every window keys on event_type (the
+      bounded daily table), never unpartitioned.
+    """
+    from safeascent_spark.operators import graph as G
+    from safeascent_spark.operators import monitor as MON
+    from safeascent_spark.operators import olap as O
+
+    plan = plan_of(MON.q_dq_column_correlation(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    for op in ("BroadcastHashJoin", "SortMergeJoin",
+               "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, op) == 0, op
+    assert "windowspecdefinition" not in plan
+
+    plan = plan_of(O.q_tpch_q11_value_parts(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "BroadcastHashJoin") >= 3
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+
+    plan = plan_of(O.q_tpch_q20_qty_surplus(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+
+    plan = plan_of(G.q_graph_degree_histogram(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "windowspecdefinition" not in plan
+    for op in ("BroadcastHashJoin", "SortMergeJoin",
+               "BroadcastNestedLoopJoin"):
+        assert n_ops(plan, op) == 0, op
+
+    plan = plan_of(MON.q_dq_seasonal_mad_anomaly(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    specs = re.findall(r"windowspecdefinition\((\w+#\d+)", plan)
+    assert specs and all(s.startswith("event_type#") for s in specs), specs
