@@ -681,6 +681,9 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_brier_decomposition": EV.q_eval_brier_decomposition,
         # capped per-image top-K pHash neighbors (pair-mining contract)
         "multimodal_phash_knn": MM.q_multimodal_phash_knn,
+        # ppm-decile histogram of local clustering coefficients
+        "graph_clustering_coefficient":
+            ASSOC.q_graph_clustering_coefficient,
     }
 
 
@@ -975,7 +978,7 @@ _R10_NEW: list = [
     "tpch_q20_qty_surplus", "dq_column_correlation",
     "dq_seasonal_mad_anomaly", "text_digram_entropy",
     "embedding_source_drift", "eval_brier_decomposition",
-    "multimodal_phash_knn",
+    "multimodal_phash_knn", "graph_clustering_coefficient",
 ]
 
 
@@ -1354,4 +1357,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_source_drift": SIM.sql_embedding_source_drift(),
         "eval_brier_decomposition": EV.sql_eval_brier_decomposition(),
         "multimodal_phash_knn": MM.sql_multimodal_phash_knn(),
+        "graph_clustering_coefficient":
+            ASSOC.sql_graph_clustering_coefficient(),
     }

@@ -357,3 +357,108 @@ SELECT b.p_brand, b.n_items, b.revenue_micro,
             // greatest(t.t // {LIFT_SCALE}, 1) AS BIGINT) AS share_ppm
 FROM brand b CROSS JOIN total t
 ORDER BY b.revenue_micro DESC, b.p_brand"""
+
+
+# --- Local clustering-coefficient histogram (round 10) --------------------------
+# The community-structure readout graph_triangles stops short of: per
+# node of the support-thresholded co-purchase graph, the local
+# clustering coefficient  cc(v) = closed wedges at v / wedges at v
+#                                = T_v / (deg_v * (deg_v - 1) / 2),
+# rolled into a bounded ppm-decile histogram.  High-cc mass means the
+# co-purchase graph is clique-y (recommender neighborhoods are
+# trustworthy); cc collapsing toward 0 while degrees grow is the
+# classic signal that hub items (staples) have glued unrelated
+# categories together.
+#
+# Exactness: triangle participations and degrees are exact counts,
+# cc_ppm = 2 * T_v * 1e6 div (deg_v * (deg_v - 1)) is a nonnegative
+# integer floor-division, and the per-bin average is one more.
+#
+# Scale shape: reuses the support-thresholded pair graph (item grain,
+# bounded by |parts|; the threshold is the hot-pair cap adjudicated
+# for q_graph_triangles) — the triangle enumeration is the SAME
+# ordered two-path + closure equi-join as the registered triangles
+# query, degrees are one keyed aggregate, and the histogram output is
+# <= 11 rows regardless of corpus size.  The corpus-sized fact table
+# is touched exactly once (inside _pair_support).
+
+CC_BIN_PPM = 100_000     # ppm-decile histogram buckets
+
+
+def q_graph_clustering_coefficient(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    e = (_pair_support(spark, sf_dir)
+         .filter(F.col("support") >= MIN_SUPPORT)
+         .select("p1", "p2"))
+    und = e.unionAll(e.select(F.col("p2").alias("p1"),
+                              F.col("p1").alias("p2")))
+    deg = (und.groupBy(F.col("p1").alias("node"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("deg")))
+    e1 = e.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    e2 = e.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
+    e3 = e.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    tcnt = (tri.select(F.col("a").alias("node"))
+               .unionAll(tri.select(F.col("b").alias("node")))
+               .unionAll(tri.select(F.col("c").alias("node")))
+               .groupBy("node")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("t")))
+    per = (deg.filter(F.col("deg") >= 2)
+              .join(tcnt, "node", "left")
+              .select("node", "deg",
+                      F.coalesce("t", F.lit(0).cast("bigint")).alias("t"))
+              .withColumn("cc_ppm",
+                          F.expr("2 * t * 1000000"
+                                 " div (deg * (deg - 1))")))
+    return (per.groupBy(F.expr(f"CAST(least(9, cc_ppm div {CC_BIN_PPM})"
+                               " AS INT)").alias("cc_bin"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                    F.expr("CAST(sum(deg * (deg - 1) div 2) AS BIGINT)")
+                     .alias("n_wedges"),
+                    F.sum("t").cast("bigint").alias("n_closed"),
+                    F.expr("CAST(sum(cc_ppm) div count(1) AS BIGINT)")
+                     .alias("avg_cc_ppm"))
+               .orderBy("cc_bin"))
+
+
+def sql_graph_clustering_coefficient() -> str:
+    return f"""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SUPPORT}
+),
+und AS (SELECT p1, p2 FROM e UNION ALL SELECT p2, p1 FROM e),
+deg AS (SELECT p1 AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM e e1
+  JOIN e e2 ON e1.p2 = e2.p1
+  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+),
+per AS (
+  SELECT d.node, d.deg, coalesce(t.t, 0) AS t,
+         2 * coalesce(t.t, 0) * 1000000 // (d.deg * (d.deg - 1))
+           AS cc_ppm
+  FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+  WHERE d.deg >= 2
+)
+SELECT CAST(least(9, cc_ppm // {CC_BIN_PPM}) AS INT) AS cc_bin,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+       CAST(sum(t) AS BIGINT) AS n_closed,
+       CAST(sum(cc_ppm) // count(*) AS BIGINT) AS avg_cc_ppm
+FROM per
+GROUP BY 1
+ORDER BY cc_bin"""

@@ -320,3 +320,45 @@ def test_phash_knn_matches_bruteforce(spark):
     assert got == want
     # the cap binds somewhere (some image has > K in-radius neighbors)
     assert any(len(v) > MM.PHASH_KNN_K for v in neigh.values())
+
+
+# --- graph_clustering_coefficient ------------------------------------------------
+
+def test_clustering_coefficient_matches_bruteforce(spark):
+    from safeascent_spark.operators import association as ASSOC
+    li = _rows(spark, "lineitem", ["l_orderkey", "l_partkey"])
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    sup = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                sup[(a, b)] += 1
+    edges = {k for k, c in sup.items() if c >= ASSOC.MIN_SUPPORT}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    per = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(1 for x in nb for y in nb
+                if x < y and (x, y) in edges)
+        per[v] = (d, t, 2 * t * 1_000_000 // (d * (d - 1)))
+    bins = defaultdict(list)
+    for d, t, cc in per.values():
+        bins[min(9, cc // ASSOC.CC_BIN_PPM)].append((d, t, cc))
+    got = ASSOC.q_graph_clustering_coefficient(spark, SF_SMOKE).collect()
+    assert [r.cc_bin for r in got] == sorted(bins)
+    for r in got:
+        vs = bins[r.cc_bin]
+        assert r.n_nodes == len(vs)
+        assert r.n_wedges == sum(d * (d - 1) // 2 for d, _, _ in vs)
+        assert r.n_closed == sum(t for _, t, _ in vs)
+        assert r.avg_cc_ppm == sum(cc for _, _, cc in vs) // len(vs)
+    # the co-purchase graph is clique-y somewhere and open somewhere
+    assert len(got) >= 2
