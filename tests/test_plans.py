@@ -537,13 +537,29 @@ def test_hybrid_rrf_fusion_is_bounded(spark):
 
 def test_phash_pairs_is_banded_equi_join(spark):
     """Image near-dup candidates must come from the (band, value) equi-join
-    over the exploded band table — never a cross join — and both the
-    encode and decode/hash stages must be Arrow mapInPandas."""
+    over the exploded band table — never a cross join.  The decode must
+    NOT appear in the consumer plan at all: the hash frame is
+    localCheckpoint'ed (VERDICT r10 #1 — 8 redundant full-corpus PNG
+    decode passes before the fix), so every plan branch reads the
+    materialized ExistingRDD and zero MapInPandas nodes survive."""
     from safeascent_spark.operators import multimodal as M
     plan = plan_of(M.q_multimodal_phash_pairs(spark, SF_SMOKE))
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
-    assert plan.count("MapInPandas") >= 2
+    assert plan.count("MapInPandas") == 0, "decode leaked past checkpoint"
+    assert "ExistingRDD" in plan
+
+
+def test_phash_decode_stage_is_arrow_and_runs_once(spark):
+    """The encode and decode/hash stages themselves must be Arrow
+    mapInPandas (the real-codec contract), and the checkpointed frame
+    handed to consumers must materialize the decode exactly once: the
+    knn/clusters plans may not contain a single MapInPandas node."""
+    from safeascent_spark.operators import multimodal as M
+    raw = M.extract_png_ahash(M.png_media_grad_df(spark, SF_SMOKE))
+    assert plan_of(raw).count("MapInPandas") >= 2
+    for q in (M.q_multimodal_phash_knn, M.q_multimodal_phash_clusters):
+        assert plan_of(q(spark, SF_SMOKE)).count("MapInPandas") == 0
 
 
 def test_bpe_encode_broadcasts_vocabulary(spark):
