@@ -60,15 +60,34 @@ def risk_model_pipeline():
     return Pipeline(stages=[idx, ohe, asm, lr])
 
 
+def _training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joined feature/label frame, cached ONCE per (session, sf_dir).
+
+    The label upstream is the FULL uncapped influence-scoring pipeline
+    and the frame is consumed repeatedly (moment aggregate + scored
+    join-back, and again by every nested caller: eval_brier_decomposition,
+    ml_risk_model_cv, ml_calibration).  A per-invocation ``.cache()``
+    with no unpersist pinned a NEW copy per call for the session
+    lifetime (ADVICE r10); the session-scoped memo + ``persisted``
+    registration (the ``domain.load_table`` device) keeps exactly one
+    cached route-grain copy per (session, sf) and unpersists it when
+    the session is collected."""
+    cache = domain.session_cache(spark, "ml_training_frame")
+    if sf_dir not in cache:
+        feats = _route_features(spark, sf_dir)
+        labels = scoring.risk_scores_df(spark, sf_dir).select(
+            "route_id", "risk_score")
+        cache[sf_dir] = domain.persisted(
+            spark, feats.join(labels, "route_id").cache())
+    return cache[sf_dir]
+
+
 def q_ml_risk_model_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib Pipeline surrogate (OneHot + LinearRegression) — the iterative
     form, kept as a pytest cross-check of the closed-form model below.
     RMSE and R2 come from ONE aggregation over the predictions (sufficient
     statistics), not two RegressionEvaluator jobs."""
-    feats = _route_features(spark, sf_dir)
-    labels = scoring.risk_scores_df(spark, sf_dir).select(
-        "route_id", "risk_score")
-    data = feats.join(labels, "route_id").cache()
+    data = _training_frame(spark, sf_dir)
     model = risk_model_pipeline().fit(data)
     pred = model.transform(data)
     m = pred.agg(
@@ -155,17 +174,13 @@ def _moment_aggs() -> list:
 
 
 def q_ml_risk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = _route_features(spark, sf_dir)
-    labels = scoring.risk_scores_df(spark, sf_dir).select(
-        "route_id", "risk_score")
-    # cache: `data` is consumed TWICE (the moment aggregate AND the
-    # final scored join-back), and the label upstream is the FULL
-    # uncapped influence-scoring pipeline — without the cache the
-    # whole scoring run executes twice per query (caught by
-    # eval_brier_decomposition's first sf1 curve; the MLlib sibling
-    # above already caches for the same reason).  Route-grain rows,
-    # bounded by |routes| — safe to pin.
-    data = feats.join(labels, "route_id").cache()
+    # `data` is consumed TWICE (the moment aggregate AND the final
+    # scored join-back), and the label upstream is the FULL uncapped
+    # influence-scoring pipeline — without a cache the whole scoring
+    # run executes twice per query (caught by eval_brier_decomposition's
+    # first sf1 curve).  _training_frame supplies the session-memoized
+    # cached copy (ADVICE r10: one pin per session, not per call).
+    data = _training_frame(spark, sf_dir)
     data = data.select(
         "route_id", "route_type", "elevation_m", "popularity", "risk_score",
         F.col("elevation_m").cast("long").alias("ei"),
@@ -945,10 +960,10 @@ CV_FOLDS = 5
 
 
 def q_ml_risk_model_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = _route_features(spark, sf_dir)
-    labels = scoring.risk_scores_df(spark, sf_dir).select(
-        "route_id", "risk_score")
-    data = feats.join(labels, "route_id").select(
+    # single consumption here, but the session-memoized cached frame
+    # means a sweep running model + cv + calibration + brier in one
+    # session pays the scoring label pipeline once, not four times
+    data = _training_frame(spark, sf_dir).select(
         "route_type",
         (F.col("route_id") % CV_FOLDS).cast("int").alias("fold"),
         F.col("elevation_m").cast("long").alias("ei"),

@@ -644,8 +644,11 @@ deg AS (
   SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1
 )
 SELECT CAST(length(bin(deg)) - 1 AS INT) AS deg_bin,
-       CAST(1 << (length(bin(deg)) - 1) AS BIGINT) AS deg_lo,
-       CAST((1 << length(bin(deg))) - 1 AS BIGINT) AS deg_hi,
+       -- shift a BIGINT one, not the INTEGER literal: DuckDB raises an
+       -- Out of Range error once max degree reaches ~2^30, while the
+       -- Spark side casts to BIGINT before shifting (ADVICE r10)
+       CAST(CAST(1 AS BIGINT) << (length(bin(deg)) - 1) AS BIGINT) AS deg_lo,
+       CAST((CAST(1 AS BIGINT) << length(bin(deg))) - 1 AS BIGINT) AS deg_hi,
        CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(sum(deg) AS BIGINT) AS sum_deg,
        CAST(sum(CAST(deg AS HUGEINT) * deg) AS BIGINT) AS sum_deg2,

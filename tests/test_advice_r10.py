@@ -80,9 +80,15 @@ def test_fixture_quantity_is_integral(spark):
     are safe iff l_quantity is integral — assert it on the fixture so
     a future data regeneration that breaks the property fails loudly
     here instead of as a silent engine/oracle divergence."""
-    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
-    bad = li.filter(F.col("l_quantity") != F.floor("l_quantity")).count()
-    assert bad == 0
+    # sweep EVERY fixture SF: the un-floored CAST sites this guards
+    # (Q1/Q6/Q17/Q18/Q19) are gated at sf0.01 and sf0.1, so asserting
+    # only the smoke SF would let a regeneration that breaks
+    # integrality at a larger SF slip past (ADVICE r10)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        li = spark.read.parquet(f"/root/testdata/{sf}/lineitem.parquet")
+        bad = li.filter(
+            F.col("l_quantity") != F.floor("l_quantity")).count()
+        assert bad == 0, sf
 
 
 # --- 2. _moment_aggs: explicit DECIMAL(38,0) second-order sums --------------

@@ -267,7 +267,10 @@ def test_brier_decomposition_matches_bruteforce(spark):
     bw = 1_000_000 // ER.BRIER_BINS
     per = defaultdict(lambda: [0, 0, 0])    # n, sum p_ppm, sum y
     for r in m:
-        p = round(min(max(r.predicted_risk, 0.0), 100.0) * 10000)
+        # half-up like Spark/DuckDB round for positive doubles — Python's
+        # round() is banker's rounding, which would disagree with a
+        # correct engine result on an exact .5 tie (ADVICE r10)
+        p = math.floor(min(max(r.predicted_risk, 0.0), 100.0) * 10000 + 0.5)
         y = 1 if r.risk_score >= ER.BRIER_POS_THRESHOLD else 0
         b = min(ER.BRIER_BINS - 1, p // bw)
         per[b][0] += 1
