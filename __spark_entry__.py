@@ -981,6 +981,40 @@ _R10_NEW: list = [
     "multimodal_phash_knn", "graph_clustering_coefficient",
 ]
 
+# --- Round-11 bookkeeping ------------------------------------------------------
+# Queries whose CODE (executed plan or oracle SQL) changed in round 11:
+# the pHash decode fix (VERDICT r10 "what's wrong" #1: hash frame
+# localCheckpoint'ed + fan_out on every media stage-1 builder — every
+# multimodal plan gained the decode repartition), the graph degree
+# histogram oracle's BIGINT shift (ADVICE r10), and the ml training
+# frame's session-memoized cache (ADVICE r10), which rewrites the plan
+# of the model and of every nested consumer.
+_R11_CODE_CHANGED = [
+    "multimodal_png_meta", "multimodal_png_resize", "multimodal_wav_meta",
+    "multimodal_wav_energy", "multimodal_wav_segments",
+    "multimodal_video_frames", "multimodal_curation", "multimodal_phash",
+    "multimodal_phash_pairs", "multimodal_phash_knn",
+    "multimodal_phash_clusters", "graph_degree_histogram",
+    "ml_risk_model", "ml_risk_model_cv", "ml_calibration",
+    "eval_brier_decomposition",
+]
+# rows whose code changed in r11 outside the r11 window → front of the
+# staged r12 window (multimodal_wav_meta is IN the r11 window and
+# re-gates with the new code automatically this round).  Three of
+# these (graph_degree_histogram, eval_brier_decomposition,
+# multimodal_phash_knn) are also _R10_NEW rows whose registration+2
+# deadline IS r12 — the regate and the debut coincide.
+_R12_REGATE_FRONT = [n for n in _R11_CODE_CHANGED
+                     if n != "multimodal_wav_meta"]
+
+# queries NEW in round 11 — CAPPED at 15 (standing invariant since
+# VERDICT r7 item 2).  Registered at the very tail; they rotate into
+# the r13 window (registration+2).  Evidence until then:
+# CORRECTNESS_LOCAL_r11.json + dual-SF bit-exact rows in
+# CROSSSF_r11.json (tests/test_crosssf_gate.py).
+_R11_NEW: list = [
+]
+
 
 def _r8_order(b: dict) -> list:
     """The round-8 registration order, reconstructed verbatim (names
@@ -988,7 +1022,7 @@ def _r8_order(b: dict) -> list:
     is DEFINED as positions 50..99 of this order (VERDICT r8 item 1),
     so the reconstruction is kept rather than inlined."""
     order = list(_R8_WINDOW) + list(_R8_TAIL_NEVER)
-    post_r8 = set(_R9_NEW) | set(_R10_NEW)
+    post_r8 = set(_R9_NEW) | set(_R10_NEW) | set(_R11_NEW)
     taken = set(order) | set(_R8_NEW) | post_r8
     old_order = [n for n in b if n not in post_r8]
     r67_set = set(_R6_WINDOW) | set(_R7_WINDOW)
@@ -1023,33 +1057,54 @@ def _r9_order(b: dict) -> list:
              if n not in taken and n not in set(_R8_WINDOW)]
     r8_fresh = [n for n in _R8_WINDOW if n not in taken]
     order = window + regate + r8_new + stale + r8_fresh + list(_R9_NEW)
-    assert len(order) + len(_R10_NEW) == len(b)
+    assert len(order) + len(_R10_NEW) + len(_R11_NEW) == len(b)
     return order
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # --- Round-10 registration order -----------------------------------
-    # window (50): positions 50..99 of the r9 order, exactly as staged
-    # in round 9 and pinned by VERDICT r9 item 1 / tests/test_rotation.py
-    # — the 7 r9 code-changed re-gates first (_R10_REGATE_FRONT: the
-    # cross-SF audit fallout, which this round also re-gates the
-    # ADVICE-r9 explicit-DECIMAL(38,0) fix riding ml_risk_model /
-    # ml_risk_model_cv), then the 6 r8-new never-checked (zeroing that
-    # backlog), then the 37 next-stalest r4/r5-era rows.
-    b = _builders()
+def _r10_order(b: dict) -> list:
+    """The round-10 registration order, reconstructed verbatim (names
+    registered after r10 — ``_R11_NEW`` — are excluded).  The r11 window
+    is DEFINED as positions 50..99 of this order (VERDICT r10 item 2,
+    staged in-round by r10): the r10 code-changed non-window regate
+    first (_R11_REGATE_FRONT), then the rest of the 15 r9-new (their
+    registration+2 deadline IS r11), then the next-stalest rows."""
     r9_order = _r9_order(b)
     window = r9_order[50:100]
-    # Positions 50..99 are the ready-made r11 window: the r10
-    # code-changed rows OUTSIDE this round's window first
-    # (_R11_REGATE_FRONT — the ADVICE-r9 Q2 floor guard; same device
-    # as _R10_REGATE_FRONT last round), then the rest of the 15 r9-new
-    # never-checked (they hit their registration+2 deadline at r11),
-    # then the next-stalest r4/r5-era rows.
     front = list(_R11_REGATE_FRONT)
     r9_new = front + [n for n in _R9_NEW if n not in front]
     taken = set(window) | set(r9_new)
     rest = [n for n in r9_order[100:] if n not in taken]
     order = window + r9_new + rest + r9_order[:50] + list(_R10_NEW)
+    assert len(order) + len(_R11_NEW) == len(b)
+    return order
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # --- Round-11 registration order -----------------------------------
+    # window (50): positions 50..99 of the r10 order, exactly as staged
+    # in round 10 and pinned by VERDICT r10 item 2 /
+    # tests/test_rotation.py — the ADVICE-r9 Q2 floor-guard regate
+    # first (tpch_q2_mincost), then the rest of the 15 r9-new (their
+    # registration+2 deadline IS r11, incl. the two TPC-H headline
+    # rows), then the 35 next-stalest rows (draining the 26 r5-era rows
+    # that hit the 6-round staleness ceiling this round).
+    b = _builders()
+    r10_order = _r10_order(b)
+    window = r10_order[50:100]
+    # Positions 50..99 are the ready-made r12 window: the 15 r11
+    # code-changed rows OUTSIDE this round's window first
+    # (_R12_REGATE_FRONT — the pHash decode fix + ml cache memo + the
+    # degree-histogram oracle widening; same device as
+    # _R11_REGATE_FRONT last round), then the rest of the 10 r10-new
+    # never-checked (their registration+2 deadline IS r12 — three of
+    # them are themselves regates, so the union is 22 rows), then the
+    # next-stalest rows.
+    front = list(_R12_REGATE_FRONT)
+    staged = front + [n for n in _R10_NEW if n not in front]
+    taken = set(window) | set(staged)
+    rest = [n for n in r10_order[100:] if n not in taken]
+    r10_fresh = [n for n in r10_order[:50] if n not in taken]
+    order = window + staged + rest + r10_fresh + list(_R11_NEW)
     assert len(order) == len(b) and set(order) == set(b), (
         len(order), len(b))
     return {n: b[n] for n in order}

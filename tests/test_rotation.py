@@ -33,14 +33,37 @@ def _r9_order():
     return E._r9_order(E._builders())
 
 
-def test_r10_window_is_the_verdict_plan():
-    """The r10 window is EXACTLY positions 50..99 of the r9
-    registration order (VERDICT r9 item 1, staged in-round by r9): the
-    7 r9 code-changed re-gates first (the cross-SF audit fallout),
-    then the 6 r8-new never-checked (zeroing that backlog), then the
-    37 next-stalest r4/r5-era rows."""
+def _r10_order():
+    return E._r10_order(E._builders())
+
+
+def test_r11_window_is_the_verdict_plan():
+    """The r11 window is EXACTLY positions 50..99 of the r10
+    registration order (VERDICT r10 item 2, staged in-round by r10):
+    the ADVICE-r9 Q2 floor-guard regate first (tpch_q2_mincost), then
+    the rest of the 15 r9-new never-checked (their registration+2
+    deadline IS r11), then the 35 next-stalest rows — which drain the
+    26 r5-era rows that hit the 6-round staleness ceiling this round."""
     order = _order()
     win = order[:50]
+    assert len(set(win)) == 50
+    assert win == _r10_order()[50:100]
+    assert win[:1] == list(E._R11_REGATE_FRONT)
+    assert set(win[:15]) == set(E._R9_NEW)
+    # the 35 stale rows saw no driver row in r8/r9/r10
+    stale = win[15:]
+    recent = (set(E._R8_WINDOW) | set(_r9_order()[:50])
+              | set(_r10_order()[:50]))
+    assert not set(stale) & recent
+    assert not set(stale) & (set(E._R10_NEW) | set(E._R11_NEW))
+
+
+def test_r10_window_is_the_verdict_plan():
+    """Historical pin: the r10 window was positions 50..99 of the r9
+    order (the 7 r9 code-changed re-gates first, then the 6 r8-new
+    never-checked, then the 37 next-stalest r4/r5-era rows) — and the
+    recorded driver artifact matches it exactly."""
+    win = _r10_order()[:50]
     assert len(set(win)) == 50
     assert win == _r9_order()[50:100]
     # the 7 r9 code-changed re-gates lead
@@ -53,6 +76,9 @@ def test_r10_window_is_the_verdict_plan():
               | set(_r9_order()[:50]))
     assert not set(stale) & recent
     assert not set(stale) & (set(E._R9_NEW) | set(E._R10_NEW))
+    r10 = json.loads((REPO / "CORRECTNESS_r10.json").read_text())
+    assert set(r10) == set(win)
+    assert all(v["hash_match"] for v in r10.values())
 
 
 def test_r9_window_is_the_verdict_plan():
@@ -105,13 +131,20 @@ def test_published_list_sizes():
              - set(E._R8_NEW) - set(E._R9_NEW))
     assert rest9 == set(E._R10_REGATE_FRONT) - set(E._R8_NEW)
     assert set(E._R10_REGATE_FRONT) <= set(E._R9_CODE_CHANGED)
-    # r10 code-changed bookkeeping: r10-window members re-gate this
-    # round automatically; every non-member leads the staged r11
-    # window (all r10 code changes were ADVICE fixes to r9-new or
-    # r10-window rows, so the front is a subset of _R9_NEW)
-    rest10 = set(E._R10_CODE_CHANGED) - set(_order()[:50])
+    # r10 code-changed bookkeeping: r10-window members re-gated in r10
+    # automatically; every non-member led the staged r11 window (all
+    # r10 code changes were ADVICE fixes to r9-new or r10-window rows,
+    # so the front is a subset of _R9_NEW)
+    rest10 = set(E._R10_CODE_CHANGED) - set(_r10_order()[:50])
     assert rest10 == set(E._R11_REGATE_FRONT)
     assert set(E._R11_REGATE_FRONT) <= set(E._R9_NEW)
+    # r11 cap + code-changed bookkeeping: r11-window members re-gate
+    # this round automatically; every non-member leads the staged r12
+    # window
+    assert len(E._R11_NEW) <= 15
+    rest11 = set(E._R11_CODE_CHANGED) - set(_order()[:50])
+    assert rest11 == set(E._R12_REGATE_FRONT)
+    assert set(E._R12_REGATE_FRONT) < set(E._R11_CODE_CHANGED)
 
 
 def test_windows_partition_history():
@@ -120,71 +153,78 @@ def test_windows_partition_history():
     assert not set(E._R7_WINDOW) & set(E._R8_WINDOW)
     win9 = set(_r9_order()[:50])
     assert not win9 & set(E._R8_WINDOW)
-    win10 = set(_order()[:50])
+    win10 = set(_r10_order()[:50])
     assert not win10 & win9
+    win11 = set(_order()[:50])
+    assert not win11 & win10
     r7 = json.loads((REPO / "CORRECTNESS_r07.json").read_text())
     assert set(r7) == set(E._R7_WINDOW)
     assert all(v["hash_match"] for v in r7.values())
 
 
-def test_registration_order_and_r11_readiness():
+def test_registration_order_and_r12_readiness():
     order = _order()
     n = len(order)
     assert len(set(order)) == n
-    # r10-new are registered at the very tail (rotate in by r12)
-    k = len(E._R10_NEW)
+    # r11-new are registered at the very tail (rotate in by r13)
+    k = len(E._R11_NEW)
     if k:
-        assert order[n - k:] == list(E._R10_NEW)
-    # positions 50..99 are the ready-made r11 window: the r10
-    # code-changed non-window regates first, then the rest of the 15
-    # r9-new (their registration+2 deadline IS r11), then the
-    # next-stalest rows — which, with the r4/r5-era pool nearly
-    # drained, now legitimately includes r6-era evidence (4 rounds
-    # old) but nothing from windows r7/r8/r9/r10.
-    r11 = order[50:100]
-    front = list(E._R11_REGATE_FRONT)
-    assert r11[:len(front)] == front
-    assert set(r11[:15]) == set(E._R9_NEW)
-    rest = r11[15:]
-    recent = (set(E._R7_WINDOW) | set(E._R8_WINDOW)
-              | set(_r9_order()[:50]) | set(order[:50]))
+        assert order[n - k:] == list(E._R11_NEW)
+    # positions 50..99 are the ready-made r12 window: the 15 r11
+    # code-changed non-window regates first (pHash decode fix + ml
+    # cache memo + degree-histogram oracle widening), then the rest of
+    # the 10 r10-new (their registration+2 deadline IS r12; three are
+    # themselves regates, so the union is 22 rows), then the
+    # next-stalest rows — nothing from windows r8/r9/r10/r11 beyond
+    # the justified regates.
+    r12 = order[50:100]
+    front = list(E._R12_REGATE_FRONT)
+    assert r12[:len(front)] == front
+    assert set(E._R10_NEW) <= set(r12[:22])
+    rest = r12[22:]
+    recent = (set(E._R8_WINDOW) | set(_r9_order()[:50])
+              | set(_r10_order()[:50]) | set(order[:50]))
     assert not set(rest) & recent
-    assert not set(rest) & set(E._R10_NEW)
+    assert not set(rest) & set(E._R11_NEW)
 
 
 def test_staleness_ages_match_note():
-    """Recompute the projected after-r10 evidence ages from the lists:
-    50 r10-fresh / 50 r9-fresh / r8- and r7-fresh minus the rows the
-    r10 window pulled forward / never = |_R9_NEW| + |_R10_NEW|;
-    remainder r4/r5/r6-era; total matches the registered surface, and
-    the never-checked backlog older than registration+1 is ZERO."""
+    """Recompute the projected after-r11 evidence ages from the lists:
+    50 r11-fresh / 50 r10-fresh / 50 r9-fresh / r8- and r7-fresh minus
+    the regates earlier windows pulled forward / never = |_R10_NEW| +
+    |_R11_NEW|; remainder r4/r5/r6-era; total matches the registered
+    surface, and the never-checked backlog older than registration+1
+    is ZERO (the 15 _R9_NEW debut in the r11 window itself)."""
     order = _order()
     n = len(order)
-    win10 = set(order[:50])
-    never = set(E._R9_NEW) | set(E._R10_NEW)
+    win11 = set(order[:50])
+    win10 = set(_r10_order()[:50])
+    never = set(E._R10_NEW) | set(E._R11_NEW)
     ages = {
+        "r11": win11,
         "r10": win10,
-        "r9": set(_r9_order()[:50]),
-        "r8": set(E._R8_WINDOW) - win10,
-        "r7": set(E._R7_WINDOW) - win10 - set(E._R8_WINDOW),
-        "never": never,
+        "r9": set(_r9_order()[:50]) - win11,
+        "r8": set(E._R8_WINDOW) - win11 - win10,
+        "r7": set(E._R7_WINDOW) - win11 - win10 - set(E._R8_WINDOW),
+        "never": never - win11,
     }
     seen: set = set()
     for k, s in ages.items():
         assert not s & seen, k
         seen |= s
+    assert len(ages["r11"]) == 50
     assert len(ages["r10"]) == 50
     assert len(ages["r9"]) == 50
     # the r10 window pulled 2 r8-fresh + 1 r7-fresh regates forward
     assert len(ages["r8"]) == 48
     assert len(ages["r7"]) == 49
-    assert len(ages["never"]) == len(E._R9_NEW) + len(E._R10_NEW)
+    assert len(ages["never"]) == len(E._R10_NEW) + len(E._R11_NEW)
     # everything else carries r4/r5/r6-era evidence
     rest = set(order) - seen
-    assert len(rest) == n - 197 - len(never)
-    # the pre-r9 never-checked backlog stays ZERO: every name outside
+    assert len(rest) == n - 247 - len(ages["never"])
+    # the pre-r10 never-checked backlog stays ZERO: every name outside
     # `never` appears in some recorded window or the r4/r5 local era
-    assert rest <= set(_r9_order()[100:])
+    assert rest <= set(_r10_order()[100:])
     # cycle-length invariant quoted in the note: ceil(N/50)
     assert -(-n // 50) == (n + 49) // 50
 
