@@ -31,6 +31,7 @@ from safeascent_spark.operators import similarity as SIM
 from safeascent_spark.operators import text as TX
 from safeascent_spark.operators import weather as W
 from safeascent_spark import ml as ML
+from safeascent_spark import sinks as SNK
 from safeascent_spark import skew as SK
 from safeascent_spark.streaming import correlate as CORR
 from safeascent_spark.operators import evalrank as EV
@@ -684,6 +685,14 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ppm-decile histogram of local clustering coefficients
         "graph_clustering_coefficient":
             ASSOC.q_graph_clustering_coefficient,
+        # --- new in round 11 (see _R11_NEW) ---
+        # S8 end-to-end: write two date partitions, partition-pruned
+        # serving read + broadcast MGET semi-join (VERDICT r10 item 3:
+        # the sink layer made driver-expressible)
+        "s8_score_roundtrip": SNK.q_s8_score_roundtrip,
+        # S9/S10 + J6 end-to-end: 3-date write, row-level merge-on-read
+        # upsert, retention purge, per-surviving-date serving aggregate
+        "s9_retention_survivors": SNK.q_s9_retention_survivors,
     }
 
 
@@ -1013,6 +1022,7 @@ _R12_REGATE_FRONT = [n for n in _R11_CODE_CHANGED
 # CORRECTNESS_LOCAL_r11.json + dual-SF bit-exact rows in
 # CROSSSF_r11.json (tests/test_crosssf_gate.py).
 _R11_NEW: list = [
+    "s8_score_roundtrip", "s9_retention_survivors",
 ]
 
 
@@ -1414,4 +1424,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_knn": MM.sql_multimodal_phash_knn(),
         "graph_clustering_coefficient":
             ASSOC.sql_graph_clustering_coefficient(),
+        "s8_score_roundtrip": SNK.sql_s8_score_roundtrip(),
+        "s9_retention_survivors": SNK.sql_s9_retention_survivors(),
     }

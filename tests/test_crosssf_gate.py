@@ -24,6 +24,7 @@ REPO = Path(__file__).resolve().parent.parent
 # _R{N}_NEW list itself.
 GATED_WAVES = {
     10: E._R10_NEW,
+    11: E._R11_NEW,
 }
 
 

@@ -1,0 +1,63 @@
+"""Round-11 wave-34 semantics, each cross-checked against a
+driver-side brute force at sf0.001 (the registration checklist's
+brute-force leg; the DuckDB oracle + dual-SF bit-exact legs live in
+CORRECTNESS_LOCAL_r11 / CROSSSF_r11).
+"""
+
+from __future__ import annotations
+
+from safeascent_spark import sinks as SNK
+from safeascent_spark.operators import scoring
+from tests.conftest import SF_SMOKE
+
+
+def _score_rows(spark):
+    return {r.route_id: r for r in
+            scoring.risk_scores_capped_df(spark, SF_SMOKE).collect()}
+
+
+# --- s8_score_roundtrip --------------------------------------------------------
+
+def test_s8_roundtrip_matches_direct_scores(spark):
+    """The write -> partition-pruned read -> MGET semi-join roundtrip must
+    return EXACTLY the requested subset of the direct score table, with
+    values untouched by the parquet roundtrip, and none of the decoy
+    date's perturbed rows."""
+    direct = _score_rows(spark)
+    want_ids = sorted(i for i in direct
+                      if i % SNK.S8_MGET_MOD == 3)[:SNK.S8_MGET_LIMIT]
+    got = SNK.q_s8_score_roundtrip(spark, SF_SMOKE).collect()
+    assert [r.route_id for r in got] == want_ids
+    for r in got:
+        d = direct[r.route_id]
+        assert (r.risk_score, r.color_code, r.num_contributing) == \
+            (d.risk_score, d.color_code, d.num_contributing)
+        # a broken partition prune would surface the decoy's +1000 shift
+        assert r.num_contributing < 1000
+        assert r.prediction_date == "2024-06-15"
+
+
+# --- s9_retention_survivors ----------------------------------------------------
+
+def test_s9_upsert_purge_survivors_match_bruteforce(spark):
+    """After the 3-date write + delta upsert + purge: exactly two
+    surviving dates; the middle date bit-identical to the direct table;
+    the newest date with latest-wins delta rows for route_id % 5 == 0."""
+    direct = _score_rows(spark)
+    d0, d1, d2 = SNK.S9_DATES
+    n = len(direct)
+    n_up = sum(1 for i in direct if i % SNK.S9_UPSERT_MOD == 0)
+    sum_micro = sum(round(r.risk_score * 1_000_000)
+                    for r in direct.values())
+    sum_contrib = sum(r.num_contributing for r in direct.values())
+    sum_contrib_d2 = (sum(r.num_contributing for i, r in direct.items()
+                          if i % SNK.S9_UPSERT_MOD != 0) - n_up)
+    got = {r.prediction_date: r for r in
+           SNK.q_s9_retention_survivors(spark, SF_SMOKE).collect()}
+    assert sorted(got) == [d1, d2]          # d0 purged, nothing else
+    assert (got[d1].n_routes, got[d1].n_upserted) == (n, 0)
+    assert got[d1].sum_risk_micro == sum_micro
+    assert got[d1].sum_contributing == sum_contrib
+    assert (got[d2].n_routes, got[d2].n_upserted) == (n, n_up)
+    assert got[d2].sum_risk_micro == sum_micro   # delta keeps the score
+    assert got[d2].sum_contributing == sum_contrib_d2
