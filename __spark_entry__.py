@@ -693,6 +693,9 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S9/S10 + J6 end-to-end: 3-date write, row-level merge-on-read
         # upsert, retention purge, per-surviving-date serving aggregate
         "s9_retention_survivors": SNK.q_s9_retention_survivors,
+        # variable-length longest duplicated span (true EXACTSUBSTR
+        # maximality via bucketed suffix-neighbor LCP; VERDICT r10 #4)
+        "dedup_longest_span": D.q_dedup_longest_span,
     }
 
 
@@ -1023,6 +1026,7 @@ _R12_REGATE_FRONT = [n for n in _R11_CODE_CHANGED
 # CROSSSF_r11.json (tests/test_crosssf_gate.py).
 _R11_NEW: list = [
     "s8_score_roundtrip", "s9_retention_survivors",
+    "dedup_longest_span",
 ]
 
 
@@ -1426,4 +1430,5 @@ def oracle_sql() -> dict[str, str]:
             ASSOC.sql_graph_clustering_coefficient(),
         "s8_score_roundtrip": SNK.sql_s8_score_roundtrip(),
         "s9_retention_survivors": SNK.sql_s9_retention_survivors(),
+        "dedup_longest_span": D.sql_dedup_longest_span(),
     }

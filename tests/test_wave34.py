@@ -61,3 +61,48 @@ def test_s9_upsert_purge_survivors_match_bruteforce(spark):
     assert (got[d2].n_routes, got[d2].n_upserted) == (n, n_up)
     assert got[d2].sum_risk_micro == sum_micro   # delta keeps the score
     assert got[d2].sum_contributing == sum_contrib_d2
+
+
+# --- dedup_longest_span --------------------------------------------------------
+
+def test_longest_span_matches_quadratic_bruteforce(spark):
+    """Independent recompute of the DEFINITION (not the algorithm): for
+    every position, the longest L in [W, W+CAP] whose token tuple occurs
+    >= 2 times anywhere in the corpus; per doc, the max + argmin + count
+    of argmax positions.  Validates the bucketed suffix-neighbor LCP
+    device against plain counting."""
+    from collections import Counter, defaultdict
+    from safeascent_spark.operators import dedup as D
+    from safeascent_spark import domain
+    from pyspark.sql import functions as F
+
+    W, CAP = D.SPAN_W, D.SPAN_EXT_CAP
+    corpus = D._rng_corpus(
+        domain.load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text"))
+    toks = {r.doc_id: [t for t in r.text.split(" ") if t]
+            for r in corpus.collect()}
+    occ = Counter()
+    for d, ws in toks.items():
+        for p in range(len(ws)):
+            for L in range(W, min(W + CAP, len(ws) - p) + 1):
+                occ[tuple(ws[p:p + L])] += 1
+    best = {}
+    for d, ws in toks.items():
+        spans = []
+        for p in range(len(ws) - W + 1):
+            top = 0
+            for L in range(W, min(W + CAP, len(ws) - p) + 1):
+                if occ[tuple(ws[p:p + L])] >= 2:
+                    top = L
+            if top:
+                spans.append((p + 1, top))      # 1-based pos
+        if spans:
+            m = max(s for _, s in spans)
+            hits = [p for p, s in spans if s == m]
+            best[d] = (m, min(hits), len(hits))
+    got = {r.doc_id: (r.longest_span, r.span_start, r.n_max_positions)
+           for r in D.q_dedup_longest_span(spark, SF_SMOKE).collect()}
+    assert got == best
+    # the fixture must actually exercise variable lengths (not all == W)
+    assert len({v[0] for v in best.values()}) >= 3
