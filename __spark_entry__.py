@@ -696,6 +696,9 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variable-length longest duplicated span (true EXACTSUBSTR
         # maximality via bucketed suffix-neighbor LCP; VERDICT r10 #4)
         "dedup_longest_span": D.q_dedup_longest_span,
+        # isotonic (PAVA) recalibration via the distributed minimax
+        # identity over the bounded bin frame
+        "ml_isotonic_calibration": EV.q_ml_isotonic_calibration,
     }
 
 
@@ -1026,7 +1029,7 @@ _R12_REGATE_FRONT = [n for n in _R11_CODE_CHANGED
 # CROSSSF_r11.json (tests/test_crosssf_gate.py).
 _R11_NEW: list = [
     "s8_score_roundtrip", "s9_retention_survivors",
-    "dedup_longest_span",
+    "dedup_longest_span", "ml_isotonic_calibration",
 ]
 
 
@@ -1431,4 +1434,5 @@ def oracle_sql() -> dict[str, str]:
         "s8_score_roundtrip": SNK.sql_s8_score_roundtrip(),
         "s9_retention_survivors": SNK.sql_s9_retention_survivors(),
         "dedup_longest_span": D.sql_dedup_longest_span(),
+        "ml_isotonic_calibration": EV.sql_ml_isotonic_calibration(),
     }

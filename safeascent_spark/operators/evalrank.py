@@ -543,3 +543,114 @@ SELECT bin, n_routes, avg_pred_ppm, avg_obs_ppm,
          AS unc_micro
 FROM means
 ORDER BY bin"""
+
+
+# --- Isotonic (PAVA) calibration of the risk surrogate (round 11) ---------------
+# The monotone-recalibration companion of ml_calibration / the Brier
+# decomposition (VERDICT r10 item 5): fit the best NON-DECREASING map
+# from predicted-risk bin to mean actual risk — exactly what a serving
+# layer applies to raw surrogate scores.  Rather than the sequential
+# pool-adjacent-violators sweep, the fit uses PAVA's closed minimax
+# identity  fit(i) = max_{j<=i} min_{k>=i} mean(actual over bins j..k),
+# which is order-free and therefore distributes: after ONE corpus-grain
+# aggregate to <= ISO_BINS rows, every remaining step is joins/groupBys
+# over the bounded bin frame (<= B^2/2 intervals, <= B^2*B rows total —
+# corpus-size-independent, the eval-family scale contract).  Integer
+# exactness: actual risk is micro-units (nonnegative, so DIV = floor in
+# both engines), interval sums ride DECIMAL(38,0)/HUGEINT; the floored
+# means keep the minimax monotone (the identity's lattice argument is
+# pointwise on the mean values), which the brute-force test asserts.
+# The bin frame is localCheckpoint'ed: it is consumed by FIVE plan
+# branches, and its upstream is the full scoring label pipeline (the
+# exact double-execution class eval_brier_decomposition's first curve
+# caught in r10).
+
+ISO_BINS = 32
+
+
+def q_ml_isotonic_calibration(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from .. import domain, ml as ML
+    m = ML.q_ml_risk_model(spark, sf_dir).select(
+        "risk_score", "predicted_risk")
+    bw = 1_000_000 // ISO_BINS
+    p_ppm = ("CAST(round(least(greatest(predicted_risk, 0.0D), 100.0D)"
+             " * 10000) AS BIGINT)")
+    binned = m.select(
+        F.expr(f"CAST(least({ISO_BINS - 1}, {p_ppm} div {bw}) AS INT)")
+         .alias("bin"),
+        F.expr(p_ppm).alias("p"),
+        F.expr("CAST(round(risk_score * 1000000) AS BIGINT)").alias("a"))
+    b = (binned.groupBy("bin")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_routes"),
+                    F.sum("p").cast("bigint").alias("sp"),
+                    F.sum(F.col("a").cast("decimal(38,0)")).alias("sa")))
+    b = domain.persisted(spark, b.localCheckpoint(eager=True))
+    jf = b.select(F.col("bin").alias("jb"))
+    kf = b.select(F.col("bin").alias("kb"))
+    mf = b.select(F.col("bin").alias("mb"), "sa",
+                  F.col("n_routes").alias("mn"))
+    iv = (jf.join(kf, F.col("kb") >= F.col("jb"))
+            .join(mf, (F.col("mb") >= F.col("jb"))
+                  & (F.col("mb") <= F.col("kb")))
+            .groupBy("jb", "kb")
+            .agg(F.expr("CAST(sum(sa) div sum(mn) AS BIGINT)")
+                  .alias("mean_f")))
+    fitj = (b.select(F.col("bin").alias("ib"))
+             .join(iv, (F.col("jb") <= F.col("ib"))
+                   & (F.col("kb") >= F.col("ib")))
+             .groupBy("ib", "jb")
+             .agg(F.min("mean_f").alias("mn_k")))
+    fit = (fitj.groupBy("ib")
+               .agg(F.max("mn_k").cast("bigint").alias("iso_fit_micro")))
+    return (b.join(fit, b["bin"] == fit["ib"])
+             .select("bin", "n_routes",
+                     F.expr("CAST(sp div n_routes AS BIGINT)")
+                      .alias("avg_pred_ppm"),
+                     F.expr("CAST(sa div n_routes AS BIGINT)")
+                      .alias("avg_actual_micro"),
+                     "iso_fit_micro")
+             .orderBy("bin"))
+
+
+def sql_ml_isotonic_calibration() -> str:
+    from ..ml import sql_ml_risk_model
+    bw = 1_000_000 // ISO_BINS
+    p_ppm = ("CAST(round(least(greatest(predicted_risk, 0.0), 100.0)"
+             " * 10000) AS BIGINT)")
+    return f"""
+WITH model AS ({sql_ml_risk_model()}),
+binned AS (
+  SELECT CAST(least({ISO_BINS - 1}, {p_ppm} // {bw}) AS INT) AS bin,
+         {p_ppm} AS p,
+         CAST(round(risk_score * 1000000) AS BIGINT) AS a
+  FROM model
+),
+b AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_routes,
+         CAST(sum(p) AS BIGINT) AS sp,
+         sum(CAST(a AS HUGEINT)) AS sa
+  FROM binned GROUP BY bin
+),
+iv AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         sum(m.sa) // sum(m.n_routes) AS mean_f
+  FROM b j JOIN b k ON k.bin >= j.bin
+       JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY 1, 2
+),
+fitj AS (
+  SELECT i.bin AS ib, v.jb, min(v.mean_f) AS mn_k
+  FROM b i JOIN iv v ON v.jb <= i.bin AND v.kb >= i.bin
+  GROUP BY 1, 2
+),
+fit AS (
+  SELECT ib, CAST(max(mn_k) AS BIGINT) AS iso_fit_micro
+  FROM fitj GROUP BY ib
+)
+SELECT b.bin, b.n_routes,
+       CAST(b.sp // b.n_routes AS BIGINT) AS avg_pred_ppm,
+       CAST(b.sa // b.n_routes AS BIGINT) AS avg_actual_micro,
+       f.iso_fit_micro
+FROM b JOIN fit f ON b.bin = f.ib
+ORDER BY b.bin"""

@@ -106,3 +106,56 @@ def test_longest_span_matches_quadratic_bruteforce(spark):
     assert got == best
     # the fixture must actually exercise variable lengths (not all == W)
     assert len({v[0] for v in best.values()}) >= 3
+
+
+# --- ml_isotonic_calibration ----------------------------------------------------
+
+def test_isotonic_fit_matches_sequential_pava(spark):
+    """The distributed minimax identity must agree with the CLASSIC
+    sequential pool-adjacent-violators sweep run on exact rationals:
+    floor is nondecreasing, so it commutes with min/max, hence the
+    engine's floored minimax == floor(exact PAVA fit) bin for bin."""
+    from fractions import Fraction
+    from safeascent_spark import ml as ML
+    from safeascent_spark.operators import evalrank as ER
+
+    rows = ML.q_ml_risk_model(spark, SF_SMOKE).select(
+        "risk_score", "predicted_risk").collect()
+    bw = 1_000_000 // ER.ISO_BINS
+    agg = {}
+    for r in rows:
+        p = round(min(max(r.predicted_risk, 0.0), 100.0) * 10000)
+        b = min(ER.ISO_BINS - 1, p // bw)
+        n, sp, sa = agg.get(b, (0, 0, 0))
+        agg[b] = (n + 1, sp + p, sa + round(r.risk_score * 1_000_000))
+    bins = sorted(agg)
+    # classic PAVA over (weight=n, mean=sa/n) blocks, exact arithmetic
+    blocks = [[agg[b][0], Fraction(agg[b][2], agg[b][0]), [b]]
+              for b in bins]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] > blocks[i + 1][1]:
+            w = blocks[i][0] + blocks[i + 1][0]
+            mean = (blocks[i][1] * blocks[i][0]
+                    + blocks[i + 1][1] * blocks[i + 1][0]) / w
+            blocks[i] = [w, mean, blocks[i][2] + blocks[i + 1][2]]
+            del blocks[i + 1]
+            if i:
+                i -= 1
+        else:
+            i += 1
+    pava = {}
+    for w, mean, members in blocks:
+        for b in members:
+            pava[b] = mean // 1            # floor of the exact fit
+    got = {r.bin: r for r in
+           ER.q_ml_isotonic_calibration(spark, SF_SMOKE).collect()}
+    assert sorted(got) == bins
+    fits = [got[b].iso_fit_micro for b in bins]
+    assert fits == sorted(fits)            # monotone non-decreasing
+    for b in bins:
+        n, sp, sa = agg[b]
+        assert got[b].n_routes == n
+        assert got[b].avg_pred_ppm == sp // n
+        assert got[b].avg_actual_micro == sa // n
+        assert got[b].iso_fit_micro == pava[b], b
