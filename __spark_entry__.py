@@ -699,6 +699,8 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # isotonic (PAVA) recalibration via the distributed minimax
         # identity over the bounded bin frame
         "ml_isotonic_calibration": EV.q_ml_isotonic_calibration,
+        # TPC-H Q9 (profit by nation x year) — completes all 22 shapes
+        "tpch_q9_product_profit": OL.q_tpch_q9_product_profit,
     }
 
 
@@ -1030,6 +1032,7 @@ _R12_REGATE_FRONT = [n for n in _R11_CODE_CHANGED
 _R11_NEW: list = [
     "s8_score_roundtrip", "s9_retention_survivors",
     "dedup_longest_span", "ml_isotonic_calibration",
+    "tpch_q9_product_profit",
 ]
 
 
@@ -1435,4 +1438,5 @@ def oracle_sql() -> dict[str, str]:
         "s9_retention_survivors": SNK.sql_s9_retention_survivors(),
         "dedup_longest_span": D.sql_dedup_longest_span(),
         "ml_isotonic_calibration": EV.sql_ml_isotonic_calibration(),
+        "tpch_q9_product_profit": OL.sql_tpch_q9_product_profit(),
     }

@@ -2162,3 +2162,107 @@ WHERE r.r_name = '{Q20_REGION}'
     SELECT l_suppkey FROM ps
     WHERE qty_total > {Q20_SURPLUS_MULT} * qty_year)
 ORDER BY s.s_suppkey"""
+
+
+# --- TPC-H Q9 (adapted): product-type profit by nation and year ---------------
+# The last of the 22 classic TPC-H shapes (this completes the set): the
+# wide 5-table star join over a LIKE-filtered part slice, profit =
+# revenue minus supply cost, grouped (supplier nation, order year),
+# ordered nation asc / year desc.  The fixture has no partsupp, so the
+# supply-cost relation reuses tpch_q2_mincost's derivation: cost of
+# (part, supplier) := the minimum observed unit price over lineitem, in
+# exact milli-cents.  Profit rides 1e-5-dollar integer units:
+#   profit_e5 = rev_e4 * 10 - cost_mc * qty
+# (rev_e4 = cents x (100 - disc%), the house device; qty integral,
+# guarded by the fixture sweep in tests/test_advice_r10.py); sums
+# accumulate on DECIMAL(38,0)/HUGEINT.
+#
+# Scale shape: part slice + supplier-nation dim broadcast; the derived
+# (part, supplier) cost table is ONE map-side-combined aggregate of the
+# fact table, then joins back pre-filtered by the same part slice (an
+# equi-join at (part, supplier) grain, never all-pairs); lineitem joins
+# orders on the order key — the canonical fact-fact shuffle.  The
+# result is |nations| x |years| rows.
+
+Q9_PART_TOKEN = "widget"
+
+
+def q_tpch_q9_product_profit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    part = (domain.load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").contains(Q9_PART_TOKEN))
+            .select("p_partkey"))
+    supp = (domain.load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(domain.load_table(spark, sf_dir, "nation")
+                              .select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    orders = (domain.load_table(spark, sf_dir, "orders")
+              .select("o_orderkey",
+                      F.year(F.col("o_orderdate").cast("date"))
+                       .cast("int").alias("o_year")))
+    li = (domain.load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) "
+                         "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+                   .alias("rev_e4"),
+                  F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+                  F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                         " * 1000 div CAST(floor(l_quantity) AS BIGINT)")
+                   .alias("unit_mc")))
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min("unit_mc").alias("cost_mc"))
+            .join(F.broadcast(part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .select("l_partkey", "l_suppkey", "cost_mc"))
+    j = (li.drop("unit_mc")
+           .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .join(ps, ["l_partkey", "l_suppkey"])
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(orders, li.l_orderkey == orders.o_orderkey))
+    return (j.select("nation", "o_year",
+                     (F.col("rev_e4") * 10
+                      - F.col("cost_mc") * F.col("qty")).alias("pe5"))
+             .groupBy("nation", "o_year")
+             .agg(F.expr("CAST(sum(CAST(pe5 AS DECIMAL(38,0))) "
+                         "AS DECIMAL(38,0))").alias("profit_e5"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+             .orderBy("nation", F.col("o_year").desc()))
+
+
+def sql_tpch_q9_product_profit() -> str:
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+         CAST(floor(l_quantity) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) * 1000
+           // CAST(floor(l_quantity) AS BIGINT) AS unit_mc
+  FROM lineitem
+),
+wpart AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%{Q9_PART_TOKEN}%'
+),
+ps AS (
+  SELECT l_partkey, l_suppkey, min(unit_mc) AS cost_mc
+  FROM li JOIN wpart ON li.l_partkey = wpart.p_partkey
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT n.n_name AS nation,
+         CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+         li.rev_e4 * 10 - ps.cost_mc * li.qty AS pe5
+  FROM li
+  JOIN wpart ON li.l_partkey = wpart.p_partkey
+  JOIN ps ON li.l_partkey = ps.l_partkey AND li.l_suppkey = ps.l_suppkey
+  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN orders o ON li.l_orderkey = o.o_orderkey
+)
+SELECT nation, o_year,
+       CAST(sum(CAST(pe5 AS HUGEINT)) AS DECIMAL(38,0)) AS profit_e5,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM j
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC"""

@@ -159,3 +159,56 @@ def test_isotonic_fit_matches_sequential_pava(spark):
         assert got[b].avg_pred_ppm == sp // n
         assert got[b].avg_actual_micro == sa // n
         assert got[b].iso_fit_micro == pava[b], b
+
+
+# --- tpch_q9_product_profit ------------------------------------------------------
+
+def test_q9_profit_matches_bruteforce(spark):
+    """Row-level Python recompute: derived supply cost (min unit
+    milli-cents per (part, supplier)), profit in 1e-5-dollar units,
+    grouped (supplier nation, order year)."""
+    from collections import defaultdict
+    from safeascent_spark import domain
+    from safeascent_spark.operators import olap as OL
+
+    def rows(t, cols):
+        return domain.load_table(spark, SF_SMOKE, t).select(*cols).collect()
+
+    widget = {r.p_partkey for r in rows("part", ["p_partkey", "p_name"])
+              if OL.Q9_PART_TOKEN in r.p_name}
+    nat = {r.n_nationkey: r.n_name
+           for r in rows("nation", ["n_nationkey", "n_name"])}
+    s_nat = {r.s_suppkey: nat[r.s_nationkey]
+             for r in rows("supplier", ["s_suppkey", "s_nationkey"])}
+    o_year = {r.o_orderkey: r.o_orderdate.year
+              for r in rows("orders", ["o_orderkey", "o_orderdate"])}
+    li = rows("lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount", "l_quantity"])
+    import math
+    cost = {}
+    for r in li:
+        if r.l_partkey not in widget:
+            continue
+        c = (math.floor(r.l_extendedprice * 100) * 1000
+             // math.floor(r.l_quantity))
+        k = (r.l_partkey, r.l_suppkey)
+        cost[k] = min(cost.get(k, c), c)
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        if r.l_partkey not in widget:
+            continue
+        rev = (math.floor(r.l_extendedprice * 100)
+               * (100 - math.floor(r.l_discount * 100 + 0.5)))
+        pe5 = rev * 10 - cost[(r.l_partkey, r.l_suppkey)] \
+            * math.floor(r.l_quantity)
+        k = (s_nat[r.l_suppkey], o_year[r.l_orderkey])
+        agg[k][0] += pe5
+        agg[k][1] += 1
+    got = OL.q_tpch_q9_product_profit(spark, SF_SMOKE).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        pe5, n = agg[(r.nation, r.o_year)]
+        assert (int(r.profit_e5), r.n_lineitems) == (pe5, n)
+    # ordering: nation asc, year desc
+    keys = [(r.nation, -r.o_year) for r in got]
+    assert keys == sorted(keys)
