@@ -701,6 +701,9 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_isotonic_calibration": EV.q_ml_isotonic_calibration,
         # TPC-H Q9 (profit by nation x year) — completes all 22 shapes
         "tpch_q9_product_profit": OL.q_tpch_q9_product_profit,
+        # watermark sizing audit: per-type lateness vs a delay grid
+        # (§2.9 streaming semantics made driver-expressible)
+        "events_late_arrival_audit": A.q_events_late_arrival_audit,
     }
 
 
@@ -1032,7 +1035,7 @@ _R12_REGATE_FRONT = [n for n in _R11_CODE_CHANGED
 _R11_NEW: list = [
     "s8_score_roundtrip", "s9_retention_survivors",
     "dedup_longest_span", "ml_isotonic_calibration",
-    "tpch_q9_product_profit",
+    "tpch_q9_product_profit", "events_late_arrival_audit",
 ]
 
 
@@ -1439,4 +1442,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_longest_span": D.sql_dedup_longest_span(),
         "ml_isotonic_calibration": EV.sql_ml_isotonic_calibration(),
         "tpch_q9_product_profit": OL.sql_tpch_q9_product_profit(),
+        "events_late_arrival_audit": A.sql_events_late_arrival_audit(),
     }

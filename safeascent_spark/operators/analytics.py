@@ -3161,3 +3161,105 @@ SELECT CAST(d.day AS BIGINT) AS day,
          AS new_share_ppm
 FROM daily d LEFT JOIN acq a USING (day)
 ORDER BY day"""
+
+
+# --- Late-arrival / watermark audit (round 11) ----------------------------------
+# The batch-expressible face of §2.9's streaming semantics: how much
+# data would a watermark of delay D drop?  The fixture's event_id is
+# exactly ts-ordered (verified at every SF), so the audit models the
+# canonical real-world cause of late data instead: CLIENT-BATCHED
+# uploads — each user's events ship at the end of their LATE_SLOT_NS
+# (hourly) slot, so arrival order is (slot, user_id, ts, event_id) per
+# event_type stream.  Each event's high-watermark is the max event time
+# over STRICTLY PRECEDING arrivals of its type; lateness = hwm - ts
+# when positive; for a fixed delay grid the audit counts the events a
+# `withWatermark(D)` would discard.  This is the sizing query you run
+# BEFORE picking the delay for streaming/correlate.py's watermarked
+# joins (sf0.001: 63/1000 events late, lateness up to ~56 min — the
+# within-slot cross-user interleave).
+#
+# Scale shape — the text_pack_offsets two-level prefix device, for MAX
+# instead of SUM: the upload slot IS the natural segment, so the
+# within-slot exclusive running max windows over (type, slot) —
+# thousands of well-sized partitions, never a global sort — and the
+# slot-level exclusive running max rides the bounded per-(type, slot)
+# aggregate, broadcast back.  MAX is associative, so the decomposition
+# equals the single global arrival-order window EXACTLY — which is
+# what the DuckDB oracle declares.  The delay grid is applied as
+# conditional aggregates per type, then unpivoted on the |types|-row
+# result (the 6x row multiplier never touches the corpus).
+
+LATE_SLOT_NS = 3_600 * 1_000_000_000          # hourly client uploads
+LATE_DELAYS_MS = [0, 1_000, 60_000, 300_000, 900_000, 1_800_000]
+
+
+def q_events_late_arrival_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    e = (domain.load_table(spark, sf_dir, "events")
+         .select("event_id", "user_id", "event_type", "ts"))
+    base = e.withColumn("slot", F.expr(f"ts div {LATE_SLOT_NS}"))
+    in_slot = (Window.partitionBy("event_type", "slot")
+               .orderBy("user_id", "ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    slot_tot = base.groupBy("event_type", "slot").agg(
+        F.max("ts").alias("mx"))
+    slot_w = (Window.partitionBy("event_type").orderBy("slot")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    slot_hwm = slot_tot.withColumn("slot_hwm", F.max("mx").over(slot_w))
+    j = base.join(
+        F.broadcast(slot_hwm.select("event_type", "slot", "slot_hwm")),
+        ["event_type", "slot"])
+    hwm = F.greatest(F.col("slot_hwm"), F.max("ts").over(in_slot))
+    late = (j.select("event_type",
+                     F.when(hwm > F.col("ts"), hwm - F.col("ts"))
+                      .otherwise(F.lit(0)).alias("late_ns"))
+             .select("event_type",
+                     F.expr("CAST(late_ns div 1000000 AS BIGINT)")
+                      .alias("late_ms")))
+    agg = late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("late_ms").cast("bigint").alias("max_lateness_ms"),
+        *[F.sum(F.when(F.col("late_ms") > d, 1).otherwise(0))
+          .cast("bigint").alias(f"drop_{d}") for d in LATE_DELAYS_MS])
+    grid = F.explode(F.array(*[
+        F.struct(F.lit(d).cast("bigint").alias("delay_ms"),
+                 F.col(f"drop_{d}").alias("n_dropped"))
+        for d in LATE_DELAYS_MS])).alias("g")
+    return (agg.select("event_type", "n_events", "max_lateness_ms", grid)
+               .select("event_type", F.col("g.delay_ms").alias("delay_ms"),
+                       F.col("g.n_dropped").alias("n_dropped"),
+                       "n_events", "max_lateness_ms")
+               .orderBy("event_type", "delay_ms"))
+
+
+def sql_events_late_arrival_audit() -> str:
+    delays = ", ".join(str(d) for d in LATE_DELAYS_MS)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns,
+         epoch_ns(ts) // {LATE_SLOT_NS} AS slot
+  FROM events
+),
+h AS (
+  SELECT event_type, tns,
+         max(tns) OVER (PARTITION BY event_type
+                        ORDER BY slot, user_id, tns, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS hwm
+  FROM e
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN hwm IS NOT NULL AND hwm > tns
+              THEN (hwm - tns) // 1000000 ELSE 0 END AS late_ms
+  FROM h
+),
+g AS (SELECT unnest([{delays}]) AS delay_ms)
+SELECT event_type, CAST(delay_ms AS BIGINT) AS delay_ms,
+       CAST(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late_ms) AS BIGINT) AS max_lateness_ms
+FROM l CROSS JOIN g
+GROUP BY 1, 2
+ORDER BY 1, 2"""

@@ -212,3 +212,39 @@ def test_q9_profit_matches_bruteforce(spark):
     # ordering: nation asc, year desc
     keys = [(r.nation, -r.o_year) for r in got]
     assert keys == sorted(keys)
+
+
+# --- events_late_arrival_audit --------------------------------------------------
+
+def test_late_arrival_audit_matches_bruteforce(spark):
+    """Sequential replay per type in client-batch arrival order
+    (slot, user_id, ts, event_id), tracking the running max event time —
+    validates the two-level prefix-max decomposition against the plain
+    sequential scan, and that the fixture genuinely contains late
+    events under this arrival model (the audit is not vacuous; the raw
+    event_id order is exactly ts-sorted, which is why the operator
+    models batched uploads instead)."""
+    from collections import defaultdict
+    from safeascent_spark import domain
+    from safeascent_spark.operators import analytics as A
+
+    ev = sorted(domain.load_table(spark, SF_SMOKE, "events")
+                .select("event_id", "user_id", "event_type", "ts")
+                .collect(),
+                key=lambda r: (r.ts // A.LATE_SLOT_NS, r.user_id,
+                               r.ts, r.event_id))
+    hwm: dict = {}
+    late = defaultdict(list)
+    for r in ev:
+        h = hwm.get(r.event_type)
+        late[r.event_type].append(
+            (h - r.ts) // 1_000_000 if h is not None and h > r.ts else 0)
+        hwm[r.event_type] = max(h, r.ts) if h is not None else r.ts
+    got = A.q_events_late_arrival_audit(spark, SF_SMOKE).collect()
+    assert len(got) == len(late) * len(A.LATE_DELAYS_MS)
+    for r in got:
+        ls = late[r.event_type]
+        assert r.n_events == len(ls)
+        assert r.max_lateness_ms == max(ls)
+        assert r.n_dropped == sum(1 for x in ls if x > r.delay_ms)
+    assert any(r.n_dropped > 0 for r in got), "fixture has no late events"
