@@ -704,6 +704,9 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermark sizing audit: per-type lateness vs a delay grid
         # (§2.9 streaming semantics made driver-expressible)
         "events_late_arrival_audit": A.q_events_late_arrival_audit,
+        # IVM proof for the nightly pipeline: merged per-batch partials
+        # hash-equal the single-pass recompute (pico-exact merge)
+        "batch_scores_incremental": B.q_batch_scores_incremental,
     }
 
 
@@ -1036,6 +1039,7 @@ _R11_NEW: list = [
     "s8_score_roundtrip", "s9_retention_survivors",
     "dedup_longest_span", "ml_isotonic_calibration",
     "tpch_q9_product_profit", "events_late_arrival_audit",
+    "batch_scores_incremental",
 ]
 
 
@@ -1443,4 +1447,5 @@ def oracle_sql() -> dict[str, str]:
         "ml_isotonic_calibration": EV.sql_ml_isotonic_calibration(),
         "tpch_q9_product_profit": OL.sql_tpch_q9_product_profit(),
         "events_late_arrival_audit": A.sql_events_late_arrival_audit(),
+        "batch_scores_incremental": B.sql_batch_scores_incremental(),
     }

@@ -319,3 +319,84 @@ joined AS (
 SELECT route_id, round({risk}, 6) AS risk_score,
        {S.color_code(risk)} AS color_code
 FROM joined GROUP BY route_id ORDER BY route_id"""
+
+
+# --- Incremental nightly scoring (round 11) ----------------------------------
+# Incremental view maintenance for the factorized nightly pipeline: the
+# classed base aggregate is ADDITIVE over accidents, so a night that
+# ingests only new accidents can merge per-batch partial aggregates
+# instead of rescoring the corpus — partial(location, class) sums per
+# ingest batch, union, re-aggregate, then the unchanged cheap route
+# tail.  This query PROVES merge == full recompute through the driver
+# hash: the engine computes per-batch partials (accident_id % INC_NEW_MOD
+# models the fresh batch) and merges them; the oracle computes the
+# single-pass full aggregate.  For the merge to be exactly
+# order-independent the base factor is quantized to pico-units BEFORE
+# summation (floor(base * 1e12) on DECIMAL(38,0)/HUGEINT — the
+# oracle-parity discipline; base itself is the same double expression
+# tree both sides, and both convert the SAME exact integer back to
+# double for the route tail), so the two-phase and one-phase sums are
+# bitwise identical, unlike a raw double sum whose addition order
+# differs between the phases.
+#
+# Scale shape: identical to batch_scores_classed (ONE base pass — the
+# batch flag is a projection, not a second scan) plus a (location x
+# class x batch)-grain intermediate; at a real deployment the partials
+# PERSIST per night and only the new batch's base is ever computed —
+# this is the algebra that makes that correct.
+
+INC_NEW_MOD = 5      # accident_id % 5 == 0 := tonight's fresh batch
+INC_PICO = 1_000_000_000_000
+
+
+def q_batch_scores_incremental(spark: SparkSession, sf_dir: str,
+                               pred_date: str = domain.PRED_DATE
+                               ) -> DataFrame:
+    base = _location_base_df(spark, sf_dir, pred_date)
+    pico = f"CAST(floor(base * {INC_PICO}) AS DECIMAL(38,0))"
+    partials = (base.withColumn(
+                    "batch",
+                    (F.col("accident_id") % INC_NEW_MOD == 0).cast("int"))
+                .groupBy("location_id", "a_tidx", "a_gdiff", "batch")
+                .agg(F.sum(F.expr(pico)).alias("bp")))
+    merged = (partials.groupBy("location_id", "a_tidx", "a_gdiff")
+                      .agg(F.sum("bp").alias("bps")))
+    classed = merged.select(
+        "location_id", "a_tidx", "a_gdiff",
+        (F.col("bps").cast("double") / F.lit(float(INC_PICO)))
+         .alias("base_sum"))
+    r = _routes_adj_df(spark, sf_dir)
+    j = r.join(classed, "location_id")
+    infl = (F.col("base_sum")
+            * K.route_type_weight_indexed("r_tidx", "a_tidx")
+            * _grade_w(F.col("r_gdiff"), F.col("a_gdiff")))
+    agg = (j.select("route_id", infl.alias("influence"))
+             .groupBy("route_id")
+             .agg(F.sum("influence").alias("s")))
+    risk = K.normalize_risk("s")
+    return agg.select("route_id",
+                      F.round(risk, 6).alias("risk_score"),
+                      K.color_code(risk).alias("color_code")) \
+              .orderBy("route_id")
+
+
+def sql_batch_scores_incremental(pred_date: str = domain.PRED_DATE) -> str:
+    """Single-pass full recompute — hash equality against the engine's
+    merged per-batch partials IS the IVM correctness proof."""
+    risk = S.normalize_risk("sum(influence)")
+    return f"""{_base_sql(pred_date)},
+classed AS (
+  SELECT location_id, a_tidx, a_gdiff,
+         CAST(sum(CAST(floor(base * {INC_PICO}) AS HUGEINT)) AS DOUBLE)
+           / {INC_PICO} AS base_sum
+  FROM sig_base GROUP BY location_id, a_tidx, a_gdiff
+),
+joined AS (
+  SELECT ra.route_id,
+         c.base_sum * {_rt_from_idx('ra.r_tidx', 'c.a_tidx')}
+                    * {_grade_w_sql('ra.r_gdiff', 'c.a_gdiff')} AS influence
+  FROM routes_adj ra JOIN classed c ON ra.location_id = c.location_id
+)
+SELECT route_id, round({risk}, 6) AS risk_score,
+       {S.color_code(risk)} AS color_code
+FROM joined GROUP BY route_id ORDER BY route_id"""

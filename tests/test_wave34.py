@@ -248,3 +248,47 @@ def test_late_arrival_audit_matches_bruteforce(spark):
         assert r.max_lateness_ms == max(ls)
         assert r.n_dropped == sum(1 for x in ls if x > r.delay_ms)
     assert any(r.n_dropped > 0 for r in got), "fixture has no late events"
+
+
+# --- batch_scores_incremental ----------------------------------------------------
+
+def test_incremental_merge_equals_classed_within_quantization(spark):
+    """The merged per-batch pico-partials must reproduce the classed
+    nightly scores up to the pico quantization: risk differs from
+    batch_scores_classed by < 1e-5 everywhere (quantizing base at 1e-12
+    then x7 normalization cannot move a 6-decimal score more), and the
+    engine's own two-phase sum must be EXACTLY the single-phase pico sum
+    (recomputed here per class from collected base rows)."""
+    from collections import defaultdict
+    import math
+    from safeascent_spark import domain
+    from safeascent_spark.operators import batch as B
+
+    inc = {r.route_id: r for r in
+           B.q_batch_scores_incremental(spark, SF_SMOKE).collect()}
+    cls = {r.route_id: r for r in
+           B.batch_scores_classed_df(spark, SF_SMOKE).collect()}
+    assert sorted(inc) == sorted(cls)
+    assert all(abs(inc[k].risk_score - cls[k].risk_score) < 1e-5
+               for k in inc)
+    # exact single-phase pico recompute of the merged classed table
+    base = B._location_base_df(spark, SF_SMOKE,
+                               domain.PRED_DATE).collect()
+    one = defaultdict(int)
+    two = defaultdict(lambda: defaultdict(int))
+    for r in base:
+        k = (r.location_id, r.a_tidx, r.a_gdiff)
+        p = math.floor(r.base * B.INC_PICO)
+        one[k] += p
+        two[k][r.accident_id % B.INC_NEW_MOD == 0] += p
+    merged = {k: sum(v.values()) for k, v in two.items()}
+    assert merged == dict(one)
+    # non-vacuity: at sf0.001 every (location, class) cell holds a single
+    # accident (10 accidents, fully separated by tidx x gdiff), so the
+    # class-level merge combines partials only at sf0.01+ (covered by the
+    # dual-SF gate); the ROUTE-level sum must still draw from BOTH
+    # batches somewhere, or the split models nothing
+    by_loc = defaultdict(set)
+    for r in base:
+        by_loc[r.location_id].add(r.accident_id % B.INC_NEW_MOD == 0)
+    assert any(len(v) == 2 for v in by_loc.values())
