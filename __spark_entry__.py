@@ -1020,6 +1020,9 @@ _R11_CODE_CHANGED = [
     "multimodal_phash_clusters", "graph_degree_histogram",
     "ml_risk_model", "ml_risk_model_cv", "ml_calibration",
     "eval_brier_decomposition",
+    # fingerprint-frame checkpoint (VERDICT r10 item 6 — the same
+    # redundant-recompute fix as the pHash family)
+    "winnowing_pairs",
 ]
 # rows whose code changed in r11 outside the r11 window → front of the
 # staged r12 window (multimodal_wav_meta is IN the r11 window and
@@ -1121,11 +1124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Positions 50..99 are the ready-made r12 window: the 15 r11
     # code-changed rows OUTSIDE this round's window first
     # (_R12_REGATE_FRONT — the pHash decode fix + ml cache memo + the
-    # degree-histogram oracle widening; same device as
-    # _R11_REGATE_FRONT last round), then the rest of the 10 r10-new
-    # never-checked (their registration+2 deadline IS r12 — three of
-    # them are themselves regates, so the union is 22 rows), then the
-    # next-stalest rows.
+    # degree-histogram oracle widening + the winnowing fingerprint
+    # checkpoint; same device as _R11_REGATE_FRONT last round), then
+    # the rest of the 10 r10-new never-checked (their registration+2
+    # deadline IS r12 — three of them are themselves regates), then
+    # the next-stalest rows.
     front = list(_R12_REGATE_FRONT)
     staged = front + [n for n in _R10_NEW if n not in front]
     taken = set(window) | set(staged)

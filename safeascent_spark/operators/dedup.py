@@ -1194,8 +1194,19 @@ SELECT doc_id, pos, fp FROM fps ORDER BY doc_id, pos"""
 
 def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap-candidate pairs sharing >= WINNOW_MIN_SHARED fingerprint
-    VALUES, with the hot-fingerprint df cap (anti-join) applied first."""
-    fp = _winnow_fp_df(spark, sf_dir).select("doc_id", "fp").distinct()
+    VALUES, with the hot-fingerprint df cap (anti-join) applied first.
+
+    The fingerprint frame is localCheckpoint'ed: it feeds FOUR plan
+    branches (the hot-df aggregate, the anti-join probe, and both
+    self-join sides), so without a materialization boundary the whole
+    tokenize+winnow pass re-executes per branch — the same redundant-
+    recompute class as the r11 pHash fix (VERDICT r10 items 1/6).  The
+    frame is (doc_id, fp) — two int64s per fingerprint — cheap to pin."""
+    from .. import domain as _domain
+    fp = _domain.persisted(
+        spark,
+        _winnow_fp_df(spark, sf_dir).select("doc_id", "fp").distinct()
+        .localCheckpoint(eager=True))
     hot = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
              .filter(F.col("df") > MAX_SHINGLE_DF)
              .select("fp"))

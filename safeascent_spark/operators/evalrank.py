@@ -590,14 +590,17 @@ def q_ml_isotonic_calibration(spark: SparkSession,
     kf = b.select(F.col("bin").alias("kb"))
     mf = b.select(F.col("bin").alias("mb"), "sa",
                   F.col("n_routes").alias("mn"))
-    iv = (jf.join(kf, F.col("kb") >= F.col("jb"))
-            .join(mf, (F.col("mb") >= F.col("jb"))
+    # explicit broadcast hints: the checkpointed bin frame carries no
+    # size statistics, so without them the bounded non-equi joins plan
+    # as CartesianProduct instead of BroadcastNestedLoopJoin
+    iv = (jf.join(F.broadcast(kf), F.col("kb") >= F.col("jb"))
+            .join(F.broadcast(mf), (F.col("mb") >= F.col("jb"))
                   & (F.col("mb") <= F.col("kb")))
             .groupBy("jb", "kb")
             .agg(F.expr("CAST(sum(sa) div sum(mn) AS BIGINT)")
                   .alias("mean_f")))
     fitj = (b.select(F.col("bin").alias("ib"))
-             .join(iv, (F.col("jb") <= F.col("ib"))
+             .join(F.broadcast(iv), (F.col("jb") <= F.col("ib"))
                    & (F.col("kb") >= F.col("ib")))
              .groupBy("ib", "jb")
              .agg(F.min("mean_f").alias("mn_k")))

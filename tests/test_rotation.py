@@ -180,8 +180,9 @@ def test_registration_order_and_r12_readiness():
     r12 = order[50:100]
     front = list(E._R12_REGATE_FRONT)
     assert r12[:len(front)] == front
-    assert set(E._R10_NEW) <= set(r12[:22])
-    rest = r12[22:]
+    k = len(set(front) | set(E._R10_NEW))
+    assert set(E._R10_NEW) <= set(r12[:k])
+    rest = r12[k:]
     recent = (set(E._R8_WINDOW) | set(_r9_order()[:50])
               | set(_r10_order()[:50]) | set(order[:50]))
     assert not set(rest) & recent
