@@ -707,6 +707,9 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVM proof for the nightly pipeline: merged per-batch partials
         # hash-equal the single-pass recompute (pico-exact merge)
         "batch_scores_incremental": B.q_batch_scores_incremental,
+        # Matryoshka truncation recall: prefix-dim top-K vs full-dim
+        # ground truth (int8-exact ranking)
+        "embedding_matryoshka_recall": SIM.q_embedding_matryoshka_recall,
     }
 
 
@@ -1042,7 +1045,7 @@ _R11_NEW: list = [
     "s8_score_roundtrip", "s9_retention_survivors",
     "dedup_longest_span", "ml_isotonic_calibration",
     "tpch_q9_product_profit", "events_late_arrival_audit",
-    "batch_scores_incremental",
+    "batch_scores_incremental", "embedding_matryoshka_recall",
 ]
 
 
@@ -1451,4 +1454,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q9_product_profit": OL.sql_tpch_q9_product_profit(),
         "events_late_arrival_audit": A.sql_events_late_arrival_audit(),
         "batch_scores_incremental": B.sql_batch_scores_incremental(),
+        "embedding_matryoshka_recall":
+            SIM.sql_embedding_matryoshka_recall(),
     }

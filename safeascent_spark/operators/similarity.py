@@ -2156,3 +2156,132 @@ SELECT source,
 FROM d
 GROUP BY source
 ORDER BY source"""
+
+
+# --- Matryoshka truncation recall (round 11) ----------------------------------
+# The MRL eval (Kusupati et al. 2022): how much retrieval quality
+# survives truncating embeddings to a dimension prefix?  Serving at
+# 100 TB wants the SHORTEST prefix that holds recall — a d/64 prefix
+# cuts index bytes and dot-product work by 64/d — and this query is the
+# audit that picks it: for each dim in MRL_DIMS and each probe query,
+# top-K by prefix-cosine (prefix-renormalized, the MRL contract) and
+# its recall against the full-dimension top-K.
+#
+# Exactness rides the int8 device (quantized_df): prefix dots and
+# squared norms are exact integers, cosine is one final double
+# division — identical in both engines, so rankings (ties by vec_id)
+# agree bitwise.  Scale shape: ONE corpus x probes broadcast cross
+# join scores all prefixes per pair (slices of the same array — no
+# second scan per dim); rank <= K over (dim, query) windows triggers
+# the WindowGroupLimit map-side truncation; the recall join runs on
+# the <= |dims| x |queries| x K checkpointed result, never the corpus.
+
+MRL_DIMS = [8, 16, 32, DIM]
+
+
+def q_embedding_matryoshka_recall(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    e = quantized_df(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("qvec").alias("quvec")))
+    pairs = domain.fan_out(e).crossJoin(F.broadcast(q)) \
+                 .filter(F.col("vec_id") != F.col("query_id"))
+
+    def pref_cos(d: int):
+        a, b = F.slice("qvec", 1, d), F.slice("quvec", 1, d)
+        idot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+        n2 = lambda v: F.aggregate(  # noqa: E731
+            F.transform(v, lambda x: x * x),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return idot.cast("double") / (
+            F.sqrt(n2(a).cast("double")) * F.sqrt(n2(b).cast("double")))
+
+    scored = pairs.select(
+        "query_id", "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("dim"), pref_cos(d).alias("cosine"))
+            for d in MRL_DIMS])).alias("dc")) \
+        .select("query_id", "vec_id", F.col("dc.dim").alias("dim"),
+                F.col("dc.cosine").alias("cosine"))
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    ranked = (scored.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= TOP_K)
+                    .select("dim", "query_id", "vec_id"))
+    ranked = domain.persisted(spark, ranked.localCheckpoint(eager=True))
+    truth = (ranked.filter(F.col("dim") == DIM)
+                   .select(F.col("query_id").alias("t_query"),
+                           F.col("vec_id").alias("t_vec")))
+    hits = (ranked.join(F.broadcast(truth),
+                        (F.col("query_id") == F.col("t_query"))
+                        & (F.col("vec_id") == F.col("t_vec")))
+                  .groupBy("dim", "query_id")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+    # a zero-recall (dim, query) cell must appear as 0, not vanish from
+    # the inner join (no silent caps)
+    grid = ranked.select("dim", "query_id").distinct()
+    out = (grid.join(hits, ["dim", "query_id"], "left")
+               .withColumn("n_hits", F.coalesce("n_hits",
+                                                F.lit(0).cast("bigint"))))
+    return (out.select(
+                F.col("dim").cast("int").alias("dim"), "query_id",
+                "n_hits",
+                F.expr(f"CAST(n_hits * 1000000 div {TOP_K} AS BIGINT)")
+                 .alias("recall_ppm"))
+               .orderBy("dim", "query_id"))
+
+
+def sql_embedding_matryoshka_recall() -> str:
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT)")
+    dims = ", ".join(str(d) for d in MRL_DIMS)
+    return f"""
+WITH qflat AS (
+  SELECT vec_id, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+dgrid AS (SELECT unnest([{dims}]) AS dim),
+pnorms AS (
+  SELECT vec_id, dim, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+  FROM qflat JOIN dgrid ON qflat.i <= dgrid.dim
+  GROUP BY vec_id, dim
+),
+pdots AS (
+  SELECT q.vec_id AS query_id, c.vec_id, g.dim,
+         CAST(sum(q.x * c.x) AS BIGINT) AS dot
+  FROM qflat q
+  JOIN qflat c ON q.i = c.i
+  JOIN dgrid g ON q.i <= g.dim
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id, g.dim
+),
+ranked AS (
+  SELECT dim, query_id, vec_id,
+         row_number() OVER (PARTITION BY dim, query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM (
+    SELECT d.dim, d.query_id, d.vec_id,
+           CAST(d.dot AS DOUBLE) / (nc.nrm * nq.nrm) AS cosine
+    FROM pdots d
+    JOIN pnorms nc ON d.vec_id = nc.vec_id AND d.dim = nc.dim
+    JOIN pnorms nq ON d.query_id = nq.vec_id AND d.dim = nq.dim
+  )
+),
+topk AS (SELECT dim, query_id, vec_id FROM ranked WHERE rank <= {TOP_K}),
+truth AS (SELECT query_id, vec_id FROM topk WHERE dim = {DIM}),
+hits AS (
+  SELECT k.dim, k.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM topk k JOIN truth t
+    ON k.query_id = t.query_id AND k.vec_id = t.vec_id
+  GROUP BY k.dim, k.query_id
+),
+grid AS (SELECT DISTINCT dim, query_id FROM topk)
+SELECT CAST(g.dim AS INT) AS dim, g.query_id AS query_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // {TOP_K} AS BIGINT)
+         AS recall_ppm
+FROM grid g LEFT JOIN hits h
+  ON g.dim = h.dim AND g.query_id = h.query_id
+ORDER BY dim, g.query_id"""

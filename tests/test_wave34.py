@@ -292,3 +292,43 @@ def test_incremental_merge_equals_classed_within_quantization(spark):
     for r in base:
         by_loc[r.location_id].add(r.accident_id % B.INC_NEW_MOD == 0)
     assert any(len(v) == 2 for v in by_loc.values())
+
+
+# --- embedding_matryoshka_recall --------------------------------------------------
+
+def test_matryoshka_recall_matches_bruteforce(spark):
+    """NumPy recompute of prefix-renormalized int8 top-K per dim and the
+    recall against the full-dim truth — validates slices, prefix norms,
+    tie-breaks, and the zero-recall grid fill."""
+    import numpy as np
+    from safeascent_spark.operators import similarity as S
+
+    rows = (S.quantized_df(spark, SF_SMOKE)
+            .select("vec_id", "qvec").collect())
+    vecs = {r.vec_id: np.array(r.qvec, dtype=np.int64) for r in rows}
+    topk = {}
+    for d in S.MRL_DIMS:
+        for qid in range(S.N_QUERIES):
+            qv = vecs[qid][:d]
+            scored = []
+            for vid, v in vecs.items():
+                if vid == qid:
+                    continue
+                c = float(np.dot(v[:d], qv)) / (
+                    np.sqrt(float(np.dot(v[:d], v[:d])))
+                    * np.sqrt(float(np.dot(qv, qv))))
+                scored.append((-c, vid))
+            scored.sort()
+            topk[(d, qid)] = {vid for _, vid in scored[:S.TOP_K]}
+    got = {(r.dim, r.query_id): r for r in
+           S.q_embedding_matryoshka_recall(spark, SF_SMOKE).collect()}
+    assert sorted(got) == sorted(topk)
+    for (d, qid), r in got.items():
+        want = len(topk[(d, qid)] & topk[(S.DIM, qid)])
+        assert r.n_hits == want, (d, qid)
+        assert r.recall_ppm == want * 1_000_000 // S.TOP_K
+    # full dim is its own truth; short prefixes must actually lose recall
+    assert all(got[(S.DIM, q)].n_hits == S.TOP_K
+               for q in range(S.N_QUERIES))
+    assert any(got[(S.MRL_DIMS[0], q)].n_hits < S.TOP_K
+               for q in range(S.N_QUERIES))
