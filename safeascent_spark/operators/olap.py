@@ -2224,8 +2224,13 @@ def q_tpch_q9_product_profit(spark: SparkSession,
                      (F.col("rev_e4") * 10
                       - F.col("cost_mc") * F.col("qty")).alias("pe5"))
              .groupBy("nation", "o_year")
+             # accumulate on DECIMAL(38,0) (the scale-safe register),
+             # read out as BIGINT — the house device (tpch_q1): per
+             # (nation, year) group sums sit far inside int64 at any
+             # fixture SF, and the decimal accumulator is what guards
+             # the summation itself
              .agg(F.expr("CAST(sum(CAST(pe5 AS DECIMAL(38,0))) "
-                         "AS DECIMAL(38,0))").alias("profit_e5"),
+                         "AS BIGINT)").alias("profit_e5"),
                   F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
              .orderBy("nation", F.col("o_year").desc()))
 
@@ -2261,7 +2266,7 @@ j AS (
   JOIN orders o ON li.l_orderkey = o.o_orderkey
 )
 SELECT nation, o_year,
-       CAST(sum(CAST(pe5 AS HUGEINT)) AS DECIMAL(38,0)) AS profit_e5,
+       CAST(sum(CAST(pe5 AS HUGEINT)) AS BIGINT) AS profit_e5,
        CAST(count(*) AS BIGINT) AS n_lineitems
 FROM j
 GROUP BY nation, o_year
