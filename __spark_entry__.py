@@ -1048,6 +1048,40 @@ _R11_NEW: list = [
     "batch_scores_incremental", "embedding_matryoshka_recall",
 ]
 
+# --- Round-12 bookkeeping ------------------------------------------------------
+# Queries whose CODE (executed plan or oracle SQL) changed in round 12:
+# the ADVICE r11 session-cache routing of the per-invocation
+# corpus-proportional checkpoints (winnowing fingerprint frame, pHash
+# hash frame, sink scores frame, isotonic bin frame, matryoshka ranked
+# frame) touches every consumer of those frames, and the configurable
+# sink scratch root touches the s8/s9 roundtrips.
+_R12_CODE_CHANGED: list = [
+    "winnowing_pairs",
+    "multimodal_phash_pairs", "multimodal_phash_knn",
+    "multimodal_phash_clusters",
+    "s8_score_roundtrip", "s9_retention_survivors",
+    "ml_isotonic_calibration", "embedding_matryoshka_recall",
+]
+# rows whose code changed in r12 outside the r12 window → front of the
+# staged r13 window.  All eight need no front slot: the four
+# winnowing/phash rows sit IN the r12 window (_R12_REGATE_FRONT) and
+# re-gate with the new code automatically this round, and the other
+# four are _R11_NEW rows whose registration+2 deadline IS r13 — the
+# regate and the debut coincide (they are listed in _R11_NEW, not
+# here, to keep the front/debut partition disjoint).
+_R13_REGATE_FRONT: list = [
+    n for n in _R12_CODE_CHANGED
+    if n not in set(_R12_REGATE_FRONT) | set(_R11_NEW)
+]
+
+# queries NEW in round 12 — CAPPED at 5 (VERDICT r11 item 2: the
+# registry's 50-slot refresh period is 7 rounds at 305 rows; wave
+# growth is now bounded so the period stops stretching).  Registered
+# at the very tail; they rotate into the r14 window (registration+2).
+# Evidence until then: CORRECTNESS_LOCAL_r12.json + dual-SF bit-exact
+# rows in CROSSSF_r12.json (tests/test_crosssf_gate.py).
+_R12_NEW: list = []
+
 
 def _r8_order(b: dict) -> list:
     """The round-8 registration order, reconstructed verbatim (names
@@ -1112,32 +1146,52 @@ def _r10_order(b: dict) -> list:
     return order
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # --- Round-11 registration order -----------------------------------
-    # window (50): positions 50..99 of the r10 order, exactly as staged
-    # in round 10 and pinned by VERDICT r10 item 2 /
-    # tests/test_rotation.py — the ADVICE-r9 Q2 floor-guard regate
-    # first (tpch_q2_mincost), then the rest of the 15 r9-new (their
-    # registration+2 deadline IS r11, incl. the two TPC-H headline
-    # rows), then the 35 next-stalest rows (draining the 26 r5-era rows
-    # that hit the 6-round staleness ceiling this round).
-    b = _builders()
+def _r11_order(b: dict) -> list:
+    """The round-11 registration order, reconstructed verbatim (names
+    registered after r11 — ``_R12_NEW`` — are excluded).  The r12 window
+    is DEFINED as positions 50..99 of this order (VERDICT r11 item 1,
+    staged in-round by r11): the 16 r11 code-changed non-window regates
+    first (_R12_REGATE_FRONT — pHash decode fix + ml cache memo +
+    degree-histogram oracle widening + winnowing fingerprint
+    checkpoint), then the rest of the 10 r10-new (their registration+2
+    deadline IS r12; three are themselves regates, so the union is 23
+    rows), then the next-stalest rows."""
     r10_order = _r10_order(b)
     window = r10_order[50:100]
-    # Positions 50..99 are the ready-made r12 window: the 15 r11
-    # code-changed rows OUTSIDE this round's window first
-    # (_R12_REGATE_FRONT — the pHash decode fix + ml cache memo + the
-    # degree-histogram oracle widening + the winnowing fingerprint
-    # checkpoint; same device as _R11_REGATE_FRONT last round), then
-    # the rest of the 10 r10-new never-checked (their registration+2
-    # deadline IS r12 — three of them are themselves regates), then
-    # the next-stalest rows.
     front = list(_R12_REGATE_FRONT)
     staged = front + [n for n in _R10_NEW if n not in front]
     taken = set(window) | set(staged)
     rest = [n for n in r10_order[100:] if n not in taken]
     r10_fresh = [n for n in r10_order[:50] if n not in taken]
     order = window + staged + rest + r10_fresh + list(_R11_NEW)
+    assert len(order) + len(_R12_NEW) == len(b)
+    return order
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # --- Round-12 registration order -----------------------------------
+    # window (50): positions 50..99 of the r11 order, exactly as staged
+    # in round 11 and pinned by VERDICT r11 item 1 /
+    # tests/test_rotation.py — the 16 r11 code-changed regates first
+    # (the full post-fix multimodal family + winnowing_pairs + the ml
+    # family + graph_degree_histogram), then the 7 remaining r10-new at
+    # their registration+2 deadline (union 23), then the 27
+    # next-stalest rows.
+    b = _builders()
+    r11_order = _r11_order(b)
+    window = r11_order[50:100]
+    # Positions 50..99 are the ready-made r13 window: the r12
+    # code-changed rows OUTSIDE this round's window first
+    # (_R13_REGATE_FRONT — same device as _R12_REGATE_FRONT last
+    # round), then the 8 r11-new never-checked (their registration+2
+    # deadline IS r13), then the next-stalest rows — which drain the
+    # r6-era evidence block that hits the staleness ceiling at r13.
+    front = list(_R13_REGATE_FRONT)
+    staged = front + [n for n in _R11_NEW if n not in front]
+    taken = set(window) | set(staged)
+    rest = [n for n in r11_order[100:] if n not in taken]
+    r11_fresh = [n for n in r11_order[:50] if n not in taken]
+    order = window + staged + rest + r11_fresh + list(_R12_NEW)
     assert len(order) == len(b) and set(order) == set(b), (
         len(order), len(b))
     return {n: b[n] for n in order}

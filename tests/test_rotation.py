@@ -37,15 +37,43 @@ def _r10_order():
     return E._r10_order(E._builders())
 
 
-def test_r11_window_is_the_verdict_plan():
-    """The r11 window is EXACTLY positions 50..99 of the r10
-    registration order (VERDICT r10 item 2, staged in-round by r10):
-    the ADVICE-r9 Q2 floor-guard regate first (tpch_q2_mincost), then
-    the rest of the 15 r9-new never-checked (their registration+2
-    deadline IS r11), then the 35 next-stalest rows — which drain the
-    26 r5-era rows that hit the 6-round staleness ceiling this round."""
+def _r11_order():
+    return E._r11_order(E._builders())
+
+
+def test_r12_window_is_the_verdict_plan():
+    """The r12 window is EXACTLY positions 50..99 of the r11
+    registration order (VERDICT r11 item 1, staged in-round by r11):
+    the 16 r11 code-changed regates first (_R12_REGATE_FRONT — the
+    full post-fix multimodal family + winnowing_pairs + the ml family
+    + graph_degree_histogram), then the 7 remaining r10-new at their
+    registration+2 deadline (3 of the 10 are themselves regates, so
+    the union is 23 rows), then the 27 next-stalest rows."""
     order = _order()
     win = order[:50]
+    assert len(set(win)) == 50
+    assert win == _r11_order()[50:100]
+    front = list(E._R12_REGATE_FRONT)
+    assert len(front) == 16
+    assert win[:16] == front
+    k = len(set(front) | set(E._R10_NEW))
+    assert k == 23
+    assert set(E._R10_NEW) <= set(win[:k])
+    # the 27 stale rows saw no driver row in r8/r9/r10/r11
+    stale = win[k:]
+    recent = (set(E._R8_WINDOW) | set(_r9_order()[:50])
+              | set(_r10_order()[:50]) | set(_r11_order()[:50]))
+    assert not set(stale) & recent
+    assert not set(stale) & (set(E._R11_NEW) | set(E._R12_NEW))
+
+
+def test_r11_window_is_the_verdict_plan():
+    """Historical pin: the r11 window was positions 50..99 of the r10
+    order (the ADVICE-r9 Q2 floor-guard regate first, then the rest of
+    the 15 r9-new at their registration+2 deadline, then the 35
+    next-stalest rows draining the 26 r5-era rows) — and the recorded
+    driver artifact matches it exactly."""
+    win = _r11_order()[:50]
     assert len(set(win)) == 50
     assert win == _r10_order()[50:100]
     assert win[:1] == list(E._R11_REGATE_FRONT)
@@ -56,6 +84,9 @@ def test_r11_window_is_the_verdict_plan():
               | set(_r10_order()[:50]))
     assert not set(stale) & recent
     assert not set(stale) & (set(E._R10_NEW) | set(E._R11_NEW))
+    r11 = json.loads((REPO / "CORRECTNESS_r11.json").read_text())
+    assert set(r11) == set(win)
+    assert all(v["hash_match"] for v in r11.values())
 
 
 def test_r10_window_is_the_verdict_plan():
@@ -138,13 +169,22 @@ def test_published_list_sizes():
     rest10 = set(E._R10_CODE_CHANGED) - set(_r10_order()[:50])
     assert rest10 == set(E._R11_REGATE_FRONT)
     assert set(E._R11_REGATE_FRONT) <= set(E._R9_NEW)
-    # r11 cap + code-changed bookkeeping: r11-window members re-gate
-    # this round automatically; every non-member leads the staged r12
-    # window
+    # r11 cap + code-changed bookkeeping: r11-window members re-gated
+    # in r11 automatically; every non-member leads the r12 window
     assert len(E._R11_NEW) <= 15
-    rest11 = set(E._R11_CODE_CHANGED) - set(_order()[:50])
+    rest11 = set(E._R11_CODE_CHANGED) - set(_r11_order()[:50])
     assert rest11 == set(E._R12_REGATE_FRONT)
     assert set(E._R12_REGATE_FRONT) < set(E._R11_CODE_CHANGED)
+    # r12 cap (VERDICT r11 item 2: waves now bounded at 5 net-new so
+    # the 50-slot refresh period stops stretching) + code-changed
+    # bookkeeping: r12-window members re-gate this round
+    # automatically; s8/s9 are _R11_NEW rows debuting in the staged
+    # r13 window anyway; every other non-member leads that window
+    assert len(E._R12_NEW) <= 5
+    rest12 = (set(E._R12_CODE_CHANGED) - set(_order()[:50])
+              - set(E._R11_NEW))
+    assert rest12 == set(E._R13_REGATE_FRONT)
+    assert set(E._R13_REGATE_FRONT) <= set(E._R12_CODE_CHANGED)
 
 
 def test_windows_partition_history():
@@ -155,77 +195,91 @@ def test_windows_partition_history():
     assert not win9 & set(E._R8_WINDOW)
     win10 = set(_r10_order()[:50])
     assert not win10 & win9
-    win11 = set(_order()[:50])
+    win11 = set(_r11_order()[:50])
     assert not win11 & win10
+    win12 = set(_order()[:50])
+    assert not win12 & win11
     r7 = json.loads((REPO / "CORRECTNESS_r07.json").read_text())
     assert set(r7) == set(E._R7_WINDOW)
     assert all(v["hash_match"] for v in r7.values())
 
 
-def test_registration_order_and_r12_readiness():
+def test_registration_order_and_r13_readiness():
     order = _order()
     n = len(order)
     assert len(set(order)) == n
-    # r11-new are registered at the very tail (rotate in by r13)
-    k = len(E._R11_NEW)
+    # r12-new are registered at the very tail (rotate in by r14)
+    k = len(E._R12_NEW)
     if k:
-        assert order[n - k:] == list(E._R11_NEW)
-    # positions 50..99 are the ready-made r12 window: the 15 r11
-    # code-changed non-window regates first (pHash decode fix + ml
-    # cache memo + degree-histogram oracle widening), then the rest of
-    # the 10 r10-new (their registration+2 deadline IS r12; three are
-    # themselves regates, so the union is 22 rows), then the
-    # next-stalest rows — nothing from windows r8/r9/r10/r11 beyond
-    # the justified regates.
-    r12 = order[50:100]
-    front = list(E._R12_REGATE_FRONT)
-    assert r12[:len(front)] == front
-    k = len(set(front) | set(E._R10_NEW))
-    assert set(E._R10_NEW) <= set(r12[:k])
-    rest = r12[k:]
+        assert order[n - k:] == list(E._R12_NEW)
+    # positions 50..99 are the ready-made r13 window: the r12
+    # code-changed non-window regates first (_R13_REGATE_FRONT), then
+    # the 8 r11-new (their registration+2 deadline IS r13; the s8/s9
+    # sink roundtrips are both code-changed AND debuting, so their
+    # regate and debut coincide), then the 42 next-stalest rows —
+    # draining the last 6 pre-r7-era rows plus 36 of the 47 r7-era
+    # rows; nothing from windows r9/r10/r11/r12 beyond the justified
+    # regates.
+    r13 = order[50:100]
+    front = list(E._R13_REGATE_FRONT)
+    assert r13[:len(front)] == front
+    k = len(set(front) | set(E._R11_NEW))
+    assert set(E._R11_NEW) <= set(r13[:k])
+    rest = r13[k:]
     recent = (set(E._R8_WINDOW) | set(_r9_order()[:50])
-              | set(_r10_order()[:50]) | set(order[:50]))
+              | set(_r10_order()[:50]) | set(_r11_order()[:50])
+              | set(order[:50]))
     assert not set(rest) & recent
-    assert not set(rest) & set(E._R11_NEW)
+    assert not set(rest) & set(E._R12_NEW)
 
 
 def test_staleness_ages_match_note():
-    """Recompute the projected after-r11 evidence ages from the lists:
-    50 r11-fresh / 50 r10-fresh / 50 r9-fresh / r8- and r7-fresh minus
-    the regates earlier windows pulled forward / never = |_R10_NEW| +
-    |_R11_NEW|; remainder r4/r5/r6-era; total matches the registered
-    surface, and the never-checked backlog older than registration+1
-    is ZERO (the 15 _R9_NEW debut in the r11 window itself)."""
+    """Recompute the projected after-r12 evidence ages from the lists:
+    50 r12-fresh / 50 r11-fresh / r10/r9/r8/r7-fresh minus the regates
+    later windows pulled forward / never = |_R11_NEW| + |_R12_NEW|;
+    remainder pre-r7-era; total matches the registered surface.  The
+    structural payoff of the r12 window (16 regates + 7 debuts + 27
+    stalest): only SIX rows still carry pre-r7-era evidence, and all
+    six sit inside the staged r13 window — the staleness ceiling
+    VERDICT r11 item 2 worried about clears at r13, with wave growth
+    now capped at 5 to keep it clear."""
     order = _order()
     n = len(order)
-    win11 = set(order[:50])
+    win12 = set(order[:50])
+    win11 = set(_r11_order()[:50])
     win10 = set(_r10_order()[:50])
-    never = set(E._R10_NEW) | set(E._R11_NEW)
+    win9 = set(_r9_order()[:50])
+    never = (set(E._R11_NEW) | set(E._R12_NEW)) - win12
     ages = {
-        "r11": win11,
-        "r10": win10,
-        "r9": set(_r9_order()[:50]) - win11,
-        "r8": set(E._R8_WINDOW) - win11 - win10,
-        "r7": set(E._R7_WINDOW) - win11 - win10 - set(E._R8_WINDOW),
-        "never": never - win11,
+        "r12": win12,
+        "r11": win11 - win12,
+        "r10": win10 - win12 - win11,
+        "r9": win9 - win12 - win11 - win10,
+        "r8": set(E._R8_WINDOW) - win12 - win11 - win10 - win9,
+        "r7": (set(E._R7_WINDOW) - win12 - win11 - win10 - win9
+               - set(E._R8_WINDOW)),
+        "never": never,
     }
     seen: set = set()
     for k, s in ages.items():
         assert not s & seen, k
         seen |= s
+    assert len(ages["r12"]) == 50
     assert len(ages["r11"]) == 50
-    assert len(ages["r10"]) == 50
-    assert len(ages["r9"]) == 50
-    # the r10 window pulled 2 r8-fresh + 1 r7-fresh regates forward
+    # the r12 window pulled 2 r10-fresh (ml model/cv) + 2 r9-fresh
+    # (png meta/resize) regates forward; earlier windows pulled 2+2+1
+    assert len(ages["r10"]) == 48
+    assert len(ages["r9"]) == 48
     assert len(ages["r8"]) == 48
-    assert len(ages["r7"]) == 49
-    assert len(ages["never"]) == len(E._R10_NEW) + len(E._R11_NEW)
-    # everything else carries r4/r5/r6-era evidence
+    assert len(ages["r7"]) == 47
+    assert len(ages["never"]) == len(E._R11_NEW) + len(E._R12_NEW)
+    # everything else carries pre-r7-era evidence: exactly 6 rows, all
+    # staged into the r13 window (alongside 36 of the 47 r7-era rows)
     rest = set(order) - seen
-    assert len(rest) == n - 247 - len(ages["never"])
-    # the pre-r10 never-checked backlog stays ZERO: every name outside
-    # `never` appears in some recorded window or the r4/r5 local era
-    assert rest <= set(_r10_order()[100:])
+    assert len(rest) == 6
+    staged = set(order[50:100])
+    assert rest <= staged
+    assert len(ages["r7"] & staged) == 36
     # cycle-length invariant quoted in the note: ceil(N/50)
     assert -(-n // 50) == (n + 49) // 50
 
