@@ -1201,12 +1201,19 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join sides), so without a materialization boundary the whole
     tokenize+winnow pass re-executes per branch — the same redundant-
     recompute class as the r11 pHash fix (VERDICT r10 items 1/6).  The
-    frame is (doc_id, fp) — two int64s per fingerprint — cheap to pin."""
+    frame is (doc_id, fp) — two int64s per fingerprint — but it is
+    corpus-PROPORTIONAL, so a per-invocation checkpoint would pin a
+    fresh copy per call until session GC (ADVICE r11); it is memoized
+    per (session, sf_dir) via ``domain.session_cache`` instead, the
+    ``ml._training_frame`` house pattern."""
     from .. import domain as _domain
-    fp = _domain.persisted(
-        spark,
-        _winnow_fp_df(spark, sf_dir).select("doc_id", "fp").distinct()
-        .localCheckpoint(eager=True))
+    cache = _domain.session_cache(spark, "winnow_fp_ckpt")
+    if sf_dir not in cache:
+        cache[sf_dir] = _domain.persisted(
+            spark,
+            _winnow_fp_df(spark, sf_dir).select("doc_id", "fp").distinct()
+            .localCheckpoint(eager=True))
+    fp = cache[sf_dir]
     hot = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
              .filter(F.col("df") > MAX_SHINGLE_DF)
              .select("fp"))

@@ -581,11 +581,19 @@ def q_ml_isotonic_calibration(spark: SparkSession,
          .alias("bin"),
         F.expr(p_ppm).alias("p"),
         F.expr("CAST(round(risk_score * 1000000) AS BIGINT)").alias("a"))
-    b = (binned.groupBy("bin")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("n_routes"),
-                    F.sum("p").cast("bigint").alias("sp"),
-                    F.sum(F.col("a").cast("decimal(38,0)")).alias("sa")))
-    b = domain.persisted(spark, b.localCheckpoint(eager=True))
+    # the bin frame is <= 32 rows, but its upstream is the FULL scoring
+    # label pipeline — memoized per (session, sf_dir) so repeated calls
+    # don't re-run the corpus pass and don't accumulate persist-registry
+    # pins (ADVICE r11)
+    cache = domain.session_cache(spark, "iso_bin_ckpt")
+    if sf_dir not in cache:
+        b = (binned.groupBy("bin")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_routes"),
+                        F.sum("p").cast("bigint").alias("sp"),
+                        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa")))
+        cache[sf_dir] = domain.persisted(
+            spark, b.localCheckpoint(eager=True))
+    b = cache[sf_dir]
     jf = b.select(F.col("bin").alias("jb"))
     kf = b.select(F.col("bin").alias("kb"))
     mf = b.select(F.col("bin").alias("mb"), "sa",

@@ -643,9 +643,17 @@ def phash_hashes_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is media_id + four 16-bit bands — tiny at any corpus size —
     so checkpointing it trades a negligible store for decoding the
     corpus exactly once.  ``persisted`` registers the blocks for
-    unpersist-on-session-GC (the ADVICE r10 cache-leak discipline)."""
-    df = extract_png_ahash(png_media_grad_df(spark, sf_dir))
-    return domain.persisted(spark, df.localCheckpoint(eager=True))
+    unpersist-on-session-GC (the ADVICE r10 cache-leak discipline);
+    the checkpoint is memoized per (session, sf_dir) via
+    ``domain.session_cache`` (ADVICE r11) so the three pair-mining
+    consumers share ONE decode even across separate invocations in the
+    same session, instead of pinning a fresh copy per call."""
+    cache = domain.session_cache(spark, "phash_hashes_ckpt")
+    if sf_dir not in cache:
+        df = extract_png_ahash(png_media_grad_df(spark, sf_dir))
+        cache[sf_dir] = domain.persisted(
+            spark, df.localCheckpoint(eager=True))
+    return cache[sf_dir]
 
 
 def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2210,7 +2210,14 @@ def q_embedding_matryoshka_recall(spark: SparkSession,
     ranked = (scored.withColumn("rank", F.row_number().over(w))
                     .filter(F.col("rank") <= TOP_K)
                     .select("dim", "query_id", "vec_id"))
-    ranked = domain.persisted(spark, ranked.localCheckpoint(eager=True))
+    # (#queries x #dims x TOP_K) rows — query-set-proportional, so the
+    # checkpoint is memoized per (session, sf_dir) rather than pinned
+    # afresh on every invocation (ADVICE r11)
+    cache = domain.session_cache(spark, "mrl_ranked_ckpt")
+    if sf_dir not in cache:
+        cache[sf_dir] = domain.persisted(
+            spark, ranked.localCheckpoint(eager=True))
+    ranked = cache[sf_dir]
     truth = (ranked.filter(F.col("dim") == DIM)
                    .select(F.col("query_id").alias("t_query"),
                            F.col("vec_id").alias("t_vec")))

@@ -259,12 +259,44 @@ S9_DATES = ("2024-06-13", "2024-06-14", "2024-06-15")   # d0 purged
 
 
 def _scores_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capped production score table, materialized once per query
-    (it is consumed by several writes + the MGET id collect)."""
+    """The capped production score table, materialized ONCE per
+    (session, sf_dir) and shared by both roundtrip queries.
+
+    The frame is corpus-proportional (one row per route) and consumed
+    by several writes + the MGET id collect; a per-invocation
+    checkpoint would pin a fresh copy in the persist registry on every
+    call, released only at session GC (ADVICE r11 — the same
+    accumulate-per-call class as the r10 ``_training_frame`` leak), so
+    it routes through ``domain.session_cache`` like every other
+    expensive memoized upstream."""
     from . import domain
     from .operators import scoring
-    df = scoring.risk_scores_capped_df(spark, sf_dir)
-    return domain.persisted(spark, df.localCheckpoint(eager=True))
+    cache = domain.session_cache(spark, "sink_scores_ckpt")
+    if sf_dir not in cache:
+        df = scoring.risk_scores_capped_df(spark, sf_dir)
+        cache[sf_dir] = domain.persisted(
+            spark, df.localCheckpoint(eager=True))
+    return cache[sf_dir]
+
+
+def _sink_scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """Create a unique scratch directory for a sink roundtrip.
+
+    On a multi-node cluster the executors write their parquet
+    partitions to whatever filesystem the scratch path lives on, so a
+    driver-local ``tempfile`` directory would silently drop every
+    non-driver partition at read-back.  Deployments therefore point
+    ``spark.safeascent.sink.scratchDir`` at a shared filesystem
+    (HDFS / NFS / fuse-mounted object store); the ``tempfile.mkdtemp``
+    fallback is a LOCAL-MODE-ONLY contract (ADVICE r11), correct for
+    the single-JVM driver/test harness this repo runs under."""
+    import os
+    import tempfile
+    root = spark.conf.get("spark.safeascent.sink.scratchDir", "")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=root)
+    return tempfile.mkdtemp(prefix=prefix)
 
 
 def q_s8_score_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,12 +308,11 @@ def q_s8_score_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join would change the row set; a lossy parquet roundtrip would
     change values — all hash-visible."""
     import shutil as _sh
-    import tempfile
     from . import domain
     from pyspark.sql import functions as F
 
     scores = _scores_ckpt(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="safeascent_s8_")
+    tmp = _sink_scratch_dir(spark, "safeascent_s8_")
     try:
         write_scores(scores, tmp, domain.PRED_DATE)
         decoy = scores.withColumn(
@@ -328,13 +359,12 @@ def q_s9_retention_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     A purge of the wrong date, a lost/duplicated delta row, or a broken
     latest-wins resolve all change the aggregate."""
     import shutil as _sh
-    import tempfile
     from . import domain
     from pyspark.sql import functions as F
 
     scores = _scores_ckpt(spark, sf_dir)
     d0, d1, d2 = S9_DATES
-    tmp = tempfile.mkdtemp(prefix="safeascent_s9_")
+    tmp = _sink_scratch_dir(spark, "safeascent_s9_")
     try:
         for d in (d0, d1, d2):
             write_scores(scores, tmp, d)
