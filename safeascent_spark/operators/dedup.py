@@ -1192,6 +1192,15 @@ WITH {_sql_winnow_cte().strip()}
 SELECT doc_id, pos, fp FROM fps ORDER BY doc_id, pos"""
 
 
+def _winnow_fp_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint distinct (doc_id, fp) fingerprint frame.  Exposed
+    separately so the plan-probe gate (tests/test_plans.py, VERDICT
+    r11 item 3) can audit the tokenize+winnow upstream the committed
+    ``docs/plan_winnowing_pairs.txt`` snapshot cannot see behind the
+    checkpoint."""
+    return _winnow_fp_df(spark, sf_dir).select("doc_id", "fp").distinct()
+
+
 def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap-candidate pairs sharing >= WINNOW_MIN_SHARED fingerprint
     VALUES, with the hot-fingerprint df cap (anti-join) applied first.
@@ -1211,8 +1220,7 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in cache:
         cache[sf_dir] = _domain.persisted(
             spark,
-            _winnow_fp_df(spark, sf_dir).select("doc_id", "fp").distinct()
-            .localCheckpoint(eager=True))
+            _winnow_fp_raw(spark, sf_dir).localCheckpoint(eager=True))
     fp = cache[sf_dir]
     hot = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
              .filter(F.col("df") > MAX_SHINGLE_DF)

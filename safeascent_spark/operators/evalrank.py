@@ -568,9 +568,14 @@ ORDER BY bin"""
 ISO_BINS = 32
 
 
-def q_ml_isotonic_calibration(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
-    from .. import domain, ml as ML
+def _iso_bin_frame_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint bin frame: ONE corpus-grain aggregate of the full
+    scoring label pipeline down to <= ISO_BINS rows.  Exposed
+    separately so the plan-probe gate (tests/test_plans.py, VERDICT
+    r11 item 3) can audit the upstream plan the committed
+    ``docs/plan_ml_isotonic_calibration.txt`` snapshot cannot see
+    behind the checkpoint."""
+    from .. import ml as ML
     m = ML.q_ml_risk_model(spark, sf_dir).select(
         "risk_score", "predicted_risk")
     bw = 1_000_000 // ISO_BINS
@@ -581,18 +586,24 @@ def q_ml_isotonic_calibration(spark: SparkSession,
          .alias("bin"),
         F.expr(p_ppm).alias("p"),
         F.expr("CAST(round(risk_score * 1000000) AS BIGINT)").alias("a"))
+    return (binned.groupBy("bin")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_routes"),
+                       F.sum("p").cast("bigint").alias("sp"),
+                       F.sum(F.col("a").cast("decimal(38,0)")).alias("sa")))
+
+
+def q_ml_isotonic_calibration(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from .. import domain
     # the bin frame is <= 32 rows, but its upstream is the FULL scoring
     # label pipeline — memoized per (session, sf_dir) so repeated calls
     # don't re-run the corpus pass and don't accumulate persist-registry
     # pins (ADVICE r11)
     cache = domain.session_cache(spark, "iso_bin_ckpt")
     if sf_dir not in cache:
-        b = (binned.groupBy("bin")
-                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_routes"),
-                        F.sum("p").cast("bigint").alias("sp"),
-                        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa")))
         cache[sf_dir] = domain.persisted(
-            spark, b.localCheckpoint(eager=True))
+            spark,
+            _iso_bin_frame_raw(spark, sf_dir).localCheckpoint(eager=True))
     b = cache[sf_dir]
     jf = b.select(F.col("bin").alias("jb"))
     kf = b.select(F.col("bin").alias("kb"))

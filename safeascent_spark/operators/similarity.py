@@ -2179,8 +2179,13 @@ ORDER BY source"""
 MRL_DIMS = [8, 16, 32, DIM]
 
 
-def q_embedding_matryoshka_recall(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
+def _mrl_ranked_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint ranked frame: top-K per (dim, query) by
+    prefix-cosine over one broadcast corpus x probes pass.  Exposed
+    separately so the plan-probe gate (tests/test_plans.py, VERDICT
+    r11 item 3) can audit the upstream plan the committed
+    ``docs/plan_embedding_matryoshka_recall.txt`` snapshot cannot see
+    behind the checkpoint."""
     e = quantized_df(spark, sf_dir)
     q = (e.filter(F.col("vec_id") < N_QUERIES)
           .select(F.col("vec_id").alias("query_id"),
@@ -2207,16 +2212,21 @@ def q_embedding_matryoshka_recall(spark: SparkSession,
                 F.col("dc.cosine").alias("cosine"))
     w = Window.partitionBy("dim", "query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
-    ranked = (scored.withColumn("rank", F.row_number().over(w))
-                    .filter(F.col("rank") <= TOP_K)
-                    .select("dim", "query_id", "vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K)
+                  .select("dim", "query_id", "vec_id"))
+
+
+def q_embedding_matryoshka_recall(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
     # (#queries x #dims x TOP_K) rows — query-set-proportional, so the
     # checkpoint is memoized per (session, sf_dir) rather than pinned
     # afresh on every invocation (ADVICE r11)
     cache = domain.session_cache(spark, "mrl_ranked_ckpt")
     if sf_dir not in cache:
         cache[sf_dir] = domain.persisted(
-            spark, ranked.localCheckpoint(eager=True))
+            spark,
+            _mrl_ranked_raw(spark, sf_dir).localCheckpoint(eager=True))
     ranked = cache[sf_dir]
     truth = (ranked.filter(F.col("dim") == DIM)
                    .select(F.col("query_id").alias("t_query"),

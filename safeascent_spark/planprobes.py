@@ -1,0 +1,95 @@
+"""Plan probes: the PRE-checkpoint plans of checkpoint-returning queries.
+
+VERDICT r11 "missing" #3: a query that returns a ``localCheckpoint``'ed
+frame hides its real pipeline from the plan-snapshot gate — the committed
+``docs/plan_<name>.txt`` shows a short scan of the materialized result,
+so the no-cartesian / broadcast invariants in ``tests/test_plans.py``
+never see the write/upsert/read or corpus-aggregate plans that actually
+execute.  The isotonic CartesianProduct near-miss (a checkpointed frame
+carries no size statistics, so bounded non-equi joins plan as
+CartesianProduct unless explicitly hinted) proved the blind spot bites.
+
+Each probe is a context manager yielding the pre-checkpoint DataFrame of
+one such internal pipeline; sink probes create (and on exit remove) the
+scratch directory their writes need.  ``tools/plan_snapshot.py --probes``
+writes ``docs/probe_<name>.txt`` snapshots, and ``tests/test_plans.py``
+runs the cartesian/broadcast invariants over the LIVE probe plans.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import shutil
+from typing import Callable, ContextManager, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _plain(builder) -> Callable[[SparkSession, str], ContextManager]:
+    @contextlib.contextmanager
+    def probe(spark: SparkSession, sf_dir: str) -> Iterator[DataFrame]:
+        yield builder(spark, sf_dir)
+    return probe
+
+
+@contextlib.contextmanager
+def _s8_probe(spark: SparkSession, sf_dir: str) -> Iterator[DataFrame]:
+    from . import sinks
+    tmp = sinks._sink_scratch_dir(spark, "probe_s8_")
+    try:
+        yield sinks._s8_serving_pipeline(spark, sf_dir, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@contextlib.contextmanager
+def _s9_probe(spark: SparkSession, sf_dir: str) -> Iterator[DataFrame]:
+    from . import sinks
+    tmp = sinks._sink_scratch_dir(spark, "probe_s9_")
+    try:
+        yield sinks._s9_survivor_pipeline(spark, sf_dir, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp + "__deltas", ignore_errors=True)
+
+
+def _phash_hashes_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as MM
+    return MM.extract_png_ahash(MM.png_media_grad_df(spark, sf_dir))
+
+
+def _winnow_fp_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup as D
+    return D._winnow_fp_raw(spark, sf_dir)
+
+
+def _iso_bin_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import evalrank as ER
+    return ER._iso_bin_frame_raw(spark, sf_dir)
+
+
+def _mrl_ranked_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as SIM
+    return SIM._mrl_ranked_raw(spark, sf_dir)
+
+
+def _sink_scores_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import scoring
+    return scoring.risk_scores_capped_df(spark, sf_dir)
+
+
+def all_probes() -> dict[str, Callable[[SparkSession, str], ContextManager]]:
+    """name -> context-manager factory yielding the pre-checkpoint frame.
+
+    Keys name the INTERNAL pipeline, not the owning query: one query may
+    hide several checkpoint boundaries, and several queries may share
+    one memoized upstream (the phash family shares the hash frame)."""
+    return {
+        "s8_serving_pipeline": _s8_probe,
+        "s9_survivor_pipeline": _s9_probe,
+        "phash_hash_frame": _plain(_phash_hashes_raw),
+        "winnow_fp_frame": _plain(_winnow_fp_raw),
+        "iso_bin_frame": _plain(_iso_bin_raw),
+        "mrl_ranked_frame": _plain(_mrl_ranked_raw),
+        "sink_scores_frame": _plain(_sink_scores_raw),
+    }

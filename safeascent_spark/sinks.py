@@ -299,6 +299,33 @@ def _sink_scratch_dir(spark: SparkSession, prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
+def _s8_serving_pipeline(spark: SparkSession, sf_dir: str,
+                         tmp: str) -> DataFrame:
+    """Perform the S8 writes into ``tmp`` and return the PRE-checkpoint
+    serving-read frame (partition prune + broadcast MGET semi-join).
+    Exposed separately so the plan-probe gate (tests/test_plans.py,
+    VERDICT r11 item 3) can audit the read pipeline's plan — the
+    committed ``docs/plan_s8_score_roundtrip.txt`` snapshot only sees
+    the scan of the materialized result."""
+    from . import domain
+    from pyspark.sql import functions as F
+
+    scores = _scores_ckpt(spark, sf_dir)
+    write_scores(scores, tmp, domain.PRED_DATE)
+    decoy = scores.withColumn(
+        "num_contributing", F.col("num_contributing") + F.lit(1000))
+    write_scores(decoy, tmp, "2024-06-16")
+    ids = [r[0] for r in
+           scores.filter(F.col("route_id") % S8_MGET_MOD == 3)
+                 .select("route_id").orderBy("route_id")
+                 .limit(S8_MGET_LIMIT).collect()]
+    return (read_scores(spark, tmp, domain.PRED_DATE, ids)
+            .select("route_id", "risk_score", "color_code",
+                    "num_contributing",
+                    F.col("prediction_date").cast("string")
+                     .alias("prediction_date")))
+
+
 def q_s8_score_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 write -> serving read, end to end: write TWO date partitions of
     the capped score table (the second with perturbed content), then run
@@ -309,24 +336,10 @@ def q_s8_score_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     change values — all hash-visible."""
     import shutil as _sh
     from . import domain
-    from pyspark.sql import functions as F
 
-    scores = _scores_ckpt(spark, sf_dir)
     tmp = _sink_scratch_dir(spark, "safeascent_s8_")
     try:
-        write_scores(scores, tmp, domain.PRED_DATE)
-        decoy = scores.withColumn(
-            "num_contributing", F.col("num_contributing") + F.lit(1000))
-        write_scores(decoy, tmp, "2024-06-16")
-        ids = [r[0] for r in
-               scores.filter(F.col("route_id") % S8_MGET_MOD == 3)
-                     .select("route_id").orderBy("route_id")
-                     .limit(S8_MGET_LIMIT).collect()]
-        out = (read_scores(spark, tmp, domain.PRED_DATE, ids)
-               .select("route_id", "risk_score", "color_code",
-                       "num_contributing",
-                       F.col("prediction_date").cast("string")
-                        .alias("prediction_date")))
+        out = _s8_serving_pipeline(spark, sf_dir, tmp)
         res = domain.persisted(spark, out.localCheckpoint(eager=True))
     finally:
         _sh.rmtree(tmp, ignore_errors=True)
@@ -360,44 +373,57 @@ def q_s9_retention_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-wins resolve all change the aggregate."""
     import shutil as _sh
     from . import domain
-    from pyspark.sql import functions as F
 
-    scores = _scores_ckpt(spark, sf_dir)
-    d0, d1, d2 = S9_DATES
     tmp = _sink_scratch_dir(spark, "safeascent_s9_")
     try:
-        for d in (d0, d1, d2):
-            write_scores(scores, tmp, d)
-        delta = (scores.filter(F.col("route_id") % S9_UPSERT_MOD == 0)
-                       .withColumn("color_code", F.lit("amended"))
-                       .withColumn("num_contributing",
-                                   F.lit(-1).cast("int")))
-        upsert_scores(delta, tmp, d2)
-        purge_old_partitions(tmp, keep_dates={d1, d2})
-        surviving = list_partitions(tmp)
-        per_date = [
-            read_scores_current(spark, tmp, d)
-            .select(F.lit(d).alias("prediction_date"), "route_id",
-                    "risk_score", "color_code", "num_contributing")
-            for d in surviving]
-        full = per_date[0]
-        for p in per_date[1:]:
-            full = full.unionByName(p)
-        out = (full.groupBy("prediction_date")
-                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_routes"),
-                        F.sum(F.expr(
-                            "CAST(round(risk_score * 1000000) AS BIGINT)"))
-                         .cast("bigint").alias("sum_risk_micro"),
-                        F.sum(F.when(F.col("color_code") == "amended", 1)
-                               .otherwise(0)).cast("bigint")
-                         .alias("n_upserted"),
-                        F.sum("num_contributing").cast("bigint")
-                         .alias("sum_contributing")))
+        out = _s9_survivor_pipeline(spark, sf_dir, tmp)
         res = domain.persisted(spark, out.localCheckpoint(eager=True))
     finally:
         _sh.rmtree(tmp, ignore_errors=True)
         _sh.rmtree(tmp + "__deltas", ignore_errors=True)
     return res.orderBy("prediction_date")
+
+
+def _s9_survivor_pipeline(spark: SparkSession, sf_dir: str,
+                          tmp: str) -> DataFrame:
+    """Perform the S9 writes / upsert / purge into ``tmp`` and return
+    the PRE-checkpoint merge-on-read aggregate over the surviving
+    partitions.  Exposed separately so the plan-probe gate
+    (tests/test_plans.py, VERDICT r11 item 3) can audit the
+    write/upsert/purge/read pipeline's plan — the committed
+    ``docs/plan_s9_retention_survivors.txt`` snapshot only sees the
+    scan of the materialized result."""
+    from pyspark.sql import functions as F
+
+    scores = _scores_ckpt(spark, sf_dir)
+    d0, d1, d2 = S9_DATES
+    for d in (d0, d1, d2):
+        write_scores(scores, tmp, d)
+    delta = (scores.filter(F.col("route_id") % S9_UPSERT_MOD == 0)
+                   .withColumn("color_code", F.lit("amended"))
+                   .withColumn("num_contributing",
+                               F.lit(-1).cast("int")))
+    upsert_scores(delta, tmp, d2)
+    purge_old_partitions(tmp, keep_dates={d1, d2})
+    surviving = list_partitions(tmp)
+    per_date = [
+        read_scores_current(spark, tmp, d)
+        .select(F.lit(d).alias("prediction_date"), "route_id",
+                "risk_score", "color_code", "num_contributing")
+        for d in surviving]
+    full = per_date[0]
+    for p in per_date[1:]:
+        full = full.unionByName(p)
+    return (full.groupBy("prediction_date")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_routes"),
+                     F.sum(F.expr(
+                         "CAST(round(risk_score * 1000000) AS BIGINT)"))
+                      .cast("bigint").alias("sum_risk_micro"),
+                     F.sum(F.when(F.col("color_code") == "amended", 1)
+                            .otherwise(0)).cast("bigint")
+                      .alias("n_upserted"),
+                     F.sum("num_contributing").cast("bigint")
+                      .alias("sum_contributing")))
 
 
 def sql_s9_retention_survivors() -> str:

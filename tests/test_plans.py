@@ -782,3 +782,79 @@ def test_wave33_plans_hold_their_scale_claims(spark):
     assert n_ops(plan, "CartesianProduct") == 0
     specs = re.findall(r"windowspecdefinition\((\w+#\d+)", plan)
     assert specs and all(s.startswith("event_type#") for s in specs), specs
+
+
+# --- Plan probes: pre-checkpoint pipelines (round 12, VERDICT r11 item 3) ----
+#
+# A query that returns a localCheckpoint'ed frame hides its real pipeline
+# from the snapshot gate: docs/plan_<name>.txt shows a ~23-line scan of the
+# materialized result, so the invariants above never see the
+# write/upsert/read or corpus-aggregate plans that actually execute.  The
+# isotonic CartesianProduct near-miss (checkpointed frames carry no size
+# stats -> bounded non-equi joins go cartesian unless hinted) proved this
+# blind spot bites.  safeascent_spark.planprobes exposes each such internal
+# pipeline; these tests run the no-cartesian / bounded-nested-loop / no-SMJ
+# invariants over the LIVE probe plans and require a committed
+# docs/probe_<name>.txt snapshot for review.
+
+def test_every_plan_probe_has_a_snapshot():
+    from pathlib import Path
+
+    from safeascent_spark import planprobes
+
+    docs = Path(__file__).resolve().parent.parent / "docs"
+    missing = [n for n in planprobes.all_probes()
+               if not (docs / f"probe_{n}.txt").exists()]
+    assert missing == [], missing
+    offenders = [p.name for p in docs.glob("probe_*.txt")
+                 if "CartesianProduct" in p.read_text()]
+    assert offenders == [], offenders
+    # no orphan snapshots pretending coverage that no longer exists
+    known = {f"probe_{n}.txt" for n in planprobes.all_probes()}
+    orphans = [p.name for p in docs.glob("probe_*.txt")
+               if p.name not in known]
+    assert orphans == [], orphans
+
+
+def test_plan_probe_live_invariants(spark):
+    """Every pre-checkpoint pipeline, built live: zero CartesianProduct,
+    zero SortMergeJoin (all joins are broadcast or semi at these
+    cardinalities), and at most ONE BroadcastNestedLoopJoin (the bounded
+    7 x |accidents| dim build inside the scoring subtree / the bounded
+    corpus x probes broadcast cross join in the MRL probe)."""
+    from safeascent_spark import planprobes
+
+    for name, probe in planprobes.all_probes().items():
+        with probe(spark, SF_SMOKE) as df:
+            plan = plan_of(df)
+        assert n_ops(plan, "CartesianProduct") == 0, name
+        assert n_ops(plan, "SortMergeJoin") == 0, name
+        assert n_ops(plan, "BroadcastNestedLoopJoin") <= 1, name
+
+
+def test_s8_probe_partition_prunes_and_broadcasts_the_mget_batch(spark):
+    """The serving read must prune to ONE prediction_date partition at
+    the scan (not post-filter both dates) and semi-join the bounded
+    MGET id batch via broadcast hash join."""
+    from safeascent_spark import planprobes
+
+    with planprobes.all_probes()["s8_serving_pipeline"](
+            spark, SF_SMOKE) as df:
+        plan = plan_of(df)
+    assert re.search(r"PartitionFilters: \[.*prediction_date.* = "
+                     r"2024-06-15", plan), plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+
+
+def test_s9_probe_resolves_deltas_with_keyed_windows_not_global_sort(spark):
+    """Merge-on-read latest-wins must ride route_id-partitioned windows
+    (with the WindowGroupLimit map-side truncation) — never an
+    unpartitioned window or a join back to the corpus."""
+    from safeascent_spark import planprobes
+
+    with planprobes.all_probes()["s9_survivor_pipeline"](
+            spark, SF_SMOKE) as df:
+        plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    specs = re.findall(r"windowspecdefinition\((\w+#\d+)", plan)
+    assert specs and all(s.startswith("route_id#") for s in specs), specs
