@@ -299,14 +299,8 @@ def _sink_scratch_dir(spark: SparkSession, prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
-def _s8_serving_pipeline(spark: SparkSession, sf_dir: str,
-                         tmp: str) -> DataFrame:
-    """Perform the S8 writes into ``tmp`` and return the PRE-checkpoint
-    serving-read frame (partition prune + broadcast MGET semi-join).
-    Exposed separately so the plan-probe gate (tests/test_plans.py,
-    VERDICT r11 item 3) can audit the read pipeline's plan — the
-    committed ``docs/plan_s8_score_roundtrip.txt`` snapshot only sees
-    the scan of the materialized result."""
+def _s8_write_phase(spark: SparkSession, sf_dir: str, tmp: str) -> None:
+    """S8 write side: base date partition + perturbed decoy date."""
     from . import domain
     from pyspark.sql import functions as F
 
@@ -315,6 +309,16 @@ def _s8_serving_pipeline(spark: SparkSession, sf_dir: str,
     decoy = scores.withColumn(
         "num_contributing", F.col("num_contributing") + F.lit(1000))
     write_scores(decoy, tmp, "2024-06-16")
+
+
+def _s8_read_frame(spark: SparkSession, sf_dir: str,
+                   tmp: str) -> DataFrame:
+    """S8 serving read over an already-written ``tmp``: bounded MGET id
+    batch + partition prune + broadcast semi-join."""
+    from . import domain
+    from pyspark.sql import functions as F
+
+    scores = _scores_ckpt(spark, sf_dir)
     ids = [r[0] for r in
            scores.filter(F.col("route_id") % S8_MGET_MOD == 3)
                  .select("route_id").orderBy("route_id")
@@ -324,6 +328,20 @@ def _s8_serving_pipeline(spark: SparkSession, sf_dir: str,
                     "num_contributing",
                     F.col("prediction_date").cast("string")
                      .alias("prediction_date")))
+
+
+def _s8_serving_pipeline(spark: SparkSession, sf_dir: str,
+                         tmp: str) -> DataFrame:
+    """Perform the S8 writes into ``tmp`` and return the PRE-checkpoint
+    serving-read frame (partition prune + broadcast MGET semi-join).
+    Exposed separately so the plan-probe gate (tests/test_plans.py,
+    VERDICT r11 item 3) can audit the read pipeline's plan — the
+    committed ``docs/plan_s8_score_roundtrip.txt`` snapshot only sees
+    the scan of the materialized result — and split into write/read
+    phases so tools/sink_decomposition.py can time each independently
+    (VERDICT r11 item 4)."""
+    _s8_write_phase(spark, sf_dir, tmp)
+    return _s8_read_frame(spark, sf_dir, tmp)
 
 
 def q_s8_score_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,15 +402,9 @@ def q_s9_retention_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("prediction_date")
 
 
-def _s9_survivor_pipeline(spark: SparkSession, sf_dir: str,
-                          tmp: str) -> DataFrame:
-    """Perform the S9 writes / upsert / purge into ``tmp`` and return
-    the PRE-checkpoint merge-on-read aggregate over the surviving
-    partitions.  Exposed separately so the plan-probe gate
-    (tests/test_plans.py, VERDICT r11 item 3) can audit the
-    write/upsert/purge/read pipeline's plan — the committed
-    ``docs/plan_s9_retention_survivors.txt`` snapshot only sees the
-    scan of the materialized result."""
+def _s9_write_phase(spark: SparkSession, sf_dir: str, tmp: str) -> None:
+    """S9 write side: three date partitions + row-level upsert delta on
+    the newest + retention purge of the oldest."""
     from pyspark.sql import functions as F
 
     scores = _scores_ckpt(spark, sf_dir)
@@ -405,6 +417,14 @@ def _s9_survivor_pipeline(spark: SparkSession, sf_dir: str,
                                F.lit(-1).cast("int")))
     upsert_scores(delta, tmp, d2)
     purge_old_partitions(tmp, keep_dates={d1, d2})
+
+
+def _s9_read_frame(spark: SparkSession, sf_dir: str,
+                   tmp: str) -> DataFrame:
+    """S9 merge-on-read aggregate over the surviving partitions of an
+    already-written/upserted/purged ``tmp``."""
+    from pyspark.sql import functions as F
+
     surviving = list_partitions(tmp)
     per_date = [
         read_scores_current(spark, tmp, d)
@@ -424,6 +444,21 @@ def _s9_survivor_pipeline(spark: SparkSession, sf_dir: str,
                       .alias("n_upserted"),
                      F.sum("num_contributing").cast("bigint")
                       .alias("sum_contributing")))
+
+
+def _s9_survivor_pipeline(spark: SparkSession, sf_dir: str,
+                          tmp: str) -> DataFrame:
+    """Perform the S9 writes / upsert / purge into ``tmp`` and return
+    the PRE-checkpoint merge-on-read aggregate over the surviving
+    partitions.  Exposed separately so the plan-probe gate
+    (tests/test_plans.py, VERDICT r11 item 3) can audit the
+    write/upsert/purge/read pipeline's plan — the committed
+    ``docs/plan_s9_retention_survivors.txt`` snapshot only sees the
+    scan of the materialized result — and split into write/read phases
+    so tools/sink_decomposition.py can time each independently
+    (VERDICT r11 item 4)."""
+    _s9_write_phase(spark, sf_dir, tmp)
+    return _s9_read_frame(spark, sf_dir, tmp)
 
 
 def sql_s9_retention_survivors() -> str:
