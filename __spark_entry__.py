@@ -710,6 +710,14 @@ def _builders() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Matryoshka truncation recall: prefix-dim top-K vs full-dim
         # ground truth (int8-exact ranking)
         "embedding_matryoshka_recall": SIM.q_embedding_matryoshka_recall,
+        # --- (m) new in round 12 (wave 35, capped at 5: VERDICT r11 #2) ---
+        # incremental IVF maintenance: fresh batch -> stat-merge ->
+        # centroid shift + base-corpus reassignment fraction (the
+        # nightly-embedding-refresh analog of batch_scores_incremental)
+        "ann_ivf_incremental": SIM.q_ann_ivf_incremental,
+        # S10 compaction: fold merge-on-read deltas into the base
+        # partition; before/after served aggregates must hash-agree
+        "sink_compaction_roundtrip": SNK.q_sink_compaction_roundtrip,
     }
 
 
@@ -1080,7 +1088,9 @@ _R13_REGATE_FRONT: list = [
 # at the very tail; they rotate into the r14 window (registration+2).
 # Evidence until then: CORRECTNESS_LOCAL_r12.json + dual-SF bit-exact
 # rows in CROSSSF_r12.json (tests/test_crosssf_gate.py).
-_R12_NEW: list = []
+_R12_NEW: list = [
+    "ann_ivf_incremental", "sink_compaction_roundtrip",
+]
 
 
 def _r8_order(b: dict) -> list:
@@ -1089,7 +1099,8 @@ def _r8_order(b: dict) -> list:
     is DEFINED as positions 50..99 of this order (VERDICT r8 item 1),
     so the reconstruction is kept rather than inlined."""
     order = list(_R8_WINDOW) + list(_R8_TAIL_NEVER)
-    post_r8 = set(_R9_NEW) | set(_R10_NEW) | set(_R11_NEW)
+    post_r8 = (set(_R9_NEW) | set(_R10_NEW) | set(_R11_NEW)
+               | set(_R12_NEW))
     taken = set(order) | set(_R8_NEW) | post_r8
     old_order = [n for n in b if n not in post_r8]
     r67_set = set(_R6_WINDOW) | set(_R7_WINDOW)
@@ -1124,7 +1135,8 @@ def _r9_order(b: dict) -> list:
              if n not in taken and n not in set(_R8_WINDOW)]
     r8_fresh = [n for n in _R8_WINDOW if n not in taken]
     order = window + regate + r8_new + stale + r8_fresh + list(_R9_NEW)
-    assert len(order) + len(_R10_NEW) + len(_R11_NEW) == len(b)
+    assert (len(order) + len(_R10_NEW) + len(_R11_NEW)
+            + len(_R12_NEW) == len(b))
     return order
 
 
@@ -1142,7 +1154,7 @@ def _r10_order(b: dict) -> list:
     taken = set(window) | set(r9_new)
     rest = [n for n in r9_order[100:] if n not in taken]
     order = window + r9_new + rest + r9_order[:50] + list(_R10_NEW)
-    assert len(order) + len(_R11_NEW) == len(b)
+    assert len(order) + len(_R11_NEW) + len(_R12_NEW) == len(b)
     return order
 
 
@@ -1510,4 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         "batch_scores_incremental": B.sql_batch_scores_incremental(),
         "embedding_matryoshka_recall":
             SIM.sql_embedding_matryoshka_recall(),
+        "ann_ivf_incremental": SIM.sql_ann_ivf_incremental(),
+        "sink_compaction_roundtrip":
+            SNK.sql_sink_compaction_roundtrip(),
     }

@@ -2302,3 +2302,276 @@ SELECT CAST(g.dim AS INT) AS dim, g.query_id AS query_id,
 FROM grid g LEFT JOIN hits h
   ON g.dim = h.dim AND g.query_id = h.query_id
 ORDER BY dim, g.query_id"""
+
+
+# --- Incremental IVF index maintenance audit (round 12) -----------------------
+# The 100 TB nightly story for embeddings, closing the loop
+# batch_scores_incremental opened for scores: an IVF index maintains
+# per-cell sufficient statistics (count, element-wise vector sum); a
+# fresh nightly batch is assigned to the EXISTING centroids, its
+# partials MERGE into the cell stats (the same IVM algebra as the
+# nightly scoring merge), and the updated means answer the operational
+# question "rebuild the index, or just update it?" — measured here as
+# (a) how far each centroid moved (integer squared L2) and (b) what
+# fraction of the already-indexed corpus would land in a DIFFERENT cell
+# under the updated centroids (the recall-decay proxy).  A reassignment
+# fraction near zero says the nightly batch can ride stat-merges for
+# another cycle; a large one schedules the full Lloyd rebuild.
+#
+# Exactness: everything rides the int8 device OFFSET to [0, 254]
+# (x+127), so element-wise sums are nonnegative BIGINTs, the mean is an
+# unambiguous integer division, and L2^2 distances — shift-invariant,
+# so assignments match the unoffset space — are exact integers in both
+# engines; ties break toward the smaller cell id in both rankings.
+# Seed centroids are closed-form (element-wise mean of the vec_id % K
+# shard of the base corpus), so the DuckDB oracle replays the whole
+# maintenance step exactly — no self-certification needed, unlike the
+# iterative-KMeans ANN rows.
+#
+# Scale shape: centroid frames are K x DIM longs (tiny, broadcast);
+# both assignment passes are corpus x K broadcast cross joins with a
+# WindowGroupLimit argmin per vec_id — never corpus x corpus; the
+# stats merge is one map-side-combined aggregate per pass.
+
+IVF_INC_CELLS = 8
+IVF_INC_FRESH_MOD = 10       # vec_id % 10 == 7 is tonight's batch
+
+
+def _ivf_inc_assign(vecs: DataFrame, cent: DataFrame,
+                    out: str) -> DataFrame:
+    """argmin_j L2^2(v, centroid_j), ties to the smaller cell id; every
+    input column is carried through (so a reassignment pass can keep the
+    prior cell as payload instead of joining back to the corpus)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    p = (domain.fan_out(vecs).crossJoin(F.broadcast(cent))
+         .withColumn("_d2", d2))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_d2").asc(), F.col("cell").asc())
+    return (p.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .withColumn(out, F.col("cell"))
+             .drop("cell", "cvec", "_d2", "_rn"))
+
+
+def _ivf_inc_cell_means(assigned: DataFrame, cell_col: str) -> DataFrame:
+    """Element-wise per-cell (sum, n) sufficient stats in long form."""
+    longf = assigned.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode("v").alias("i", "x"))
+    return (longf.groupBy("cell", "i")
+                 .agg(F.sum("x").cast("long").alias("sx"),
+                      F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def _ivf_inc_to_array(stats: DataFrame) -> DataFrame:
+    """(cell, i, c) long form -> (cell, cvec array) via order-pinned
+    collect_list (array_sort on the (i, c) struct sorts by i)."""
+    return (stats.groupBy("cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("i", "c"))),
+                     lambda s: s["c"]).alias("cvec")))
+
+
+def _ivf_inc_assign_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint base-assignment pipeline (seed-shard aggregate ->
+    centroid assembly -> argmin window), exposed for the plan-probe
+    gate: the memoized state hides these plans behind checkpoints."""
+    K, M = IVF_INC_CELLS, IVF_INC_FRESH_MOD
+    e = quantized_df(spark, sf_dir).select(
+        "vec_id",
+        F.transform("qvec", lambda x: x + 127).alias("v"))
+    base = e.filter(F.col("vec_id") % M != 7)
+    c0 = _ivf_inc_cell_means(
+        base.select((F.col("vec_id") % K).alias("shard"), "v"),
+        "shard").select("cell", "i", F.expr("sx div n").alias("c"))
+    return _ivf_inc_assign(base, _ivf_inc_to_array(c0), "cell0")
+
+
+def _ivf_inc_state(spark: SparkSession, sf_dir: str) -> dict:
+    """The maintained index state, materialized ONCE per (session,
+    sf_dir): seed centroid long form, base/fresh assignments under the
+    seed centroids, and the post-merge centroid long form.  The seed
+    frame feeds FOUR plan branches and each assignment two, so without
+    checkpoints every branch re-runs the corpus aggregate (the r11
+    pHash/winnowing redundant-recompute class); the assignment frames
+    are corpus-proportional, so the checkpoints route through
+    ``domain.session_cache`` (ADVICE r11).  At a real deployment the
+    assignment table IS the IVF index's persisted state — pinning it
+    is the semantics, not an optimization."""
+    K = IVF_INC_CELLS
+    cache = domain.session_cache(spark, "ivf_inc_state")
+    if sf_dir not in cache:
+        def ck(df):
+            return domain.persisted(spark, df.localCheckpoint(eager=True))
+
+        M = IVF_INC_FRESH_MOD
+        e = quantized_df(spark, sf_dir).select(
+            "vec_id",
+            F.transform("qvec", lambda x: x + 127).alias("v"))
+        base = e.filter(F.col("vec_id") % M != 7)
+        fresh = e.filter(F.col("vec_id") % M == 7)
+        # seed centroids: element-wise mean of the vec_id % K shard
+        c0 = ck(_ivf_inc_cell_means(
+            base.select((F.col("vec_id") % K).alias("shard"), "v"),
+            "shard").select("cell", "i", F.expr("sx div n").alias("c")))
+        cent0 = _ivf_inc_to_array(c0)
+        abase = ck(_ivf_inc_assign(base, cent0, "cell0"))
+        afresh = ck(_ivf_inc_assign(fresh, cent0, "cell0"))
+        # merge the fresh batch's partials into the index stats (the
+        # IVM step); a cell with no members keeps its seed centroid
+        sb = _ivf_inc_cell_means(abase, "cell0")
+        sf_ = _ivf_inc_cell_means(afresh, "cell0")
+        merged = (sb.join(F.broadcast(
+                      sf_.withColumnRenamed("sx", "fx")
+                         .withColumnRenamed("n", "fn")),
+                          ["cell", "i"], "left")
+                    .select("cell", "i",
+                            (F.col("sx") + F.coalesce("fx", F.lit(0)))
+                            .alias("sx"),
+                            (F.col("n") + F.coalesce("fn", F.lit(0)))
+                            .alias("n")))
+        c1 = ck(c0.withColumnRenamed("c", "c0")
+                  .join(F.broadcast(
+                      merged.select("cell", "i",
+                                    F.expr("sx div n").alias("c1"))),
+                        ["cell", "i"], "left")
+                  .select("cell", "i",
+                          F.coalesce("c1", "c0").alias("c")))
+        cache[sf_dir] = {"c0": c0, "abase": abase, "afresh": afresh,
+                         "c1": c1}
+    return cache[sf_dir]
+
+
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _ivf_inc_state(spark, sf_dir)
+    # reassignment audit: cell0 rides through as payload, so no join
+    # back to the corpus is ever needed
+    abase1 = _ivf_inc_assign(st["abase"],
+                             _ivf_inc_to_array(st["c1"]), "cell1")
+    moved = (abase1.groupBy("cell0")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_base"),
+                        F.sum(F.when(F.col("cell1") != F.col("cell0"), 1)
+                               .otherwise(0)).cast("bigint")
+                         .alias("n_moved")))
+    nf = (st["afresh"].groupBy("cell0")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_fresh")))
+    shift = (st["c0"].withColumnRenamed("c", "ca")
+             .join(F.broadcast(st["c1"].withColumnRenamed("c", "cb")),
+                   ["cell", "i"])
+             .groupBy("cell")
+             .agg(F.sum((F.col("ca") - F.col("cb"))
+                        * (F.col("ca") - F.col("cb")))
+                   .cast("long").alias("shift_sq")))
+    return (shift.join(F.broadcast(moved),
+                       shift["cell"] == moved["cell0"], "left")
+                 .join(F.broadcast(nf), shift["cell"] == nf["cell0"],
+                       "left")
+                 .select(shift["cell"].cast("int").alias("cell"),
+                         F.coalesce("n_base", F.lit(0)).cast("bigint")
+                          .alias("n_base"),
+                         F.coalesce("n_fresh", F.lit(0)).cast("bigint")
+                          .alias("n_fresh"),
+                         F.col("shift_sq").cast("bigint")
+                          .alias("shift_sq"),
+                         F.coalesce("n_moved", F.lit(0)).cast("bigint")
+                          .alias("n_moved"),
+                         F.expr("CAST(CASE WHEN coalesce(n_base, 0) = 0 "
+                                "THEN 0 ELSE coalesce(n_moved, 0) "
+                                "* 1000000 div n_base END AS BIGINT)")
+                          .alias("moved_ppm"))
+                 .orderBy("cell"))
+
+
+def sql_ann_ivf_incremental() -> str:
+    K, M = IVF_INC_CELLS, IVF_INC_FRESH_MOD
+    qx = ("CAST(round(least(greatest(CAST(embedding[i] AS DOUBLE), -1.0), "
+          "1.0) * 127) AS BIGINT) + 127")
+    return f"""
+WITH flat AS (
+  SELECT vec_id, i, {qx} AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+base AS (SELECT * FROM flat WHERE vec_id % {M} != 7),
+fresh AS (SELECT * FROM flat WHERE vec_id % {M} = 7),
+cent0 AS (
+  SELECT CAST(vec_id % {K} AS BIGINT) AS cell, i,
+         sum(x) // count(*) AS c
+  FROM base GROUP BY 1, i
+),
+d0b AS (
+  SELECT b.vec_id, c.cell, sum((b.x - c.c) * (b.x - c.c)) AS d2
+  FROM base b JOIN cent0 c USING (i) GROUP BY 1, 2
+),
+abase AS (
+  SELECT vec_id, cell AS cell0 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cell) AS rn
+    FROM d0b) WHERE rn = 1
+),
+d0f AS (
+  SELECT f.vec_id, c.cell, sum((f.x - c.c) * (f.x - c.c)) AS d2
+  FROM fresh f JOIN cent0 c USING (i) GROUP BY 1, 2
+),
+afresh AS (
+  SELECT vec_id, cell AS cell0 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cell) AS rn
+    FROM d0f) WHERE rn = 1
+),
+sb AS (
+  SELECT a.cell0 AS cell, b.i, sum(b.x) AS sx, count(*) AS n
+  FROM base b JOIN abase a USING (vec_id) GROUP BY 1, 2
+),
+sfr AS (
+  SELECT a.cell0 AS cell, f.i, sum(f.x) AS fx, count(*) AS fn
+  FROM fresh f JOIN afresh a USING (vec_id) GROUP BY 1, 2
+),
+cent1 AS (
+  SELECT c0.cell, c0.i,
+         coalesce((sb.sx + coalesce(sfr.fx, 0))
+                  // (sb.n + coalesce(sfr.fn, 0)), c0.c) AS c
+  FROM cent0 c0
+  LEFT JOIN sb ON sb.cell = c0.cell AND sb.i = c0.i
+  LEFT JOIN sfr ON sfr.cell = c0.cell AND sfr.i = c0.i
+),
+d1b AS (
+  SELECT b.vec_id, c.cell, sum((b.x - c.c) * (b.x - c.c)) AS d2
+  FROM base b JOIN cent1 c USING (i) GROUP BY 1, 2
+),
+abase1 AS (
+  SELECT vec_id, cell AS cell1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cell) AS rn
+    FROM d1b) WHERE rn = 1
+),
+moved AS (
+  SELECT a.cell0, CAST(count(*) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN a1.cell1 != a.cell0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved
+  FROM abase a JOIN abase1 a1 USING (vec_id) GROUP BY 1
+),
+nf AS (
+  SELECT cell0, CAST(count(*) AS BIGINT) AS n_fresh
+  FROM afresh GROUP BY 1
+),
+shift AS (
+  SELECT c0.cell, CAST(sum((c0.c - c1.c) * (c0.c - c1.c)) AS BIGINT)
+           AS shift_sq
+  FROM cent0 c0 JOIN cent1 c1 ON c0.cell = c1.cell AND c0.i = c1.i
+  GROUP BY 1
+)
+SELECT CAST(s.cell AS INT) AS cell,
+       coalesce(m.n_base, 0) AS n_base,
+       coalesce(nf.n_fresh, 0) AS n_fresh,
+       s.shift_sq AS shift_sq,
+       coalesce(m.n_moved, 0) AS n_moved,
+       CAST(CASE WHEN coalesce(m.n_base, 0) = 0 THEN 0
+                 ELSE coalesce(m.n_moved, 0) * 1000000 // m.n_base END
+            AS BIGINT) AS moved_ppm
+FROM shift s
+LEFT JOIN moved m ON m.cell0 = s.cell
+LEFT JOIN nf ON nf.cell0 = s.cell
+ORDER BY cell"""

@@ -53,6 +53,18 @@ def _s9_probe(spark: SparkSession, sf_dir: str) -> Iterator[DataFrame]:
         shutil.rmtree(tmp + "__deltas", ignore_errors=True)
 
 
+@contextlib.contextmanager
+def _compaction_probe(spark: SparkSession,
+                      sf_dir: str) -> Iterator[DataFrame]:
+    from . import sinks
+    tmp = sinks._sink_scratch_dir(spark, "probe_s10c_")
+    try:
+        yield sinks._compaction_before_frame(spark, sf_dir, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp + "__deltas", ignore_errors=True)
+
+
 def _phash_hashes_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as MM
     return MM.extract_png_ahash(MM.png_media_grad_df(spark, sf_dir))
@@ -73,6 +85,11 @@ def _mrl_ranked_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM._mrl_ranked_raw(spark, sf_dir)
 
 
+def _ivf_inc_assign_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as SIM
+    return SIM._ivf_inc_assign_raw(spark, sf_dir)
+
+
 def _sink_scores_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import scoring
     return scoring.risk_scores_capped_df(spark, sf_dir)
@@ -87,9 +104,11 @@ def all_probes() -> dict[str, Callable[[SparkSession, str], ContextManager]]:
     return {
         "s8_serving_pipeline": _s8_probe,
         "s9_survivor_pipeline": _s9_probe,
+        "compaction_before_frame": _compaction_probe,
         "phash_hash_frame": _plain(_phash_hashes_raw),
         "winnow_fp_frame": _plain(_winnow_fp_raw),
         "iso_bin_frame": _plain(_iso_bin_raw),
         "mrl_ranked_frame": _plain(_mrl_ranked_raw),
+        "ivf_inc_assign_frame": _plain(_ivf_inc_assign_raw),
         "sink_scores_frame": _plain(_sink_scores_raw),
     }

@@ -489,3 +489,138 @@ SELECT prediction_date,
 FROM merged
 GROUP BY prediction_date
 ORDER BY prediction_date"""
+
+
+# --- S10 compaction roundtrip (round 12) --------------------------------------
+# The one sink behavior the s8/s9 roundtrips don't observe (VERDICT r11
+# item 7b): folding merge-on-read deltas back into the base partition.
+# At 100 TB the nightly upsert stream accretes small delta files whose
+# count IS the serving read's amplification (one extra scan branch +
+# latest-wins window input per sequence); compaction is the copy-on-
+# write step that pays one rewrite to restore the 1-file read.  This
+# query writes a base date, applies TWO overlapping row-level upsert
+# deltas (the overlap pins the latest-sequence-wins order THROUGH the
+# compaction), reads the served aggregate BEFORE compacting (delta
+# count = 2) and AFTER (delta count = 0), and returns both rows.  The
+# oracle computes the expectation directly: the two phases must agree
+# on every content column — a compaction that loses rows, duplicates
+# them, or folds the deltas in the wrong order changes the after-row
+# and is hash-visible — and differ only in n_delta_seqs.
+
+S10C_MOD_A = 5           # delta 1 (seq 1): route_id % 5 == 0
+S10C_MOD_B = 7           # delta 2 (seq 2): route_id % 7 == 3 (overlaps)
+
+
+def _compaction_delta_count(tmp: str, pred_date: str) -> int:
+    root = _delta_root(tmp, pred_date)
+    if not root.exists():
+        return 0
+    return sum(1 for p in root.iterdir()
+               if p.is_dir() and p.name.startswith("delta_seq="))
+
+
+def _compaction_served_agg(spark: SparkSession, tmp: str, pred_date: str,
+                           phase: str, n_deltas: int) -> DataFrame:
+    return (read_scores_current(spark, tmp, pred_date)
+            .groupBy()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_routes"),
+                 F.sum(F.expr(
+                     "CAST(round(risk_score * 1000000) AS BIGINT)"))
+                  .cast("bigint").alias("sum_risk_micro"),
+                 F.sum(F.when(F.col("color_code") == "amended", 1)
+                        .otherwise(0)).cast("bigint").alias("n_amended"),
+                 F.sum(F.when(F.col("color_code") == "amended2", 1)
+                        .otherwise(0)).cast("bigint").alias("n_amended2"),
+                 F.sum("num_contributing").cast("bigint")
+                  .alias("sum_contributing"))
+            .select(F.lit(phase).alias("phase"),
+                    F.lit(n_deltas).cast("bigint").alias("n_delta_seqs"),
+                    "n_routes", "sum_risk_micro", "n_amended",
+                    "n_amended2", "sum_contributing"))
+
+
+def _compaction_before_frame(spark: SparkSession, sf_dir: str,
+                             tmp: str) -> DataFrame:
+    """Write base + both deltas into ``tmp`` and return the
+    PRE-checkpoint served aggregate with the deltas still live — the
+    richest merge-on-read plan (base scan + one delta-root scan +
+    latest-wins window), exposed for the plan-probe gate."""
+    from . import domain
+
+    scores = _scores_ckpt(spark, sf_dir)
+    d = domain.PRED_DATE
+    write_scores(scores, tmp, d)
+    delta1 = (scores.filter(F.col("route_id") % S10C_MOD_A == 0)
+                    .withColumn("color_code", F.lit("amended"))
+                    .withColumn("num_contributing",
+                                F.lit(-1).cast("int")))
+    upsert_scores(delta1, tmp, d)
+    delta2 = (scores.filter(F.col("route_id") % S10C_MOD_B == 3)
+                    .withColumn("color_code", F.lit("amended2"))
+                    .withColumn("num_contributing",
+                                F.lit(-2).cast("int")))
+    upsert_scores(delta2, tmp, d)
+    return _compaction_served_agg(
+        spark, tmp, d, "before", _compaction_delta_count(tmp, d))
+
+
+def q_sink_compaction_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import shutil as _sh
+    from . import domain
+
+    d = domain.PRED_DATE
+    tmp = _sink_scratch_dir(spark, "safeascent_s10c_")
+    try:
+        # the before-row must materialize BEFORE compaction mutates the
+        # directory (the frame is lazy; compaction deletes the deltas
+        # it would read)
+        before = domain.persisted(
+            spark,
+            _compaction_before_frame(spark, sf_dir, tmp)
+            .localCheckpoint(eager=True))
+        folded = compact_scores(spark, tmp, d)
+        assert folded == 2, folded
+        after = _compaction_served_agg(
+            spark, tmp, d, "after", _compaction_delta_count(tmp, d))
+        res = domain.persisted(
+            spark,
+            before.unionByName(after).localCheckpoint(eager=True))
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+        _sh.rmtree(tmp + "__deltas", ignore_errors=True)
+    return res.orderBy("phase")
+
+
+def sql_sink_compaction_roundtrip() -> str:
+    from . import domain
+    from .operators import scoring
+    return f"""
+WITH scores AS ({scoring.risk_scores_capped_sql().strip()}),
+merged AS (
+  SELECT route_id, risk_score,
+         CASE WHEN route_id % {S10C_MOD_B} = 3 THEN 'amended2'
+              WHEN route_id % {S10C_MOD_A} = 0 THEN 'amended'
+              ELSE color_code END AS color_code,
+         CASE WHEN route_id % {S10C_MOD_B} = 3 THEN -2
+              WHEN route_id % {S10C_MOD_A} = 0 THEN -1
+              ELSE num_contributing END AS num_contributing
+  FROM scores
+),
+served AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_routes,
+         CAST(sum(CAST(round(risk_score * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_risk_micro,
+         CAST(sum(CASE WHEN color_code = 'amended' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_amended,
+         CAST(sum(CASE WHEN color_code = 'amended2' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_amended2,
+         CAST(sum(num_contributing) AS BIGINT) AS sum_contributing
+  FROM merged
+)
+SELECT p.phase, p.n_delta_seqs, s.n_routes, s.sum_risk_micro,
+       s.n_amended, s.n_amended2, s.sum_contributing
+FROM (VALUES ('before', CAST(2 AS BIGINT)),
+             ('after', CAST(0 AS BIGINT))) AS p(phase, n_delta_seqs),
+     served s
+ORDER BY phase"""

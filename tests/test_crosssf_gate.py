@@ -25,6 +25,7 @@ REPO = Path(__file__).resolve().parent.parent
 GATED_WAVES = {
     10: E._R10_NEW,
     11: E._R11_NEW,
+    12: E._R12_NEW,
 }
 
 

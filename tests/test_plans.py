@@ -858,3 +858,37 @@ def test_s9_probe_resolves_deltas_with_keyed_windows_not_global_sort(spark):
     assert "WindowGroupLimit" in plan
     specs = re.findall(r"windowspecdefinition\((\w+#\d+)", plan)
     assert specs and all(s.startswith("route_id#") for s in specs), specs
+
+
+def test_ivf_incremental_plan_shape(spark):
+    """Wave-35 pin: the incremental-IVF audit must assemble from the
+    checkpointed index state — one bounded corpus x K broadcast
+    nested-loop pass for the reassignment, broadcast hash joins over
+    the 8-row cell frames, zero SortMergeJoin / CartesianProduct, and
+    the WindowGroupLimit argmin truncation below the vec_id window."""
+    from safeascent_spark.operators import similarity as SIM
+
+    plan = plan_of(SIM.q_ann_ivf_incremental(spark, SF_SMOKE))
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "WindowGroupLimit" in plan
+    specs = re.findall(r"windowspecdefinition\((\w+#\d+)", plan)
+    assert specs and all(s.startswith("vec_id#") for s in specs), specs
+
+
+def test_compaction_probe_reads_deltas_in_one_scan(spark):
+    """The pre-compaction served read must scan the delta root ONCE
+    (partition discovery carries delta_seq), resolve latest-wins with a
+    route_id-keyed window, and never go cartesian."""
+    from safeascent_spark import planprobes
+
+    with planprobes.all_probes()["compaction_before_frame"](
+            spark, SF_SMOKE) as df:
+        plan = plan_of(df)
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    specs = re.findall(r"windowspecdefinition\((\w+#\d+)", plan)
+    assert specs and all(s.startswith("route_id#") for s in specs), specs
+    # base partition scan + ONE delta-root scan (constant in #deltas)
+    assert n_ops(plan, "Scan parquet") == 2, plan[:2000]
