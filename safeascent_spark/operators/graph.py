@@ -50,27 +50,44 @@ def _checksum(edges: DataFrame):
     return (row["n"], row["su"], row["sv"])
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v > u, where m = min(N(u) + [u])."""
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction round, as a single linear
+    operator chain (r12 optimization round).
+
+    The original form computed each phase's per-node minimum with a
+    ``groupBy`` + self-equi-join (guide §2.4: two operations keyed the
+    same way paying two shuffles each), plus an intermediate ``distinct``
+    between the phases — 6 Exchanges per round.  Both minima are
+    partition-local aggregates over the phase key, so a window
+    ``min() OVER (PARTITION BY u)`` computes them in the SAME shuffle
+    that the join would have needed, with no second side to build; the
+    small-star relink/self-link arms are emitted from ONE window pass via
+    a conditional array-explode instead of consuming the window twice;
+    and the large-star ``distinct`` is deferred into the round-final
+    ``distinct`` (duplicates do not change a min, and the terminal
+    distinct collapses them — the per-round edge SET is bit-identical,
+    so the fixpoint checksum and round count are unchanged).  Net: 3
+    Exchanges per round, one linear chain.
+
+    large-star: for every neighbor v > u, emit (v, m), m = min(N(u)+[u]).
+    small-star over its output (rows satisfy u > v, so min(N-(u)) < u):
+    link N-(u) + [u] to the minimum.
+    """
+    from pyspark.sql import Window
     und = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = (und.groupBy("u").agg(F.min("v").alias("mv"))
-               .select("u", F.least("mv", "u").alias("m")))
-    return (und.join(mins, "u")
-               .where(F.col("v") > F.col("u"))
-               .select(F.col("v").alias("u"), F.col("m").alias("v"))
-               .distinct())
-
-
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Over smaller neighbors N-(u): link N-(u) + [u] to their minimum.
-    Input edges satisfy u > v, so min(N-(u)) < u always."""
-    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    relink = (edges.join(mins, "u")
-                   .where(F.col("v") != F.col("m"))
-                   .select(F.col("v").alias("u"), F.col("m").alias("v")))
-    self_link = mins.select("u", F.col("m").alias("v"))
-    return relink.unionAll(self_link).distinct()
+    wu = Window.partitionBy("u")
+    large = (und.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    withm = large.withColumn("m", F.min("v").over(wu))
+    self_link = F.struct(F.col("u").alias("u"), F.col("m").alias("v"))
+    relink = F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
+    arms = (F.when(F.col("v") != F.col("m"), F.array(relink, self_link))
+             .otherwise(F.array(self_link)))
+    return (withm.select(F.explode(arms).alias("e"))
+                 .select("e.u", "e.v")
+                 .distinct())
 
 
 def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
@@ -81,14 +98,19 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     lineage is truncated per round (localCheckpoint) — the standard Spark
     iterative pattern; without it the plan doubles every round.
     """
+    # Lazy checkpoints: the per-round fixpoint checksum is the action that
+    # materializes the checkpoint, so each round is ONE job instead of an
+    # eager-checkpoint job followed by a checksum job (r12: halves the
+    # driver round-trip count of the loop; the checksum scans the freshly
+    # persisted blocks, not the lineage).
     cur = (edges.select(F.greatest("u", "v").alias("u"),
                         F.least("u", "v").alias("v"))
                 .where(F.col("u") != F.col("v"))
                 .distinct()
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     prev_sum = _checksum(cur)
     for _ in range(max_rounds):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _star_round(cur).localCheckpoint(eager=False)
         cur_sum = _checksum(cur)
         if cur_sum == prev_sum:
             break
@@ -110,10 +132,10 @@ def cc_rounds_to_converge(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> int
                         F.least("u", "v").alias("v"))
                 .where(F.col("u") != F.col("v"))
                 .distinct()
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     prev_sum = _checksum(cur)
     for i in range(max_rounds):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _star_round(cur).localCheckpoint(eager=False)
         cur_sum = _checksum(cur)
         if cur_sum == prev_sum:
             return i + 1
@@ -383,25 +405,32 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item 3): the edge set is corpus-derived, so a constant here
     # becomes the per-round task ceiling at 100x routes
     p = domain.ckpt_parts(spark)
-    e = und.coalesce(p).localCheckpoint()
+    # Lazy per-round checkpoints (r12): the early-exit count is the action
+    # that materializes both the `alive` and restricted-edge checkpoints,
+    # so each round is one count-terminated job chain instead of three
+    # separate eager-checkpoint actions.  (A window-count restructure of
+    # the peel body was A/B-measured at +26% here — the AQE-broadcast
+    # semi-joins against the small `alive` set beat two sort-based window
+    # passes over the full edge set — so the join form stays.)
+    e = und.coalesce(p).localCheckpoint(eager=False)
     n_prev = e.count()
     for _ in range(KC_ROUNDS):
         alive = (e.groupBy("src")
                   .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
                   .filter(F.col("deg") >= KC_K)
                   .select("src")
-                  .coalesce(p).localCheckpoint())
+                  .coalesce(p).localCheckpoint(eager=False))
         # checkpoint the restricted edge set too: without it each
         # round's degree aggregate re-executes the whole join CHAIN of
         # every prior round (O(R^2) joins) — the pca_power plan-growth
         # rule.  Early-exit on a stable edge count: peeling only
-        # removes edges, so count-stable == fixpoint, and the skipped
+        # removes nodes, so count-stable == fixpoint, and the skipped
         # rounds are provable no-ops (output unchanged; the oracle
         # runs all KC_ROUNDS unrolled and agrees — see tests).
         e = (e.join(alive, "src")
               .join(alive.select(F.col("src").alias("dst")), "dst")
               .select("src", "dst")
-              .coalesce(p).localCheckpoint())
+              .coalesce(p).localCheckpoint(eager=False))
         n_cur = e.count()
         if n_cur == n_prev:
             break
