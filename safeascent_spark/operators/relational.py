@@ -941,14 +941,23 @@ def q_geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounded >= 29.9999995) can displace or even tie any of the K
     fine = _knn_topk(_knn_grid_leg(routes, acc, fine_deg,
                                    GEO_KNN_FINE_KM))
-    certified = (fine.groupBy("route_id")
-                     .agg(F.count(F.lit(1)).alias("k_found"),
-                          F.max("distance_km").alias("kth_d"))
-                     .filter((F.col("k_found") >= GEO_KNN_K)
-                             & (F.col("kth_d")
-                                <= GEO_KNN_FINE_KM - 1e-6))
-                     .select("route_id"))
-    done = fine.join(certified, "route_id")
+    # r12: the certification predicate is an aggregate over the SAME
+    # route_id partitioning the rank window just established, so compute
+    # it as a second window on the rank-filtered rows instead of a
+    # groupBy + join-back — the join form re-derived the entire fine-leg
+    # subtree twice and paid a SortMergeJoin to reconcile the copies;
+    # the window form is zero extra Exchanges (partitionBy route_id is
+    # satisfied by the rank window's partitioning, and the rows are
+    # already sorted by the route_id prefix).  Aggregating after the
+    # rnk <= K filter is identical to the old groupBy over `fine`, which
+    # was also post-filter.
+    wcert = Window.partitionBy("route_id")
+    done = (fine.withColumn("k_found", F.count(F.lit(1)).over(wcert))
+                .withColumn("kth_d", F.max("distance_km").over(wcert))
+                .filter((F.col("k_found") >= GEO_KNN_K)
+                        & (F.col("kth_d") <= GEO_KNN_FINE_KM - 1e-6))
+                .drop("k_found", "kth_d"))
+    certified = done.select("route_id").distinct()
     # phase 2: only uncertified routes ride the coarse 300 km grid
     rest = routes.join(certified, "route_id", "left_anti")
     coarse = _knn_topk(_knn_grid_leg(rest, acc, GRID_CELL_DEG, cap))
