@@ -1223,12 +1223,20 @@ def q_tpch_q21_lone_late_supplier(spark: SparkSession,
                          (F.col("sd") > F.date_add(F.col("od"),
                                                    Q21_LATE_DAYS))
                           .cast("int").alias("late")))
-    per_order = (flagged.groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("ns"),
-                      F.countDistinct(F.expr(
-                          "CASE WHEN late = 1 THEN l_suppkey END"))
-                       .alias("n_late_supp"),
-                      F.max(F.expr("CASE WHEN late = 1 THEN l_suppkey END"))
+    # r12: the two countDistincts planned as an Expand x3 of the joined
+    # fact (Spark's multi-distinct rewrite) — pre-aggregating to the
+    # (order, supplier) grain first makes both distinct counts plain
+    # map-side-combined aggregates: ns = group count, late-supplier
+    # count = sum of the per-supplier any_late flag, and the lone
+    # supplier's key = max over flagged groups.  Identical values, no
+    # row replication before the shuffle.
+    per_pair = (flagged.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("late").alias("any_late")))
+    per_order = (per_pair.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("ns"),
+                      F.sum("any_late").alias("n_late_supp"),
+                      F.max(F.when(F.col("any_late") == 1,
+                                   F.col("l_suppkey")))
                        .alias("lone_supp")))
     lone = per_order.filter((F.col("ns") > 1) & (F.col("n_late_supp") == 1))
     supp = (domain.load_table(spark, sf_dir, "supplier")
