@@ -154,24 +154,30 @@ def weather_similarity_df(spark: SparkSession, sf_dir: str,
     ))
 
     keys = ["cur_bucket", "acc_bucket"]
-    # Pass 1: weighted means.
-    means = pairs.groupBy(*keys).agg(
-        F.sum("wraw").alias("sw"),
+    # Pass 1: weighted means — computed as window aggregates over the
+    # SAME (cur_bucket, acc_bucket) partitioning the moment aggregate
+    # needs anyway (r12): the previous groupBy + join-back form executed
+    # the whole `pairs` self-join subtree TWICE and paid a join to
+    # reconcile the copies; the window form scans pairs once, and the
+    # following groupBy reuses the window's partitioning (zero extra
+    # Exchanges).  The means are the identical sum(w*x)/sum(w)
+    # expressions, still centered before squaring — the two-PHASE
+    # numerics are unchanged (a one-pass E[x^2]-mean^2 would leave Spark
+    # and DuckDB disagreeing on "is the variance zero").
+    from pyspark.sql import Window as _W
+    wk = _W.partitionBy(*keys)
+    sw = F.sum("wraw").over(wk)
+    centered = pairs.select(
+        *keys, "wraw",
+        sw.alias("sw"),
         *[e for f in FACTORS for e in (
-            (F.sum(F.col("wraw") * F.col(f"x_{f}"))).alias(f"sx_{f}"),
-            (F.sum(F.col("wraw") * F.col(f"y_{f}"))).alias(f"sy_{f}"),
-        )],
-    ).select(
-        *keys, "sw",
-        *[e for f in FACTORS for e in (
-            (F.col(f"sx_{f}") / F.col("sw")).alias(f"mx_{f}"),
-            (F.col(f"sy_{f}") / F.col("sw")).alias(f"my_{f}"),
+            F.col(f"x_{f}"), F.col(f"y_{f}"),
+            (F.sum(F.col("wraw") * F.col(f"x_{f}")).over(wk) / sw)
+             .alias(f"mx_{f}"),
+            (F.sum(F.col("wraw") * F.col(f"y_{f}")).over(wk) / sw)
+             .alias(f"my_{f}"),
         )],
     )
-    # Pass 2: centered second moments (numerically stable for the
-    # zero-variance edge; a one-pass E[x^2]-mean^2 would leave Spark and
-    # DuckDB disagreeing on "is the variance zero").
-    centered = pairs.join(means, keys)
     moments = centered.groupBy(*keys).agg(
         F.first("sw").alias("sw"),
         *[e for f in FACTORS for e in (
