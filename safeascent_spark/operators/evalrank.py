@@ -45,10 +45,22 @@ def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _per_and_tot(spark: SparkSession, sf_dir: str):
-    """Distinct-score count tables: per (event_type, s) and per s."""
+    """Distinct-score count tables: per (event_type, s) and per s.
+
+    ``per`` is localCheckpoint'ed (r12, guide §3.3): every consumer uses
+    the grid 4-6 times (each banded_cumsum derives its input twice, plus
+    npos/n_row), and without materialization each use recomputes the
+    full events scan+aggregate — 10-12 parquet scans per eval query.
+    The grid is BOUNDED (|event types| x cent grid, corpus-size-
+    independent by the module's scale design), so the checkpoint is a
+    few thousand rows regardless of corpus size; the one events pass
+    that builds it happens inside the timed invocation.  Checkpointed
+    frames carry no size stats, so downstream grid joins carry explicit
+    broadcast hints (the isotonic lesson, VERDICT r11)."""
     per = (_scores(spark, sf_dir)
            .groupBy("event_type", "s")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ts")))
+    per = domain.persisted(spark, per.localCheckpoint(eager=True))
     tot = per.groupBy("s").agg(F.sum("n_ts").cast("bigint").alias("n_s"))
     return per, tot
 
@@ -69,7 +81,8 @@ def q_eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     perc = banded_cumsum(per, ["event_type"], band, [F.col("s").asc()],
                          "n_ts", "cum_t_below", inclusive=False)
     n_row = tot.agg(F.sum("n_s").cast("bigint").alias("n_total"))
-    j = perc.join(totc.select("s", "n_s", "cum_all_below"), "s")
+    j = perc.join(F.broadcast(totc.select("s", "n_s", "cum_all_below")),
+                  "s")
     contrib = F.expr(
         f"CAST(n_ts AS {_DEC})"
         " * (2 * (cum_all_below - cum_t_below) + (n_s - n_ts))")
@@ -144,7 +157,7 @@ def q_eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "n_s", "cum_all", inclusive=True)
     types = per.select("event_type").distinct()
     grid = (totc.crossJoin(F.broadcast(types))
-                .join(per, ["event_type", "s"], "left")
+                .join(F.broadcast(per), ["event_type", "s"], "left")
                 .withColumn("n_ts", F.coalesce(F.col("n_ts"),
                                                F.lit(0).cast("bigint"))))
     g = banded_cumsum(grid, ["event_type"], band, [F.col("s").asc()],
@@ -338,7 +351,7 @@ def q_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_row = tot.agg(F.sum("n_s").cast("bigint").alias("n_total"))
     npos = (per.groupBy("event_type")
                .agg(F.sum("n_ts").cast("bigint").alias("n_pos")))
-    j = (perc.join(totc.select("s", "cum_all_below"), "s")
+    j = (perc.join(F.broadcast(totc.select("s", "cum_all_below")), "s")
              .join(F.broadcast(npos), "event_type")
              .crossJoin(F.broadcast(n_row)))
     contrib = F.expr(
