@@ -1195,32 +1195,36 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str,
     scored = pairs.select(
         "query_id", "vec_id", cos.alias("cosine"),
         F.expr("bit_count(code ^ qcode)").alias("ham"))
+    # r12 (guide §2.4): single pass over `scored`.  The exact top-k rank
+    # is computed BEFORE the radius explode so it rides every exploded
+    # candidate row; a recall hit is then just (arank <= k AND
+    # xrank <= k) — no exact-vs-approx join, and the expensive
+    # cross-join dot-product frame is computed once instead of three
+    # times (exact leg, approx leg, candidate-count leg).  The arank
+    # window's (radius, query_id) clustering is subset-satisfied by the
+    # xrank window's hash(query_id) partitioning, so the explode adds no
+    # exchange.
     wx = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
-    exact = (scored.withColumn("xrank", F.row_number().over(wx))
-                   .filter(F.col("xrank") <= k)
-                   .select("query_id", F.col("vec_id").alias("hit_id")))
-    probed = (scored.withColumn(
+    ranked = scored.withColumn("xrank", F.row_number().over(wx))
+    probed = (ranked.withColumn(
                   "radius", F.explode(F.array(*[F.lit(r)
                                                 for r in RC_RADII])))
                     .filter(F.col("ham") <= F.col("radius")))
     wp = Window.partitionBy("radius", "query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
-    approx = (probed.withColumn("arank", F.row_number().over(wp))
-                    .filter(F.col("arank") <= k))
-    hits = (approx.join(exact,
-                        (approx.query_id == exact.query_id)
-                        & (approx.vec_id == exact.hit_id))
-                  .groupBy("radius")
-                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
-    cand = (probed.groupBy("radius")
-                  .agg(F.count(F.lit(1)).cast("bigint")
-                        .alias("n_cand_pairs")))
+    stats = (probed.withColumn("arank", F.row_number().over(wp))
+                   .groupBy("radius")
+                   .agg(F.count(F.lit(1)).cast("bigint")
+                         .alias("n_cand_pairs"),
+                        F.sum(F.when((F.col("arank") <= k)
+                                     & (F.col("xrank") <= k), 1)
+                               .otherwise(0)).cast("bigint")
+                         .alias("n_hits")))
     radii = spark.range(len(RC_RADII)).selectExpr(
         f"CAST(element_at(array{RC_RADII}, CAST(id + 1 AS INT)) AS INT)"
         " AS radius")
-    return (radii.join(F.broadcast(cand), "radius", "left")
-                 .join(F.broadcast(hits), "radius", "left")
+    return (radii.join(F.broadcast(stats), "radius", "left")
                  .na.fill(0, ["n_cand_pairs", "n_hits"])
                  .select(F.col("radius").cast("int").alias("radius"),
                          F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
