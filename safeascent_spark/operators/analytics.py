@@ -3019,13 +3019,24 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     isl = flagged.withColumn(
         "sid", F.sum("new_s").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
+    # r12 (guide §8 / §3.3): collapse to the 2-long-per-session boundary
+    # frame and localCheckpoint it once — previously the events-scan +
+    # user-window + groupBy subtree was recomputed ~5x (both unionAll
+    # legs x banded_cumsum's two derivation branches, plus the starts
+    # leg).  The union is an explode so the boundary stream is one pass
+    # over the materialized frame.
     sess = (isl.groupBy("user_id", "sid")
                .agg(F.min("ts").alias("start_ns"),
-                    F.max("ts").alias("end_ns")))
-    pts = (sess.select(F.col("start_ns").alias("tns"),
-                       F.lit(1).cast("long").alias("d"))
-               .unionAll(sess.select((F.col("end_ns") + 1).alias("tns"),
-                                     F.lit(-1).cast("long").alias("d")))
+                    F.max("ts").alias("end_ns"))
+               .select("start_ns", "end_ns"))
+    sess = domain.persisted(spark, sess.localCheckpoint(eager=True))
+    pts = (sess.select(F.explode(F.array(
+                   F.struct(F.col("start_ns").alias("tns"),
+                            F.lit(1).cast("long").alias("d")),
+                   F.struct((F.col("end_ns") + 1).alias("tns"),
+                            F.lit(-1).cast("long").alias("d"))))
+                 .alias("b"))
+               .select(F.col("b.tns").alias("tns"), F.col("b.d").alias("d"))
                .groupBy("tns")
                .agg(F.sum("d").cast("bigint").alias("net")))
     run = banded_cumsum(pts, [], F.expr(f"tns div {_DAY_NS}"),
@@ -3036,7 +3047,7 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = (sess.groupBy(F.expr(f"start_ns div {_DAY_NS}").alias("day"))
                   .agg(F.count(F.lit(1)).cast("bigint")
                         .alias("n_sessions_started")))
-    return (peak.join(starts, "day", "left")
+    return (peak.join(F.broadcast(starts), "day", "left")
                 .select(F.col("day").cast("bigint").alias("day"),
                         F.coalesce("n_sessions_started", F.lit(0))
                          .cast("bigint").alias("n_sessions_started"),
