@@ -1888,9 +1888,15 @@ def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ps.l_suppkey == supp.s_suppkey)
               .select("p_partkey", "p_brand", "cost_mc",
                       "s_name", "bal_c", "n_name"))
-    min_pp = (cand.groupBy("p_partkey")
-                  .agg(F.min("cost_mc").alias("min_mc")))
-    return (cand.join(F.broadcast(min_pp), "p_partkey")
+    # r12 (guide §2.4): the per-part MIN rides a window over the single
+    # cand pass instead of a groupBy + broadcast join-back, which
+    # derived cand — and its lineitem aggregate underneath — twice.
+    # The window shuffles only the filtered candidate slice (part-type
+    # slice x region suppliers), and per-part groups are bounded by the
+    # supplier count, so no skewed partition exists.
+    from pyspark.sql import Window
+    min_w = Window.partitionBy("p_partkey")
+    return (cand.withColumn("min_mc", F.min("cost_mc").over(min_w))
                 .filter(F.col("cost_mc") == F.col("min_mc"))
                 .select("bal_c", "s_name", "n_name",
                         "p_partkey", "p_brand", "cost_mc")

@@ -617,12 +617,21 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the join is a plain equi-join.
     """
     corpus = corpus_with_twins_df(spark, sf_dir)
-    cells = (band_signatures_df(corpus)
-             .filter(F.col("band") == 0)
-             .select("vec_id", F.col("sig").alias("cell")))
+    cells0 = (band_signatures_df(corpus)
+              .filter(F.col("band") == 0)
+              .select("vec_id", F.col("sig").alias("cell")))
     q = corpus.select("vec_id", _quantize_vec(F.col("vec")).alias("qvec"))
-    m = (cells.join(q, "vec_id")
-              .withColumn("n2", _idot(F.col("qvec"), F.col("qvec"))))
+    # r12 (guide §3.3): materialize the signed+quantized corpus once.
+    # It feeds three subtrees (both sides of the cell self-join and the
+    # final cells projection), each of which previously recomputed the
+    # twin union + SRP signatures + quantization; with one checkpoint
+    # the self-join's sides are identical subtrees, so the cell shuffle
+    # itself is computed once and reused.
+    m = domain.persisted(spark, (cells0.join(q, "vec_id")
+                                 .withColumn("n2", _idot(F.col("qvec"),
+                                                         F.col("qvec")))
+                                 .localCheckpoint(eager=True)))
+    cells = m.select("vec_id", "cell")
     a = m.select(F.col("vec_id").alias("va"), "cell",
                  F.col("qvec").alias("qa"), F.col("n2").alias("na2"))
     b = m.select(F.col("vec_id").alias("vb"), "cell",
