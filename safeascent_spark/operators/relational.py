@@ -957,6 +957,12 @@ def q_geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter((F.col("k_found") >= GEO_KNN_K)
                         & (F.col("kth_d") <= GEO_KNN_FINE_KM - 1e-6))
                 .drop("k_found", "kth_d"))
+    # r12 (guide §3.3): `done` feeds both the result union and the
+    # certified-route anti-join key set; without materialization the
+    # whole fine grid join + rank window ran twice.  The frame is K rows
+    # per certified route (thin ids + one double), so the checkpoint is
+    # small at any corpus size.
+    done = domain.persisted(spark, done.localCheckpoint(eager=True))
     certified = done.select("route_id").distinct()
     # phase 2: only uncertified routes ride the coarse 300 km grid
     rest = routes.join(certified, "route_id", "left_anti")
