@@ -38,6 +38,15 @@ from .. import domain
 
 MAX_ROUNDS = 20
 
+# r12: below this many deduplicated edges the star loop is pure driver
+# round-trip latency (each round is a full job over a few thousand rows),
+# so the edge list is collected and solved with union-find instead —
+# the SAME driver-side data budget as a broadcast join build side
+# (1M edges = ~16 MB), parameterised for cluster deployments.  Above the
+# threshold the O(log n) distributed star loop runs unchanged.
+CC_DRIVER_MAX_EDGES = int(
+    __import__("os").environ.get("SPARK_GRAFT_CC_DRIVER_MAX", "1000000"))
+
 
 def _checksum(edges: DataFrame):
     """Cheap fixpoint probe: (count, sum(u), sum(v)) as exact decimals.
@@ -90,6 +99,43 @@ def _star_round(edges: DataFrame) -> DataFrame:
                  .distinct())
 
 
+def _driver_cc(spark: SparkSession, cur: DataFrame) -> DataFrame:
+    """Union-find over a driver-collected edge list; same output contract
+    as the star loop ((node, component-min) for every edge endpoint).
+    Only called for edge sets bounded by CC_DRIVER_MAX_EDGES.  Unions
+    always hang the larger root under the smaller, so every tree root is
+    its component's minimum id."""
+    from pyspark.sql.types import StructField, StructType
+
+    t = cur.schema["u"].dataType
+    rows = cur.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for row in rows:
+        u, v = row[0], row[1]
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    out = sorted((n, find(n)) for n in nodes)
+    schema = StructType([StructField("node", t, False),
+                         StructField("component", t, False)])
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
     """Star-contraction CC over an undirected edge list (columns u, v).
 
@@ -109,6 +155,12 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
                 .distinct()
                 .localCheckpoint(eager=False))
     prev_sum = _checksum(cur)
+    # The init checksum already knows the deduplicated edge count, so the
+    # small-graph cutover costs no extra job (r12, guide §1.2/#1: a tiny
+    # contracted graph spends its whole star loop on per-round driver
+    # latency, not compute).
+    if prev_sum[0] <= CC_DRIVER_MAX_EDGES:
+        return _driver_cc(edges.sparkSession, cur)
     for _ in range(max_rounds):
         cur = _star_round(cur).localCheckpoint(eager=False)
         cur_sum = _checksum(cur)

@@ -77,3 +77,20 @@ def test_chain_converges_logarithmically(spark):
     got = G.connected_components(_edges_df(spark, chain))
     assert got.where(F.col("component") != 0).count() == 0
     assert got.count() == n
+
+
+def test_driver_cutover_matches_star_loop(spark, monkeypatch):
+    # r12: small edge sets are solved with a bounded driver union-find
+    # instead of paying per-round job latency.  Both paths must agree
+    # exactly on the same graph (twin-heavy + a chain + singleton pairs).
+    rng = random.Random(7)
+    n = 400
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    pairs += [(i, i + 1) for i in range(350, 380)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    fast = {(r.node, r.component)
+            for r in G.connected_components(_edges_df(spark, pairs)).collect()}
+    monkeypatch.setattr(G, "CC_DRIVER_MAX_EDGES", -1)  # force the star loop
+    slow = {(r.node, r.component)
+            for r in G.connected_components(_edges_df(spark, pairs)).collect()}
+    assert fast == slow and len(fast) > 0
