@@ -1685,6 +1685,14 @@ ROLLING_DISTINCT_DAYS = 7
 
 def q_events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = domain.load_table(spark, sf_dir, "events")
+    # r12: the HLL leg aggregates the SAME distinct (day, user) frame as
+    # the exact leg instead of re-scanning raw events — sketch register
+    # state is duplicate-insensitive, so the sketches (and the 5%
+    # certification boolean) are bit-identical to the raw-events form,
+    # and the raw corpus is read one time fewer.  (An explicit
+    # checkpoint of `du` was A/B-measured at +0.2s here — the
+    # materialization job costs more than the saved re-derivations at
+    # this frame size — so the lineage recompute stays.)
     du = e.select(_epoch_day("ts").alias("day"), "user_id").distinct()
     days = du.select("day").distinct()
     spread = du.select(
@@ -1692,24 +1700,26 @@ def q_events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(
             F.col("day"),
             F.col("day") + (ROLLING_DISTINCT_DAYS - 1))).alias("tday"))
-    exact = (spread.join(days.withColumnRenamed("day", "tday"), "tday")
+    exact = (spread.join(F.broadcast(days.withColumnRenamed("day", "tday")),
+                         "tday")
                    .groupBy("tday")
                    .agg(F.count_distinct("user_id").cast("bigint")
                          .alias("n_distinct_7d")))
     # mergeable-sketch leg: per-day sketches, unioned per window
-    daily_sk = (e.select(_epoch_day("ts").alias("day"), "user_id")
-                 .groupBy("day")
-                 .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    daily_sk = (du.groupBy("day")
+                  .agg(F.hll_sketch_agg("user_id").alias("sk")))
     sk_spread = daily_sk.select(
         "sk",
         F.explode(F.sequence(
             F.col("day"),
             F.col("day") + (ROLLING_DISTINCT_DAYS - 1))).alias("tday"))
-    est = (sk_spread.join(days.withColumnRenamed("day", "tday"), "tday")
+    est = (sk_spread.join(F.broadcast(days.withColumnRenamed("day",
+                                                             "tday")),
+                          "tday")
                     .groupBy("tday")
                     .agg(F.hll_sketch_estimate(
                         F.hll_union_agg("sk")).alias("hll_est")))
-    return (exact.join(est, "tday")
+    return (exact.join(F.broadcast(est), "tday")
                  .select(F.col("tday").alias("day"), "n_distinct_7d",
                          (F.abs(F.col("hll_est")
                                 - F.col("n_distinct_7d")) * 100
