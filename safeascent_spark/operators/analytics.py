@@ -3016,8 +3016,8 @@ ORDER BY event_type"""
 CONC_GAP_NS = 3_600 * 1_000_000_000   # streaming SESSION_GAP = "1 hour"
 
 
-def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .rankutil import banded_cumsum
+def _peak_sessions_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint session boundary pipeline — plan-probe surface."""
     e = domain.load_table(spark, sf_dir, "events") \
               .select("user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -3029,17 +3029,22 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     isl = flagged.withColumn(
         "sid", F.sum("new_s").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (isl.groupBy("user_id", "sid")
+               .agg(F.min("ts").alias("start_ns"),
+                    F.max("ts").alias("end_ns"))
+               .select("start_ns", "end_ns"))
+
+
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rankutil import banded_cumsum
     # r12 (guide §8 / §3.3): collapse to the 2-long-per-session boundary
     # frame and localCheckpoint it once — previously the events-scan +
     # user-window + groupBy subtree was recomputed ~5x (both unionAll
     # legs x banded_cumsum's two derivation branches, plus the starts
     # leg).  The union is an explode so the boundary stream is one pass
     # over the materialized frame.
-    sess = (isl.groupBy("user_id", "sid")
-               .agg(F.min("ts").alias("start_ns"),
-                    F.max("ts").alias("end_ns"))
-               .select("start_ns", "end_ns"))
-    sess = domain.persisted(spark, sess.localCheckpoint(eager=True))
+    sess = domain.persisted(
+        spark, _peak_sessions_raw(spark, sf_dir).localCheckpoint(eager=True))
     pts = (sess.select(F.explode(F.array(
                    F.struct(F.col("start_ns").alias("tns"),
                             F.lit(1).cast("long").alias("d")),

@@ -218,7 +218,8 @@ DSIR_P = 1_000_000_007
 DSIR_TARGET_LANG = "en"
 
 
-def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_doc_bucket_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint (doc, lang, bucket, count) pipeline — probe surface."""
     t = tokens_df(spark, sf_dir)
     v = vocab_df(spark, sf_dir).withColumn(
         "bucket", F.expr(f"pmod(wid * {DSIR_KNUTH}L, {DSIR_P}L) "
@@ -226,9 +227,24 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang = docs_df(spark, sf_dir).select("doc_id", "lang")
     tb = (t.join(F.broadcast(v.select("word", "bucket")), "word")
            .join(lang, "doc_id"))
-    tgt = (tb.filter(F.col("lang") == DSIR_TARGET_LANG)
-             .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t")))
-    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
+    return (tb.groupBy("doc_id", "lang", "bucket")
+              .agg(F.count(F.lit(1)).alias("c")))
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §8 / §3.3): collapse the token stream to the
+    # (doc, lang, bucket, count) proxy and materialize it once — the
+    # raw/target model counts, the model join and the per-doc rollup all
+    # previously re-derived the full tokenize+join subtree (the plan
+    # snapshot showed 80 parquet scans).  The proxy drops word strings
+    # and is bounded by |docs| x min(|buckets|, doc length).
+    from .. import domain
+    db = domain.persisted(
+        spark,
+        _dsir_doc_bucket_raw(spark, sf_dir).localCheckpoint(eager=True))
+    tgt = (db.filter(F.col("lang") == DSIR_TARGET_LANG)
+             .groupBy("bucket").agg(F.sum("c").alias("c_t")))
+    raw = db.groupBy("bucket").agg(F.sum("c").alias("c_s"))
     tot = (raw.agg(F.sum("c_s").alias("n_s"))
               .crossJoin(tgt.agg(F.sum("c_t").alias("n_t"))))
     model = (raw.join(tgt, "bucket", "left")
@@ -240,10 +256,11 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.log((F.col("c_s") + F.lit(1.0)) /
                           (F.col("n_s") + F.lit(float(DSIR_BUCKETS))))))
                     .cast("bigint").alias("w_micro")))
-    return (tb.join(F.broadcast(model), "bucket")
+    return (db.join(F.broadcast(model), "bucket")
               .groupBy("doc_id", "lang")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-                   F.sum("w_micro").alias("dsir_sum_micro")))
+              .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                   F.sum(F.col("w_micro") * F.col("c"))
+                    .alias("dsir_sum_micro")))
 
 
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:

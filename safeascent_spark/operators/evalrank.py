@@ -57,12 +57,17 @@ def _per_and_tot(spark: SparkSession, sf_dir: str):
     that builds it happens inside the timed invocation.  Checkpointed
     frames carry no size stats, so downstream grid joins carry explicit
     broadcast hints (the isotonic lesson, VERDICT r11)."""
-    per = (_scores(spark, sf_dir)
-           .groupBy("event_type", "s")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n_ts")))
-    per = domain.persisted(spark, per.localCheckpoint(eager=True))
+    per = domain.persisted(
+        spark, _score_grid_raw(spark, sf_dir).localCheckpoint(eager=True))
     tot = per.groupBy("s").agg(F.sum("n_ts").cast("bigint").alias("n_s"))
     return per, tot
+
+
+def _score_grid_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint (event_type, s) grid pipeline — plan-probe surface."""
+    return (_scores(spark, sf_dir)
+            .groupBy("event_type", "s")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ts")))
 
 
 # --- ROC AUC via the tie-corrected rank-sum (Mann-Whitney U) -------------------

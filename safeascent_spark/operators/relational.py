@@ -921,11 +921,7 @@ def _knn_topk(cand: DataFrame) -> DataFrame:
                 .filter(F.col("rnk") <= GEO_KNN_K))
 
 
-def q_geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .scoring import GRID_CELL_DEG, _grid_cell_deg
-    from .. import config as _C
-    cap = _C.MAX_SEARCH_RADIUS_KM
-    fine_deg = round(_grid_cell_deg(GEO_KNN_FINE_KM) + 0.005, 2)
+def _geo_knn_routes_acc(spark: SparkSession, sf_dir: str):
     routes = (domain.routes_df(spark, sf_dir)
               .join(F.broadcast(domain.locations_df(spark, sf_dir)),
                     "location_id")
@@ -934,35 +930,54 @@ def q_geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = domain.accidents_df(spark, sf_dir).select(
         "accident_id", F.col("latitude").alias("a_lat"),
         F.col("longitude").alias("a_lon"))
-    # phase 1: fine grid; a route is CERTIFIED when it has K fine
-    # candidates and the K-th one's ROUNDED distance sits strictly
-    # below the fine radius minus the rounding grain (29.999999) —
-    # then no candidate outside the fine ring (unrounded d > 30, so
-    # rounded >= 29.9999995) can displace or even tie any of the K
+    return routes, acc
+
+
+def _geo_knn_fine_done_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint certified fine-leg pipeline — plan-probe surface.
+
+    phase 1: fine grid; a route is CERTIFIED when it has K fine
+    candidates and the K-th one's ROUNDED distance sits strictly
+    below the fine radius minus the rounding grain (29.999999) —
+    then no candidate outside the fine ring (unrounded d > 30, so
+    rounded >= 29.9999995) can displace or even tie any of the K.
+
+    r12: the certification predicate is an aggregate over the SAME
+    route_id partitioning the rank window just established, so compute
+    it as a second window on the rank-filtered rows instead of a
+    groupBy + join-back — the join form re-derived the entire fine-leg
+    subtree twice and paid a SortMergeJoin to reconcile the copies;
+    the window form is zero extra Exchanges (partitionBy route_id is
+    satisfied by the rank window's partitioning, and the rows are
+    already sorted by the route_id prefix).  Aggregating after the
+    rnk <= K filter is identical to the old groupBy over `fine`, which
+    was also post-filter."""
+    from .scoring import _grid_cell_deg
+    fine_deg = round(_grid_cell_deg(GEO_KNN_FINE_KM) + 0.005, 2)
+    routes, acc = _geo_knn_routes_acc(spark, sf_dir)
     fine = _knn_topk(_knn_grid_leg(routes, acc, fine_deg,
                                    GEO_KNN_FINE_KM))
-    # r12: the certification predicate is an aggregate over the SAME
-    # route_id partitioning the rank window just established, so compute
-    # it as a second window on the rank-filtered rows instead of a
-    # groupBy + join-back — the join form re-derived the entire fine-leg
-    # subtree twice and paid a SortMergeJoin to reconcile the copies;
-    # the window form is zero extra Exchanges (partitionBy route_id is
-    # satisfied by the rank window's partitioning, and the rows are
-    # already sorted by the route_id prefix).  Aggregating after the
-    # rnk <= K filter is identical to the old groupBy over `fine`, which
-    # was also post-filter.
     wcert = Window.partitionBy("route_id")
-    done = (fine.withColumn("k_found", F.count(F.lit(1)).over(wcert))
+    return (fine.withColumn("k_found", F.count(F.lit(1)).over(wcert))
                 .withColumn("kth_d", F.max("distance_km").over(wcert))
                 .filter((F.col("k_found") >= GEO_KNN_K)
                         & (F.col("kth_d") <= GEO_KNN_FINE_KM - 1e-6))
                 .drop("k_found", "kth_d"))
+
+
+def q_geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scoring import GRID_CELL_DEG
+    from .. import config as _C
+    cap = _C.MAX_SEARCH_RADIUS_KM
+    routes, acc = _geo_knn_routes_acc(spark, sf_dir)
     # r12 (guide §3.3): `done` feeds both the result union and the
     # certified-route anti-join key set; without materialization the
     # whole fine grid join + rank window ran twice.  The frame is K rows
     # per certified route (thin ids + one double), so the checkpoint is
     # small at any corpus size.
-    done = domain.persisted(spark, done.localCheckpoint(eager=True))
+    done = domain.persisted(
+        spark,
+        _geo_knn_fine_done_raw(spark, sf_dir).localCheckpoint(eager=True))
     certified = done.select("route_id").distinct()
     # phase 2: only uncertified routes ride the coarse 300 km grid
     rest = routes.join(certified, "route_id", "left_anti")

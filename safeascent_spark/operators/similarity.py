@@ -601,6 +601,17 @@ def _idot(a, b):
                        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def _semdedup_cell_frame_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint SemDeDup cell frame pipeline — plan-probe surface."""
+    corpus = corpus_with_twins_df(spark, sf_dir)
+    cells0 = (band_signatures_df(corpus)
+              .filter(F.col("band") == 0)
+              .select("vec_id", F.col("sig").alias("cell")))
+    q = corpus.select("vec_id", _quantize_vec(F.col("vec")).alias("qvec"))
+    return (cells0.join(q, "vec_id")
+                  .withColumn("n2", _idot(F.col("qvec"), F.col("qvec"))))
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell, pruned) over the twin-seeded corpus.
 
@@ -616,21 +627,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     so cells scale out embarrassingly; a skewed hot cell is AQE-splittable
     because the join is a plain equi-join.
     """
-    corpus = corpus_with_twins_df(spark, sf_dir)
-    cells0 = (band_signatures_df(corpus)
-              .filter(F.col("band") == 0)
-              .select("vec_id", F.col("sig").alias("cell")))
-    q = corpus.select("vec_id", _quantize_vec(F.col("vec")).alias("qvec"))
     # r12 (guide §3.3): materialize the signed+quantized corpus once.
     # It feeds three subtrees (both sides of the cell self-join and the
     # final cells projection), each of which previously recomputed the
     # twin union + SRP signatures + quantization; with one checkpoint
     # the self-join's sides are identical subtrees, so the cell shuffle
     # itself is computed once and reused.
-    m = domain.persisted(spark, (cells0.join(q, "vec_id")
-                                 .withColumn("n2", _idot(F.col("qvec"),
-                                                         F.col("qvec")))
-                                 .localCheckpoint(eager=True)))
+    m = domain.persisted(
+        spark,
+        _semdedup_cell_frame_raw(spark, sf_dir).localCheckpoint(eager=True))
     cells = m.select("vec_id", "cell")
     a = m.select(F.col("vec_id").alias("va"), "cell",
                  F.col("qvec").alias("qa"), F.col("n2").alias("na2"))

@@ -95,6 +95,31 @@ def _sink_scores_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.risk_scores_capped_df(spark, sf_dir)
 
 
+def _score_grid_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import evalrank as ER
+    return ER._score_grid_raw(spark, sf_dir)
+
+
+def _peak_sessions_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import analytics as A
+    return A._peak_sessions_raw(spark, sf_dir)
+
+
+def _semdedup_cell_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as SIM
+    return SIM._semdedup_cell_frame_raw(spark, sf_dir)
+
+
+def _geo_knn_done_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational as R
+    return R._geo_knn_fine_done_raw(spark, sf_dir)
+
+
+def _dsir_doc_bucket_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import curation as CU
+    return CU._dsir_doc_bucket_raw(spark, sf_dir)
+
+
 def all_probes() -> dict[str, Callable[[SparkSession, str], ContextManager]]:
     """name -> context-manager factory yielding the pre-checkpoint frame.
 
@@ -111,4 +136,10 @@ def all_probes() -> dict[str, Callable[[SparkSession, str], ContextManager]]:
         "mrl_ranked_frame": _plain(_mrl_ranked_raw),
         "ivf_inc_assign_frame": _plain(_ivf_inc_assign_raw),
         "sink_scores_frame": _plain(_sink_scores_raw),
+        # r12 optimization round: new checkpoint boundaries
+        "eval_score_grid": _plain(_score_grid_raw),
+        "peak_session_bounds": _plain(_peak_sessions_raw),
+        "semdedup_cell_frame": _plain(_semdedup_cell_raw),
+        "geo_knn_fine_done": _plain(_geo_knn_done_raw),
+        "dsir_doc_bucket": _plain(_dsir_doc_bucket_raw),
     }
