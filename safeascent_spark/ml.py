@@ -896,6 +896,11 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str,
                 .select("query_id", F.col("rank").cast("int").alias("rank"),
                         F.col("vec_id").alias("neighbor_id"),
                         F.round("cosine", 6).alias("cosine")))
+    # r12 (guide §3.3): `res` feeds both the brute-force overlap leg and
+    # the final recall join; un-materialized, the whole IVF-PQ candidate
+    # sweep + re-rank pipeline executed twice.  topk x N_QUERIES rows —
+    # bounded at any corpus size.
+    res = domain.persisted(spark, res.localCheckpoint(eager=True))
     brute = cosine_topk_df(spark, sf_dir, topk).select(
         "query_id", "neighbor_id")
     overlap = (res.select("query_id", "neighbor_id")
@@ -919,6 +924,9 @@ def q_ann_ivf_pq_certified(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).alias("n_results"),
         F.count_distinct("neighbor_id").alias("n_distinct"),
         F.min("recall_at_k").alias("recall"))
+    # r12: per_q feeds the mean gate and the certification projection —
+    # N_QUERIES rows, checkpointed so the upstream runs once.
+    per_q = domain.persisted(spark, per_q.localCheckpoint(eager=True))
     mean_ok = per_q.agg(
         (F.avg("recall") >= F.lit(IVFPQ_RECALL_MEAN)).alias("mean_recall_ok"))
     return (per_q.crossJoin(F.broadcast(mean_ok))

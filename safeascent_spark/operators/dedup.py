@@ -557,16 +557,27 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_exact``), and the 1 contaminated doc is already filtered
     upstream, so the stage-5 anti-join runs against a non-empty side.
     """
+    from .. import domain as _dom
+    # r12 (guide §3.3): each stage's id set feeds BOTH its own stage
+    # count and every later stage's semi/anti join, so without
+    # materialization the funnel recomputes a triangular prefix chain
+    # (quality 4x, exact-dedup 3x, near-dedup 2x — 70 parquet scans in
+    # the committed snapshot).  Checkpoint the thin single-column
+    # survivor sets once each; the last set is consumed once and needs
+    # none.
+    def _ck(df):
+        return _dom.persisted(spark, df.localCheckpoint(eager=True))
+
     d = T.docs_df(spark, sf_dir)
-    quality_ids = (T.q_quality_score(spark, sf_dir)
-                   .where(F.col("quality_u") >= 500000).select("doc_id"))
-    exact_ids = (d.join(quality_ids, "doc_id", "left_semi")
-                  .groupBy(F.md5(F.col("text")))
-                  .agg(F.min("doc_id").alias("doc_id"))
-                  .select("doc_id"))
+    quality_ids = _ck(T.q_quality_score(spark, sf_dir)
+                      .where(F.col("quality_u") >= 500000).select("doc_id"))
+    exact_ids = _ck(d.join(quality_ids, "doc_id", "left_semi")
+                     .groupBy(F.md5(F.col("text")))
+                     .agg(F.min("doc_id").alias("doc_id"))
+                     .select("doc_id"))
     near_keep = (q_dedup_clusters(spark, sf_dir)
                  .where(F.col("is_kept")).select("doc_id"))
-    near_ids = exact_ids.join(near_keep, "doc_id", "left_semi")
+    near_ids = _ck(exact_ids.join(near_keep, "doc_id", "left_semi"))
     contaminated = (q_text_decontamination(spark, sf_dir)
                     .where(F.col("contaminated")).select("doc_id"))
     clean_ids = near_ids.join(contaminated, "doc_id", "left_anti")
