@@ -816,20 +816,57 @@ def test_every_plan_probe_has_a_snapshot():
     assert orphans == [], orphans
 
 
+def tree_ops_outside_cache(plan: str, op: str) -> int:
+    """Count operator instances in the physical-plan TREE section,
+    excluding the inlined child plans of InMemoryRelation nodes.
+
+    A session-memoized frame (ml training frame, wsim dim, ...) that has
+    already MATERIALIZED in this session prints its executed child plan
+    inline under its InMemoryRelation node, so a probe built late in a
+    shared-session pytest run would otherwise count operators belonging
+    to the cached subtree — whose shape is pinned by its own plan tests —
+    rather than to the probe's pre-checkpoint pipeline (the full-suite
+    ordering failure this helper fixes: test_advice_r12 materializes the
+    training frame, then iso_bin_frame "gains" the scoring dim's two
+    allowlisted BroadcastNestedLoopJoins)."""
+    tree = plan.split("\n\n", 1)[0]
+
+    def depth(line: str) -> int:
+        m = re.search(r"[A-Za-z=*]", line)
+        return m.start() if m else len(line)
+
+    count, skip_deeper_than = 0, None
+    for line in tree.splitlines():
+        d = depth(line)
+        if skip_deeper_than is not None:
+            if d > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if "InMemoryRelation" in line:
+            skip_deeper_than = depth(line)
+            continue
+        if re.search(rf"\b{op}\b", line):
+            count += 1
+    return count
+
+
 def test_plan_probe_live_invariants(spark):
     """Every pre-checkpoint pipeline, built live: zero CartesianProduct,
     zero SortMergeJoin (all joins are broadcast or semi at these
     cardinalities), and at most ONE BroadcastNestedLoopJoin (the bounded
     7 x |accidents| dim build inside the scoring subtree / the bounded
-    corpus x probes broadcast cross join in the MRL probe)."""
+    corpus x probes broadcast cross join in the MRL probe).  Counted on
+    the probe's own pipeline only (tree_ops_outside_cache): operators
+    inside already-materialized session-cached subtrees are audited by
+    those frames' own plan tests, not double-counted here."""
     from safeascent_spark import planprobes
 
     for name, probe in planprobes.all_probes().items():
         with probe(spark, SF_SMOKE) as df:
             plan = plan_of(df)
-        assert n_ops(plan, "CartesianProduct") == 0, name
-        assert n_ops(plan, "SortMergeJoin") == 0, name
-        assert n_ops(plan, "BroadcastNestedLoopJoin") <= 1, name
+        assert tree_ops_outside_cache(plan, "CartesianProduct") == 0, name
+        assert tree_ops_outside_cache(plan, "SortMergeJoin") == 0, name
+        assert tree_ops_outside_cache(plan, "BroadcastNestedLoopJoin") <= 1, name
 
 
 def test_s8_probe_partition_prunes_and_broadcasts_the_mget_batch(spark):
