@@ -2664,32 +2664,40 @@ def q_text_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(F.size("ws") >= W,
                  F.sequence(F.lit(1), F.size("ws") - (W - 1))) \
            .otherwise(F.array().cast("array<int>"))
-    grams = (toks.select("bkt", F.explode(F.transform(
-                 idx, lambda i: F.xxhash64(
-                     F.concat_ws(" ", F.slice("ws", i, W)))))
-                 .alias("gk"))
-                 .distinct())
-    per_bkt = (grams.groupBy("bkt")
+    grams = toks.select("bkt", F.explode(F.transform(
+                idx, lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice("ws", i, W)))))
+                .alias("gk"))
+    # ONE aggregation chain instead of two branches over the exploded
+    # gram stream (r12, guide §2.4/§5): the previous per_bkt/first pair
+    # each re-derived the tokenize + explode + distinct subtree (two
+    # corpus passes, 4 Exchanges).  collect_set(bkt) per gram hash is
+    # the same map-side-combined dedup the distinct performed (bucket
+    # count is bounded: |corpus| / NOVELTY_BUCKET docs per bucket, and
+    # the set is per-gram distinct buckets); exploding the bounded set
+    # with its min recovers BOTH readouts in one groupBy:
+    #   n_distinct_grams(b) = |{g : b in set(g)}|   (the old per_bkt)
+    #   n_new_grams(b)      = |{g : min(set(g)) = b}| (the old first)
+    # A bucket whose every trigram was already seen in earlier buckets
+    # still surfaces with n_new_grams=0 (ADVICE r8): it appears in every
+    # containing gram's set regardless of being anyone's min.
+    per_gram = grams.groupBy("gk").agg(
+        F.collect_set("bkt").alias("bkts"))
+    exploded = per_gram.select(
+        F.array_min("bkts").alias("min_bkt"),
+        F.explode("bkts").alias("bkt"))
+    return (exploded.groupBy("bkt")
                     .agg(F.count(F.lit(1)).cast("bigint")
-                          .alias("n_distinct_grams")))
-    first = (grams.groupBy("gk").agg(F.min("bkt").alias("bkt"))
-                  .groupBy("bkt")
-                  .agg(F.count(F.lit(1)).cast("bigint")
-                        .alias("n_new_grams")))
-    # LEFT join (ADVICE r8): a bucket whose every trigram was already
-    # seen in earlier buckets must surface as novelty_ppm=0 — the exact
-    # "crawler stuck re-fetching" signal this readout exists to catch —
-    # not vanish from the output.
-    return (per_bkt.join(first, "bkt", "left")
-                   .select(F.col("bkt").cast("bigint").alias("bucket"),
-                           "n_distinct_grams",
-                           F.coalesce("n_new_grams", F.lit(0))
-                            .cast("bigint").alias("n_new_grams"))
-                   .select("bucket", "n_distinct_grams", "n_new_grams",
-                           F.expr("CAST(n_new_grams * 1000000"
-                                  " div n_distinct_grams AS BIGINT)")
-                            .alias("novelty_ppm"))
-                   .orderBy("bucket"))
+                          .alias("n_distinct_grams"),
+                         F.sum(F.when(F.col("bkt") == F.col("min_bkt"), 1)
+                                .otherwise(0)).cast("bigint")
+                          .alias("n_new_grams"))
+                    .select(F.col("bkt").cast("bigint").alias("bucket"),
+                            "n_distinct_grams", "n_new_grams",
+                            F.expr("CAST(n_new_grams * 1000000"
+                                   " div n_distinct_grams AS BIGINT)")
+                             .alias("novelty_ppm"))
+                    .orderBy("bucket"))
 
 
 def sql_text_vocab_novelty() -> str:
