@@ -241,14 +241,33 @@ def grade_weight_from_difficulty(route_diff: ColumnOrName,
 
 
 # --- K14: grade parsing (grade_weighting.py:28-199) --------------------------
-# Column-expression parse: YDS via a literal lookup (codegen-friendly, exactly
-# the reference table), V/WI/AI/M/A/C numeric scales via regexp_extract.
+# Column-expression parse: YDS via a literal-map lookup (constant-folded,
+# codegen-friendly, exactly the reference table), V/WI/AI/M/A/C numeric
+# scales via regexp_extract.
+
+def _yds_lookup(strcol: Column) -> Column:
+    """YDS table lookup as a constant-folded literal map; NULL on a miss.
+
+    r12: was a 40-way when-chain inlined at 6 sites per parse_grade call;
+    the two-sided k14 query's generated class blew janino's compiler
+    (InternalCompilerException -> whole projection ran interpreted).  The
+    all-literal create_map constant-folds to a single map literal and
+    try_element_at returns NULL for a missing key even under ANSI —
+    identical semantics to the when-chain's .otherwise(NULL), including
+    NULL/'' inputs (no such key).
+    """
+    entries: list[Column] = []
+    for k, v in C.YDS_GRADES.items():
+        entries.append(F.lit(k))
+        entries.append(F.lit(float(v)))
+    return F.try_element_at(F.create_map(*entries), strcol)
+
 
 def parse_grade(grade: ColumnOrName) -> Column:
     """Normalize any grade string to the 0-20 difficulty scale; NULL if unparseable.
 
-    Pure Column expression (no UDF): the YDS table is a when-chain and the
-    numeric scales (V/WI/AI/M/A/C) use regexp_extract arithmetic.
+    Pure Column expression (no UDF): the YDS table is a literal-map lookup
+    and the numeric scales (V/WI/AI/M/A/C) use regexp_extract arithmetic.
     Reference: backend/app/services/grade_weighting.py:28-199.
     Simplifications vs reference: +/- modifiers and slash grades are handled
     for YDS; the bare "N" fallback tries the YDS table with a "5." prefix.
@@ -257,24 +276,11 @@ def parse_grade(grade: ColumnOrName) -> Column:
     gl = F.lower(g)
     gu = F.upper(g)
 
-    # YDS direct lookup
-    yds: Column | None = None
-    for k, v in C.YDS_GRADES.items():
-        cond = gl == F.lit(k)
-        yds = F.when(cond, F.lit(float(v))) if yds is None else yds.when(cond, F.lit(float(v)))
-    assert yds is not None
-
     # +/- modifiers on a known YDS base
     base_plus = F.regexp_extract(gl, r"^(5\.\d+[a-d]?)\+$", 1)
     base_minus = F.regexp_extract(gl, r"^(5\.\d+[a-d]?)-$", 1)
 
-    def _lookup(strcol: Column) -> Column:
-        e: Column | None = None
-        for k, v in C.YDS_GRADES.items():
-            cond = strcol == F.lit(k)
-            e = F.when(cond, F.lit(float(v))) if e is None else e.when(cond, F.lit(float(v)))
-        assert e is not None
-        return e.otherwise(F.lit(None).cast("double"))
+    _lookup = _yds_lookup
 
     plus_val = _lookup(base_plus) + F.lit(0.25)
     minus_val = _lookup(base_minus) - F.lit(0.25)
@@ -300,7 +306,7 @@ def parse_grade(grade: ColumnOrName) -> Column:
 
     result = (
         F.when(g.isNull() | (g == ""), F.lit(None).cast("double"))
-         .when(gl.rlike(r"^5\.\d+[a-d]?$"), yds.otherwise(F.lit(None).cast("double")))
+         .when(gl.rlike(r"^5\.\d+[a-d]?$"), _lookup(gl))
          .when(gl.rlike(r"^5\.\d+[a-d]?\+$"), plus_val)
          .when(gl.rlike(r"^5\.\d+[a-d]?-$"), minus_val)
          .when(gl.rlike(r"^5\.\d+[a-d]/[a-d]$"), slash_val)
