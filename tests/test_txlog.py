@@ -232,15 +232,18 @@ def test_two_process_commit_contention(spark, tmp_path):
     repo = str(Path(__file__).resolve().parent.parent)
     procs = [subprocess.Popen(
         [_sys.executable, str(child), root, str(idx), repo],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for idx in (1, 2)]
     import time
     time.sleep(5)                      # let both sessions come up
     (tmp_path / "table").mkdir(exist_ok=True)
     (tmp_path / "table" / "GO").touch()
-    outs = [p.communicate(timeout=300)[0] for p in procs]
-    assert all(p.returncode == 0 for p in procs), outs
-    assert all(f"CHILD_OK {i}" in o for i, o in zip((1, 2), outs)), outs
+    outs = [p.communicate(timeout=300) for p in procs]
+    # keep the stderr tail in the assertion message: a child that dies
+    # before its final print otherwise reports only "rc != 0, stdout ''"
+    diag = [(p.returncode, o[-300:], e[-2000:]) for p, (o, e) in zip(procs, outs)]
+    assert all(p.returncode == 0 for p in procs), diag
+    assert all(f"CHILD_OK {i}" in o for i, (o, _) in zip((1, 2), outs)), diag
 
     from safeascent_spark import txlog
     # every commit landed: 10 merges -> 10 distinct versions
