@@ -110,6 +110,17 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
         & (pairs["acc_bucket"] == wsim["acc_bucket"]), "left",
     ).drop(wsim["acc_bucket"]).drop("cur_bucket")
 
+    # r12 (guide §2.3): base rows below SIGNIFICANCE_THRESHOLD are discarded
+    # at the end of this function, and base <= the full influence bound
+    # (rt/grade factors are <= 1), so the significance-reach latitude-gap
+    # prefilter is lossless here too; the capped form additionally prunes
+    # at the (tighter) radius bound the dist <= radius filter implies.
+    from .scoring import significance_reach_km, _lat_gap_prefilter
+    cut = significance_reach_km(spark, sf_dir)
+    if radius_km is not None:
+        cut = min(cut, radius_km * 1.01)
+    pairs = _lat_gap_prefilter(pairs, cut, rlat_a="a_rlat", rlat_b="l_rlat")
+
     dist = K.haversine_from_parts(
         F.col("l_rlat"), F.col("l_rlon"), F.col("l_coslat"),
         F.col("a_rlat"), F.col("a_rlon"), F.col("a_coslat"))

@@ -908,8 +908,15 @@ def _knn_grid_leg(routes: DataFrame, accidents: DataFrame,
                  (F.floor(F.col("a_lon") / cell).cast("int")
                   + F.col("o.dy")).alias("cy")))
     d = K.haversine_km("r_lat", "r_lon", "a_lat", "a_lon")
+    # r12 (guide §2.3): d >= R*|dlat| exactly, so a latitude gap beyond
+    # cap_km already fails the d <= cap filter — one abs/multiply prunes
+    # the 3x3 cell surplus before the haversine's trig runs.  110 km/deg
+    # (vs the true 111.195) leaves ~1% slack so IEEE rounding of the
+    # engine-side haversine can never mis-prune a borderline candidate.
+    lat_ok = (F.abs(F.col("r_lat") - F.col("a_lat"))
+              <= F.lit(cap_km / 110.0))
     return (r.join(a, ["cx", "cy"])
-             .filter(d <= F.lit(cap_km))
+             .filter(lat_ok & (d <= F.lit(cap_km)))
              .select("route_id", "accident_id",
                      F.round(d, 6).alias("distance_km")))
 

@@ -116,6 +116,65 @@ def accident_class_dim(spark: SparkSession, sf_dir: str,
 MISSING_WEATHER_FACTOR = C.MISSING_WEATHER_NEUTRAL ** C.WEATHER_POWER
 
 
+def significance_reach_km(spark: SparkSession, sf_dir: str) -> float:
+    """Largest great-circle distance at which ANY pair can still clear
+    SIGNIFICANCE_THRESHOLD — the radius that makes a cheap latitude-gap
+    prefilter provably lossless for significance-filtered consumers
+    (guide §2.3: decide with cheap bytes before paying the expensive
+    expression).
+
+    influence = spatial * temporal * rt_w * sev_w * elevation * grade * wfac
+    with every non-spatial factor bounded above by config maxima (temporal
+    base <= 1, seasonal <= SEASONAL_MULTIPLIER; rt_w <= max matrix entry;
+    sev_w <= max booster; elevation <= 1 + ELEVATION_BONUS_MAX; grade <= 1)
+    and wfac <= max(gate(max session weather_weight)^3, the missing-pair
+    0.125).  The weather max is an aggregate over the bounded (<= buckets^2
+    row) session-cached wsim dim — one tiny job per session, memoized.
+    spatial = exp(-d^2 / (2 bw^2)) <= exp(-d^2 / (2 max_bw^2)), so influence
+    can only exceed the threshold when
+
+        d < max_bw * sqrt(2 * ln(f_max / SIGNIFICANCE_THRESHOLD))
+
+    The returned cutoff carries a 1.001 multiplicative margin so IEEE
+    rounding of the engine's haversine can never mis-prune a borderline
+    pair; droppable pairs therefore satisfy influence < threshold strictly
+    and are exactly the rows the significance filter already discards.
+    """
+    import math
+    from . import weather as _W
+    cache = domain.session_cache(spark, "sig_reach_km")
+    if sf_dir not in cache:
+        wmax = _W.weather_similarity_cached(spark, sf_dir) \
+            .agg(F.max("weather_weight")).first()[0]
+        wmax = float(wmax) if wmax is not None else 1.0
+        wfac_max = max(wmax ** C.WEATHER_POWER, MISSING_WEATHER_FACTOR)
+        f_max = (C.SEASONAL_MULTIPLIER
+                 * max(C.SEVERITY_BOOSTERS.values())
+                 * max(*C.ROUTE_TYPE_WEIGHTS.values(),
+                       C.DEFAULT_ROUTE_TYPE_WEIGHT)
+                 * (1.0 + C.ELEVATION_BONUS_MAX)
+                 * wfac_max)
+        max_bw = max(C.SPATIAL_BANDWIDTH_KM.values())
+        cache[sf_dir] = max_bw * math.sqrt(
+            2.0 * math.log(f_max / C.SIGNIFICANCE_THRESHOLD)) * 1.001
+    return cache[sf_dir]
+
+
+def _lat_gap_prefilter(pairs: DataFrame, cutoff_km: float,
+                       rlat_a: str = "a_rlat",
+                       rlat_b: str = "r_rlat") -> DataFrame:
+    """Keep only pairs whose latitude gap alone leaves d <= cutoff possible.
+
+    The haversine satisfies d >= R * |dlat| exactly (a >= sin^2(dlat/2) and
+    asin(sin x) = x on this domain), so |rlat_a - rlat_b| * R > cutoff
+    implies d > cutoff — one subtract/abs/multiply per pair in place of the
+    full haversine + three exp()s for the ~2/3 of pairs outside the reach
+    band.  Callers must only pass a cutoff whose exceedance provably makes
+    the pair invisible to the query's own filters."""
+    gap = F.abs(F.col(rlat_a) - F.col(rlat_b)) * F.lit(C.EARTH_RADIUS_KM)
+    return pairs.filter(gap <= F.lit(cutoff_km))
+
+
 def influence_pairs_df(spark: SparkSession, sf_dir: str,
                        pred_date: str = domain.PRED_DATE,
                        routes: DataFrame | None = None) -> DataFrame:
@@ -358,9 +417,14 @@ def risk_scores_capped_df(spark: SparkSession, sf_dir: str,
     _grid_cell_deg).  The DuckDB oracle states the same semantics
     declaratively: WHERE distance_km <= radius over the full cross join.
     """
-    pairs = _pair_influence_select(
-        _candidate_pairs(spark, sf_dir, pred_date, None, grid=True,
-                         broadcast_dim=None))
+    cand = _candidate_pairs(spark, sf_dir, pred_date, None, grid=True,
+                            broadcast_dim=None)
+    # r12 (guide §2.3): the radius filter implies |dlat| * R <= radius, so
+    # pruning on the latitude gap first short-circuits the haversine for
+    # the grid-corner surplus — provably removing only pairs the
+    # distance_km <= radius filter discards anyway (1% slack absorbs IEEE
+    # rounding of the engine-side haversine).
+    pairs = _pair_influence_select(_lat_gap_prefilter(cand, radius_km * 1.01))
     return _risk_agg(pairs.filter(F.col("distance_km") <= F.lit(radius_km)))
 
 
@@ -386,7 +450,14 @@ def top_contributors_df(spark: SparkSession, sf_dir: str,
     sf0.1 to do what WindowGroupLimit already does natively — removed in
     round 4, the plan test now pins the Partial group-limit shape.)
     """
-    pairs = influence_pairs_df(spark, sf_dir, pred_date)
+    # r12 (guide §2.3): unlike risk_scores (which sums EVERY pair), this
+    # query discards pairs at influence <= SIGNIFICANCE_THRESHOLD, so the
+    # significance-reach latitude-gap prefilter is lossless here: pairs
+    # whose latitude gap alone puts them beyond significance_reach_km
+    # never evaluate the haversine + three-exp influence expression.
+    cand = _candidate_pairs(spark, sf_dir, pred_date, None, grid=False)
+    pairs = _pair_influence_select(
+        _lat_gap_prefilter(cand, significance_reach_km(spark, sf_dir)))
     return _topk_from_pairs(pairs, limit)
 
 
@@ -398,8 +469,11 @@ def top_contributors_capped_df(spark: SparkSession, sf_dir: str,
     risk_scores_capped_df) feeding the same WindowGroupLimit-truncated
     top-k — the attribution surface that stays fast when the corpus stops
     broadcasting (sf1: the pair stage is ~11x cheaper than uncapped)."""
-    pairs = _pair_influence_select(
-        _candidate_pairs(spark, sf_dir, pred_date, None, grid=True)) \
+    cand = _candidate_pairs(spark, sf_dir, pred_date, None, grid=True)
+    # both the radius cap and the significance filter bound the reach;
+    # prune on the tighter of the two latitude-gap bounds (guide §2.3)
+    cut = min(radius_km * 1.01, significance_reach_km(spark, sf_dir))
+    pairs = _pair_influence_select(_lat_gap_prefilter(cand, cut)) \
         .filter(F.col("distance_km") <= F.lit(radius_km))
     return _topk_from_pairs(pairs, limit)
 
