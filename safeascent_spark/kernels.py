@@ -28,7 +28,17 @@ def map_literal(mapping: dict[str, float], key: ColumnOrName,
     """Small-dict lookup as a chained ``when`` expression (codegen-friendly).
 
     Used for the per-route-type constant tables (bandwidth, lambda, decay).
+    r12: for plain column-name keys the chain is built as one ``F.expr``
+    parse (identical CaseWhen tree, ``D``-suffixed double literals ==
+    F.lit doubles) instead of ~5 py4j round-trips per entry — these
+    kernels sit in almost every scoring/relational builder, so the saved
+    driver latency compounds (guide §1.2).
     """
+    if isinstance(key, str):
+        arms = " ".join(f"WHEN lower({key}) = '{k}' THEN {v!r}D"
+                        for k, v in mapping.items() if k != "default")
+        return F.expr(
+            f"CASE {arms} ELSE {mapping.get('default', default)!r}D END")
     key = F.lower(_col(key))
     expr: Column | None = None
     for k, v in mapping.items():
@@ -130,7 +140,23 @@ def route_type_weight(planning_type: ColumnOrName,
     matrix lives in config.ROUTE_TYPE_WEIGHTS (algorithm_config.py:89-155).
     For very wide plans prefer the broadcast-join form in
     operators/scoring.py (route_type_matrix_df).
+
+    r12 (guide §1.2 per-task vs driver work): when both inputs are plain
+    column names the 49-arm chain is built as ONE ``F.expr`` parse instead
+    of ~3,000 py4j when/lit/eq round-trips — the chain was half the
+    driver-side build latency of every scoring query.  The parsed CASE is
+    the identical CaseWhen tree (same branch order, And(EqualTo, EqualTo)
+    conditions, ``D``-suffixed double literals == F.lit doubles), so plans
+    and results are bit-identical; Column inputs keep the original path.
     """
+    if isinstance(planning_type, str) and isinstance(accident_type, str):
+        p = f"lower({planning_type})"
+        a = f"lower({accident_type})"
+        arms = " ".join(
+            f"WHEN ({p} = '{pk}' AND {a} = '{ak}') THEN {w!r}D"
+            for (pk, ak), w in C.ROUTE_TYPE_WEIGHTS.items())
+        return F.expr(
+            f"CASE {arms} ELSE {C.DEFAULT_ROUTE_TYPE_WEIGHT!r}D END")
     p = F.lower(_col(planning_type))
     a = F.lower(_col(accident_type))
     expr: Column | None = None
@@ -148,6 +174,10 @@ def route_type_index(route_type: ColumnOrName) -> Column:
     lookup is a single element_at into a 49-double literal array instead of a
     49-branch string-comparison CASE per pair.
     """
+    if isinstance(route_type, str):
+        arms = " ".join(f"WHEN lower({route_type}) = '{t}' THEN {i}"
+                        for i, t in enumerate(C.ROUTE_TYPES))
+        return F.expr(f"CASE {arms} ELSE CAST(NULL AS INT) END")
     s = F.lower(_col(route_type))
     expr: Column | None = None
     for i, t in enumerate(C.ROUTE_TYPES):
