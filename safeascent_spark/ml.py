@@ -551,19 +551,36 @@ def pq_codebooks(spark: SparkSession, sf_dir: str):
 
     Returns (codebook_df: (m, code, sub), coded corpus with
     code_0..code_{PQ_M-1})."""
+    from concurrent.futures import ThreadPoolExecutor
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from .operators.similarity import DIM
     sub = DIM // PQ_M
     df = embeddings_df(spark, sf_dir)
-    books = []
-    for m in range(PQ_M):
+
+    # r12 (guide §2.6): the PQ_M subspace fits are independent seeded jobs
+    # on tiny frames, so the wall-clock was PQ_M x (KMeans job-latency) —
+    # ~18s of mostly idle driver round-trips at any SF.  Fit them from a
+    # thread pool so later fits back-fill the cluster while earlier ones
+    # drain.  Each fit sees exactly the rows/partitioning/seed the serial
+    # loop gave it (the extra code_* columns the old accumulating frame
+    # carried are invisible to featuresCol), so every model — and thus
+    # every code, codebook row, and downstream recall — is bit-identical
+    # (verified: clusterCenters equal at sf0.01/sf0.1).
+    def _fit(m: int):
         sl = F.slice(F.col("vec"), m * sub + 1, sub)
-        df = df.withColumn("_f", array_to_vector(sl))
         km = KMeans(k=16, seed=SEED + m, featuresCol="_f",
                     predictionCol=f"code_{m}")
-        model = km.fit(df)
-        df = model.transform(df).drop("_f")
+        return km.fit(df.withColumn("_f", array_to_vector(sl)))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        models = list(pool.map(_fit, range(PQ_M)))
+
+    books = []
+    for m, model in enumerate(models):
+        sl = F.slice(F.col("vec"), m * sub + 1, sub)
+        df = model.transform(df.withColumn("_f", array_to_vector(sl))) \
+                  .drop("_f")
         books += [(m, ci, [float(x) for x in c])
                   for ci, c in enumerate(model.clusterCenters())]
     book_df = spark.createDataFrame(books, "m int, code int, sub array<double>")
