@@ -308,12 +308,19 @@ def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - F.col("max_sim")).alias("score3")))
         w = Window.partitionBy("query_id").orderBy(
             F.col("score3").desc(), F.col("cand_id"))
+        # r12: checkpoint each round's pick (one row per query — bounded at
+        # any corpus size).  Without the cut, round k's scored frame
+        # re-derived every earlier round's pick subtree on each action, so
+        # the plan — and the executed work — grew quadratically in MMR_K
+        # (the same lineage blowup the CC star loop fixed); the values are
+        # unchanged, the rank window's cand_id tiebreak is total.
         pick = (scored.withColumn("rn", F.row_number().over(w))
                       .filter(F.col("rn") == 1)
                       .select("query_id",
                               F.col("cand_id").alias("vec_id"),
                               F.lit(k).alias("mmr_rank"),
-                              "score3"))
+                              "score3")
+                      .localCheckpoint(eager=False))
         selected = pick if selected is None else selected.unionByName(pick)
         remaining = remaining.join(
             pick.select("query_id", F.col("vec_id").alias("cand_id")),
