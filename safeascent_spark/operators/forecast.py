@@ -287,8 +287,11 @@ def _mmr_base(spark: SparkSession, sf_dir: str):
 
 def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, pair_sim = _mmr_base(spark, sf_dir)
-    cand = cand.cache()
-    pair_sim = pair_sim.cache()
+    # r12 (ADVICE r11 discipline): route the per-invocation caches through
+    # the persist registry so session GC releases them — a bare .cache()
+    # per call accumulated pinned copies for the life of the session.
+    cand = domain.persisted(spark, cand.cache())
+    pair_sim = domain.persisted(spark, pair_sim.cache())
     selected = None   # (query_id, vec_id, mmr_rank, score3)
     remaining = cand
     for k in range(1, MMR_K + 1):
