@@ -53,8 +53,9 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
     side is replicated to the 3x3 cell neighborhood, pairs outside the
     exact radius are trimmed — |locations| x |nearby| pairs at continental
     scale."""
-    from .scoring import GRID_CELL_DEG
-    cell = F.lit(GRID_CELL_DEG)
+    from .scoring import GRID_CELL_DEG, GRID_CELL_LAT_DEG
+    cell_lat = F.lit(GRID_CELL_LAT_DEG)
+    cell_lon = F.lit(GRID_CELL_DEG)
     loc = domain.locations_df(spark, sf_dir)
     mode = R.q_location_mode_type(spark, sf_dir).select(
         "location_id", F.col("mode_type").alias("route_type"))
@@ -64,8 +65,8 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
         F.radians("latitude").alias("l_rlat"),
         F.radians("longitude").alias("l_rlon"),
         F.cos(F.radians("latitude")).alias("l_coslat"),
-        F.floor(F.col("latitude") / cell).cast("int").alias("cx"),
-        F.floor(F.col("longitude") / cell).cast("int").alias("cy"),
+        F.floor(F.col("latitude") / cell_lat).cast("int").alias("cx"),
+        F.floor(F.col("longitude") / cell_lon).cast("int").alias("cy"),
         K.spatial_bandwidth("route_type").alias("l_bw"),
         K.temporal_lambda("route_type").alias("l_lam"),
         K.map_literal(C.ELEVATION_DECAY_CONSTANT, "route_type",
@@ -78,8 +79,8 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
         F.radians("latitude").alias("a_rlat"),
         F.radians("longitude").alias("a_rlon"),
         F.cos(F.radians("latitude")).alias("a_coslat"),
-        F.floor(F.col("latitude") / cell).cast("int").alias("a_cx"),
-        F.floor(F.col("longitude") / cell).cast("int").alias("a_cy"),
+        F.floor(F.col("latitude") / cell_lat).cast("int").alias("a_cx"),
+        F.floor(F.col("longitude") / cell_lon).cast("int").alias("a_cy"),
         F.abs(F.datediff(F.to_date(F.lit(pred_date)), F.col("accident_date")))
          .cast("double").alias("a_days"),
         (K.season_of("accident_date") == F.lit(K.season_of_py(pred_date)))
@@ -94,7 +95,16 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
         dim=G.domain_grade_dim(spark, sf_dir)).drop("grade")
     wsim = W.weather_similarity_cached(spark, sf_dir)
 
+    # r12 (guide §2.3): base rows below SIGNIFICANCE_THRESHOLD are discarded
+    # at the end of this function, and base <= the full influence bound
+    # (rt/grade factors are <= 1), so the significance-reach latitude-gap
+    # prefilter is lossless here too; the capped form additionally prunes
+    # at the (tighter) radius bound the dist <= radius filter implies.
+    from .scoring import (significance_reach_km, _lat_gap_prefilter,
+                          _lat_band, _band_replicate)
+    cut = significance_reach_km(spark, sf_dir)
     if radius_km is not None:
+        cut = min(cut, radius_km * 1.01)
         neigh = F.array(F.lit(-1), F.lit(0), F.lit(1))
         a9 = (a.withColumn("dx", F.explode(neigh))
                .withColumn("dy", F.explode(neigh))
@@ -102,6 +112,16 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
                .withColumn("cy", F.col("a_cy") + F.col("dy"))
                .drop("dx", "dy", "a_cx", "a_cy"))
         pairs = lm.join(F.broadcast(a9), ["cx", "cy"])
+    elif cut > 0.0:
+        # r13 (guide §2.3/§3, VERDICT r12 item 1): the uncapped base stage
+        # was a BNLJ cross join that GENERATED |locations| x |accidents|
+        # rows before the prefilter ran; banding latitude into an equi-join
+        # key makes the hash join skip out-of-reach pair generation itself.
+        # Lossless for the same reason the prefilter is: a dropped pair has
+        # |dlat| * R > cut, so its base is below the significance filter.
+        ab = _band_replicate(a.drop("a_cx", "a_cy"), "a_rlat", cut)
+        pairs = lm.withColumn("lband", _lat_band("l_rlat", cut)) \
+                  .join(F.broadcast(ab), "lband")
     else:
         pairs = lm.crossJoin(F.broadcast(a.drop("a_cx", "a_cy")))
     pairs = pairs.join(
@@ -109,16 +129,6 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
         (pairs["wbucket"] == wsim["cur_bucket"])
         & (pairs["acc_bucket"] == wsim["acc_bucket"]), "left",
     ).drop(wsim["acc_bucket"]).drop("cur_bucket")
-
-    # r12 (guide §2.3): base rows below SIGNIFICANCE_THRESHOLD are discarded
-    # at the end of this function, and base <= the full influence bound
-    # (rt/grade factors are <= 1), so the significance-reach latitude-gap
-    # prefilter is lossless here too; the capped form additionally prunes
-    # at the (tighter) radius bound the dist <= radius filter implies.
-    from .scoring import significance_reach_km, _lat_gap_prefilter
-    cut = significance_reach_km(spark, sf_dir)
-    if radius_km is not None:
-        cut = min(cut, radius_km * 1.01)
     pairs = _lat_gap_prefilter(pairs, cut, rlat_a="a_rlat", rlat_b="l_rlat")
 
     dist = K.haversine_from_parts(

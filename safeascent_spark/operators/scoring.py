@@ -57,6 +57,25 @@ def _grid_cell_deg(radius_km: float, max_abs_lat_deg: float = 50.0) -> float:
 GRID_CELL_DEG = round(_grid_cell_deg(C.MAX_SEARCH_RADIUS_KM) + 0.005, 2)
 
 
+def _grid_cell_lat_deg(radius_km: float) -> float:
+    """Latitude-axis cell size: d >= R * |dlat| exactly (see
+    _lat_gap_prefilter), so a lat cell of radius/(km per degree) already
+    guarantees any within-radius pair differs by at most one lat cell."""
+    import math
+    return radius_km / (math.pi / 180.0 * C.EARTH_RADIUS_KM)
+
+
+# r13 (guide §2.3, VERDICT r12): the grid was square at the LONGITUDE
+# worst case (4.2 deg covers 300 km along a parallel at |lat| 50), but the
+# latitude axis only needs 300 km of arc = 2.70 deg.  Splitting the axes
+# keeps the coverage guarantee per axis (any within-radius pair is within
+# +-1 cell on each axis) while the 3x3 neighborhood generates ~35% fewer
+# candidate pairs: |dlat| of a generated pair drops from <= 2x4.2 deg to
+# <= 2x2.7 deg.  Results are cell-size independent — the post-join exact
+# haversine <= radius filter defines the semantics.
+GRID_CELL_LAT_DEG = round(_grid_cell_lat_deg(C.MAX_SEARCH_RADIUS_KM) + 0.005, 2)
+
+
 def accident_class_dim(spark: SparkSession, sf_dir: str,
                        pred_date: str = domain.PRED_DATE,
                        accidents: DataFrame | None = None) -> DataFrame:
@@ -79,7 +98,8 @@ def accident_class_dim(spark: SparkSession, sf_dir: str,
     if accidents is None:
         accidents = domain.accidents_df(spark, sf_dir)
     gdim = G.domain_grade_dim(spark, sf_dir)
-    cell = F.lit(GRID_CELL_DEG)
+    cell_lat = F.lit(GRID_CELL_LAT_DEG)
+    cell_lon = F.lit(GRID_CELL_DEG)
     a = G.grade_difficulty_join(accidents, "grade", "a_gdiff", dim=gdim).select(
         "accident_id", "accident_date", "a_gdiff",
         F.col("route_type").alias("a_type"),
@@ -88,8 +108,8 @@ def accident_class_dim(spark: SparkSession, sf_dir: str,
         F.radians("latitude").alias("a_rlat"),
         F.radians("longitude").alias("a_rlon"),
         F.cos(F.radians("latitude")).alias("a_coslat"),
-        F.floor(F.col("latitude") / cell).cast("int").alias("a_cx"),
-        F.floor(F.col("longitude") / cell).cast("int").alias("a_cy"),
+        F.floor(F.col("latitude") / cell_lat).cast("int").alias("a_cx"),
+        F.floor(F.col("longitude") / cell_lon).cast("int").alias("a_cy"),
         F.col("wbucket").alias("acc_bucket"),
     )
     rt = spark.createDataFrame([(t,) for t in domain.ROUTE_TYPE_BY_MOD],
@@ -155,8 +175,16 @@ def significance_reach_km(spark: SparkSession, sf_dir: str) -> float:
                  * (1.0 + C.ELEVATION_BONUS_MAX)
                  * wfac_max)
         max_bw = max(C.SPATIAL_BANDWIDTH_KM.values())
-        cache[sf_dir] = max_bw * math.sqrt(
-            2.0 * math.log(f_max / C.SIGNIFICANCE_THRESHOLD)) * 1.001
+        # r13 (ADVICE r12): if a future config made f_max <= threshold no
+        # pair could ever be significant (influence <= spatial_max * f_max
+        # <= f_max); reach 0 then prunes every positive-gap pair, which is
+        # exactly what the query's own filter would do — and the sqrt of a
+        # negative log must never raise at build time.
+        if f_max <= C.SIGNIFICANCE_THRESHOLD:
+            cache[sf_dir] = 0.0
+        else:
+            cache[sf_dir] = max_bw * math.sqrt(
+                2.0 * math.log(f_max / C.SIGNIFICANCE_THRESHOLD)) * 1.001
     return cache[sf_dir]
 
 
@@ -173,6 +201,39 @@ def _lat_gap_prefilter(pairs: DataFrame, cutoff_km: float,
     the pair invisible to the query's own filters."""
     gap = F.abs(F.col(rlat_a) - F.col(rlat_b)) * F.lit(C.EARTH_RADIUS_KM)
     return pairs.filter(gap <= F.lit(cutoff_km))
+
+
+# r13 (guide §2.3/§3, VERDICT r12 item 1): the lat-gap prefilter still let
+# the join GENERATE every (route, accident-of-type) pair before filtering —
+# the BHJ row-generation floor was ~65% of the uncapped pair stage.  Banding
+# latitude into the join key skips generation itself: the dim is replicated
+# to +-LAT_BAND_K bands of width cutoff/LAT_BAND_K, so a probe row's hash
+# lookup only streams dim rows whose band is within LAT_BAND_K — every pair
+# with |dlat|*R <= cutoff has a band gap <= LAT_BAND_K (floor monotonicity)
+# and is generated exactly once (each replica carries a distinct band value,
+# the probe side has one), while a dropped pair has band gap > LAT_BAND_K
+# => |dlat|*R > cutoff => it is exactly a row the caller's lat-gap
+# prefilter / significance filter discards anyway.  LAT_BAND_K trades dim
+# replication (2K+1 copies of a broadcast dim) against prune sharpness
+# (kept fraction approaches the exact |dlat| <= cutoff fraction as K
+# grows).  Measured at sf0.1 (tools/r13_band_probe.py, 15M uncapped pairs,
+# 42.6% inside the reach): K=1 generates 59.0%, K=2 51.3%, K=3 48.6%,
+# K=4 47.1% — K=2 takes most of the available prune at 5x dim replication
+# and timed best-of-class for both headline consumers.
+LAT_BAND_K = 2
+
+
+def _lat_band(rlat_col: str, cutoff_km: float) -> F.Column:
+    band_rad = (cutoff_km / C.EARTH_RADIUS_KM) / LAT_BAND_K
+    return F.floor(F.col(rlat_col) / F.lit(band_rad)).cast("int")
+
+
+def _band_replicate(df: DataFrame, rlat_col: str, cutoff_km: float,
+                    out: str = "lband") -> DataFrame:
+    offs = F.array(*[F.lit(i) for i in range(-LAT_BAND_K, LAT_BAND_K + 1)])
+    return (df.withColumn("_db", F.explode(offs))
+              .withColumn(out, _lat_band(rlat_col, cutoff_km) + F.col("_db"))
+              .drop("_db"))
 
 
 def influence_pairs_df(spark: SparkSession, sf_dir: str,
@@ -202,7 +263,8 @@ def _route_side(spark: SparkSession, sf_dir: str,
         routes = domain.routes_df(spark, sf_dir)
     locations = domain.locations_df(spark, sf_dir)
     gdim = G.domain_grade_dim(spark, sf_dir)
-    cell = F.lit(GRID_CELL_DEG)
+    cell_lat = F.lit(GRID_CELL_LAT_DEG)
+    cell_lon = F.lit(GRID_CELL_DEG)
     return G.grade_difficulty_join(
         routes.join(F.broadcast(locations), "location_id"),
         "grade", "r_gdiff", dim=gdim,
@@ -212,8 +274,8 @@ def _route_side(spark: SparkSession, sf_dir: str,
         F.radians("latitude").alias("r_rlat"),
         F.radians("longitude").alias("r_rlon"),
         F.cos(F.radians("latitude")).alias("r_coslat"),
-        F.floor(F.col("latitude") / cell).cast("int").alias("cx"),
-        F.floor(F.col("longitude") / cell).cast("int").alias("cy"),
+        F.floor(F.col("latitude") / cell_lat).cast("int").alias("cx"),
+        F.floor(F.col("longitude") / cell_lon).cast("int").alias("cy"),
     )
 
 
@@ -260,7 +322,8 @@ def dim_broadcasts(spark: SparkSession, sf_dir: str,
 def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
                      routes: DataFrame | None, grid: bool,
                      accidents: DataFrame | None = None,
-                     broadcast_dim: bool | None = True) -> DataFrame:
+                     broadcast_dim: bool | None = True,
+                     band_km: float | None = None) -> DataFrame:
     """Join routes against the accident-class dim (+ the weather-factor dim).
 
     ``grid=False``: equi-join on route_type alone — every route meets every
@@ -300,6 +363,12 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str, pred_date: str,
                 .withColumn("cy", F.col("a_cy") + F.col("dy"))
                 .drop("dx", "dy"))
         keys = ["route_type", "cx", "cy"]
+    elif band_km is not None and band_km > 0.0:
+        # lossless only when the caller's own filters discard every pair
+        # with |dlat| * R > band_km (see _band_replicate)
+        ax = _band_replicate(ax, "a_rlat", band_km)
+        r = r.withColumn("lband", _lat_band("r_rlat", band_km))
+        keys = ["route_type", "lband"]
     else:
         keys = ["route_type"]
     pairs = domain.fan_out(r).join(
@@ -455,9 +524,13 @@ def top_contributors_df(spark: SparkSession, sf_dir: str,
     # significance-reach latitude-gap prefilter is lossless here: pairs
     # whose latitude gap alone puts them beyond significance_reach_km
     # never evaluate the haversine + three-exp influence expression.
-    cand = _candidate_pairs(spark, sf_dir, pred_date, None, grid=False)
-    pairs = _pair_influence_select(
-        _lat_gap_prefilter(cand, significance_reach_km(spark, sf_dir)))
+    # r13: the same reach now also rides the JOIN KEY (band_km), so
+    # out-of-reach pairs are never generated by the hash join at all;
+    # the row-level prefilter stays to trim the band-granularity surplus.
+    reach = significance_reach_km(spark, sf_dir)
+    cand = _candidate_pairs(spark, sf_dir, pred_date, None, grid=False,
+                            band_km=reach)
+    pairs = _pair_influence_select(_lat_gap_prefilter(cand, reach))
     return _topk_from_pairs(pairs, limit)
 
 
