@@ -11,6 +11,8 @@ Reference parity citations are given per function (file:line into
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -21,6 +23,25 @@ ColumnOrName = Column | str
 
 def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+# r13 (ADVICE r12): the F.expr fast paths interpolate column names and
+# config-table keys/values into raw SQL text.  They are only byte-identical
+# to the F.col/F.lit when-chain when the column name is a plain unqualified
+# identifier (a qualified/quoted name would resolve differently), every key
+# is a plain string (quotes would break the literal), and every value is a
+# float (an int would parse as a D-suffixed double vs F.lit's IntegerType).
+# Guard the fast path on exactly those shapes — constant-table-only, never
+# data-derived keys — and fall back to the expression-builder path otherwise.
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _expr_fast_ok(col_name: object, mapping_items) -> bool:
+    if not (isinstance(col_name, str) and _PLAIN_IDENT.match(col_name)):
+        return False
+    return all(isinstance(k, str) and "'" not in k and "\\" not in k
+               and isinstance(v, float)
+               for k, v in mapping_items)
 
 
 def map_literal(mapping: dict[str, float], key: ColumnOrName,
@@ -34,11 +55,13 @@ def map_literal(mapping: dict[str, float], key: ColumnOrName,
     kernels sit in almost every scoring/relational builder, so the saved
     driver latency compounds (guide §1.2).
     """
-    if isinstance(key, str):
+    items = [(k, v) for k, v in mapping.items() if k != "default"]
+    dflt = mapping.get("default", default)
+    if isinstance(key, str) and _expr_fast_ok(key, items) \
+            and isinstance(dflt, float):
         arms = " ".join(f"WHEN lower({key}) = '{k}' THEN {v!r}D"
-                        for k, v in mapping.items() if k != "default")
-        return F.expr(
-            f"CASE {arms} ELSE {mapping.get('default', default)!r}D END")
+                        for k, v in items)
+        return F.expr(f"CASE {arms} ELSE {dflt!r}D END")
     key = F.lower(_col(key))
     expr: Column | None = None
     for k, v in mapping.items():
@@ -149,7 +172,14 @@ def route_type_weight(planning_type: ColumnOrName,
     conditions, ``D``-suffixed double literals == F.lit doubles), so plans
     and results are bit-identical; Column inputs keep the original path.
     """
-    if isinstance(planning_type, str) and isinstance(accident_type, str):
+    if isinstance(planning_type, str) and isinstance(accident_type, str) \
+            and _expr_fast_ok(planning_type,
+                              ((pk, w) for (pk, _), w
+                               in C.ROUTE_TYPE_WEIGHTS.items())) \
+            and _expr_fast_ok(accident_type,
+                              ((ak, w) for (_, ak), w
+                               in C.ROUTE_TYPE_WEIGHTS.items())) \
+            and isinstance(C.DEFAULT_ROUTE_TYPE_WEIGHT, float):
         p = f"lower({planning_type})"
         a = f"lower({accident_type})"
         arms = " ".join(
@@ -174,7 +204,9 @@ def route_type_index(route_type: ColumnOrName) -> Column:
     lookup is a single element_at into a 49-double literal array instead of a
     49-branch string-comparison CASE per pair.
     """
-    if isinstance(route_type, str):
+    if isinstance(route_type, str) and _PLAIN_IDENT.match(route_type) \
+            and all(isinstance(t, str) and "'" not in t and "\\" not in t
+                    for t in C.ROUTE_TYPES):
         arms = " ".join(f"WHEN lower({route_type}) = '{t}' THEN {i}"
                         for i, t in enumerate(C.ROUTE_TYPES))
         return F.expr(f"CASE {arms} ELSE CAST(NULL AS INT) END")
