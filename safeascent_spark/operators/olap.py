@@ -1230,7 +1230,15 @@ def q_tpch_q21_lone_late_supplier(spark: SparkSession,
     # count = sum of the per-supplier any_late flag, and the lone
     # supplier's key = max over flagged groups.  Identical values, no
     # row replication before the shuffle.
-    per_pair = (flagged.groupBy("l_orderkey", "l_suppkey")
+    # r13 (guide §2.4 share one exchange): the chain shuffled TWICE — by
+    # (order, supplier) for per_pair, then by order for per_order.  One
+    # explicit repartition on l_orderkey satisfies ClusteredDistribution
+    # for BOTH aggregates (same-key rows land together), so the fact
+    # grain crosses the network once; the map-side combine the first
+    # exchange had bought was near-nil (lineitem's (order, supplier)
+    # pairs are almost all distinct already).
+    per_pair = (flagged.repartition("l_orderkey")
+                .groupBy("l_orderkey", "l_suppkey")
                 .agg(F.max("late").alias("any_late")))
     per_order = (per_pair.groupBy("l_orderkey")
                  .agg(F.count(F.lit(1)).alias("ns"),
