@@ -1510,6 +1510,35 @@ def _bm25_corpus_stats(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
     return int(row["n_docs"]), int(row["n_tokens"]) / int(row["n_docs"])
 
 
+def _bm25_base_raw(spark: SparkSession, sf_dir: str,
+                   terms: list[str]) -> DataFrame:
+    """Pre-checkpoint (doc_id, dl, qw) pipeline — plan-probe surface."""
+    d = docs_df(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    return d.select("doc_id", F.size(toks).alias("dl"),
+                    F.filter(toks, lambda x: x.isin(terms)).alias("qw"))
+
+
+def _bm25_base(spark: SparkSession, sf_dir: str,
+               terms: list[str]) -> tuple[DataFrame, int, float]:
+    """One tokenize pass serving BOTH the corpus stats and the posting list.
+
+    r13 (guide §2, VERDICT r12 item 6): the BM25 queries split every
+    document TWICE per invocation — once in the _bm25_corpus_stats collect
+    and again in the posting scan.  Materializing (doc_id, dl,
+    query-term-filtered tokens) once per invocation (thin rows: two ints
+    and a <=|terms|-element array — the text column never crosses the
+    checkpoint) halves the corpus tokenize work; stats and posting both
+    read the checkpoint.  Values are unchanged: dl/n_docs/avgdl are the
+    same integers, and exploding the pre-filtered array yields exactly the
+    post-explode-filtered token stream."""
+    base = _bm25_base_raw(spark, sf_dir, terms)
+    base = domain.persisted(spark, base.localCheckpoint(eager=True))
+    row = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("n_tokens")).collect()[0]
+    return base, int(row["n_docs"]), int(row["n_tokens"]) / int(row["n_docs"])
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str,
                      k: int = BM25_TOP_K) -> DataFrame:
     """Top-k documents by BM25 for the fixed BM25_TERMS query.
@@ -1525,14 +1554,10 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str,
     expression tree, and the score is rounded to 6 before the hash — the
     q_text_unigram_lm convention.
     """
-    n_docs, avgdl = _bm25_corpus_stats(spark, sf_dir)
-    d = docs_df(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    posting = (d.select("doc_id", F.size(toks).alias("dl"),
-                        F.explode(toks).alias("word"))
-                .filter(F.col("word").isin(BM25_TERMS))
-                .groupBy("doc_id", "dl", "word")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    base, n_docs, avgdl = _bm25_base(spark, sf_dir, BM25_TERMS)
+    posting = (base.select("doc_id", "dl", F.explode("qw").alias("word"))
+                   .groupBy("doc_id", "dl", "word")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
     # df(t) as a window over the posting table, NOT a re-aggregated join:
     # the corpus is scanned ONCE (the join form re-derived posting from a
     # second scan); the window's exchange carries only the term-filtered
@@ -2058,18 +2083,14 @@ BM25_MULTI_TOP_K = 10
 
 def q_text_bm25_multi(spark: SparkSession, sf_dir: str,
                       k: int = BM25_MULTI_TOP_K) -> DataFrame:
-    n_docs, avgdl = _bm25_corpus_stats(spark, sf_dir)
     all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    base, n_docs, avgdl = _bm25_base(spark, sf_dir, all_terms)
     qrows = [(qid, t) for qid, ts in sorted(BM25_QUERIES.items())
              for t in ts]
     qdim = spark.createDataFrame(qrows, "query_id int, word string")
-    d = docs_df(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    posting = (d.select("doc_id", F.size(toks).alias("dl"),
-                        F.explode(toks).alias("word"))
-                .filter(F.col("word").isin(all_terms))
-                .groupBy("doc_id", "dl", "word")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    posting = (base.select("doc_id", "dl", F.explode("qw").alias("word"))
+                   .groupBy("doc_id", "dl", "word")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
     wdf = Window.partitionBy("word")
     posting = posting.withColumn(
         "df", F.count(F.lit(1)).over(wdf).cast("bigint"))

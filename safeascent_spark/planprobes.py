@@ -23,6 +23,7 @@ import shutil
 from typing import Callable, ContextManager, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _plain(builder) -> Callable[[SparkSession, str], ContextManager]:
@@ -120,6 +121,19 @@ def _dsir_doc_bucket_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU._dsir_doc_bucket_raw(spark, sf_dir)
 
 
+def _bm25_base_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as T
+    terms = sorted({t for ts in T.BM25_QUERIES.values() for t in ts})
+    return T._bm25_base_raw(spark, sf_dir, terms)
+
+
+def _pagerank_ed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as G
+    edges = G._pagerank_edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return edges.join(outdeg, "src")
+
+
 def all_probes() -> dict[str, Callable[[SparkSession, str], ContextManager]]:
     """name -> context-manager factory yielding the pre-checkpoint frame.
 
@@ -142,4 +156,7 @@ def all_probes() -> dict[str, Callable[[SparkSession, str], ContextManager]]:
         "semdedup_cell_frame": _plain(_semdedup_cell_raw),
         "geo_knn_fine_done": _plain(_geo_knn_done_raw),
         "dsir_doc_bucket": _plain(_dsir_doc_bucket_raw),
+        # r13 optimization round: new checkpoint boundaries
+        "bm25_base_frame": _plain(_bm25_base_raw),
+        "pagerank_edge_deg": _plain(_pagerank_ed_raw),
     }

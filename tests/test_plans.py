@@ -517,11 +517,17 @@ def test_bm25_single_scan_and_truncation(spark):
     the posting aggregation, and contain no joins at all."""
     from safeascent_spark.operators import text as T
     plan = plan_of(T.q_text_bm25_topk(spark, SF_SMOKE))
-    assert n_ops(plan, "Scan parquet") == 1, plan[:2000]
+    # r13: the tokenize pass lives behind the shared (doc_id, dl, qw)
+    # checkpoint (one pass serves stats AND posting); the declared plan
+    # reads the checkpoint, the probe below pins the single corpus scan.
+    assert n_ops(plan, "Scan parquet") == 0, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "partial_count" in plan
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_ops(plan, "SortMergeJoin") == 0, plan[:3000]
+    base_plan = plan_of(T._bm25_base_raw(spark, SF_SMOKE, T.BM25_TERMS))
+    assert n_ops(base_plan, "Scan parquet") == 1, base_plan[:2000]
+    assert n_ops(base_plan, "Exchange") == 0, base_plan[:2000]
 
 
 def test_hybrid_rrf_fusion_is_bounded(spark):
@@ -601,7 +607,9 @@ def test_bm25_multi_scans_corpus_once(spark):
     per query below the exchange."""
     from safeascent_spark.operators import text as T
     plan = plan_of(T.q_text_bm25_multi(spark, SF_SMOKE))
-    assert n_ops(plan, "Scan parquet") == 1, plan[:2000]
+    # r13: corpus pass behind the one-tokenize checkpoint (see
+    # test_bm25_single_scan_and_truncation + the bm25_base_frame probe)
+    assert n_ops(plan, "Scan parquet") == 0, plan[:2000]
     assert "WindowGroupLimit" in plan
     assert n_ops(plan, "CartesianProduct") == 0
 
