@@ -100,8 +100,7 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
     # (rt/grade factors are <= 1), so the significance-reach latitude-gap
     # prefilter is lossless here too; the capped form additionally prunes
     # at the (tighter) radius bound the dist <= radius filter implies.
-    from .scoring import (significance_reach_km, _lat_gap_prefilter,
-                          _lat_band, _band_replicate)
+    from .scoring import significance_reach_km, _lat_gap_prefilter
     cut = significance_reach_km(spark, sf_dir)
     if radius_km is not None:
         cut = min(cut, radius_km * 1.01)
@@ -112,17 +111,10 @@ def _location_base_df(spark: SparkSession, sf_dir: str,
                .withColumn("cy", F.col("a_cy") + F.col("dy"))
                .drop("dx", "dy", "a_cx", "a_cy"))
         pairs = lm.join(F.broadcast(a9), ["cx", "cy"])
-    elif cut > 0.0:
-        # r13 (guide §2.3/§3, VERDICT r12 item 1): the uncapped base stage
-        # was a BNLJ cross join that GENERATED |locations| x |accidents|
-        # rows before the prefilter ran; banding latitude into an equi-join
-        # key makes the hash join skip out-of-reach pair generation itself.
-        # Lossless for the same reason the prefilter is: a dropped pair has
-        # |dlat| * R > cut, so its base is below the significance filter.
-        ab = _band_replicate(a.drop("a_cx", "a_cy"), "a_rlat", cut)
-        pairs = lm.withColumn("lband", _lat_band("l_rlat", cut)) \
-                  .join(F.broadcast(ab), "lband")
     else:
+        # (r13: a latitude-band equi-join replacing this cross join was
+        # measured and rejected — see scoring.LAT_BAND_K; the fused
+        # lat-gap conjunct below already short-circuits pruned pairs.)
         pairs = lm.crossJoin(F.broadcast(a.drop("a_cx", "a_cy")))
     pairs = pairs.join(
         F.broadcast(wsim),

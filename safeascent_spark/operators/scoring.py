@@ -203,23 +203,28 @@ def _lat_gap_prefilter(pairs: DataFrame, cutoff_km: float,
     return pairs.filter(gap <= F.lit(cutoff_km))
 
 
-# r13 (guide §2.3/§3, VERDICT r12 item 1): the lat-gap prefilter still let
-# the join GENERATE every (route, accident-of-type) pair before filtering —
-# the BHJ row-generation floor was ~65% of the uncapped pair stage.  Banding
-# latitude into the join key skips generation itself: the dim is replicated
-# to +-LAT_BAND_K bands of width cutoff/LAT_BAND_K, so a probe row's hash
-# lookup only streams dim rows whose band is within LAT_BAND_K — every pair
-# with |dlat|*R <= cutoff has a band gap <= LAT_BAND_K (floor monotonicity)
-# and is generated exactly once (each replica carries a distinct band value,
-# the probe side has one), while a dropped pair has band gap > LAT_BAND_K
-# => |dlat|*R > cutoff => it is exactly a row the caller's lat-gap
-# prefilter / significance filter discards anyway.  LAT_BAND_K trades dim
-# replication (2K+1 copies of a broadcast dim) against prune sharpness
-# (kept fraction approaches the exact |dlat| <= cutoff fraction as K
-# grows).  Measured at sf0.1 (tools/r13_band_probe.py, 15M uncapped pairs,
-# 42.6% inside the reach): K=1 generates 59.0%, K=2 51.3%, K=3 48.6%,
-# K=4 47.1% — K=2 takes most of the available prune at 5x dim replication
-# and timed best-of-class for both headline consumers.
+# r13 (VERDICT r12 item 1) — latitude-band equi-join: MEASURED AND
+# REJECTED for the declared queries; the mechanism below stays available
+# (exactness pinned by tests/test_advice_r13.py) as the documented
+# alternative for a regime where pair EMISSION is not the cost.
+#
+# The idea: band latitude into the join key (dim replicated to
+# +-LAT_BAND_K bands of width cutoff/LAT_BAND_K) so the hash join never
+# streams out-of-reach dim rows — every pair with |dlat|*R <= cutoff has
+# a band gap <= LAT_BAND_K (floor monotonicity) and is generated exactly
+# once (each replica carries a distinct band value, the probe side has
+# one), while a dropped pair has band gap > LAT_BAND_K => |dlat|*R >
+# cutoff => exactly a row the caller's lat-gap prefilter / significance
+# filter discards anyway.  Structurally it works: K=2 generates 51.3% of
+# the 15M uncapped sf0.1 pairs (prefilter floor 42.6%;
+# tools/r13_band_probe.py).  But wall-clock it is NEUTRAL TO NEGATIVE at
+# both SFs (sf1 pair stage 64.4s banded vs 62.7s unbanded; sf0.1 A/B
+# +1.4%): whole-stage codegen fuses the r12 lat-gap conjunct into the
+# join's emission loop, so a pruned pair already costs only an iterator
+# step + one multiply/compare — the band can only save that, while its
+# 2K+1 dim replication multiplies the broadcast (7 GB at ~1M accidents
+# vs 1.4 GB plain, against the 8 GB relation cap).  Emission of the
+# SURVIVING pairs, which banding cannot reduce, is where the time goes.
 LAT_BAND_K = 2
 
 
@@ -524,12 +529,10 @@ def top_contributors_df(spark: SparkSession, sf_dir: str,
     # significance-reach latitude-gap prefilter is lossless here: pairs
     # whose latitude gap alone puts them beyond significance_reach_km
     # never evaluate the haversine + three-exp influence expression.
-    # r13: the same reach now also rides the JOIN KEY (band_km), so
-    # out-of-reach pairs are never generated by the hash join at all;
-    # the row-level prefilter stays to trim the band-granularity surplus.
+    # (r13: a band equi-join on the same reach was measured and rejected —
+    # see the LAT_BAND_K note above.)
     reach = significance_reach_km(spark, sf_dir)
-    cand = _candidate_pairs(spark, sf_dir, pred_date, None, grid=False,
-                            band_km=reach)
+    cand = _candidate_pairs(spark, sf_dir, pred_date, None, grid=False)
     pairs = _pair_influence_select(_lat_gap_prefilter(cand, reach))
     return _topk_from_pairs(pairs, limit)
 

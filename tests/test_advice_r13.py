@@ -95,6 +95,44 @@ def test_search_mmr_base_memoized_per_session_sf(spark):
     assert r1 == r2
 
 
+def test_reach_bound_dominates_every_observed_influence_factor(spark):
+    """ADVICE r12: the reach derivation's losslessness depends on f_max
+    bounding every non-spatial factor product.  Evaluate the actual factor
+    columns over the real pair stage and assert none exceeds its config
+    bound (so influence <= spatial * f_max holds on the data the filters
+    see)."""
+    wmax_row = (
+        __import__("safeascent_spark.operators.weather",
+                   fromlist=["weather_similarity_cached"])
+        .weather_similarity_cached(spark, SF_ORACLE)
+        .agg(F.max("weather_weight")).first())
+    wmax = float(wmax_row[0]) if wmax_row[0] is not None else 1.0
+    wfac_max = max(wmax ** C.WEATHER_POWER,
+                   scoring.MISSING_WEATHER_FACTOR)
+    f_max = (C.SEASONAL_MULTIPLIER
+             * max(C.SEVERITY_BOOSTERS.values())
+             * max(*C.ROUTE_TYPE_WEIGHTS.values(),
+                   C.DEFAULT_ROUTE_TYPE_WEIGHT)
+             * (1.0 + C.ELEVATION_BONUS_MAX)
+             * wfac_max)
+    pairs = scoring._candidate_pairs(
+        spark, SF_ORACLE, domain.PRED_DATE, None, grid=False)
+    # tfac carries temporal * rt_weight * severity; wfac the gated cube;
+    # elevation/grade are bounded by construction (<= 1 + bonus, <= 1)
+    row = pairs.agg(
+        F.max("tfac").alias("tfac_max"),
+        F.max(F.coalesce(F.col("wfac"),
+                         F.lit(scoring.MISSING_WEATHER_FACTOR)))
+         .alias("wfac_obs")).first()
+    assert row.tfac_max <= (C.SEASONAL_MULTIPLIER
+                            * max(C.SEVERITY_BOOSTERS.values())
+                            * max(*C.ROUTE_TYPE_WEIGHTS.values(),
+                                  C.DEFAULT_ROUTE_TYPE_WEIGHT))
+    assert row.wfac_obs <= wfac_max
+    assert row.tfac_max * (1.0 + C.ELEVATION_BONUS_MAX) * row.wfac_obs \
+        <= f_max * (1.0 + 1e-12)
+
+
 def test_grid_cells_cover_radius_per_axis():
     """Anisotropic grid: each axis' cell must cover MAX_SEARCH_RADIUS_KM so
     no within-radius pair can differ by more than one cell on that axis."""
