@@ -1092,6 +1092,32 @@ _R12_NEW: list = [
     "ann_ivf_incremental", "sink_compaction_roundtrip",
 ]
 
+# --- Round-13 bookkeeping ------------------------------------------------------
+# Queries whose CODE (executed plan) changed in round 13 (optimization
+# round 2 — zero new registrations, zero oracle-SQL changes): per-axis
+# grid cells on the capped scoring/batch paths, the pagerank
+# loop-invariant lineage cuts, the search_mmr base memoization, the
+# q21 single-fact-shuffle aggregate chain, and the bm25
+# one-tokenize-pass checkpoint (which touches both bm25 queries).
+_R13_CODE_CHANGED: list = [
+    "risk_scores_capped", "top_contributors_capped",
+    "batch_scores_capped", "graph_pagerank", "search_mmr",
+    "tpch_q21_lone_late_supplier", "text_bm25_multi", "text_bm25_topk",
+]
+# rows whose code changed in r13 outside the r13 window → front of the
+# staged r14 window.  text_bm25_multi sits IN the r13 window and
+# re-gates with the new code automatically; graph_pagerank and
+# text_bm25_topk were checked by the r12 window BEFORE this round's
+# change, so they regate alongside the five rows whose last evidence
+# predates r12.
+_R14_REGATE_FRONT: list = [
+    n for n in _R13_CODE_CHANGED if n != "text_bm25_multi"
+]
+
+# queries NEW in round 13 — none (optimization round; VERDICT r12
+# item 9: zero net-new registrations).
+_R13_NEW: list = []
+
 
 def _r8_order(b: dict) -> list:
     """The round-8 registration order, reconstructed verbatim (names
@@ -1180,30 +1206,49 @@ def _r11_order(b: dict) -> list:
     return order
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # --- Round-12 registration order -----------------------------------
-    # window (50): positions 50..99 of the r11 order, exactly as staged
-    # in round 11 and pinned by VERDICT r11 item 1 /
-    # tests/test_rotation.py — the 16 r11 code-changed regates first
-    # (the full post-fix multimodal family + winnowing_pairs + the ml
-    # family + graph_degree_histogram), then the 7 remaining r10-new at
-    # their registration+2 deadline (union 23), then the 27
-    # next-stalest rows.
-    b = _builders()
+def _r12_order(b: dict) -> list:
+    """The round-12 registration order, reconstructed verbatim (names
+    registered after r12 — ``_R13_NEW``, empty — are excluded).  The
+    r13 window is DEFINED as positions 50..99 of this order (staged
+    in-round by r12 and pinned by tests/test_rotation.py): the r12
+    code-changed non-window regates first (_R13_REGATE_FRONT), then
+    the 8 r11-new at their registration+2 deadline, then the
+    next-stalest rows — draining the r6-era evidence block."""
     r11_order = _r11_order(b)
     window = r11_order[50:100]
-    # Positions 50..99 are the ready-made r13 window: the r12
-    # code-changed rows OUTSIDE this round's window first
-    # (_R13_REGATE_FRONT — same device as _R12_REGATE_FRONT last
-    # round), then the 8 r11-new never-checked (their registration+2
-    # deadline IS r13), then the next-stalest rows — which drain the
-    # r6-era evidence block that hits the staleness ceiling at r13.
     front = list(_R13_REGATE_FRONT)
     staged = front + [n for n in _R11_NEW if n not in front]
     taken = set(window) | set(staged)
     rest = [n for n in r11_order[100:] if n not in taken]
     r11_fresh = [n for n in r11_order[:50] if n not in taken]
     order = window + staged + rest + r11_fresh + list(_R12_NEW)
+    assert len(order) == len(b) and set(order) == set(b), (
+        len(order), len(b))
+    return order
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # --- Round-13 registration order -----------------------------------
+    # window (50): positions 50..99 of the r12 order, exactly as staged
+    # in round 12 and pinned by tests/test_rotation.py — the 8 r11-new
+    # at their registration+2 deadline (s8/s9's regate and debut
+    # coincide), then the 42 next-stalest rows draining the last
+    # pre-r7-era evidence.  (_R13_REGATE_FRONT is empty: every r12
+    # code-change was either in the r12 window or debuts here.)
+    b = _builders()
+    r12_order = _r12_order(b)
+    window = r12_order[50:100]
+    # Positions 50..99 are the ready-made r14 window: the r13
+    # code-changed rows OUTSIDE this round's window first
+    # (_R14_REGATE_FRONT — the per-axis-cell capped paths, pagerank,
+    # search_mmr, q21 and bm25_topk), then the 2 r12-new at their
+    # registration+2 deadline, then the next-stalest rows.
+    front = list(_R14_REGATE_FRONT)
+    staged = front + [n for n in _R12_NEW if n not in front]
+    taken = set(window) | set(staged)
+    rest = [n for n in r12_order[100:] if n not in taken]
+    r12_fresh = [n for n in r12_order[:50] if n not in taken]
+    order = window + staged + rest + r12_fresh + list(_R13_NEW)
     assert len(order) == len(b) and set(order) == set(b), (
         len(order), len(b))
     return {n: b[n] for n in order}

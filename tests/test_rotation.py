@@ -41,16 +41,43 @@ def _r11_order():
     return E._r11_order(E._builders())
 
 
+def _r12_order():
+    return E._r12_order(E._builders())
+
+
+def test_r13_window_is_the_staged_plan():
+    """The r13 window is EXACTLY positions 50..99 of the r12
+    registration order (staged in-round by r12): the 8 r11-new at
+    their registration+2 deadline (s8/s9's regate and debut coincide;
+    _R13_REGATE_FRONT is empty), then the 42 next-stalest rows
+    draining the last pre-r7-era evidence."""
+    order = _order()
+    win = order[:50]
+    assert len(set(win)) == 50
+    assert win == _r12_order()[50:100]
+    front = list(E._R13_REGATE_FRONT)
+    assert win[:len(front)] == front
+    k = len(set(front) | set(E._R11_NEW))
+    assert set(E._R11_NEW) <= set(win[:k])
+    # the stale rows saw no driver row in r8/r9/r10/r11/r12
+    stale = win[k:]
+    recent = (set(E._R8_WINDOW) | set(_r9_order()[:50])
+              | set(_r10_order()[:50]) | set(_r11_order()[:50])
+              | set(_r12_order()[:50]))
+    assert not set(stale) & recent
+    assert not set(stale) & set(E._R12_NEW)
+
+
 def test_r12_window_is_the_verdict_plan():
-    """The r12 window is EXACTLY positions 50..99 of the r11
+    """Historical pin: the r12 window was positions 50..99 of the r11
     registration order (VERDICT r11 item 1, staged in-round by r11):
     the 16 r11 code-changed regates first (_R12_REGATE_FRONT — the
     full post-fix multimodal family + winnowing_pairs + the ml family
     + graph_degree_histogram), then the 7 remaining r10-new at their
     registration+2 deadline (3 of the 10 are themselves regates, so
-    the union is 23 rows), then the 27 next-stalest rows."""
-    order = _order()
-    win = order[:50]
+    the union is 23 rows), then the 27 next-stalest rows — and the
+    recorded driver artifact matches it exactly."""
+    win = _r12_order()[:50]
     assert len(set(win)) == 50
     assert win == _r11_order()[50:100]
     front = list(E._R12_REGATE_FRONT)
@@ -65,6 +92,9 @@ def test_r12_window_is_the_verdict_plan():
               | set(_r10_order()[:50]) | set(_r11_order()[:50]))
     assert not set(stale) & recent
     assert not set(stale) & (set(E._R11_NEW) | set(E._R12_NEW))
+    r12 = json.loads((REPO / "CORRECTNESS_r12.json").read_text())
+    assert set(r12) == set(win)
+    assert all(v["hash_match"] for v in r12.values())
 
 
 def test_r11_window_is_the_verdict_plan():
@@ -177,14 +207,22 @@ def test_published_list_sizes():
     assert set(E._R12_REGATE_FRONT) < set(E._R11_CODE_CHANGED)
     # r12 cap (VERDICT r11 item 2: waves now bounded at 5 net-new so
     # the 50-slot refresh period stops stretching) + code-changed
-    # bookkeeping: r12-window members re-gate this round
-    # automatically; s8/s9 are _R11_NEW rows debuting in the staged
-    # r13 window anyway; every other non-member leads that window
+    # bookkeeping: r12-window members re-gated in r12 automatically;
+    # s8/s9 are _R11_NEW rows debuting in the r13 window anyway; every
+    # other non-member leads that window
     assert len(E._R12_NEW) <= 5
-    rest12 = (set(E._R12_CODE_CHANGED) - set(_order()[:50])
+    rest12 = (set(E._R12_CODE_CHANGED) - set(_r12_order()[:50])
               - set(E._R11_NEW))
     assert rest12 == set(E._R13_REGATE_FRONT)
     assert set(E._R13_REGATE_FRONT) <= set(E._R12_CODE_CHANGED)
+    # r13 code-changed bookkeeping (optimization round 2, zero new
+    # registrations): the one r13-window member (text_bm25_multi)
+    # re-gates this round automatically; every other changed row leads
+    # the staged r14 window
+    assert len(E._R13_NEW) == 0
+    rest13 = set(E._R13_CODE_CHANGED) - set(_order()[:50])
+    assert rest13 == set(E._R14_REGATE_FRONT)
+    assert set(E._R14_REGATE_FRONT) < set(E._R13_CODE_CHANGED)
 
 
 def test_windows_partition_history():
@@ -197,66 +235,67 @@ def test_windows_partition_history():
     assert not win10 & win9
     win11 = set(_r11_order()[:50])
     assert not win11 & win10
-    win12 = set(_order()[:50])
+    win12 = set(_r12_order()[:50])
     assert not win12 & win11
+    win13 = set(_order()[:50])
+    assert not win13 & win12
     r7 = json.loads((REPO / "CORRECTNESS_r07.json").read_text())
     assert set(r7) == set(E._R7_WINDOW)
     assert all(v["hash_match"] for v in r7.values())
 
 
-def test_registration_order_and_r13_readiness():
+def test_registration_order_and_r14_readiness():
     order = _order()
     n = len(order)
     assert len(set(order)) == n
-    # r12-new are registered at the very tail (rotate in by r14)
-    k = len(E._R12_NEW)
-    if k:
-        assert order[n - k:] == list(E._R12_NEW)
-    # positions 50..99 are the ready-made r13 window: the r12
-    # code-changed non-window regates first (_R13_REGATE_FRONT), then
-    # the 8 r11-new (their registration+2 deadline IS r13; the s8/s9
-    # sink roundtrips are both code-changed AND debuting, so their
-    # regate and debut coincide), then the 42 next-stalest rows —
-    # draining the last 6 pre-r7-era rows plus 36 of the 47 r7-era
-    # rows; nothing from windows r9/r10/r11/r12 beyond the justified
-    # regates.
-    r13 = order[50:100]
-    front = list(E._R13_REGATE_FRONT)
-    assert r13[:len(front)] == front
-    k = len(set(front) | set(E._R11_NEW))
-    assert set(E._R11_NEW) <= set(r13[:k])
-    rest = r13[k:]
-    recent = (set(E._R8_WINDOW) | set(_r9_order()[:50])
-              | set(_r10_order()[:50]) | set(_r11_order()[:50])
-              | set(order[:50]))
-    assert not set(rest) & recent
-    assert not set(rest) & set(E._R12_NEW)
+    # r13 added no queries; the r12-new sit just ahead of the (empty)
+    # r13 tail and debut in the staged r14 window below
+    assert list(E._R13_NEW) == []
+    # positions 50..99 are the ready-made r14 window: the r13
+    # code-changed non-window regates first (_R14_REGATE_FRONT — the
+    # per-axis-cell capped paths, pagerank, search_mmr, q21,
+    # bm25_topk), then the 2 r12-new at their registration+2 deadline,
+    # then the next-stalest rows.  The pre-r7/r7-era staleness pool is
+    # nearly drained (see test_staleness_ages_match_note), so the
+    # stalest remaining evidence is now r7/r8-era — the cycle wraps:
+    # nothing in the rest may carry evidence newer than the r8 window.
+    r14 = order[50:100]
+    front = list(E._R14_REGATE_FRONT)
+    assert r14[:len(front)] == front
+    k = len(set(front) | set(E._R12_NEW))
+    assert set(E._R12_NEW) <= set(r14[:k])
+    rest = r14[k:]
+    newer_than_r8 = (set(_r9_order()[:50]) | set(_r10_order()[:50])
+                     | set(_r11_order()[:50]) | set(_r12_order()[:50])
+                     | set(order[:50]))
+    assert not set(rest) & newer_than_r8
 
 
 def test_staleness_ages_match_note():
-    """Recompute the projected after-r12 evidence ages from the lists:
-    50 r12-fresh / 50 r11-fresh / r10/r9/r8/r7-fresh minus the regates
-    later windows pulled forward / never = |_R11_NEW| + |_R12_NEW|;
-    remainder pre-r7-era; total matches the registered surface.  The
-    structural payoff of the r12 window (16 regates + 7 debuts + 27
-    stalest): only SIX rows still carry pre-r7-era evidence, and all
-    six sit inside the staged r13 window — the staleness ceiling
-    VERDICT r11 item 2 worried about clears at r13, with wave growth
-    now capped at 5 to keep it clear."""
+    """Recompute the projected after-r13 evidence ages from the lists:
+    50 r13-fresh / 50 r12-fresh / 50 r11-fresh / r10/r9/r8-fresh minus
+    the regates later windows pulled forward / never = |_R12_NEW|;
+    remainder r7-era; total matches the registered surface.  The
+    structural payoff of the r13 window (8 debuts + 42 stalest): ZERO
+    rows still carry pre-r7-era evidence — the staleness ceiling
+    VERDICT r11 item 2 worried about cleared on schedule — and the 11
+    remaining r7-era rows all sit inside the staged r14 window."""
     order = _order()
     n = len(order)
-    win12 = set(order[:50])
+    win13 = set(order[:50])
+    win12 = set(_r12_order()[:50])
     win11 = set(_r11_order()[:50])
     win10 = set(_r10_order()[:50])
     win9 = set(_r9_order()[:50])
-    never = (set(E._R11_NEW) | set(E._R12_NEW)) - win12
+    never = (set(E._R12_NEW) | set(E._R13_NEW)) - win13
     ages = {
-        "r12": win12,
-        "r11": win11 - win12,
-        "r10": win10 - win12 - win11,
-        "r9": win9 - win12 - win11 - win10,
-        "r8": set(E._R8_WINDOW) - win12 - win11 - win10 - win9,
-        "r7": (set(E._R7_WINDOW) - win12 - win11 - win10 - win9
+        "r13": win13,
+        "r12": win12 - win13,
+        "r11": win11 - win13 - win12,
+        "r10": win10 - win13 - win12 - win11,
+        "r9": win9 - win13 - win12 - win11 - win10,
+        "r8": set(E._R8_WINDOW) - win13 - win12 - win11 - win10 - win9,
+        "r7": (set(E._R7_WINDOW) - win13 - win12 - win11 - win10 - win9
                - set(E._R8_WINDOW)),
         "never": never,
     }
@@ -264,22 +303,23 @@ def test_staleness_ages_match_note():
     for k, s in ages.items():
         assert not s & seen, k
         seen |= s
+    assert len(ages["r13"]) == 50
     assert len(ages["r12"]) == 50
     assert len(ages["r11"]) == 50
     # the r12 window pulled 2 r10-fresh (ml model/cv) + 2 r9-fresh
-    # (png meta/resize) regates forward; earlier windows pulled 2+2+1
+    # (png meta/resize) regates forward; earlier windows pulled 2+2+1;
+    # the r13 window pulled nothing forward (its front is empty)
     assert len(ages["r10"]) == 48
     assert len(ages["r9"]) == 48
     assert len(ages["r8"]) == 48
-    assert len(ages["r7"]) == 47
-    assert len(ages["never"]) == len(E._R11_NEW) + len(E._R12_NEW)
-    # everything else carries pre-r7-era evidence: exactly 6 rows, all
-    # staged into the r13 window (alongside 36 of the 47 r7-era rows)
+    assert len(ages["r7"]) == 11
+    assert len(ages["never"]) == len(E._R12_NEW) + len(E._R13_NEW)
+    # NOTHING is left beyond the r7 era: the pre-r7 evidence block is
+    # fully drained, and the 11 r7-era rows are staged into r14
     rest = set(order) - seen
-    assert len(rest) == 6
+    assert len(rest) == 0
     staged = set(order[50:100])
-    assert rest <= staged
-    assert len(ages["r7"] & staged) == 36
+    assert ages["r7"] <= staged
     # cycle-length invariant quoted in the note: ceil(N/50)
     assert -(-n // 50) == (n + 49) // 50
 
